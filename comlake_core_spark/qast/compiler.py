@@ -1,0 +1,381 @@
+"""qast → pyspark Column compiler.
+
+The reference compiles its JSON s-expression predicate language twice — once
+to a PostgreSQL WHERE string (reference src/comlake/core/qast.clj:52-65) and
+once to a tree of JVM closures used as a row filter
+(reference src/comlake/core/qast.clj:120-129).  Here ONE compiler emits a
+standard pyspark ``Column``; Catalyst then handles pushdown, constant folding
+and codegen, so the same compiled predicate serves both the catalog-search
+path (``POST /find``) and the content-extraction path (``POST /extract``)
+without divergence.
+
+Language (reference doc/qast.md): an expression is a JSON literal (number,
+string, boolean, null, array) or a JSON array ``[op, operand...]``.  Operator
+registry, arities and semantics follow the reference's *closure* backend and
+doc/qast.md (reference qast.clj:31-50 declares the same set for SQL):
+
+    $ . ~ + - * / % == != > >= < <= && & | !
+
+Deliberate semantic pins (SURVEY.md §2.1 "divergent reference semantics"):
+
+- ``~`` regex: the reference's SQL backend does a *partial* (unanchored)
+  match (qast.clj:35) while the closure backend does a *full* anchored match
+  via ``re-matches`` (qast.clj:97-101).  We expose both via
+  ``regex_mode='partial'|'full'`` — catalog ``find`` uses partial, content
+  ``extract`` uses full, matching each reference endpoint's observed tests.
+- ``==``/``!=``/comparisons are variadic chains with the closure backend's
+  documented all-equal / monotonic semantics (qast.clj:107-112), compiled to
+  AND-reduced pairwise comparisons (the reference SQL backend's naive
+  ``a = b = c`` string is simply wrong SQL; we implement the documented
+  semantics).
+- ``/`` is double division (the closure backend's exact rationals,
+  qast.clj:105, have no distributed analogue; doc/qast.md does not require
+  them).
+- null propagation: arithmetic/comparison on null → null and filters drop
+  null predicates — Spark's native behavior already matches the reference's
+  ``not-nil-fn`` wrapper (qast.clj:75-80).  ``&``/``|``/``!`` coerce null to
+  false exactly like qast.clj:114-118.
+- ``&&`` is array overlap → ``F.arrays_overlap`` (qast.clj:47; the closure
+  backend left it TODO at qast.clj:113 — we implement it on both paths).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, StringType, StructType
+
+
+class QastError(ValueError):
+    """Malformed qast: unknown operator, bad arity, or bad shape."""
+
+
+# Sentinel for the compiled ["$"] — the current row (reference qast.clj:33,92).
+class _Root:
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "<$>"
+
+
+_ROOT = _Root()
+
+# Kind lattice used for `&`/`|` truthiness and `+` dispatch.
+_BOOL = "bool"
+_NUM = "num"
+_STR = "str"
+_ARR = "arr"
+_UNKNOWN = "unknown"
+
+
+class _Typed:
+    """A compiled subexpression: a Column plus the little type knowledge the
+    compiler could infer (enough for Clojure-style truthiness and ``+``
+    string/array dispatch without a full analyzer — Catalyst does the rest)."""
+
+    __slots__ = ("col", "kind")
+
+    def __init__(self, col: Column, kind: str = _UNKNOWN):
+        self.col = col
+        self.kind = kind
+
+
+Resolver = Callable[[list[str]], _Typed]
+
+
+def default_resolver(schema: StructType | None = None) -> Resolver:
+    """Field resolver for ``["."], ["$"], path...`` against a DataFrame.
+
+    With a schema we can (a) return typed columns, (b) compile references to
+    missing top-level fields to NULL instead of failing analysis — the
+    reference's row-map ``get`` returns nil for absent keys
+    (qast.clj:93-96), and qast queries may name fields that only exist in
+    some rows' dynamic ``extra`` metadata.
+    """
+
+    def resolve(path: list[str]) -> _Typed:
+        head, *rest = path
+        kind = _UNKNOWN
+        if schema is not None:
+            if head not in schema.names:
+                return _Typed(F.lit(None), _UNKNOWN)
+            if not rest:
+                kind = _kind_of(schema[head].dataType)
+        col = F.col(head)
+        for part in rest:
+            col = col.getItem(part)
+        return _Typed(col, kind)
+
+    return resolve
+
+
+def _kind_of(dt: Any) -> str:
+    if isinstance(dt, BooleanType):
+        return _BOOL
+    if isinstance(dt, StringType):
+        return _STR
+    if isinstance(dt, ArrayType):
+        return _ARR
+    if dt.typeName() in {"byte", "short", "integer", "long", "float", "double", "decimal"}:
+        return _NUM
+    return _UNKNOWN
+
+
+def _truthy(t: _Typed) -> Column:
+    """Clojure truthiness (reference qast.clj:114-117): nil and false are
+    falsy, everything else — including 0 and "" — is truthy."""
+    if t.kind == _BOOL:
+        return F.coalesce(t.col, F.lit(False))
+    if t.kind in (_NUM, _STR, _ARR):
+        return t.col.isNotNull()
+    # Unknown type: non-null and not boolean-false. The equality against a
+    # boolean literal is only meaningful when the value IS boolean; for other
+    # types Spark's cast yields null and the coalesce keeps the row truthy.
+    return t.col.isNotNull() & F.coalesce(t.col.cast("string") != F.lit("false"), F.lit(True))
+
+
+def _lit(value: Any) -> _Typed:
+    if isinstance(value, bool):
+        return _Typed(F.lit(value), _BOOL)
+    if isinstance(value, (int, float)):
+        return _Typed(F.lit(value), _NUM)
+    if isinstance(value, str):
+        return _Typed(F.lit(value), _STR)
+    if value is None:
+        return _Typed(F.lit(None), _UNKNOWN)
+    raise QastError(f"unsupported literal: {value!r}")
+
+
+def _chain(args: list[_Typed], cmp: Callable[[Column, Column], Column]) -> _Typed:
+    """Variadic monotonic chain: AND of pairwise-adjacent comparisons
+    (closure backend semantics, reference qast.clj:107-112)."""
+    pairs = [cmp(a.col, b.col) for a, b in zip(args, args[1:])]
+    return _Typed(reduce(lambda x, y: x & y, pairs), _BOOL)
+
+
+def _arith(args: list[_Typed], op: Callable[[Column, Column], Column], kind: str = _NUM) -> _Typed:
+    return _Typed(reduce(op, [a.col for a in args]), kind)
+
+
+def _check_arity(op: str, args: list[Any], minimum: int, exact: int | None = None) -> None:
+    if exact is not None and len(args) != exact:
+        raise QastError(f"operator {op!r} expects exactly {exact} operands, got {len(args)}")
+    if len(args) < minimum:
+        raise QastError(f"operator {op!r} expects at least {minimum} operands, got {len(args)}")
+
+
+def compile_qast(
+    ast: Any,
+    *,
+    schema: StructType | None = None,
+    resolver: Resolver | None = None,
+    regex_mode: str = "full",
+) -> Column:
+    """Compile a qast expression to a pyspark Column.
+
+    ``regex_mode='full'`` anchors ``~`` like the reference's extract path
+    (re-matches, qast.clj:97-101); ``'partial'`` matches the find path's
+    PostgreSQL ``~`` (qast.clj:35).
+    """
+    resolve = resolver or default_resolver(schema)
+    typed = _compile(ast, resolve, regex_mode)
+    if isinstance(typed, _Root):
+        raise QastError("bare [\"$\"] is not a complete expression")
+    return typed.col
+
+
+def compile_predicate(ast: Any, **kwargs: Any) -> Column:
+    """Compile for use in ``DataFrame.filter``: wraps the result in
+    truthiness so a null/non-boolean value drops the row, exactly like the
+    reference filters on the closure's value (extract/data.clj:33-35)."""
+    resolve = kwargs.pop("resolver", None) or default_resolver(kwargs.pop("schema", None))
+    regex_mode = kwargs.pop("regex_mode", "full")
+    if kwargs:
+        raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+    typed = _compile(ast, resolve, regex_mode)
+    if isinstance(typed, _Root):
+        raise QastError("bare [\"$\"] is not a predicate")
+    if typed.kind == _BOOL:
+        # A boolean predicate needs no truthiness wrapper: Spark's WHERE
+        # drops null predicates, which IS the reference behavior (nil from
+        # not-nil-fn drops the row). Leaving the raw comparison unwrapped
+        # keeps it eligible for parquet PushedFilters.
+        return typed.col
+    return _truthy(typed)
+
+
+def _compile(ast: Any, resolve: Resolver, regex_mode: str) -> _Typed | _Root:
+    # Non-array JSON values are literals (doc/qast.md:5-7).
+    if not isinstance(ast, list):
+        return _lit(ast)
+    if not ast:
+        raise QastError("empty array is not a valid expression")
+    head = ast[0]
+    # An array whose head is not a known operator string is an array literal
+    # (reference qast.clj:56,61-62: unknown head falls through to ARRAY[...]).
+    if not isinstance(head, str) or head not in _OPS:
+        elems = [_compile(e, resolve, regex_mode) for e in ast]
+        if any(isinstance(e, _Root) for e in elems):
+            raise QastError("[\"$\"] cannot appear inside an array literal")
+        kinds = {e.kind for e in elems}
+        return _Typed(F.array(*[e.col for e in elems]), _ARR if kinds else _ARR)
+    return _OPS[head](ast[1:], resolve, regex_mode)
+
+
+def _compile_args(args: list[Any], resolve: Resolver, regex_mode: str) -> list[_Typed]:
+    out = []
+    for a in args:
+        t = _compile(a, resolve, regex_mode)
+        if isinstance(t, _Root):
+            raise QastError("[\"$\"] is only valid as the first operand of \".\"")
+        out.append(t)
+    return out
+
+
+# ---- operator implementations -------------------------------------------
+
+
+def _op_root(args, resolve, regex_mode):
+    _check_arity("$", args, 0, exact=0)
+    return _ROOT
+
+
+def _op_field(args, resolve, regex_mode):
+    # [".", ["$"], "a", "b"] — nested getter (qast.clj:93-96). The first
+    # operand must evaluate to the row; remaining operands are literal keys.
+    _check_arity(".", args, 2)
+    base = _compile(args[0], resolve, regex_mode)
+    path = args[1:]
+    if not all(isinstance(p, str) for p in path):
+        raise QastError("field path components must be strings")
+    if isinstance(base, _Root):
+        return resolve(list(path))
+    # Getter chained onto a non-root expression (e.g. nested array literal) —
+    # legal per the grammar; resolve with getItem.
+    col = base.col
+    for part in path:
+        col = col.getItem(part)
+    return _Typed(col, _UNKNOWN)
+
+
+def _op_regex(args, resolve, regex_mode):
+    _check_arity("~", args, 2, exact=2)
+    s, p = _compile_args(args, resolve, regex_mode)
+    if not isinstance(args[1], str):
+        raise QastError("~ pattern must be a string literal")
+    pattern = args[1]
+    if regex_mode == "full":
+        pattern = f"^(?:{pattern})$"
+    return _Typed(s.col.rlike(pattern), _BOOL)
+
+
+def _op_add(args, resolve, regex_mode):
+    _check_arity("+", args, 1)
+    ts = _compile_args(args, resolve, regex_mode)
+    kinds = {t.kind for t in ts}
+    # doc/qast.md:15: + also concatenates strings and arrays.
+    if kinds == {_STR}:
+        return _Typed(F.concat(*[t.col for t in ts]), _STR)
+    if kinds == {_ARR}:
+        return _Typed(F.concat(*[t.col for t in ts]), _ARR)
+    return _arith(ts, lambda a, b: a + b)
+
+
+def _op_sub(args, resolve, regex_mode):
+    _check_arity("-", args, 1)
+    ts = _compile_args(args, resolve, regex_mode)
+    if len(ts) == 1:
+        return _Typed(-ts[0].col, _NUM)
+    return _arith(ts, lambda a, b: a - b)
+
+
+def _op_mul(args, resolve, regex_mode):
+    _check_arity("*", args, 1)
+    return _arith(_compile_args(args, resolve, regex_mode), lambda a, b: a * b)
+
+
+def _op_div(args, resolve, regex_mode):
+    _check_arity("/", args, 1)
+    ts = _compile_args(args, resolve, regex_mode)
+    if len(ts) == 1:
+        return _Typed(F.lit(1.0) / ts[0].col.cast("double"), _NUM)
+    cols = [t.col.cast("double") for t in ts]
+    return _Typed(reduce(lambda a, b: a / b, cols), _NUM)
+
+
+def _op_mod(args, resolve, regex_mode):
+    _check_arity("%", args, 2, exact=2)
+    a, b = _compile_args(args, resolve, regex_mode)
+    # Spark's % keeps the dividend's sign — same as Clojure rem (qast.clj:106)
+    # and PostgreSQL MOD (qast.clj:40); the one spot both backends agree.
+    return _Typed(a.col % b.col, _NUM)
+
+
+def _op_eq(args, resolve, regex_mode):
+    _check_arity("==", args, 2)
+    return _chain(_compile_args(args, resolve, regex_mode), lambda a, b: a == b)
+
+
+def _op_ne(args, resolve, regex_mode):
+    _check_arity("!=", args, 2)
+    eq = _chain(_compile_args(args, resolve, regex_mode), lambda a, b: a == b)
+    # Clojure not= is "not all equal" (qast.clj:108).
+    return _Typed(~eq.col, _BOOL)
+
+
+def _cmp_op(name: str, cmp: Callable[[Column, Column], Column]):
+    def impl(args, resolve, regex_mode):
+        _check_arity(name, args, 2)
+        return _chain(_compile_args(args, resolve, regex_mode), cmp)
+
+    return impl
+
+
+def _op_overlap(args, resolve, regex_mode):
+    _check_arity("&&", args, 2, exact=2)
+    a, b = _compile_args(args, resolve, regex_mode)
+    return _Typed(F.arrays_overlap(a.col, b.col), _BOOL)
+
+
+def _op_and(args, resolve, regex_mode):
+    _check_arity("&", args, 1)
+    ts = _compile_args(args, resolve, regex_mode)
+    return _Typed(reduce(lambda a, b: a & b, [_truthy(t) for t in ts]), _BOOL)
+
+
+def _op_or(args, resolve, regex_mode):
+    _check_arity("|", args, 1)
+    ts = _compile_args(args, resolve, regex_mode)
+    return _Typed(reduce(lambda a, b: a | b, [_truthy(t) for t in ts]), _BOOL)
+
+
+def _op_not(args, resolve, regex_mode):
+    _check_arity("!", args, 1, exact=1)
+    (t,) = _compile_args(args, resolve, regex_mode)
+    return _Typed(~_truthy(t), _BOOL)
+
+
+_OPS: dict[str, Callable[..., _Typed | _Root]] = {
+    "$": _op_root,
+    ".": _op_field,
+    "~": _op_regex,
+    "+": _op_add,
+    "-": _op_sub,
+    "*": _op_mul,
+    "/": _op_div,
+    "%": _op_mod,
+    "==": _op_eq,
+    "!=": _op_ne,
+    ">": _cmp_op(">", lambda a, b: a > b),
+    ">=": _cmp_op(">=", lambda a, b: a >= b),
+    "<": _cmp_op("<", lambda a, b: a < b),
+    "<=": _cmp_op("<=", lambda a, b: a <= b),
+    "&&": _op_overlap,
+    "&": _op_and,
+    "|": _op_or,
+    "!": _op_not,
+}

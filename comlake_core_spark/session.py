@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local test runs use local[N]; the same config block is what we would ship on a
+real cluster (AQE on, skew-join handling on, Arrow on for the Pandas-UDF
+paths).  Shuffle partitioning is the one knob that differs by deployment: 32
+here to match local cores, ~2-3x total executor cores on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    - AQE enabled: runtime coalescing of shuffle partitions, skew-join
+      splitting, and dynamic join-strategy switching — the mechanisms that
+      keep the same logical plans viable from sf0.001 up to 100 TB.
+    - Arrow enabled: every Pandas-UDF operator (minhash, embeddings,
+      multimodal) moves data in columnar batches, not pickled rows.
+    - Session timezone pinned to UTC so timestamp semantics are stable
+      across engines (the DuckDB oracle reads the same parquet as naive UTC).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert in tables().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the synthetic star-schema tables from a scale-factor directory."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # Nano timestamps surface as long under nanosAsLong — normalize
+            # to TIMESTAMP (microsecond precision) so downstream operators
+            # see one timestamp type regardless of source precision.
+            for field in df.schema.fields:
+                if field.name == "ts" and field.dataType.typeName() == "long":
+                    from pyspark.sql import functions as F
+
+                    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            out[name] = df
+    return out

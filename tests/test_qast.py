@@ -1,0 +1,148 @@
+"""qast compiler tests mirroring the reference's golden suite
+(reference test/comlake/core/qast_test.clj:24-49) plus null/truthiness
+behavior checks (reference qast.clj:75-80,114-118)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from comlake_core_spark.qast import compile_qast, QastError
+from comlake_core_spark.qast.compiler import compile_predicate
+
+# The reference's golden expressions (qast_test.clj:24-29).
+REGEX_EXAMPLE = ["~", "name@domain.com", ".*@(.*)"]
+OVERLAP_EXAMPLE = ["&&", [".", ["$"], "topics"], ["copypasta"]]
+MATHS_EXAMPLE = [
+    "&",
+    ["==", ["-", ["+", 2, 2], 1], 3],
+    ["<", 3, ["/", 8, 2], ["%", ["*", 2, 2, 3], 7]],
+    [">=", 3000, 100],
+    ["!", ["|", ["<=", 420, 69], [">", 9, 11], ["!=", 8, 8]]],
+]
+
+
+def eval_const(spark, ast, **kw):
+    """Evaluate a constant qast against a single empty row — the analogue of
+    the reference running the compiled closure on {} (qast_test.clj:45-49)."""
+    df = spark.range(1)
+    return df.select(compile_qast(ast, **kw).alias("v")).first()["v"]
+
+
+def test_maths_example_truthy(spark):
+    # Must be truthy like ((json->fn maths-example) {}) (qast_test.clj:47).
+    assert eval_const(spark, MATHS_EXAMPLE) is True
+
+
+def test_regex_full_vs_partial(spark):
+    # Closure backend = full match (qast.clj:97-101): pattern must consume
+    # the whole string.
+    assert eval_const(spark, REGEX_EXAMPLE, regex_mode="full") is True
+    assert eval_const(spark, ["~", "name@domain.com", "@"], regex_mode="full") is False
+    # SQL backend = partial match (qast.clj:35).
+    assert eval_const(spark, ["~", "name@domain.com", "@"], regex_mode="partial") is True
+
+
+def test_regex_vietnam_full_match(spark, t):
+    # api_test.clj:197-204: "Vi.tnam" must full-match "Vietnam", i.e. select
+    # rows where the whole value matches.
+    df = spark.createDataFrame(
+        [Row(country_name="Vietnam", code="VNM"), Row(country_name="North Vietnam hist.", code="XXX")]
+    )
+    ast = ["~", [".", ["$"], "country_name"], "Vi.tnam"]
+    rows = df.filter(compile_predicate(ast, schema=df.schema)).collect()
+    assert [r["code"] for r in rows] == ["VNM"]
+
+
+def test_array_overlap(spark):
+    df = spark.createDataFrame([Row(topics=["copypasta", "memes"]), Row(topics=["science"])])
+    kept = df.filter(compile_predicate(OVERLAP_EXAMPLE, schema=df.schema)).collect()
+    assert len(kept) == 1 and kept[0]["topics"] == ["copypasta", "memes"]
+
+
+def test_field_access_nested(spark):
+    df = spark.createDataFrame([Row(a=Row(b=7))])
+    assert df.select(compile_qast([".", ["$"], "a", "b"], schema=df.schema).alias("v")).first()["v"] == 7
+
+
+def test_missing_field_is_null(spark):
+    # Reference row-map get returns nil for absent keys (qast.clj:93-96);
+    # with a schema we compile missing top-level fields to NULL.
+    df = spark.createDataFrame([Row(x=1)])
+    pred = compile_predicate(["==", [".", ["$"], "nope"], 1], schema=df.schema)
+    assert df.filter(pred).count() == 0
+
+
+def test_variadic_eq_and_chains(spark):
+    assert eval_const(spark, ["==", 2, 2, 2]) is True
+    assert eval_const(spark, ["==", 2, 2, 3]) is False
+    assert eval_const(spark, ["!=", 2, 2, 3]) is True  # not-all-equal
+    assert eval_const(spark, ["<", 1, 2, 3]) is True
+    assert eval_const(spark, ["<", 1, 3, 2]) is False
+
+
+def test_string_concat_and_array_concat(spark):
+    # doc/qast.md:15 — + concatenates strings and arrays too.
+    assert eval_const(spark, ["+", "foo", "bar"]) == "foobar"
+    assert eval_const(spark, ["+", ["a"], ["b"]]) == ["a", "b"]
+
+
+def test_null_propagation(spark):
+    # not-nil-fn (qast.clj:75-80): any nil operand → nil result; the filter
+    # then drops the row.
+    assert eval_const(spark, ["+", 1, None]) is None
+    df = spark.createDataFrame([Row(x=1), Row(x=None)])
+    assert df.filter(compile_predicate([">", [".", ["$"], "x"], 0], schema=df.schema)).count() == 1
+
+
+def test_logical_null_coercion(spark):
+    # & / | coerce nil to false (qast.clj:114-117); 0 and "" are truthy.
+    assert eval_const(spark, ["&", True, None]) is False
+    assert eval_const(spark, ["|", False, None]) is False
+    assert eval_const(spark, ["|", None, 1]) is True
+    assert eval_const(spark, ["&", 0, ""]) is True  # Clojure truthiness
+    assert eval_const(spark, ["!", None]) is True
+
+
+def test_division_is_double(spark):
+    assert eval_const(spark, ["/", 8, 2]) == 4.0
+    assert eval_const(spark, ["/", 8, 3]) == pytest.approx(8 / 3)
+
+
+def test_mod_sign(spark):
+    # Clojure rem / PG MOD / Spark %: sign of the dividend.
+    assert eval_const(spark, ["%", -7, 3]) == -1
+
+
+def test_arity_errors():
+    with pytest.raises(QastError):
+        compile_qast(["~", "only-one-arg"])
+    with pytest.raises(QastError):
+        compile_qast(["%", 1, 2, 3])
+    with pytest.raises(QastError):
+        compile_qast(["!", 1, 2])
+    with pytest.raises(QastError):
+        compile_qast([])
+
+
+def test_unknown_head_is_array_literal(spark):
+    # qast.clj:56,61-62: unknown head → array literal.
+    assert eval_const(spark, ["copypasta"]) == ["copypasta"]
+    assert eval_const(spark, [1, 2, 3]) == [1, 2, 3]
+
+
+def test_injection_impossible(spark, t):
+    # The reference SQL backend is injectable (naive quote wrap, qast.clj:63).
+    # The Column API treats the whole string as a value — assert the classic
+    # payload matches nothing instead of dropping a table.
+    df = t["customer"]
+    ast = ["==", [".", ["$"], "c_mktsegment"], "x'; DROP TABLE dataset; --"]
+    assert df.filter(compile_predicate(ast, schema=df.schema)).count() == 0
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # Performance invariant: a compiled qast filter on a parquet scan must
+    # appear in PushedFilters (Catalyst pushdown through our compiler).
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pred = compile_predicate(["==", [".", ["$"], "l_returnflag"], "R"], schema=df.schema)
+    plan = df.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200]
