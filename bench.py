@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline workloads at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, no driver
+collect overhead). One warmup query first so JVM/codegen startup isn't
+attributed to the first workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from comlake_core_spark.session import get_spark
+from comlake_core_spark.workloads import REGISTRY
+
+HEADLINE = [
+    "qast_eq_filter",
+    "qast_arith_revenue",
+    "catalog_find",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders_per_segment",
+    "distinct_event_users",
+    "events_hourly",
+    "window_running_sum",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "ann_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("comlake-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer reads
+    force(REGISTRY["qast_eq_filter"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        start = time.perf_counter()
+        force(df)
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline workload wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,295 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB: every algorithm here is shuffle-bounded by *candidate
+pairs*, never by all-pairs. Exact dedup is a hash aggregate; MinHash/SimHash
+band/bucket keys turn O(n²) similarity into a groupBy on bucket keys plus a
+verify join over bucket-local pairs. Signatures are computed with JVM
+built-ins (xxhash64 over shingles) so the scan stays in whole-stage codegen;
+only SimHash's 64-bit bit-vote uses a vectorized Pandas UDF.
+
+The reference has no dedup of any kind (SURVEY.md §2.4); IPFS gives it
+byte-identical *content* dedup for free (eval.tex:143-144) — the analogue
+here is exact_dedup on the fingerprint, and the near-dup family goes beyond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.text import fingerprint, tokens
+from comlake_core_spark.session import ensure_parallelism
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+
+    Hash aggregate with partial (map-side) combine: the shuffle carries one
+    row per distinct document, so 100 TB with 50% dups shuffles 50 TB of
+    *keys+ids*, not documents."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as strings. Built from sequence+transform —
+    no UDF, no explode (the array stays row-local until the LSH explode)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """num_hashes seeded xxhash64 min-hashes over the shingle set.
+
+    xxhash64(shingle, seed_i) is a JVM intrinsic — the whole signature is
+    one codegen'd expression per row."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Pipeline (each stage scale-safe):
+      1. per-row signature (map-only, codegen);
+      2. explode to `bands` rows, bucket key = hash(band slice) → groupBy-
+         style self-join on (band, key): only docs sharing a bucket meet;
+      3. distinct candidate pairs (dedup across bands);
+      4. verify with exact Jaccard over shingle sets (join pairs back to
+         the shingle arrays; intersection/union are array ops).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    # Two explicit select stages + persist: (a) stops Catalyst's projection
+    # collapse from inlining the shingle expression into all 32 minhash
+    # expressions (a 32× recompute), (b) the signature frame is read three
+    # times downstream (both join sides + verify) — at 100 TB this persist
+    # is a deliberate materialization of the signature index.
+    docs = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("_sh"))
+        .select("_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        .persist()
+    )
+
+    banded = docs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.array_join(F.slice("_sig", b * rows_per_band + 1, rows_per_band), ","))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bkey"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bkey") == F.col("r._bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = docs.select("_id", "_sh")
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+    """Documents to DROP: the larger id of every near-dup pair (greedy
+    keep-first policy). connected-components clustering is the exhaustive
+    alternative; greedy is the standard large-scale choice."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    return pairs.select(F.col("id_b").alias("drop_id")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word k-gram sets, blocked to avoid all-pairs.
+
+    Default block key: first token of the document (cheap prefix blocking).
+    At 100 TB, blocking is mandatory — the self-join is per-block; pass a
+    better block_col (e.g. a MinHash band) for higher recall."""
+    toks = tokens(text_col)
+    block = block_col if block_col is not None else F.lower(toks.getItem(0))
+    df = ensure_parallelism(df)
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, k_shingle).alias("_sh"),
+        block.alias("_blk"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
+            / F.size(F.array_union("a._sh", "b._sh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Pandas UDF
+    (functions/udfs.py — the engine's documented 'genuinely needs Python'
+    case; everything else in this module is JVM built-ins)."""
+    from comlake_core_spark.functions.udfs import make_simhash_udf
+
+    _simhash = make_simhash_udf(bits)
+    return ensure_parallelism(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 64/band_bits
+    chunks (pigeonhole: any pair within max_hamming shares ≥1 exact chunk
+    when bands > max_hamming), bucket-join on chunks, verify Hamming."""
+    sigs = simhash(df, text_col, id_col)
+    n_bands = 64 // band_bits
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("simhash", b * band_bits) % (2**band_bits)).cast("long")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Near-dup pairs among embeddings: random-hyperplane LSH bucket, then
+    exact cosine verify within buckets.
+
+    The hyperplanes are derived from seeded xxhash64 of (plane, dim) — fully
+    deterministic, no model state to ship. sign pattern = bucket key; pairs
+    with cosine ≥ threshold almost always share the full sign pattern for
+    high thresholds."""
+    from comlake_core_spark.operators.similarity import cosine
+
+    v = F.col(vec_col).cast("array<double>")
+    dim = F.size(v)
+
+    # pseudo-random ±1 hyperplanes: sign of xxhash64(plane, dim_index)
+    def plane_bit(p: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), dim - 1), lambda i, p=p: F.when(F.xxhash64(F.lit(p), i) % 2 == 0, 1.0).otherwise(-1.0)),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    key = F.concat_ws("", *[plane_bit(p).cast("string") for p in range(n_planes)])
+    docs = ensure_parallelism(df).select(F.col(id_col).alias("_id"), v.alias("_v"), key.alias("_bucket")).persist()
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
+        .withColumn("cosine", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+    )

@@ -61,6 +61,17 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
     return spark
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only if the input has fewer partitions than the cluster
+    has slots. Small single-file parquet inputs otherwise serialize heavy
+    per-row map stages onto one core; at real scale the input already has
+    enough splits and this is a no-op (no shuffle added)."""
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
     """Load the synthetic star-schema tables from a scale-factor directory."""
     out: dict[str, DataFrame] = {}

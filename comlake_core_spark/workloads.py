@@ -1,0 +1,765 @@
+"""Driver-contract workload registry: named queries + DuckDB oracle SQL.
+
+Each workload is a (spark_fn, oracle_sql) pair over the synthetic tables in a
+scale-factor directory.  The driver runs both at sf0.01 and compares row
+count + schema + order-insensitive value hash, so the two sides must agree
+*bitwise* on values.  Engine-agreement discipline used throughout:
+
+- **Sums are exact**: cast operands to DECIMAL before SUM (decimal arithmetic
+  is exact and associative, so Spark's partial aggregation order can't change
+  the result), then CAST the final sum to DOUBLE on both sides.
+- **Per-row doubles are safe unrounded**: +,-,*,/ on identical doubles are
+  IEEE-correctly-rounded in both engines, so row-level expressions match
+  bitwise without rounding.
+- **Averages** are computed as CAST(exact decimal sum AS DOUBLE) / COUNT —
+  one double division of identical inputs.
+- **Timestamps** are emitted as formatted strings (session TZ pinned to UTC).
+- Every computed column is aliased identically in Spark and SQL (the driver
+  sorts columns by name before hashing).
+
+Query provenance: reference-parity entries cite the comlake.core behavior
+they reproduce (file:line into /root/reference); extension entries implement
+SURVEY.md §7 Phase 4 (aggregations, top-k, joins, windows, dedup, text,
+similarity) — operators the reference deliberately lacks (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from comlake_core_spark.qast.compiler import compile_predicate, default_resolver
+from comlake_core_spark.session import tables
+
+
+@dataclass
+class Workload:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def workload(name: str, oracle: str | None, *tags: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Workload(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    loaded = tables(spark, sf_dir, names)
+    missing = [n for n in names if n not in loaded]
+    if missing:
+        raise FileNotFoundError(f"tables {missing} not found under {sf_dir!r}")
+    return [loaded[n] for n in names]
+
+
+def dec(col, p: int = 12, s: int = 2):
+    """Exact-decimal cast for engine-agreement on sums (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: qast predicates over content rows
+# (the Spark analogue of POST /extract, reference extract/data.clj:29-37,
+# and POST /find, reference PostgreSQL.java:157-178)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "qast_eq_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "qast",
+    "filter",
+)
+def qast_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """["==", [".", ["$"], "l_returnflag"], "R"] — the canonical equality
+    extract (reference doc/api.md:383-425 uses the same shape on a CSV)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ast = ["==", [".", ["$"], "l_returnflag"], "R"]
+    return li.filter(compile_predicate(ast, schema=li.schema)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@workload(
+    "qast_extract_regex",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE regexp_full_match(source, 'src1.?')
+    """,
+    "qast",
+    "regex",
+)
+def qast_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-match ~ (extract path): reference re-matches semantics
+    (qast.clj:97-101; api_test.clj:197-204 'Vi.tnam' ≍ 'Vietnam')."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    ast = ["~", [".", ["$"], "source"], "src1.?"]
+    return docs.filter(compile_predicate(ast, schema=docs.schema, regex_mode="full")).select("doc_id", "source")
+
+
+@workload(
+    "qast_find_regex",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE regexp_matches(c_name, '00[0-9]$')
+    """,
+    "qast",
+    "regex",
+)
+def qast_find_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-match ~ (find path): reference PostgreSQL `~` semantics
+    (qast.clj:35)."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    ast = ["~", [".", ["$"], "c_name"], "00[0-9]$"]
+    return cust.filter(compile_predicate(ast, schema=cust.schema, regex_mode="partial")).select(
+        "c_custkey", "c_name"
+    )
+
+
+@workload(
+    "qast_arith_revenue",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) > 90000
+    """,
+    "qast",
+    "arithmetic",
+)
+def qast_arith_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic qast both as predicate and projected value (ops + - * /,
+    reference qast.clj:36-39).  Per-row double math matches DuckDB bitwise."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    resolve = default_resolver(li.schema)
+    rev_ast = ["*", [".", ["$"], "l_extendedprice"], ["-", 1, [".", ["$"], "l_discount"]]]
+    pred_ast = [">", rev_ast, 90000]
+    from comlake_core_spark.qast.compiler import compile_qast
+
+    return li.filter(compile_predicate(pred_ast, resolver=resolve)).select(
+        "l_orderkey",
+        "l_linenumber",
+        compile_qast(rev_ast, resolver=resolve).alias("revenue"),
+    )
+
+
+@workload(
+    "qast_maths_composite",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE (l_linenumber % 2) = 1
+      AND l_quantity < l_extendedprice
+      AND (l_returnflag = 'A' OR l_returnflag = 'R')
+      AND NOT (l_discount > 0.05)
+    """,
+    "qast",
+    "logic",
+)
+def qast_maths_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite predicate exercising % == < | & ! in one tree — the shape of
+    the reference's "quick maths" golden test (qast_test.clj:25-29)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ast = [
+        "&",
+        ["==", ["%", [".", ["$"], "l_linenumber"], 2], 1],
+        ["<", [".", ["$"], "l_quantity"], [".", ["$"], "l_extendedprice"]],
+        ["|", ["==", [".", ["$"], "l_returnflag"], "A"], ["==", [".", ["$"], "l_returnflag"], "R"]],
+        ["!", [">", [".", ["$"], "l_discount"], 0.05]],
+    ]
+    return li.filter(compile_predicate(ast, schema=li.schema)).select("l_orderkey", "l_linenumber")
+
+
+@workload(
+    "qast_array_overlap",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE array_has_any([lang, source], ['en', 'src3'])
+    """,
+    "qast",
+    "array",
+)
+def qast_array_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`&&` array overlap (reference qast.clj:47 compiles to PG &&; the
+    closure backend left it TODO at qast.clj:113 — implemented here for both
+    paths via arrays_overlap)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tagged = docs.withColumn("tags", F.array("lang", "source"))
+    ast = ["&&", [".", ["$"], "tags"], ["en", "src3"]]
+    return tagged.filter(compile_predicate(ast, schema=tagged.schema)).select("doc_id", "lang", "source")
+
+
+@workload(
+    "extract_json_field",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    "qast",
+    "json",
+    "dynamic-fields",
+)
+def extract_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic extra-field access: the reference stores free-form metadata in
+    jsonb and compiles field paths to `->` traversals (qast.clj:23-29,34).
+    Spark analogue: get_json_object over a JSON string column."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: the catalog query (POST /find)
+# join + filter + projection, reference PostgreSQL.java:51-54,157-178
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "catalog_find",
+    """
+    WITH content AS (
+      SELECT CAST(doc_id AS VARCHAR) AS cid, lang AS type FROM documents
+    ), dataset AS (
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS file,
+             source, n_chars FROM documents
+    )
+    SELECT d.id, c.cid, c.type, d.source, d.n_chars
+    FROM dataset d JOIN content c ON d.file = c.cid
+    WHERE d.n_chars < 250 AND c.type = 'en'
+    """,
+    "catalog",
+    "join",
+)
+def catalog_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one relational query in the reference: dataset ⋈ content on
+    file = cid, qast WHERE, fixed projection (PostgreSQL.java:51-54).
+    The content side is a small dim → Catalyst broadcast-hash join; at
+    100 TB the dataset side stays shuffle-free."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    content = docs.select(F.col("doc_id").cast("string").alias("cid"), F.col("lang").alias("type"))
+    dataset = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").cast("string").alias("file"),
+        "source",
+        "n_chars",
+    )
+    joined = dataset.join(F.broadcast(content), dataset.file == content.cid, "inner")
+    ast = ["&", ["<", [".", ["$"], "n_chars"], 250], ["==", [".", ["$"], "type"], "en"]]
+    return joined.filter(compile_predicate(ast, schema=joined.schema)).select(
+        "id", "cid", "type", "source", "n_chars"
+    )
+
+
+@workload(
+    "catalog_latest_revision",
+    """
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS rev_date
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+      ) AS rn FROM orders
+    ) WHERE rn = 1
+    """,
+    "catalog",
+    "window",
+)
+def catalog_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest revision per tree: the reference's dataset versioning forms a
+    parent-chain (table.sql:5-13, PostgreSQL.java:128-154); 'current version
+    of each dataset' = argmax over the chain — here as row_number over a
+    key, the scalable form of the walk (no iterative join needed for the
+    latest-revision question)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("rev_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions (SURVEY.md §2.4 gaps / §7 Phase 4): aggregation, top-k, joins,
+# windows — designed for 100 TB (partial aggregation, broadcast dims,
+# WindowGroupLimit-eligible top-k).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "aggregation",
+    "groupby",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with map-side partial aggregation —
+    the canonical 100 TB-safe reduction (shuffle carries one row per
+    group per mapper, not the data)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    disc, tax = dec("l_discount", 4, 2), dec("l_tax", 4, 2)
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@workload(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "topk",
+    "sort",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + single merge, no global sort, O(k) driver memory
+    at any scale."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@workload(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 5
+    """,
+    "topk",
+    "window",
+    "join",
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via row_number + rank filter: Spark ≥3.5 rewrites this
+    to WindowGroupLimit, pruning each partition to k rows *before* the
+    shuffle — the scalable form of per-group top-k."""
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@workload(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "join",
+    "aggregation",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + aggregate (TPC-H Q5 shape). nation (25 rows) is
+    broadcast; customer is broadcast at test SFs and shuffle-joined at
+    scale — AQE picks per actual size. The lineitem⋈orders join is the
+    only unavoidable big shuffle."""
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@workload(
+    "distinct_event_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    "aggregation",
+    "distinct",
+)
+def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase partial-distinct aggregate
+    in Spark (dedup before the final shuffle). For 100 TB cardinality
+    estimation, approx_count_distinct is the cheap alternative (see
+    operators.text)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@workload(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "window",
+    "time",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation over event time — the batch form of the
+    Structured Streaming windowed agg (streaming/ holds the readStream
+    variant; semantics identical, reference has no streaming query model
+    at all, SURVEY.md §2.4)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 14, 4)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@workload(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    "window",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user sum — classic analytic window. Exact decimal
+    accumulation so frame-evaluation strategy differences between engines
+    can't change the value."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 14, 4)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@workload(
+    "part_brand_stats",
+    """
+    SELECT p_brand,
+           MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+           COUNT(DISTINCT p_type) AS n_types, COUNT(*) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+    "aggregation",
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.count_distinct("p_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (operators/text.py) — LLM-pipeline extensions
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "text_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars_computed,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+           CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) AS DOUBLE) / len(t) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM toks
+    """,
+    "text",
+)
+def text_stats_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import text_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@workload(
+    "text_token_budget",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+'))
+                + floor((length(text) - len(string_split_regex(trim(text), '\s+'))) / 16.0)
+                AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+    "text",
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import bpe_ish_token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_tokens_bpe"))
+
+
+@workload(
+    "text_lang_id",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), hits AS (
+      SELECT doc_id, text,
+        len(list_filter(t, x -> list_contains(['the','and','of','is'], lower(x)))) AS en,
+        len(list_filter(t, x -> list_contains(['der','die','und','ist'], lower(x)))) AS de,
+        len(list_filter(t, x -> list_contains(['le','la','et','est'], lower(x)))) AS fr,
+        len(list_filter(t, x -> list_contains(['el','la','y','es'], lower(x)))) AS es
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+           WHEN en = greatest(en, de, fr, es) THEN 'en'
+           WHEN de = greatest(en, de, fr, es) THEN 'de'
+           WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+           ELSE 'es' END AS lang_guess
+    FROM hits
+    """,
+    "text",
+    "langid",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import lang_id
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@workload(
+    "text_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+      least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + least((CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) AS DOUBLE) / len(t)) * 4, 1.0) * 0.3
+      + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text)) * 10, 1.0)) * 0.3
+      AS quality
+    FROM toks
+    """,
+    "text",
+    "quality",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import quality_score
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    "dedup",
+)
+def dedup_exact_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.dedup import exact_dedup
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@workload(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH docs AS (
+      SELECT doc_id AS id,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT id,
+             lower(toks[1]) AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM docs
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+    """,
+    "dedup",
+    "jaccard",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.dedup import ngram_jaccard_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.05)
+
+
+@workload("dedup_minhash_lsh", None, "dedup", "minhash", "no-sql-oracle")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs. No SQL oracle (xxhash64 signatures are
+    not reproducible in DuckDB); recall/precision is pytest-verified against
+    constructed near-duplicates, and the exact-jaccard twin
+    (dedup_ngram_jaccard) is oracle-checked."""
+    from comlake_core_spark.operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.3)
+
+
+@workload("dedup_simhash", None, "dedup", "simhash", "no-sql-oracle")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Pandas-UDF signature; pytest-verified)."""
+    from comlake_core_spark.operators.dedup import simhash_dedup_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, max_hamming=10)
+
+
+@workload("dedup_embedding", None, "dedup", "embedding", "no-sql-oracle")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs via hyperplane LSH (pytest-verified;
+    the exact-cosine twin ann_cosine_topk is oracle-checked)."""
+    from comlake_core_spark.operators.dedup import embedding_dedup_pairs
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.nbr_id,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, nbr_id, cosine, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@workload("ann_cosine_topk", _ANN_ORACLE, "similarity", "ann")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.similarity import brute_force_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=5)
+
+
+@workload("ann_ivf_topk", None, "similarity", "ann", "no-sql-oracle")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (recall vs brute force is pytest-verified)."""
+    from comlake_core_spark.operators.similarity import ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)

@@ -1,0 +1,90 @@
+"""Mini-driver: replicate the external driver's oracle comparison locally.
+
+For every workload with an oracle, run the Spark query AND the DuckDB SQL on
+the same parquet tables and compare row count, sorted column names, and the
+full multiset of values (order-insensitive).  This is the same gate the
+driver applies at sf0.01 — running it in pytest means a contract regression
+is caught before the round ends, not by the judge.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from comlake_core_spark.workloads import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+ORACLED = sorted(n for n, w in REGISTRY.items() if w.oracle is not None)
+ROWS_ONLY = sorted(n for n, w in REGISTRY.items() if w.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    return value
+
+
+def canon(rows, colnames):
+    """Order-insensitive canonical form: rows as tuples of values in
+    sorted-column order, the whole multiset sorted by repr."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, duck, name):
+    wl = REGISTRY[name]
+    sdf = wl.fn(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(wl.oracle)
+    duck_cols = sorted(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    s_canon = canon(spark_rows, sdf.columns)
+    d_canon = canon(duck_rows, rel.columns)
+    mismatches = [(a, b) for a, b in zip(s_canon, d_canon) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    wl = REGISTRY[name]
+    sdf = wl.fn(spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(REGISTRY)

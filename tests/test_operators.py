@@ -1,0 +1,128 @@
+"""Behavioral tests for the LLM-pipeline operators: recall/precision on
+constructed near-duplicates (the properties the SQL oracles can't check)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators import dedup, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the distant mountains and the river flows quietly through the valley"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_df(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE.replace("quick", "swift")),  # near-dup of 1
+        Row(doc_id=3, text=BASE),  # exact dup of 1
+        Row(doc_id=4, text="completely different content about spark dataframes and parquet files and shuffles"),
+        Row(doc_id=5, text="another unrelated document discussing minhash banding and lsh bucket joins here"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(spark, near_dup_df):
+    out = dedup.exact_dedup(near_dup_df).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1 and 3 collapse
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dups(spark, near_dup_df):
+    pairs = dedup.minhash_lsh_pairs(near_dup_df, threshold=0.5, num_hashes=32, bands=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found and (2, 3) in found
+    # unrelated docs must not pair
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_ngram_jaccard_exact(spark, near_dup_df):
+    pairs = dedup.ngram_jaccard_pairs(near_dup_df, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 3)] == 1.0  # identical docs
+    assert 0.5 <= found[(1, 2)] < 1.0
+
+
+def test_simhash_near_dups_close(spark, near_dup_df):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(near_dup_df).collect()}
+    assert sigs[1] == sigs[3]  # identical text → identical signature
+    ham_12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    ham_14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham_12 < ham_14  # near-dup closer than unrelated
+
+
+def test_simhash_pairs(spark, near_dup_df):
+    pairs = dedup.simhash_dedup_pairs(near_dup_df, max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 3) in found
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # vec 20 = near-dup of vec 0 (tiny perturbation)
+    rows.append(Row(vec_id=20, embedding=[float(x + 0.01) for x in base[0]]))
+    return rows
+
+
+def test_embedding_dedup_pairs(spark, emb_df):
+    df = spark.createDataFrame(emb_df)
+    pairs = dedup.embedding_dedup_pairs(df, threshold=0.95).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 20) in found
+
+
+def test_brute_force_topk_self_is_nearest(spark, emb_df):
+    df = spark.createDataFrame(emb_df)
+    queries = df.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(df, queries, k=3).collect()
+    top1 = {r["query_id"]: r["nbr_id"] for r in out if r["rn"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # each query's nearest neighbor is itself
+
+
+def test_ivf_recall_vs_brute_force(spark, emb_df):
+    df = spark.createDataFrame(emb_df)
+    queries = df.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(df, queries, k=3).collect()
+    approx = similarity.ivf_topk(df, queries, k=3, n_centroids=4, n_probe=4).collect()
+    # n_probe == n_centroids → all buckets probed → must equal brute force
+    e = {(r["query_id"], r["nbr_id"]) for r in exact}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx}
+    assert e == a
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        Row(doc_id=1, text="the cat and the dog is here"),
+        Row(doc_id=2, text="der hund und die katze ist hier"),
+        Row(doc_id=3, text="le chien et la vache est ici"),
+        Row(doc_id=4, text="你好 世界"),
+        Row(doc_id=5, text="xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame([Row(a="Hello   World"), Row(a="  hello world ")])
+    fps = [r["fp"] for r in df.select(text.fingerprint("a").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_range(spark, t):
+    docs = t["documents"]
+    stats = docs.select(text.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
