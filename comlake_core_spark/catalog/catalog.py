@@ -1,0 +1,254 @@
+"""Metadata catalog: the reference's PostgreSQL layer rebuilt as Spark tables.
+
+Two Parquet-backed tables (reference DDL resources/psql/table.sql:1-13):
+
+- ``content(cid STRING, type STRING, extra MAP<STRING,STRING>)`` — one row
+  per stored blob; ``extra['schema']`` caches the inferred JSON Schema
+  (reference PostgreSQL.java:59-62).
+- ``dataset(id BIGINT, file STRING, description STRING, source STRING,
+  topics ARRAY<STRING>, extra MAP<STRING,STRING>, parent BIGINT)`` —
+  append-only; updates insert a new row pointing at the old one via
+  ``parent``, forming the revision tree (reference
+  PostgreSQL.java:48-50,128-154; rationale thesis/main/meth.tex:268-272).
+
+Semantics reproduced:
+- ``find(qast)``: dataset ⋈ content on file = cid, qast WHERE, fixed
+  projection + merged extras with dataset extras winning (reference
+  PostgreSQL.java:51-54,157-178). Partial-match regex (the find path's
+  PG ``~`` semantics, qast.clj:35). Dynamic fields: a qast path that
+  doesn't hit a fixed column resolves into the merged extras map
+  (reference jsonb traversal, qast.clj:23-29).
+- ``add_dataset``: required description/source/topics/file enforced
+  (reference HttpHandler.java:138-142), auto-increment id
+  (bigserial, table.sql:6).
+- ``update_dataset``: copy-on-write coalesce of old + overrides
+  (reference PostgreSQL.java:128-154); unknown parent → error → None,
+  matching the reference's orphan test (api_test.clj:128-140).
+- ``upsert_content``: INSERT … ON CONFLICT (cid) DO UPDATE
+  (reference PostgreSQL.java:41-44,84-94).
+
+Storage strategy: the catalog is *metadata* — tiny next to content — so
+read-modify-overwrite Parquet snapshots are adequate and dependency-free;
+each mutation writes a new snapshot version dir and flips a pointer file
+(atomic rename), giving readers snapshot isolation. On a deployment with
+Delta/Iceberg available, swap _write for MERGE/append — the interface holds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from comlake_core_spark.qast.compiler import QastError, _Typed, compile_predicate, _UNKNOWN
+
+CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.StringType(), False),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("file", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("topics", T.ArrayType(T.StringType()), True),
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("parent", T.LongType(), True),
+    ]
+)
+
+REQUIRED_DATASET_FIELDS = ("file", "description", "source", "topics")
+FIXED_DATASET_COLS = {"id", "file", "description", "source", "topics", "parent"}
+
+
+class MissingMetadata(ValueError):
+    """Required dataset fields absent (reference HttpHandler.java:138-142
+    responds 400 'missing metadata fields')."""
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # snapshot storage
+    # ------------------------------------------------------------------
+
+    def _ptr(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.current")
+
+    def _read(self, table: str, schema: T.StructType) -> DataFrame:
+        ptr = self._ptr(table)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                version_dir = f.read().strip()
+            return self.spark.read.schema(schema).parquet(version_dir)
+        return self.spark.createDataFrame([], schema)
+
+    def _write(self, table: str, df: DataFrame, schema: T.StructType) -> None:
+        ptr = self._ptr(table)
+        current_version = 0
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                current_version = int(os.path.basename(f.read().strip()).split("-v")[-1]) + 1
+        version_dir = os.path.join(self.root, f"{table}-v{current_version}")
+        df.select(*[f.name for f in schema.fields]).write.mode("overwrite").parquet(version_dir)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version_dir)
+        os.replace(tmp, ptr)  # atomic pointer flip → snapshot isolation
+
+    def content(self) -> DataFrame:
+        return self._read("content", CONTENT_SCHEMA)
+
+    def dataset(self) -> DataFrame:
+        return self._read("dataset", DATASET_SCHEMA)
+
+    # ------------------------------------------------------------------
+    # content ops (reference PostgreSQL.java:41-44,55-62,84-99,181-212)
+    # ------------------------------------------------------------------
+
+    def upsert_content(self, cid: str, mime_type: str, extra: dict[str, str] | None = None) -> None:
+        current = self.content()
+        row = self.spark.createDataFrame(
+            [(cid, mime_type, extra or {})], CONTENT_SCHEMA
+        )
+        merged = current.filter(F.col("cid") != cid).unionByName(row)
+        self._write("content", merged, CONTENT_SCHEMA)
+
+    def get_type(self, cid: str) -> str | None:
+        row = self.content().filter(F.col("cid") == cid).select("type").first()
+        return row["type"] if row else None
+
+    def get_schema(self, cid: str) -> str | None:
+        row = self.content().filter(F.col("cid") == cid).select(F.col("extra")["schema"].alias("s")).first()
+        return row["s"] if row else None
+
+    def set_schema(self, cid: str, schema_json: str) -> None:
+        current = self.content()
+        updated = current.withColumn(
+            "extra",
+            F.when(
+                F.col("cid") == cid,
+                F.map_concat(
+                    F.map_filter(F.coalesce("extra", F.create_map().cast("map<string,string>")), lambda k, _: k != F.lit("schema")),
+                    F.create_map(F.lit("schema"), F.lit(schema_json)),
+                ),
+            ).otherwise(F.col("extra")),
+        )
+        self._write("content", updated, CONTENT_SCHEMA)
+
+    # ------------------------------------------------------------------
+    # dataset ops (reference PostgreSQL.java:45-50,102-154)
+    # ------------------------------------------------------------------
+
+    def _next_id(self) -> int:
+        row = self.dataset().agg(F.max("id").alias("m")).first()
+        return (row["m"] or 0) + 1
+
+    def add_dataset(self, meta: dict[str, Any]) -> int:
+        missing = [k for k in REQUIRED_DATASET_FIELDS if k not in meta]
+        if missing:
+            raise MissingMetadata(f"missing metadata fields: {missing}")
+        new_id = self._next_id()
+        fixed = {k: meta[k] for k in REQUIRED_DATASET_FIELDS}
+        extra = {k: _as_str(v) for k, v in meta.items() if k not in REQUIRED_DATASET_FIELDS}
+        row = self.spark.createDataFrame(
+            [(new_id, fixed["file"], fixed["description"], fixed["source"], list(fixed["topics"]), extra, None)],
+            DATASET_SCHEMA,
+        )
+        self._write("dataset", self.dataset().unionByName(row), DATASET_SCHEMA)
+        return new_id
+
+    def update_dataset(self, parent_id: int, overrides: dict[str, Any]) -> int | None:
+        """Copy-on-write revision: new row = coalesce(overrides, parent row),
+        parent column = parent_id (reference PostgreSQL.java:128-154:
+        INSERT … SELECT coalesce(?, col)… WHERE id = ?)."""
+        parent = self.dataset().filter(F.col("id") == parent_id).first()
+        if parent is None:
+            return None  # orphan update (api_test.clj:134-140 → 400)
+        new_id = self._next_id()
+        merged_extra = dict(parent["extra"] or {})
+        for k, v in overrides.items():
+            if k not in FIXED_DATASET_COLS:
+                merged_extra[k] = _as_str(v)
+        row = (
+            new_id,
+            overrides.get("file", parent["file"]),
+            overrides.get("description", parent["description"]),
+            overrides.get("source", parent["source"]),
+            list(overrides.get("topics", parent["topics"])),
+            merged_extra,
+            parent_id,
+        )
+        self._write("dataset", self.dataset().unionByName(self.spark.createDataFrame([row], DATASET_SCHEMA)), DATASET_SCHEMA)
+        return new_id
+
+    # ------------------------------------------------------------------
+    # find (reference PostgreSQL.java:51-54,157-178)
+    # ------------------------------------------------------------------
+
+    def joined(self) -> DataFrame:
+        """dataset ⋈ content with merged extras (dataset wins — the
+        reference's jsonb `||` merge, PostgreSQL.java:52-53)."""
+        ds = self.dataset().alias("d")
+        ct = self.content().alias("c")
+        empty = F.create_map().cast("map<string,string>")
+        d_extra = F.coalesce(F.col("d.extra"), empty)
+        c_extra = F.coalesce(F.col("c.extra"), empty)
+        merged = F.map_zip_with(c_extra, d_extra, lambda k, cv, dv: F.coalesce(dv, cv))
+        return ds.join(F.broadcast(ct), F.col("d.file") == F.col("c.cid"), "inner").select(
+            F.col("d.id"),
+            F.col("c.cid"),
+            F.col("c.type"),
+            F.col("d.description"),
+            F.col("d.source"),
+            F.col("d.topics"),
+            F.col("d.parent"),
+            merged.alias("extra"),
+        )
+
+    def find(self, ast: Any) -> DataFrame:
+        """POST /find: qast filter over the joined catalog. Fields resolve
+        fixed columns first, then fall through to the merged extras map —
+        the Spark form of the reference's dynamic jsonb fields
+        (doc/api.md:238-243 queries `length`, a field that only exists in
+        extra)."""
+        joined = self.joined()
+        schema = joined.schema
+
+        def resolver(path: list[str]) -> _Typed:
+            head, *rest = path
+            if head in schema.names:
+                col = F.col(head)
+                for part in rest:
+                    col = col.getItem(part)
+                from comlake_core_spark.qast.compiler import _kind_of
+
+                kind = _kind_of(schema[head].dataType) if not rest else _UNKNOWN
+                return _Typed(col, kind)
+            # dynamic extra field; values are strings — Spark's implicit
+            # casts make numeric comparisons behave like PG jsonb numbers
+            col = F.col("extra").getItem(head)
+            for part in rest:
+                col = F.get_json_object(col, "$." + part)
+            return _Typed(col, _UNKNOWN)
+
+        return joined.filter(compile_predicate(ast, resolver=resolver, regex_mode="partial"))
+
+
+def _as_str(v: Any) -> str:
+    if isinstance(v, str):
+        return v
+    return json.dumps(v)

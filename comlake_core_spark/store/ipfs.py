@@ -1,0 +1,119 @@
+"""IPFS content store over the HTTP API + gateway.
+
+The Spark-side "IPFS connector" (BASELINE.json north star): content CIDs
+resolve to HTTP gateway URLs that Spark's readers can open, while writes go
+through the daemon's /api/v0 RPC — the same endpoints the reference calls
+through java-ipfs-http-client (reference
+src/comlake/core/fs/InterPlanetaryFileSystem.java:47-121; multiaddr config
+reference Configuration.java:39).
+
+This adapter is import-safe without a daemon; every call raises
+StoreUnavailable if the API endpoint can't be reached, and tests exercise
+the request construction against a stub transport.
+
+Scale note: for bulk reads, fetch-to-local-then-spark.read is wrong at
+100 TB; spark_path returns gateway URLs so executors stream directly from
+gateway nodes (put gateways next to executors, the way s3a puts S3 close).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+import uuid
+from typing import BinaryIO, Callable
+
+from comlake_core_spark.store.base import ContentStore
+
+# IPFS's well-known empty directory CID, hardcoded exactly like the
+# reference (InterPlanetaryFileSystem.java:42-44).
+EMPTY_DIR_CID = "QmUNLLsPACCz1vLxQVkXqqLX5R1X345qqfHbsf67hvA3Nn"
+
+
+class StoreUnavailable(RuntimeError):
+    pass
+
+
+def _default_transport(url: str, data: bytes | None = None, headers: dict | None = None) -> bytes:
+    req = urllib.request.Request(url, data=data, headers=headers or {}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.read()
+    except (urllib.error.URLError, OSError) as exc:
+        raise StoreUnavailable(f"IPFS API unreachable at {url}: {exc}") from exc
+
+
+class IpfsStore(ContentStore):
+    def __init__(
+        self,
+        api_base: str = "http://127.0.0.1:5001",
+        gateway_base: str = "http://127.0.0.1:8080",
+        transport: Callable[..., bytes] | None = None,
+    ):
+        self.api = api_base.rstrip("/") + "/api/v0"
+        self.gateway = gateway_base.rstrip("/")
+        self._post = transport or _default_transport
+
+    # -- multipart upload (the one non-trivial HTTP bit) -------------------
+
+    def _multipart(self, data: bytes) -> tuple[bytes, str]:
+        boundary = uuid.uuid4().hex
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; filename="blob"\r\n'
+            "Content-Type: application/octet-stream\r\n\r\n"
+        ).encode() + data + f"\r\n--{boundary}--\r\n".encode()
+        return body, f"multipart/form-data; boundary={boundary}"
+
+    # -- ContentStore ------------------------------------------------------
+
+    def add(self, stream: BinaryIO) -> str:
+        body, ctype = self._multipart(stream.read())
+        raw = self._post(f"{self.api}/add?pin=true", data=body, headers={"Content-Type": ctype})
+        return json.loads(raw.decode().splitlines()[-1])["Hash"]
+
+    def fetch(self, cid: str) -> BinaryIO:
+        return io.BytesIO(self._post(f"{self.api}/cat?arg={cid}"))
+
+    def mkdir(self) -> str:
+        return EMPTY_DIR_CID
+
+    def cp(self, src_cid: str, dest_dir_cid: str, name: str) -> str | None:
+        """Immutable dir derivation via the MFS temp-dir dance the reference
+        does (InterPlanetaryFileSystem.java:81-97): cp dest into a scratch
+        MFS path, cp src under it, stat for the new CID, pin, clean up."""
+        if self.ls(dest_dir_cid) is None:
+            return None
+        tmp = f"/comlake-{uuid.uuid4().hex}"
+        try:
+            self._post(f"{self.api}/files/cp?arg=/ipfs/{dest_dir_cid}&arg={tmp}")
+            self._post(f"{self.api}/files/cp?arg=/ipfs/{src_cid}&arg={tmp}/{name}")
+            raw = self._post(f"{self.api}/files/stat?arg={tmp}")
+            new_cid = json.loads(raw)["Hash"]
+            self._post(f"{self.api}/pin/add?arg={new_cid}")
+            return new_cid
+        finally:
+            try:
+                self._post(f"{self.api}/files/rm?arg={tmp}&recursive=true")
+            except StoreUnavailable:
+                pass
+
+    def ls(self, cid: str) -> dict[str, str] | None:
+        try:
+            raw = self._post(f"{self.api}/ls?arg={cid}")
+        except StoreUnavailable:
+            raise
+        doc = json.loads(raw)
+        objs = doc.get("Objects") or []
+        if not objs:
+            return None
+        links = objs[0].get("Links") or []
+        # a file has no named links; reference treats that as not-a-directory
+        if any(not l.get("Name") for l in links) or not links:
+            return None
+        return {l["Name"]: l["Hash"] for l in links}
+
+    def spark_path(self, cid: str) -> str:
+        return f"{self.gateway}/ipfs/{cid}"

@@ -1,0 +1,206 @@
+"""End-to-end data-lake flow tests mirroring the reference's api_test.clj:
+ingest content → catalog it → find by qast (incl. dynamic extra fields) →
+extract rows → infer schemas. Fixtures are synthesized to the shapes in
+FIXTURES.md (population.csv-like wide CSV, nested JSON array, plain text)."""
+
+import io
+import json
+
+import pytest
+
+from comlake_core_spark.catalog import Catalog, MissingMetadata
+from comlake_core_spark.extract import (
+    UnsupportedType,
+    extract,
+    infer_schema_json,
+    read_content,
+)
+from comlake_core_spark.extract.schema_infer import cached_schema
+from comlake_core_spark.store import LocalStore
+
+CSV_BODY = (
+    "country_name,country_code,indicator_name,year_1960,year_2019,year_\n"
+    "Vietnam,VNM,Population,32670000,96462106,\n"
+    "North Vietnam legacy,XVN,Population,17000000,0,\n"
+    "Germany,DEU,Population,72814900,83092962,\n"
+)
+
+JSON_BODY = json.dumps(
+    [
+        {"name": "lake", "deadline": {"epoch_time": 1617000000, "timezone": "+07:00"}, "students": ["a"]},
+        {"name": "core", "deadline": {"epoch_time": 1618000000, "timezone": "+07:00"}, "students": ["b", "c"]},
+    ]
+)
+
+TEXT_BODY = "Ho!\nHa!\n"
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    return LocalStore(str(tmp_path_factory.mktemp("cas")))
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    return Catalog(spark, str(tmp_path_factory.mktemp("catalog")))
+
+
+@pytest.fixture(scope="module")
+def cids(store):
+    return {
+        "csv": store.add_bytes(CSV_BODY.encode()),
+        "json": store.add_bytes(JSON_BODY.encode()),
+        "text": store.add_bytes(TEXT_BODY.encode()),
+    }
+
+
+def test_cid_deterministic_and_deduped(store):
+    # content addressing: same bytes → same CID (the IPFS property the
+    # reference's golden tests rely on, api_test.clj:29-44)
+    a = store.add_bytes(b"hello world")
+    b = store.add(io.BytesIO(b"hello world"))
+    assert a == b and a.startswith("sha256-")
+
+
+def test_dir_mkdir_cp_ls(store, cids):
+    d0 = store.mkdir()
+    assert store.ls(d0) == {}
+    d1 = store.cp(cids["csv"], d0, "population.csv")
+    assert store.ls(d1) == {"population.csv": cids["csv"]}
+    # immutability: original dir unchanged
+    assert store.ls(d0) == {}
+    # cp onto a non-directory → None (reference 'not a directory',
+    # api_test.clj:104-109)
+    assert store.cp(cids["csv"], cids["text"], "x") is None
+    # files are not directories
+    assert store.ls(cids["csv"]) is None
+
+
+def test_catalog_upsert_and_lookup(catalog, cids):
+    catalog.upsert_content(cids["csv"], "text/csv")
+    catalog.upsert_content(cids["json"], "application/json")
+    catalog.upsert_content(cids["text"], "text/plain")
+    # upsert: second write with same cid replaces, no dup
+    catalog.upsert_content(cids["text"], "text/plain")
+    assert catalog.get_type(cids["csv"]) == "text/csv"
+    assert catalog.content().filter(f"cid = '{cids['text']}'").count() == 1
+
+
+def test_dataset_add_requires_fields(catalog, cids):
+    with pytest.raises(MissingMetadata):
+        catalog.add_dataset({"file": cids["csv"], "description": "no source/topics"})
+
+
+def test_dataset_add_find_update(catalog, cids):
+    id1 = catalog.add_dataset(
+        {
+            "file": cids["csv"],
+            "description": "World Bank population",
+            "source": "https://worldbank.org",
+            "topics": ["population", "statistics"],
+            "language": "English",
+            "length": "4096",
+        }
+    )
+    id2 = catalog.add_dataset(
+        {
+            "file": cids["json"],
+            "description": "projects",
+            "source": "rethinkdb",
+            "topics": ["projects"],
+            "length": "100000",
+        }
+    )
+    assert id2 == id1 + 1
+
+    # find on a fixed column
+    rows = catalog.find(["==", [".", ["$"], "source"], "rethinkdb"]).collect()
+    assert [r["id"] for r in rows] == [id2]
+
+    # find on a DYNAMIC extra field with numeric comparison
+    # (doc/api.md:225-257: ["<", [".", ["$"], "length"], 4096])
+    rows = catalog.find(["<=", [".", ["$"], "length"], 4096]).collect()
+    assert [r["id"] for r in rows] == [id1]
+
+    # find with partial regex (find-path semantics)
+    rows = catalog.find(["~", [".", ["$"], "description"], "population"]).collect()
+    assert [r["id"] for r in rows] == [id1]
+
+    # array overlap on topics (qast_test.clj:35-37 shape)
+    rows = catalog.find(["&&", [".", ["$"], "topics"], ["statistics", "nope"]]).collect()
+    assert [r["id"] for r in rows] == [id1]
+
+    # versioned update: new row, parent set, unspecified fields inherited
+    id3 = catalog.update_dataset(id1, {"description": "World Bank population v2"})
+    assert id3 == id2 + 1
+    row3 = catalog.dataset().filter(f"id = {id3}").first()
+    assert row3["parent"] == id1
+    assert row3["source"] == "https://worldbank.org"  # inherited
+    assert row3["description"] == "World Bank population v2"
+    # append-only: the old revision still exists
+    assert catalog.dataset().filter(f"id = {id1}").count() == 1
+
+    # orphan update → None (api_test.clj:134-140)
+    assert catalog.update_dataset(99999, {"description": "x"}) is None
+
+
+def test_extract_csv_regex_fullmatch(spark, store, cids):
+    # the reference's canonical extract: 'Vi.tnam' must full-match
+    # (api_test.clj:197-204) — partial would also hit 'North Vietnam legacy'
+    ast = ["~", [".", ["$"], "country_name"], "Vi.tnam"]
+    rows = extract(spark, store, cids["csv"], ast, "text/csv").collect()
+    assert len(rows) == 1 and rows[0]["country_code"] == "VNM"
+    # extraction does NOT coerce: CSV values stay strings (data.clj:23-27)
+    assert rows[0]["year_2019"] == "96462106"
+
+
+def test_extract_json_no_match(spark, store, cids):
+    # JSON extract where predicate matches nothing (api_test.clj:205-209)
+    ast = ["==", [".", ["$"], "name"], "nonexistent"]
+    assert extract(spark, store, cids["json"], ast, "application/json").count() == 0
+
+
+def test_extract_json_nested_field(spark, store, cids):
+    ast = [">", [".", ["$"], "deadline", "epoch_time"], 1617500000]
+    rows = extract(spark, store, cids["json"], ast, "application/json").collect()
+    assert [r["name"] for r in rows] == ["core"]
+
+
+def test_extract_unsupported_mime(spark, store, cids):
+    with pytest.raises(UnsupportedType):
+        read_content(spark, store, cids["text"], "text/plain")
+
+
+def test_csv_schema_inference_lattice(spark, store, cids):
+    # number/string lattice, blank cells don't demote (metadata.clj:41-47);
+    # the all-blank trailing year_ column stays 'number'
+    schema = json.loads(infer_schema_json(spark, store, cids["csv"], "text/csv"))
+    props = schema["items"]["properties"]
+    assert schema["$schema"] == "http://json-schema.org/draft-07/schema#"
+    assert props["country_name"]["type"] == "string"
+    assert props["year_1960"]["type"] == "number"
+    assert props["year_2019"]["type"] == "number"
+    assert props["year_"]["type"] == "number"
+
+
+def test_json_schema_inference_nested(spark, store, cids):
+    schema = json.loads(infer_schema_json(spark, store, cids["json"], "application/json"))
+    assert schema["items"]["type"] == "object"
+    props = schema["items"]["properties"]
+    assert props["deadline"]["type"] == "object"
+    assert props["deadline"]["properties"]["epoch_time"]["type"] == "integer"
+    assert props["students"] == {"type": "array", "items": {"type": "string"}}
+
+
+def test_schema_unsupported_returns_none(spark, store, cids):
+    assert infer_schema_json(spark, store, cids["text"], "text/plain") is None
+
+
+def test_schema_cache_roundtrip(spark, store, catalog, cids):
+    # miss → infer → write-back → hit (metadata.clj:55-65 flow)
+    assert catalog.get_schema(cids["csv"]) is None
+    s1 = cached_schema(spark, store, catalog, cids["csv"], "text/csv")
+    assert s1 is not None
+    assert catalog.get_schema(cids["csv"]) == s1
+    s2 = cached_schema(spark, store, catalog, cids["csv"], "text/csv")
+    assert s2 == s1

@@ -1,0 +1,86 @@
+"""IpfsStore request-construction tests against a stub transport (no daemon
+in this environment; the adapter mirrors the reference's HTTP calls,
+InterPlanetaryFileSystem.java:47-121)."""
+
+import io
+import json
+
+import pytest
+
+from comlake_core_spark.store.ipfs import EMPTY_DIR_CID, IpfsStore, StoreUnavailable
+
+
+class StubTransport:
+    def __init__(self):
+        self.calls = []
+        self.responses = {}
+
+    def __call__(self, url, data=None, headers=None):
+        self.calls.append((url, data, headers))
+        for key, resp in self.responses.items():
+            if key in url:
+                return resp
+        raise StoreUnavailable(f"no stub for {url}")
+
+
+@pytest.fixture
+def stub():
+    return StubTransport()
+
+
+@pytest.fixture
+def store(stub):
+    return IpfsStore(transport=stub)
+
+
+def test_add_multipart(store, stub):
+    stub.responses["/add"] = json.dumps({"Name": "blob", "Hash": "QmFake", "Size": "5"}).encode()
+    cid = store.add(io.BytesIO(b"hello"))
+    assert cid == "QmFake"
+    url, data, headers = stub.calls[0]
+    assert "/api/v0/add" in url and "pin=true" in url
+    assert b"hello" in data
+    assert headers["Content-Type"].startswith("multipart/form-data; boundary=")
+
+
+def test_fetch_cat(store, stub):
+    stub.responses["/cat"] = b"content"
+    assert store.fetch("QmX").read() == b"content"
+    assert "/api/v0/cat?arg=QmX" in stub.calls[0][0]
+
+
+def test_mkdir_is_wellknown_cid(store):
+    assert store.mkdir() == EMPTY_DIR_CID
+
+
+def test_ls_directory_and_file(store, stub):
+    stub.responses["/ls"] = json.dumps(
+        {"Objects": [{"Hash": "QmDir", "Links": [{"Name": "a.csv", "Hash": "QmA", "Size": 3, "Type": 2}]}]}
+    ).encode()
+    assert store.ls("QmDir") == {"a.csv": "QmA"}
+    # a plain file: links without names → not a directory
+    stub.responses["/ls"] = json.dumps({"Objects": [{"Hash": "QmF", "Links": [{"Name": "", "Hash": "QmB"}]}]}).encode()
+    assert store.ls("QmF") is None
+
+
+def test_cp_mfs_dance(store, stub):
+    stub.responses["/ls"] = json.dumps(
+        {"Objects": [{"Hash": "QmDir", "Links": [{"Name": "x", "Hash": "QmX"}]}]}
+    ).encode()
+    stub.responses["/files/cp"] = b"{}"
+    stub.responses["/files/stat"] = json.dumps({"Hash": "QmNewDir"}).encode()
+    stub.responses["/pin/add"] = b"{}"
+    stub.responses["/files/rm"] = b"{}"
+    assert store.cp("QmSrc", "QmDir", "name.csv") == "QmNewDir"
+    ops = [u.split("/api/v0/")[1].split("?")[0] for u, _, _ in stub.calls]
+    assert ops == ["ls", "files/cp", "files/cp", "files/stat", "pin/add", "files/rm"]
+
+
+def test_spark_path_is_gateway_url(store):
+    assert store.spark_path("QmX") == "http://127.0.0.1:8080/ipfs/QmX"
+
+
+def test_unavailable_daemon_raises():
+    s = IpfsStore(api_base="http://127.0.0.1:1")  # nothing listens here
+    with pytest.raises(StoreUnavailable):
+        s.fetch("QmX")
