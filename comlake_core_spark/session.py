@@ -86,6 +86,8 @@ def tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAME
                 if field.name == "ts" and field.dataType.typeName() == "long":
                     from pyspark.sql import functions as F
 
-                    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                    # integer div: nanosecond epoch values exceed double's
+                    # 2^53 mantissa, so `/ 1000` would round the microsecond
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             out[name] = df
     return out

@@ -1,0 +1,94 @@
+"""Structured Streaming operators: windowed aggregation, watermarks, session
+windows.
+
+The reference has no streaming query model whatsoever — only streamed byte
+I/O with back-pressure (reference thesis/main/meth.tex:347-359; SURVEY.md
+§2.4) — so this module is pure extension surface, built the Spark way:
+the SAME builders apply to batch DataFrames and streaming DataFrames
+(F.window / F.session_window are batch+stream operators), which is what
+makes the semantics testable against a SQL oracle in batch and then
+reusable on readStream unchanged.
+
+Scale notes: streaming state (windows, sessions) is keyed by (key, window)
+— state-store size is bounded by watermarking; shuffle partitioning of a
+stream is the same shuffle-by-key story as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+    maxFilesPerTrigger=1 gives deterministic micro-batch replay in tests;
+    on a production bus this is Kafka's readStream with the same downstream
+    plan."""
+    reader = spark.readStream.format("parquet").option("maxFilesPerTrigger", 1)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation; identical
+    semantics batch or streaming. With a watermark, late data beyond the
+    bound is dropped and window state is reclaimed — the knob that keeps
+    state finite on an unbounded stream."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    group_cols = [win] + [F.col(k) for k in (keys or [])]
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = df.groupBy(*group_cols).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+    watermark: str | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session windows: a session closes after `gap` of inactivity per key.
+    F.session_window works on batch and streaming frames; the batch
+    semantics equal the classic lag/cumsum SQL sessionization (oracle-
+    checked in workloads.py as events_sessionize)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    out = df.groupBy(F.session_window(ts_col, gap), F.col(key_col)).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: int = 60):
+    """Drain a (bounded) stream with availableNow into an in-memory table —
+    the test harness for streaming operators."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -763,3 +763,216 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
+
+
+# ---------------------------------------------------------------------------
+# Session windows, semi/anti joins, rollup (SURVEY.md §2.4 gaps)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "events_sessionize",
+    r"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "streaming",
+    "session-window",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (batch form; the streaming/ module applies the same
+    builder to readStream). Oracle: the classic lag/cumsum sessionization —
+    proving the two formulations agree is the semantic test of the
+    operator."""
+    from comlake_core_spark.streaming.windows import sessionize
+
+    (ev,) = _t(spark, sf_dir, "events")
+    out = sessionize(ev, gap="1 hour")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+@workload(
+    "semi_join_orders_shipped_late",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    "join",
+    "semi",
+)
+def semi_join_orders_shipped_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — TPC-H Q4 shape. Semi joins shuffle only
+    join keys + the probe side; no fanout on duplicate matches."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@workload(
+    "anti_join_customers_no_final",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    GROUP BY c_mktsegment
+    """,
+    "join",
+    "anti",
+)
+def anti_join_customers_no_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers without any finalized order."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    final_orders = orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(final_orders, cust.c_custkey == final_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@workload(
+    "agg_rollup_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "aggregation",
+    "rollup",
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total in one pass)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@workload(
+    "events_props_sum",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "json",
+    "aggregation",
+)
+def events_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a dynamic JSON field (integer sum — exact)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + streaming workload entries
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "multimodal_bytes_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+    "multimodal",
+    "binary",
+)
+def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, oracle-checked at the bytes level: text
+    encoded to BINARY, length + sha256 digest computed on the binary —
+    proves the binary representation is byte-identical to the oracle's."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    content = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(content).alias("n_bytes"),
+        F.sha2(content, 256).alias("digest"),
+    )
+
+
+@workload("multimodal_decode_features", None, "multimodal", "no-sql-oracle")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas image-decode plumbing over binary columns synthesized
+    from documents (deterministic fake codec; pytest-verified against
+    real binary files)."""
+    from comlake_core_spark.operators.multimodal import decode_images
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    binary = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return decode_images(binary)
+
+
+@workload("streaming_hourly_events", None, "streaming", "no-sql-oracle")
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed through Structured Streaming (file source, 3 micro-
+    batches, availableNow) into the same hourly windowed agg as the batch
+    events_hourly — whose oracle covers the semantics; streaming equality
+    to batch is asserted in tests/test_multimodal_streaming.py."""
+    import tempfile
+
+    from comlake_core_spark.streaming.windows import read_events_stream, run_to_memory, windowed_agg
+
+    (ev,) = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-")
+    ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_events_stream(spark, stream_dir, schema)
+    name = "streaming_hourly_events_wl"
+    q = run_to_memory(windowed_agg(stream, keys=["event_type"], watermark="2 hours"), name)
+    q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+    )

@@ -1,0 +1,82 @@
+"""Physical-plan invariants: the properties that make these plans viable at
+100 TB, pinned so a plan-shape regression fails even while results stay
+correct (SURVEY.md §4: pushdown/broadcast/partial-agg/top-k pruning)."""
+
+import pytest
+
+from comlake_core_spark.plans import inspect as P
+from comlake_core_spark.workloads import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()  # finalize AQE plan
+    return df
+
+
+def test_qast_filter_pushed_to_scan(spark):
+    df = run(spark, "qast_eq_filter")
+    assert P.has_pushed_filter(df, "l_returnflag")
+
+
+def test_catalog_find_broadcasts_content_dim(spark):
+    # the dataset⋈content join must broadcast the dim side: zero shuffles
+    df = run(spark, "catalog_find")
+    assert P.has_broadcast_join(df)
+    assert P.count_shuffles(df) == 0
+
+
+def test_revenue_join_broadcasts_and_partial_aggs(spark):
+    df = run(spark, "join_revenue_by_nation")
+    assert P.has_broadcast_join(df)  # nation (and small sides) broadcast
+    assert P.has_partial_aggregate(df)  # map-side combine before exchange
+    assert P.count_shuffles(df) <= 2
+
+
+def test_global_topk_is_take_ordered(spark):
+    # orderBy+limit must fuse to TakeOrderedAndProject (no global sort)
+    df = run(spark, "topk_orders")
+    assert P.has_take_ordered(df)
+    assert P.count_shuffles(df) == 0
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    # row_number<=k rewritten to per-partition group limits pre-shuffle
+    df = run(spark, "topk_orders_per_segment")
+    assert P.has_window_group_limit(df)
+
+
+def test_pricing_summary_partial_agg_single_shuffle(spark):
+    df = run(spark, "agg_pricing_summary")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
+    assert P.has_pushed_filter(df, "l_shipdate")
+
+
+def test_ann_topk_no_corpus_shuffle_before_scoring(spark):
+    # queries broadcast; the only exchange is the per-query top-k merge,
+    # and WindowGroupLimit prunes to k before it
+    df = run(spark, "ann_cosine_topk")
+    assert P.has_broadcast_join(df)
+    assert P.has_window_group_limit(df)
+
+
+def test_minhash_no_cartesian_product(spark):
+    # LSH banding must meet as an equi-join on bucket keys, never a
+    # cartesian pair enumeration
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, SF)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_is_partial_agg(spark):
+    df = run(spark, "dedup_exact")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_codegen_active_on_scan_heavy_query(spark):
+    df = run(spark, "qast_arith_revenue")
+    assert P.codegen_stage_count(df) >= 1
