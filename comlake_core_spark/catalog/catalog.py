@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +80,12 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Writer lock: mutations are read-modify-write over the snapshot
+        # pointer, so concurrent writers (e.g. the server's background
+        # schema-inference thread vs request threads) must serialize.
+        # Readers never need it — the pointer flip is atomic. For multi-
+        # process writers, swap the storage layer for Delta/Iceberg MERGE.
+        self._write_lock = threading.RLock()
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -120,12 +127,13 @@ class Catalog:
     # ------------------------------------------------------------------
 
     def upsert_content(self, cid: str, mime_type: str, extra: dict[str, str] | None = None) -> None:
-        current = self.content()
-        row = self.spark.createDataFrame(
-            [(cid, mime_type, extra or {})], CONTENT_SCHEMA
-        )
-        merged = current.filter(F.col("cid") != cid).unionByName(row)
-        self._write("content", merged, CONTENT_SCHEMA)
+        with self._write_lock:
+            current = self.content()
+            row = self.spark.createDataFrame(
+                [(cid, mime_type, extra or {})], CONTENT_SCHEMA
+            )
+            merged = current.filter(F.col("cid") != cid).unionByName(row)
+            self._write("content", merged, CONTENT_SCHEMA)
 
     def get_type(self, cid: str) -> str | None:
         row = self.content().filter(F.col("cid") == cid).select("type").first()
@@ -136,6 +144,10 @@ class Catalog:
         return row["s"] if row else None
 
     def set_schema(self, cid: str, schema_json: str) -> None:
+        with self._write_lock:
+            self._set_schema_locked(cid, schema_json)
+
+    def _set_schema_locked(self, cid: str, schema_json: str) -> None:
         current = self.content()
         updated = current.withColumn(
             "extra",
@@ -161,6 +173,10 @@ class Catalog:
         missing = [k for k in REQUIRED_DATASET_FIELDS if k not in meta]
         if missing:
             raise MissingMetadata(f"missing metadata fields: {missing}")
+        with self._write_lock:
+            return self._add_dataset_locked(meta)
+
+    def _add_dataset_locked(self, meta: dict[str, Any]) -> int:
         new_id = self._next_id()
         fixed = {k: meta[k] for k in REQUIRED_DATASET_FIELDS}
         extra = {k: _as_str(v) for k, v in meta.items() if k not in REQUIRED_DATASET_FIELDS}
@@ -175,6 +191,10 @@ class Catalog:
         """Copy-on-write revision: new row = coalesce(overrides, parent row),
         parent column = parent_id (reference PostgreSQL.java:128-154:
         INSERT … SELECT coalesce(?, col)… WHERE id = ?)."""
+        with self._write_lock:
+            return self._update_dataset_locked(parent_id, overrides)
+
+    def _update_dataset_locked(self, parent_id: int, overrides: dict[str, Any]) -> int | None:
         parent = self.dataset().filter(F.col("id") == parent_id).first()
         if parent is None:
             return None  # orphan update (api_test.clj:134-140 → 400)

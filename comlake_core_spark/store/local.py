@@ -22,6 +22,7 @@ import hashlib
 import json
 import os
 import shutil
+import uuid
 from typing import BinaryIO
 
 from comlake_core_spark.store.base import ContentStore
@@ -46,7 +47,7 @@ class LocalStore(ContentStore):
         cid = "sha256-" + hashlib.sha256(data).hexdigest()
         path = self._path(cid)
         if not os.path.exists(path):  # passive dedup: same bytes, same object
-            tmp = path + ".tmp"
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"  # writer-unique temp
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, path)
@@ -56,7 +57,8 @@ class LocalStore(ContentStore):
 
     def add(self, stream: BinaryIO) -> str:
         hasher = hashlib.sha256()
-        tmp = os.path.join(self.objects, ".ingest.tmp")
+        # writer-unique temp: concurrent ingests must not share scratch
+        tmp = os.path.join(self.objects, f".ingest.{uuid.uuid4().hex}.tmp")
         with open(tmp, "wb") as out:
             while chunk := stream.read(1 << 20):
                 hasher.update(chunk)

@@ -1,0 +1,167 @@
+"""End-to-end HTTP API tests mirroring the reference's api_test.clj: boot
+the actual server in-process, exercise every endpoint, success + error
+paths (reference test/comlake/core/api_test.clj:67-223)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from comlake_core_spark.catalog import Catalog
+from comlake_core_spark.server import ComlakeServer
+from comlake_core_spark.store import LocalStore
+
+CSV_BODY = b"country_name,country_code,year_2019\nVietnam,VNM,96462106\nGermany,DEU,83092962\n"
+JSON_BODY = json.dumps([{"name": "lake", "size": 3}, {"name": "core", "size": 9}]).encode()
+TEXT_BODY = b"Ho!\nHa!\n"
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("api")
+    srv = ComlakeServer(spark, LocalStore(str(root / "cas")), Catalog(spark, str(root / "cat")), port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def call(server, method, path, body=None, content_type="application/json"):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    req = urllib.request.Request(url, data=body, method=method)
+    if body is not None:
+        req.add_header("Content-Type", content_type)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return resp.status, raw, resp.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def jcall(server, method, path, body=None, **kw):
+    status, raw, _ = call(server, method, path, body, **kw)
+    return status, json.loads(raw)
+
+
+@pytest.fixture(scope="module")
+def cids(server):
+    out = {}
+    for key, body, ctype in [
+        ("csv", CSV_BODY, "text/csv"),
+        ("json", JSON_BODY, "application/json"),
+        ("text", TEXT_BODY, "text/plain"),
+    ]:
+        status, doc = jcall(server, "POST", "/file", body, content_type=ctype)
+        assert status == 200
+        out[key] = doc["cid"]
+    return out
+
+
+def test_upload_and_download_roundtrip(server, cids):
+    status, raw, ctype = call(server, "GET", f"/file/{cids['csv']}")
+    assert status == 200 and raw == CSV_BODY and ctype == "application/octet-stream"
+
+
+def test_upload_empty_is_error(server):
+    status, doc = jcall(server, "POST", "/file", b"", content_type="text/plain")
+    assert status == 400 and doc == {"error": "empty data"}
+
+
+def test_download_missing_404(server):
+    status, doc = jcall(server, "GET", "/file/sha256-nope")
+    assert status == 404 and doc == {"error": "content not found"}
+
+
+def test_dir_cp_ls_flow(server, cids):
+    _, dir_doc = jcall(server, "POST", "/dir")
+    d0 = dir_doc["cid"]
+    status, doc = jcall(
+        server, "POST", "/cp",
+        json.dumps({"src": cids["csv"], "dest": d0, "path": "population.csv"}).encode(),
+    )
+    assert status == 200
+    status, listing = jcall(server, "GET", f"/dir/{doc['cid']}")
+    assert status == 200 and listing == {"population.csv": cids["csv"]}
+    # cp into a non-directory (api_test.clj:104-109)
+    status, err = jcall(
+        server, "POST", "/cp",
+        json.dumps({"src": cids["csv"], "dest": cids["text"], "path": "x"}).encode(),
+    )
+    assert status == 400 and err == {"error": "dest is not a directory"}
+    # ls of a file (api_test.clj:159-163)
+    status, err = jcall(server, "GET", f"/dir/{cids['csv']}")
+    assert status == 400 and err == {"error": "not a directory"}
+
+
+def test_dataset_add_missing_metadata(server, cids):
+    status, err = jcall(
+        server, "POST", "/dataset",
+        json.dumps({"file": cids["csv"], "description": "d"}).encode(),
+    )
+    assert status == 400 and "missing-metadata" in err["error"]
+
+
+def test_dataset_find_update_flow(server, cids):
+    status, doc = jcall(
+        server, "POST", "/dataset",
+        json.dumps(
+            {
+                "file": cids["csv"],
+                "description": "population",
+                "source": "worldbank",
+                "topics": ["population"],
+                "language": "English",
+            }
+        ).encode(),
+    )
+    assert status == 200
+    ds_id = doc["id"]
+
+    # find on fixed + dynamic fields; extras flattened into the row
+    status, rows = jcall(server, "POST", "/find", json.dumps(["==", [".", ["$"], "language"], "English"]).encode())
+    assert status == 200 and len(rows) == 1
+    assert rows[0]["id"] == ds_id and rows[0]["language"] == "English" and rows[0]["cid"] == cids["csv"]
+
+    # malformed query (api_test.clj:153-157)
+    status, err = jcall(server, "POST", "/find", b"not json{")
+    assert status == 400 and err == {"error": "malformed query"}
+
+    # update revision; orphan parent
+    status, doc = jcall(server, "POST", "/update", json.dumps({"parent": ds_id, "description": "v2"}).encode())
+    assert status == 200 and doc["id"] != ds_id
+    status, err = jcall(server, "POST", "/update", json.dumps({"description": "x"}).encode())
+    assert status == 400 and err == {"error": "missing parent"}
+    status, err = jcall(server, "POST", "/update", json.dumps({"parent": 424242, "description": "x"}).encode())
+    assert status == 400
+
+
+def test_schema_endpoint(server, cids):
+    status, schema = jcall(server, "GET", f"/schema/{cids['csv']}")
+    assert status == 200
+    assert schema["items"]["properties"]["year_2019"]["type"] == "number"
+    # unsupported type (api_test.clj:191-195)
+    status, err = jcall(server, "GET", f"/schema/{cids['text']}")
+    assert status == 400 and err == {"error": "unsupported data type"}
+
+
+def test_extract_endpoint(server, cids):
+    ast = json.dumps(["~", [".", ["$"], "country_name"], "Vi.tnam"]).encode()
+    status, rows = jcall(server, "POST", f"/extract/{cids['csv']}", ast)
+    assert status == 200 and len(rows) == 1 and rows[0]["country_code"] == "VNM"
+    # no-match JSON extract (api_test.clj:205-209)
+    ast = json.dumps(["==", [".", ["$"], "name"], "nope"]).encode()
+    status, rows = jcall(server, "POST", f"/extract/{cids['json']}", ast)
+    assert status == 200 and rows == []
+    # malformed + unsupported (api_test.clj:210-218)
+    status, err = jcall(server, "POST", f"/extract/{cids['csv']}", b"{malformed")
+    assert status == 400 and err == {"error": "malformed query"}
+    status, err = jcall(server, "POST", f"/extract/{cids['text']}", json.dumps(["==", 1, 1]).encode())
+    assert status == 400 and err == {"error": "failed query"}
+
+
+def test_unknown_route_404(server):
+    status, err = jcall(server, "GET", "/nonsense")
+    assert status == 404 and err == {"error": "unsupported"}
+    status, err = jcall(server, "POST", "/nonsense", b"{}")
+    assert status == 404 and err == {"error": "unsupported"}
