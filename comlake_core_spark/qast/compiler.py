@@ -105,6 +105,11 @@ def default_resolver(schema: StructType | None = None) -> Resolver:
                 return _Typed(F.lit(None), _UNKNOWN)
             if not rest:
                 kind = _kind_of(schema[head].dataType)
+            elif isinstance(schema[head].dataType, StringType):
+                # nested path into a JSON-string column — the Spark form of
+                # the reference's jsonb `->` traversal (qast.clj:23-29);
+                # absent keys yield NULL, like jsonb
+                return _Typed(F.get_json_object(F.col(head), "$." + ".".join(rest)), _UNKNOWN)
         col = F.col(head)
         for part in rest:
             col = col.getItem(part)

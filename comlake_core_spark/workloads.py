@@ -976,3 +976,223 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# qast surface completion + set ops + exact stats + more windows
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "qast_string_concat",
+    """
+    SELECT c_custkey, c_name || '/' || c_mktsegment AS tag
+    FROM customer WHERE c_acctbal >= 0
+    """,
+    "qast",
+    "string",
+)
+def qast_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`+` as string concatenation (doc/qast.md:15: + concatenates
+    strings)."""
+    from comlake_core_spark.qast.compiler import compile_qast
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    resolve = default_resolver(cust.schema)
+    tag_ast = ["+", [".", ["$"], "c_name"], "/", [".", ["$"], "c_mktsegment"]]
+    pred = compile_predicate([">=", [".", ["$"], "c_acctbal"], 0], resolver=resolve)
+    return cust.filter(pred).select("c_custkey", compile_qast(tag_ast, resolver=resolve).alias("tag"))
+
+
+@workload(
+    "qast_division_negation",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / 2 AS half_price,
+           -l_discount AS neg_discount
+    FROM lineitem WHERE l_linenumber = 7
+    """,
+    "qast",
+    "arithmetic",
+)
+def qast_division_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`/` double division and unary `-` (qast.clj:37,39,105)."""
+    from comlake_core_spark.qast.compiler import compile_qast
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    resolve = default_resolver(li.schema)
+    return li.filter(compile_predicate(["==", [".", ["$"], "l_linenumber"], 7], resolver=resolve)).select(
+        "l_orderkey",
+        "l_linenumber",
+        compile_qast(["/", [".", ["$"], "l_extendedprice"], 2], resolver=resolve).alias("half_price"),
+        compile_qast(["-", [".", ["$"], "l_discount"]], resolver=resolve).alias("neg_discount"),
+    )
+
+
+@workload(
+    "qast_json_path",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events WHERE json_extract_string(props, '$.k') = '69'
+    """,
+    "qast",
+    "json",
+)
+def qast_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested qast path through a JSON string column — the Spark form of
+    the reference's jsonb `->` traversal (qast.clj:23-29): the compiler's
+    resolver emits get_json_object for nested paths under string columns."""
+    from comlake_core_spark.qast.compiler import compile_qast
+
+    (ev,) = _t(spark, sf_dir, "events")
+    resolve = default_resolver(ev.schema)
+    path_ast = [".", ["$"], "props", "k"]
+    return ev.filter(compile_predicate(["==", path_ast, "69"], resolver=resolve)).select(
+        "event_id", compile_qast(path_ast, resolver=resolve).alias("k")
+    )
+
+
+@workload(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    "setop",
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supp.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@workload(
+    "set_except_nations",
+    """
+    SELECT c_name FROM customer
+    EXCEPT
+    SELECT c_name FROM customer WHERE c_acctbal > 0
+    """,
+    "setop",
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics). subtract == EXCEPT DISTINCT; exceptAll would
+    keep surviving duplicates (multiset difference) and diverge from SQL
+    EXCEPT. Operands chosen to stay non-trivially non-empty at every SF."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select("c_name").subtract(
+        cust.filter(F.col("c_acctbal") > 0).select("c_name")
+    )
+
+
+@workload(
+    "set_union_acct_holders",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    "setop",
+)
+def set_union_acct_holders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.filter(F.col("s_acctbal") > 5000).select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@workload(
+    "agg_stats_manual",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_qty,
+           sqrt(
+             (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+             / (COUNT(*) * (COUNT(*) - 1))
+           ) AS std_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "aggregation",
+    "stats",
+)
+def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean/stddev from decimal power sums: var = (nΣx² − (Σx)²) /
+    (n(n−1)). Built-in stddev uses order-dependent streaming updates that
+    can't hash-match across engines; power sums in exact decimal are
+    associative, so this formulation is both distributed-friendly (one
+    partial-agg pass) and bitwise-reproducible."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    n = F.count(F.lit(1))
+    sum_x = F.sum(q).cast("double")
+    sum_x2 = F.sum(q * q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (sum_x / n).alias("mean_qty"),
+        F.sqrt((n * sum_x2 - sum_x * sum_x) / (n * (n - 1))).alias("std_qty"),
+    )
+
+
+@workload(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    "window",
+    "lag",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic — per-row double subtraction, bitwise-stable."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@workload(
+    "window_moving_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "window",
+    "moving-avg",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user (decimal sum / frame count)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(dec("value", 14, 4)).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("mov_avg"),
+    )
+
+
+@workload("approx_distinct_users", None, "aggregation", "approx", "no-sql-oracle")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100TB cardinality path.
+    Sketch internals are engine-specific so there is no SQL oracle; the
+    exact twin (distinct_event_users) is oracle-checked, and pytest bounds
+    the approximation error against it."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

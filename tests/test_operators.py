@@ -126,3 +126,13 @@ def test_quality_score_range(spark, t):
         F.min("q").alias("lo"), F.max("q").alias("hi")
     ).first()
     assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_approx_distinct_within_bound(spark, t):
+    from comlake_core_spark.workloads import REGISTRY
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    approx = {r["event_type"]: r["approx_users"] for r in REGISTRY["approx_distinct_users"].fn(spark, sf).collect()}
+    exact = {r["event_type"]: r["n_users"] for r in REGISTRY["distinct_event_users"].fn(spark, sf).collect()}
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(0.1 * ex, 2), (et, approx[et], ex)
