@@ -262,25 +262,26 @@ def embedding_dedup_pairs(
     """Near-dup pairs among embeddings: random-hyperplane LSH bucket, then
     exact cosine verify within buckets.
 
-    The hyperplanes are derived from seeded xxhash64 of (plane, dim) — fully
-    deterministic, no model state to ship. sign pattern = bucket key; pairs
-    with cosine ≥ threshold almost always share the full sign pattern for
-    high thresholds."""
+    The ±1 hyperplanes are seeded-deterministic and computed ON THE DRIVER,
+    then embedded as literal arrays — the per-row work is n_planes array
+    dot products in codegen, with no per-element hashing at runtime (the
+    hyperplanes are a codebook, not data)."""
+    import numpy as np
+
     from comlake_core_spark.operators.similarity import cosine
 
     v = F.col(vec_col).cast("array<double>")
-    dim = F.size(v)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = int(first["d"])
+    rng = np.random.default_rng(1729)  # fixed seed: stable buckets across runs
+    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
 
-    # pseudo-random ±1 hyperplanes: sign of xxhash64(plane, dim_index)
     def plane_bit(p: int) -> Column:
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
         dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), dim - 1), lambda i, p=p: F.when(F.xxhash64(F.lit(p), i) % 2 == 0, 1.0).otherwise(-1.0)),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(v, lit_plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
         )
         return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 

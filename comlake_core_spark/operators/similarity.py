@@ -100,9 +100,11 @@ def ivf_topk(
     among the query's n_probe closest centroids."""
     cents = F.broadcast(seeded_centroids(corpus, n_centroids, vec_col, id_col))
 
-    def assign(df: DataFrame, vcol: str, out: str, keep: int) -> DataFrame:
+    def assign(df: DataFrame, key: str, vcol: str, out: str, keep: int) -> DataFrame:
+        # partition the top-k window by the row KEY only — windowing over
+        # the vector column would shuffle and compare the arrays themselves
         scored = df.crossJoin(cents).withColumn("_sim", cosine(F.col(vcol), F.col("centroid_vec")))
-        w = Window.partitionBy(*[c for c in df.columns]).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+        w = Window.partitionBy(key).orderBy(F.desc("_sim"), F.asc("centroid_id"))
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= keep)
@@ -111,8 +113,8 @@ def ivf_topk(
 
     c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv"))
-    c_assigned = assign(c, "_cv", "bucket", 1)
-    q_assigned = assign(q, "_qv", "bucket", n_probe)
+    c_assigned = assign(c, "nbr_id", "_cv", "bucket", 1)
+    q_assigned = assign(q, "query_id", "_qv", "bucket", n_probe)
 
     scored = c_assigned.join(F.broadcast(q_assigned), "bucket").select(
         "query_id", "nbr_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine")

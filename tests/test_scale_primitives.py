@@ -1,0 +1,60 @@
+"""Plan-level tests for the explicit scale primitives: bucketed co-located
+joins (no shuffle), salted skew joins (correct + spread), and partition
+pruning (PartitionFilters at the scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.relational import (
+    salted_join,
+    write_bucketed,
+    write_date_partitioned,
+)
+from comlake_core_spark.plans import inspect as P
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return spark  # saveAsTable uses spark's default warehouse (spark-warehouse/)
+
+
+def test_bucketed_join_has_no_shuffle(spark, t):
+    # bucket both sides on the join key; the join must then plan with zero
+    # exchanges — the amortize-the-shuffle-at-ingest pattern
+    write_bucketed(t["orders"], "orders_b", "o_orderkey", buckets=8)
+    write_bucketed(
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", buckets=8
+    )
+    joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    joined.write.mode("overwrite").format("noop").save()
+    assert P.count_shuffles(joined) == 0, P.executed_plan(joined)
+    # sanity: same row count as the unbucketed join
+    plain = t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+    assert joined.count() == plain.count()
+
+
+def test_salted_join_correct_and_spread(spark):
+    # one celebrity key (99% of rows) + uniform rest
+    big = spark.range(0, 20000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(i, f"dim-{i}") for i in range(50)], "k int, label string")
+    out = salted_join(big, small, "k", salt=8)
+    # correctness: equals the plain join
+    plain = big.join(small, "k")
+    assert out.count() == plain.count()
+    assert out.agg(F.sum("payload")).first()[0] == plain.agg(F.sum("payload")).first()[0]
+
+
+def test_partition_pruning(spark, t, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_part"))
+    write_date_partitioned(t["events"], path)
+    df = spark.read.parquet(path).filter(F.col("_date") == "2024-01-05")
+    plan = P.executed_plan(df)
+    # the date filter must land in PartitionFilters (pruned at planning),
+    # not in the row-level data filters
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "_date" in seg
+    assert df.count() > 0
