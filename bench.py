@@ -27,14 +27,23 @@ HEADLINE = [
     "catalog_find",
     "agg_pricing_summary",
     "join_revenue_by_nation",
+    "semi_join_orders_shipped_late",
     "topk_orders_per_segment",
     "distinct_event_users",
     "events_hourly",
+    "events_sessionize",
     "window_running_sum",
+    "window_moving_avg",
+    "agg_rollup_flag_status",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
     "text_stats",
+    "text_lang_id",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_decode_features",
 ]
 
 

@@ -558,8 +558,10 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comlake_core_spark.operators.text import text_stats
 
+    from comlake_core_spark.session import ensure_parallelism
+
     (docs,) = _t(spark, sf_dir, "documents")
-    return text_stats(docs)
+    return text_stats(ensure_parallelism(docs))
 
 
 @workload(
@@ -608,7 +610,10 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comlake_core_spark.operators.text import lang_id
 
+    from comlake_core_spark.session import ensure_parallelism
+
     (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
     return docs.select("doc_id", lang_id("text").alias("lang_guess"))
 
 
@@ -631,7 +636,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comlake_core_spark.operators.text import quality_score
 
+    from comlake_core_spark.session import ensure_parallelism
+
     (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 

@@ -19,6 +19,14 @@ def warehouse(spark, tmp_path_factory):
 
 
 def test_bucketed_join_has_no_shuffle(spark, t):
+    # drop stale tables AND their warehouse dirs (a dir left by a previous
+    # session is unknown to this session's in-memory metastore, and
+    # saveAsTable refuses to reuse the location)
+    import shutil
+
+    for name in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
     # bucket both sides on the join key; the join must then plan with zero
     # exchanges — the amortize-the-shuffle-at-ingest pattern
     write_bucketed(t["orders"], "orders_b", "o_orderkey", buckets=8)
