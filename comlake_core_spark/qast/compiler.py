@@ -152,6 +152,14 @@ def _lit(value: Any) -> _Typed:
         return _Typed(F.lit(value), _STR)
     if value is None:
         return _Typed(F.lit(None), _UNKNOWN)
+    if isinstance(value, dict):
+        # map literal — left TODO in the reference's SQL backend
+        # (qast.clj:64 "TODO: map"); first-class here via create_map
+        pairs: list[Column] = []
+        for k, v in value.items():
+            pairs.append(F.lit(k))
+            pairs.append(_lit(v).col)
+        return _Typed(F.create_map(*pairs), _UNKNOWN)
     raise QastError(f"unsupported literal: {value!r}")
 
 

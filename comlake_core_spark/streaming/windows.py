@@ -92,3 +92,36 @@ def run_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: int = 60):
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def running_user_totals(stream_df: DataFrame, key_col: str = "user_id", value_col: str = "value"):
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-key running (count, sum) that survives across micro-batches — the
+    canonical 'state Spark's built-ins don't give you' shape (built-in
+    streaming aggs can't emit per-batch deltas with custom eviction).
+
+    State is one row per key; the state store scales with distinct keys,
+    not events. GroupStateTimeout is off here (totals are eternal) — pass
+    watermark + timeout for session-style eviction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

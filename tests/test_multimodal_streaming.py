@@ -114,3 +114,42 @@ def test_streaming_sessionize_runs(spark, events_stream_dir):
     n = spark.sql("SELECT count(*) AS c FROM sess_test").first()["c"]
     q.stop()
     assert n > 0
+
+
+def test_stateful_running_totals(spark, sf_dir, events_stream_dir, tmp_path_factory):
+    """applyInPandasWithState: state accumulates across the 3 micro-batches;
+    final per-user totals must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from comlake_core_spark.session import tables
+    from comlake_core_spark.streaming.windows import running_user_totals
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = read_events_stream(spark, events_stream_dir, schema)
+    out = running_user_totals(stream)
+    chk = str(tmp_path_factory.mktemp("chk"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    # update mode emits one row per key per batch that touched it: the LAST
+    # emission per user carries the final running state
+    emitted = spark.sql("SELECT * FROM running_totals_test").collect()
+    final = {}
+    for r in emitted:  # memory sink appends in batch order
+        final[r["user_id"]] = (r["n_events"], r["total"])
+    ev = tables(spark, sf_dir, ("events",))["events"]
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 1e-6

@@ -146,3 +146,10 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     pred = compile_predicate(["==", [".", ["$"], "l_returnflag"], "R"], schema=df.schema)
     plan = df.filter(pred)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200]
+
+
+def test_map_literal_and_access(spark):
+    # the reference left map literals TODO (qast.clj:64); we support them,
+    # including field access through them
+    ast = [".", {"a": 1, "b": 2}, "b"]
+    assert eval_const(spark, ast) == 2
