@@ -214,7 +214,9 @@ def simhash_dedup_pairs(
     """Near-dup pairs by SimHash: band the 64-bit signature into 64/band_bits
     chunks (pigeonhole: any pair within max_hamming shares ≥1 exact chunk
     when bands > max_hamming), bucket-join on chunks, verify Hamming."""
-    sigs = simhash(df, text_col, id_col)
+    # persist: the banded frame feeds BOTH sides of the self-join — without
+    # it the Pandas-UDF signature pass runs twice
+    sigs = simhash(df, text_col, id_col).persist()
     n_bands = 64 // band_bits
     banded = sigs.select(
         F.col(id_col).alias("_id"),

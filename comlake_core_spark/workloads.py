@@ -1287,3 +1287,91 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles, cube grouping, correlation (power-sum exact)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "agg_median_quantity",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           quantile_cont(l_quantity, 0.75) AS q3_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "aggregation",
+    "percentile",
+)
+def agg_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). The exact form needs a per-group sort — at 100 TB use
+    percentile_approx (t-digest-style sketch, mergeable) instead; it has no
+    cross-engine oracle, so the exact one carries the correctness check."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.25).alias("q1_qty"),
+        F.percentile("l_quantity", 0.75).alias("q3_qty"),
+    )
+
+
+@workload(
+    "agg_cube_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "aggregation",
+    "cube",
+)
+def agg_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 grouping combinations in one pass."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+@workload(
+    "agg_corr_price_qty",
+    """
+    SELECT l_returnflag,
+           (COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) * CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE))
+           / sqrt(
+               (COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                - CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE))
+               * (COUNT(*) * CAST(SUM(CAST(l_tax AS DECIMAL(4,2)) * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) * CAST(SUM(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE))
+             ) AS corr_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "aggregation",
+    "stats",
+)
+def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal power sums (same rationale as
+    agg_stats_manual: built-in corr() streams in partition order and can't
+    hash-match; power sums are associative and exact). Columns chosen with
+    small magnitudes so the decimal sums stay exactly representable as
+    doubles — DuckDB's decimal-to-double cast double-rounds on huge
+    decimals while Spark rounds once, and correlation's cancellation
+    amplifies that last-bit difference (corr is scale-invariant, so small
+    columns lose nothing)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q, p = dec("l_discount", 4, 2), dec("l_tax", 4, 2)
+    n = F.count(F.lit(1))
+    sq, sp = F.sum(q).cast("double"), F.sum(p).cast("double")
+    sqq, spp = F.sum(q * q).cast("double"), F.sum(p * p).cast("double")
+    sqp = F.sum(q * p).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        ((n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))).alias("corr_disc_tax")
+    )
