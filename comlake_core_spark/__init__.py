@@ -18,9 +18,37 @@ closure.  Here the same capabilities are re-expressed on Spark DataFrames:
   multimodal plumbing designed for 100 TB scale.
 """
 
-from comlake_core_spark.session import get_spark, tables
-from comlake_core_spark.qast.compiler import compile_qast, QastError
+from comlake_core_spark.session import get_spark, tables, ensure_parallelism
+from comlake_core_spark.qast.compiler import compile_qast, compile_predicate, QastError
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "tables", "compile_qast", "QastError"]
+__all__ = [
+    "get_spark",
+    "tables",
+    "ensure_parallelism",
+    "compile_qast",
+    "compile_predicate",
+    "QastError",
+]
+
+
+def __getattr__(name):
+    # heavier subsystems lazily, so `import comlake_core_spark` stays cheap
+    if name == "Catalog":
+        from comlake_core_spark.catalog import Catalog
+
+        return Catalog
+    if name == "LocalStore":
+        from comlake_core_spark.store import LocalStore
+
+        return LocalStore
+    if name == "IpfsStore":
+        from comlake_core_spark.store.ipfs import IpfsStore
+
+        return IpfsStore
+    if name == "ComlakeServer":
+        from comlake_core_spark.server import ComlakeServer
+
+        return ComlakeServer
+    raise AttributeError(name)
