@@ -1375,3 +1375,203 @@ def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         ((n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))).alias("corr_disc_tax")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot, explode/unnest, scalar function library, outer joins, rank windows
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot",
+    "aggregation",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Spark's .pivot() with an
+    explicit value list — explicit values keep the single-pass plan (no
+    extra distinct-values job) and a stable output schema at any scale."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@workload(
+    "explode_token_counts",
+    r"""
+    SELECT tok, COUNT(*) AS n FROM (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ) GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+    "explode",
+    "text",
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest + count + top-k: the word-count shape. At scale the
+    explode multiplies rows ~n_tokens×, but partial aggregation collapses
+    them map-side before the shuffle."""
+    from comlake_core_spark.operators.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@workload(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           replace(c_mktsegment, 'BUILD', 'B_') AS seg_replaced,
+           length(c_name) AS name_len,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits
+    FROM customer
+    """,
+    "functions",
+    "string",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string library parity (upper/substring/replace/length/
+    regexp_extract) — SURVEY §2.4 notes the reference has NO string
+    functions beyond regex/concat; these are table stakes for an engine."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_mktsegment"), F.lit("BUILD"), F.lit("B_")).alias("seg_replaced"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+    )
+
+
+@workload(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(dow FROM o_orderdate) AS dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    "functions",
+    "date",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function parity (extract, interval arithmetic, datediff).
+    DuckDB dow: Sunday=0 — Spark's dayofweek is Sunday=1, so subtract 1."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@workload(
+    "full_outer_nation_presence",
+    """
+    WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+    "join",
+    "outer",
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = supp.groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    joined = c.join(s, "k", "full_outer")
+    return joined.select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@workload(
+    "window_ranks",
+    """
+    SELECT s_suppkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    "window",
+    "rank",
+)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile. Global ORDER BY window — fine on a dim-sized
+    table; for big tables always partition the window (see
+    catalog_latest_revision) or the sort is single-reducer."""
+    (supp,) = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@workload(
+    "array_functions",
+    r"""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split_regex(trim(text), '\s+'))) AS vocab,
+           len(list_distinct(string_split_regex(trim(text), '\s+'))) AS vocab_size,
+           array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+')))[1:3], ',') AS first3
+    FROM documents WHERE doc_id % 29 = 0
+    """,
+    "functions",
+    "array",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function parity: distinct, sort, slice, join."""
+    from comlake_core_spark.operators.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    vocab = F.array_sort(F.array_distinct(tokens("text")))
+    return docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id",
+        vocab.alias("vocab"),
+        F.size(F.array_distinct(tokens("text"))).alias("vocab_size"),
+        F.array_join(F.slice(vocab, 1, 3), ",").alias("first3"),
+    )
