@@ -115,5 +115,32 @@ class IpfsStore(ContentStore):
             return None
         return {l["Name"]: l["Hash"] for l in links}
 
-    def spark_path(self, cid: str) -> str:
+    def gateway_url(self, cid: str) -> str:
         return f"{self.gateway}/ipfs/{cid}"
+
+    def spark_path(self, cid: str) -> str:
+        """A path spark.read can actually open. Plain Spark has NO http://
+        Hadoop filesystem, so handing out the gateway URL would fail at scan
+        time; instead, fetch through the daemon into a local content cache
+        (CID-keyed → idempotent, immutable) and return a file:// path.
+
+        This is the single-node story. At 100 TB the fetch-to-driver hop is
+        the wrong shape — the deployment options, in preference order:
+        (1) mount IPFS via FUSE/ipfs-mount on every executor and return the
+        mount path; (2) run gateways beside executors and install an
+        http Hadoop FileSystem (e.g. hadoop-connectors' HttpFileSystem);
+        (3) mirror pinned CIDs into an object store keyed by CID (what
+        LocalStore models). The interface stays `cid -> readable path`
+        either way."""
+        import os
+        import tempfile
+
+        cache = os.path.join(tempfile.gettempdir(), "comlake-ipfs-cache")
+        os.makedirs(cache, exist_ok=True)
+        local = os.path.join(cache, cid.replace("/", "_"))
+        if not os.path.exists(local):
+            tmp = f"{local}.{uuid.uuid4().hex}.tmp"
+            with self.fetch(cid) as src, open(tmp, "wb") as dst:
+                dst.write(src.read())
+            os.replace(tmp, local)
+        return "file://" + local

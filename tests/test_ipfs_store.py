@@ -76,11 +76,23 @@ def test_cp_mfs_dance(store, stub):
     assert ops == ["ls", "files/cp", "files/cp", "files/stat", "pin/add", "files/rm"]
 
 
-def test_spark_path_is_gateway_url(store):
-    assert store.spark_path("QmX") == "http://127.0.0.1:8080/ipfs/QmX"
-
-
 def test_unavailable_daemon_raises():
     s = IpfsStore(api_base="http://127.0.0.1:1")  # nothing listens here
     with pytest.raises(StoreUnavailable):
         s.fetch("QmX")
+
+
+def test_spark_path_fetches_to_local_cache(store, stub, tmp_path):
+    stub.responses["/cat"] = b"col\n1\n"
+    path = store.spark_path("QmCache1")
+    assert path.startswith("file://")
+    with open(path[len("file://"):], "rb") as f:
+        assert f.read() == b"col\n1\n"
+    # second call hits the cache, no new /cat request
+    n_calls = len(stub.calls)
+    assert store.spark_path("QmCache1") == path
+    assert len(stub.calls) == n_calls
+
+
+def test_gateway_url(store):
+    assert store.gateway_url("QmX") == "http://127.0.0.1:8080/ipfs/QmX"
