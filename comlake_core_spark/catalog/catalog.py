@@ -187,6 +187,36 @@ class Catalog:
         self._write("dataset", self.dataset().unionByName(row), DATASET_SCHEMA)
         return new_id
 
+    def add_datasets(self, metas: list[dict[str, Any]]) -> list[int]:
+        """Bulk ingest: one snapshot write for N datasets (the scale path —
+        per-row add_dataset costs a full snapshot write each; registering a
+        crawl of a million datasets must be one append)."""
+        for meta in metas:
+            missing = [k for k in REQUIRED_DATASET_FIELDS if k not in meta]
+            if missing:
+                raise MissingMetadata(f"missing metadata fields: {missing}")
+        with self._write_lock:
+            next_id = self._next_id()
+            rows = []
+            ids = []
+            for offset, meta in enumerate(metas):
+                extra = {k: _as_str(v) for k, v in meta.items() if k not in REQUIRED_DATASET_FIELDS}
+                rows.append(
+                    (
+                        next_id + offset,
+                        meta["file"],
+                        meta["description"],
+                        meta["source"],
+                        list(meta["topics"]),
+                        extra,
+                        None,
+                    )
+                )
+                ids.append(next_id + offset)
+            batch = self.spark.createDataFrame(rows, DATASET_SCHEMA)
+            self._write("dataset", self.dataset().unionByName(batch), DATASET_SCHEMA)
+            return ids
+
     def update_dataset(self, parent_id: int, overrides: dict[str, Any]) -> int | None:
         """Copy-on-write revision: new row = coalesce(overrides, parent row),
         parent column = parent_id (reference PostgreSQL.java:128-154:

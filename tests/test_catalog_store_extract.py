@@ -204,3 +204,17 @@ def test_schema_cache_roundtrip(spark, store, catalog, cids):
     assert catalog.get_schema(cids["csv"]) == s1
     s2 = cached_schema(spark, store, catalog, cids["csv"], "text/csv")
     assert s2 == s1
+
+
+def test_bulk_add_datasets(catalog, cids):
+    base = {"file": cids["csv"], "source": "bulk", "topics": ["t"]}
+    ids = catalog.add_datasets([{**base, "description": f"bulk-{i}", "seq": str(i)} for i in range(25)])
+    assert len(ids) == 25 and ids == sorted(ids)
+    found = catalog.find(["==", [".", ["$"], "source"], "bulk"])
+    assert found.count() == 25
+    import pytest as _pytest
+
+    from comlake_core_spark.catalog import MissingMetadata
+
+    with _pytest.raises(MissingMetadata):
+        catalog.add_datasets([{**base, "description": "x"}, {"description": "incomplete"}])
