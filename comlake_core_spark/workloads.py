@@ -1575,3 +1575,74 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(tokens("text"))).alias("vocab_size"),
         F.array_join(F.slice(vocab, 1, 3), ",").alias("first3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map normalization + TPC-H Q10 shape
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "zscore_events",
+    """
+    SELECT user_id, event_id,
+           (value - CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE) / COUNT(*) OVER w)
+           / sqrt(
+               (COUNT(*) OVER w * CAST(SUM(CAST(value AS DECIMAL(14,4)) * CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE)
+                - CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE))
+               / (COUNT(*) OVER w * (COUNT(*) OVER w - 1))
+             ) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    "window",
+    "normalize",
+)
+def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.groupmap import zscore_normalize_expr
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return zscore_normalize_expr(ev)
+
+
+@workload("zscore_events_pandas", None, "groupmap", "no-sql-oracle")
+def zscore_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map variant (pytest asserts ≈ the expression
+    twin; numpy float summation precludes a bitwise oracle)."""
+    from comlake_core_spark.operators.groupmap import zscore_normalize_pandas
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return zscore_normalize_pandas(ev)
+
+
+@workload(
+    "top_customers_by_returns",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS lost_revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY lost_revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "join",
+    "topk",
+    "tpch-q10",
+)
+def top_customers_by_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

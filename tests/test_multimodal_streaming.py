@@ -153,3 +153,47 @@ def test_stateful_running_totals(spark, sf_dir, events_stream_dir, tmp_path_fact
     for uid, (n, total) in batch.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - total) < 1e-6
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Late-data semantics: an event below the committed watermark is
+    dropped. Note Spark's watermark advances at batch BOUNDARIES from the
+    previous batch's max event time, so the late event goes in the third
+    micro-batch — one batch after the watermark-advancing data."""
+    import time
+    from datetime import datetime
+
+    d = str(tmp_path_factory.mktemp("late"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def batch(path, rows):
+        typed = [(i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), u, e, v) for i, ts, u, e, v in rows]
+        spark.createDataFrame(typed, schema).coalesce(1).write.mode("append").parquet(path)
+
+    # file 1: 10:00 and 13:00 → watermark 11:00 commits after this batch
+    batch(d, [(1, "2024-01-01 10:00:00", 1, "a", 1.0), (2, "2024-01-01 13:00:00", 1, "a", 1.0)])
+    time.sleep(1.1)
+    # file 2: on-time 13:10 (watermark 11:00 is now the operator's)
+    batch(d, [(3, "2024-01-01 13:10:00", 1, "a", 1.0)])
+    time.sleep(1.1)
+    # file 3: LATE 09:30 — window [09:00,10:00) ends before watermark 11:00
+    batch(d, [(4, "2024-01-01 09:30:00", 1, "a", 1.0)])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    agg = windowed_agg(stream, window="1 hour", watermark="2 hours", keys=["event_type"])
+    chk = str(tmp_path_factory.mktemp("chk_late"))
+    q = (
+        agg.writeStream.format("memory").queryName("late_test").outputMode("append")
+        .option("checkpointLocation", chk).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p.get("stateOperators") or [{}])[0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    q.stop()
+
+    rows = {r["window_start"].strftime("%H:%M"): r["n"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    assert dropped == 1  # the 09:30 event, counted by the stateful operator
+    assert "09:00" not in rows, rows  # no window was created for it
+    assert rows.get("10:00") == 1, rows  # the closed window stayed closed

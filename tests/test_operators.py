@@ -136,3 +136,27 @@ def test_approx_distinct_within_bound(spark, t):
     exact = {r["event_type"]: r["n_users"] for r in REGISTRY["distinct_event_users"].fn(spark, sf).collect()}
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(0.1 * ex, 2), (et, approx[et], ex)
+
+
+def test_zscore_pandas_matches_expr(spark, t):
+    from comlake_core_spark.operators.groupmap import zscore_normalize_expr, zscore_normalize_pandas
+
+    ev = t["events"]
+    expr = {(r["user_id"], r["event_id"]): r["zscore"] for r in zscore_normalize_expr(ev).collect()}
+    pandas = {(r["user_id"], r["event_id"]): r["zscore"] for r in zscore_normalize_pandas(ev).collect()}
+    assert set(expr) == set(pandas)
+    for k, v in expr.items():
+        assert pandas[k] == pytest.approx(v, rel=1e-9, abs=1e-9), k
+
+
+def test_diagnose_skew(spark):
+    from pyspark.sql import functions as F
+
+    from comlake_core_spark.operators.groupmap import diagnose_skew
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(42)).otherwise(F.col("id")).alias("k")
+    )
+    top = diagnose_skew(df, "k", top=3).collect()
+    assert top[0]["k"] == 42 and top[0]["n"] == 900
+    assert top[0]["share"] == pytest.approx(0.9)
