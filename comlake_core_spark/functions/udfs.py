@@ -60,3 +60,14 @@ def make_simhash_udf(bits: int = 64):
         return pd.Series(out)
 
     return simhash_udf
+
+
+def make_weighted_mean_udaf():
+    """Pandas grouped-agg UDF (UDAF surface): weight-averaged value.
+    Series→scalar signature; Spark runs it per group with Arrow transfer."""
+
+    @pandas_udf("double")
+    def wmean(value: pd.Series, weight: pd.Series) -> float:
+        return float((value * weight).sum() / weight.sum())
+
+    return wmean

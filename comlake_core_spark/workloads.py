@@ -1646,3 +1646,84 @@ def top_customers_by_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# The real Catalog.find under the oracle gate + python UDAF surface
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "catalog_find_real",
+    """
+    WITH dataset AS (
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS file, text AS description,
+             source, ['docs', lang] AS topics, CAST(NULL AS BIGINT) AS parent,
+             CAST(n_chars AS VARCHAR) AS length
+      FROM documents WHERE doc_id < 40
+    ), content AS (
+      SELECT CAST(doc_id AS VARCHAR) AS cid, 'text/plain' AS type
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT d.id, c.cid, c.type, d.source, d.length
+    FROM dataset d JOIN content c ON d.file = c.cid
+    WHERE CAST(d.length AS DOUBLE) < 250 AND regexp_matches(d.source, '1')
+    """,
+    "catalog",
+    "integration",
+)
+def catalog_find_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Catalog component under the oracle gate: build a catalog
+    (bulk ingest + content upserts) from the documents table in a temp dir,
+    then run Catalog.find() — dynamic extra field with numeric comparison
+    plus partial regex, the exact doc/api.md:225-257 query shape."""
+    import tempfile
+
+    from comlake_core_spark.catalog import Catalog
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rows = docs.filter(F.col("doc_id") < 40).select("doc_id", "text", "source", "lang", "n_chars").collect()
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="comlake-cat-wl-"))
+    metas = [
+        {
+            "file": str(r["doc_id"]),
+            "description": r["text"],
+            "source": r["source"],
+            "topics": ["docs", r["lang"]],
+            "length": str(r["n_chars"]),
+        }
+        for r in rows
+    ]
+    # ids are assigned in list order: make them the doc_ids by sorting and
+    # offsetting — bulk ids start at 1, so sort by doc_id and map back
+    metas.sort(key=lambda m: int(m["file"]))
+    cat.add_datasets(metas)
+    content = spark.createDataFrame(
+        [(str(r["doc_id"]), "text/plain", {}) for r in rows],
+        "cid string, type string, extra map<string,string>",
+    )
+    cat._write("content", content, __import__("comlake_core_spark.catalog.catalog", fromlist=["CONTENT_SCHEMA"]).CONTENT_SCHEMA)
+
+    found = cat.find(["&", ["<", [".", ["$"], "length"], 250], ["~", [".", ["$"], "source"], "1"]])
+    # find() projects the fixed columns; cid == file by the join, so the
+    # doc_id comes back through cid
+    return found.select(
+        F.col("cid").cast("long").alias("id"),
+        "cid",
+        "type",
+        "source",
+        F.col("extra")["length"].alias("length"),
+    )
+
+
+@workload("udaf_weighted_mean", None, "udf", "no-sql-oracle")
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDF (the UDAF surface — SURVEY §2.4 notes the
+    reference has no UDF surface at all): quantity-weighted mean price per
+    return flag. numpy float reduction → no bitwise oracle; pytest bounds
+    it against the exact decimal formulation."""
+    from comlake_core_spark.functions.udfs import make_weighted_mean_udaf
+
+    wmean = make_weighted_mean_udaf()
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(wmean("l_extendedprice", "l_quantity").alias("wmean_price"))

@@ -160,3 +160,23 @@ def test_diagnose_skew(spark):
     top = diagnose_skew(df, "k", top=3).collect()
     assert top[0]["k"] == 42 and top[0]["n"] == 900
     assert top[0]["share"] == pytest.approx(0.9)
+
+
+def test_udaf_weighted_mean_close_to_exact(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from comlake_core_spark.session import tables
+    from comlake_core_spark.workloads import REGISTRY, dec
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    udaf = {r["l_returnflag"]: r["wmean_price"] for r in REGISTRY["udaf_weighted_mean"].fn(spark, sf).collect()}
+    li = tables(spark, sf, ("lineitem",))["lineitem"]
+    exact_df = li.groupBy("l_returnflag").agg(
+        (F.sum(dec("l_extendedprice") * dec("l_quantity")).cast("double")
+         / F.sum(dec("l_quantity")).cast("double")).alias("w")
+    )
+    exact = {r["l_returnflag"]: r["w"] for r in exact_df.collect()}
+    for k, v in exact.items():
+        assert udaf[k] == pytest.approx(v, rel=1e-9)
