@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_decode_features",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -1727,3 +1727,53 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmean = make_weighted_mean_udaf()
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(wmean("l_extendedprice", "l_quantity").alias("wmean_price"))
+
+
+@workload(
+    "pipeline_clean_corpus",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND lang IN ('en', 'de', 'fr', 'es')
+    ), deduped AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp
+    )
+    SELECT f.doc_id, f.lang, f.n_tokens,
+           CAST(f.n_tokens AS DOUBLE) / f.n_chars AS tokens_per_char
+    FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id
+    """,
+    "pipeline",
+    "dedup",
+    "text",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-data-pipeline shape: length filter → language
+    filter → exact dedup (keep-min-id) → per-doc stats. One scan + one
+    dedup shuffle; this is the template a 100 TB corpus-cleaning job
+    follows, with the near-dup stages (minhash/simhash) slotting in after
+    the exact pass."""
+    from comlake_core_spark.operators.text import fingerprint, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de", "fr", "es"))
+    keep = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        filtered.join(keep, ["fp", "doc_id"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_chars")).alias("tokens_per_char"),
+        )
+    )
