@@ -1739,12 +1739,13 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), filtered AS (
       SELECT * FROM scored WHERE n_tokens >= 20 AND lang IN ('en', 'de', 'fr', 'es')
-    ), deduped AS (
-      SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp
     )
-    SELECT f.doc_id, f.lang, f.n_tokens,
-           CAST(f.n_tokens AS DOUBLE) / f.n_chars AS tokens_per_char
-    FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_tokens AS DOUBLE) / n_chars AS tokens_per_char
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM filtered
+    ) WHERE rn = 1
     """,
     "pipeline",
     "dedup",
@@ -1767,9 +1768,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
     )
     filtered = scored.filter((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de", "fr", "es"))
-    keep = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # dedup as row_number-over-fingerprint: ONE shuffle (and WindowGroupLimit
+    # prunes each fingerprint group to 1 row before it), versus the
+    # groupBy-then-join formulation's two
+    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
-        filtered.join(keep, ["fp", "doc_id"])
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select(
             "doc_id",
             "lang",

@@ -80,3 +80,9 @@ def test_exact_dedup_is_partial_agg(spark):
 def test_codegen_active_on_scan_heavy_query(spark):
     df = run(spark, "qast_arith_revenue")
     assert P.codegen_stage_count(df) >= 1
+
+
+def test_pipeline_dedup_single_shuffle(spark):
+    df = run(spark, "pipeline_clean_corpus")
+    assert P.count_shuffles(df) == 1
+    assert P.has_window_group_limit(df)
