@@ -37,6 +37,15 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
     - Session timezone pinned to UTC so timestamp semantics are stable
       across engines (the DuckDB oracle reads the same parquet as naive UTC).
     """
+    # Python workers (UDFs, Python Data Sources) import this package by
+    # name; the JVM captures the environment when it launches, so the
+    # package parent must be on PYTHONPATH before getOrCreate. On a real
+    # cluster this is --py-files; in local mode, env inheritance.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + existing if existing else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
@@ -55,6 +64,8 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in tables().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the comlake Python Data Source implements pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,112 @@
+"""Tests for the `comlake` Python Data Source: spark.read/write against the
+content store by CID — the Spark-native connector the north star asks for."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from comlake_core_spark.sources import register
+from comlake_core_spark.store import LocalStore
+
+CSV_A = "name,qty\nwidget,3\ngadget,12\n"
+CSV_B = "name,qty\nsprocket,7\nwidget,9\n"
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    return LocalStore(str(tmp_path_factory.mktemp("src_cas")))
+
+
+@pytest.fixture(scope="module")
+def dir_cid(store):
+    a = store.add_bytes(CSV_A.encode())
+    b = store.add_bytes(CSV_B.encode())
+    d = store.mkdir()
+    d = store.cp(a, d, "part-000.csv")
+    d = store.cp(b, d, "part-001.csv")
+    return d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def read_cid(spark, store, cid, mime="text/csv"):
+    return (
+        spark.read.format("comlake")
+        .option("store_root", store.root)
+        .option("cid", cid)
+        .option("mime", mime)
+        .load()
+    )
+
+
+def test_read_single_csv_blob(spark, store):
+    cid = store.add_bytes(CSV_A.encode())
+    df = read_cid(spark, store, cid)
+    assert df.schema.simpleString() == "struct<name:string,qty:string>"
+    rows = {r["name"]: r["qty"] for r in df.collect()}
+    assert rows == {"widget": "3", "gadget": "12"}  # strings: extract-time semantics
+
+
+def test_read_directory_fans_out_partitions(spark, store, dir_cid):
+    df = read_cid(spark, store, dir_cid)
+    assert df.count() == 4
+    # one input partition per directory child → executor-side fetches
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_filter_pushdown_into_parser(spark, store, dir_cid):
+    df = read_cid(spark, store, dir_cid).filter(F.col("name") == "widget")
+    rows = set(tuple(r) for r in df.collect())
+    assert rows == {("widget", "3"), ("widget", "9")}
+
+
+def test_read_json_blob(spark, store):
+    cid = store.add_bytes(json.dumps([{"k": "a", "n": 1}, {"k": "b", "n": 2}]).encode())
+    df = read_cid(spark, store, cid, mime="application/json")
+    rows = {r["k"]: r["n"] for r in df.collect()}
+    # schema-on-read simplification: JSON values surface as strings here
+    # (typed access goes through spark.read.json in extract/reader.py)
+    assert rows == {"a": "1", "b": "2"}
+
+
+def test_read_binary_dir(spark, store, dir_cid):
+    df = read_cid(spark, store, dir_cid, mime="application/octet-stream")
+    rows = {r["name"]: bytes(r["content"]) for r in df.collect()}
+    assert rows["part-000.csv"] == CSV_A.encode()
+    assert set(rows) == {"part-000.csv", "part-001.csv"}
+
+
+def test_write_content_addresses_rows(spark, store):
+    df = spark.createDataFrame(
+        [(b"blob one",), (b"blob two",), (b"blob one",)], "content binary"
+    )
+    (
+        df.write.format("comlake")
+        .option("store_root", store.root)
+        .mode("append")
+        .save()
+    )
+    import hashlib
+    import os
+
+    expected = {"sha256-" + hashlib.sha256(b).hexdigest() for b in (b"blob one", b"blob two")}
+    with open(os.path.join(store.root, "_last_write_cids.json")) as f:
+        written = set(json.load(f))
+    assert expected == written  # dedup: 3 rows, 2 objects
+    with store.fetch(sorted(expected)[0]) as fh:
+        assert fh.read() in (b"blob one", b"blob two")
+
+
+def test_roundtrip_write_then_read(spark, store):
+    payload = "x,y\n1,2\n"
+    df = spark.createDataFrame([(payload.encode(),)], "content binary")
+    df.write.format("comlake").option("store_root", store.root).mode("append").save()
+    import hashlib
+
+    cid = "sha256-" + hashlib.sha256(payload.encode()).hexdigest()
+    back = read_cid(spark, store, cid)
+    assert [tuple(r) for r in back.collect()] == [("1", "2")]
