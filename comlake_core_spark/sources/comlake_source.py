@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import BinaryType, StringType, StructField, StructType
@@ -220,3 +221,77 @@ def register(spark) -> None:
     # pushFilters support requires the opt-in conf (session-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ComlakeDataSource)
+    spark.dataSource.register(ComlakeCatalogStream)
+
+
+# ---------------------------------------------------------------------------
+# streaming: the catalog's snapshot versions ARE a changelog
+# ---------------------------------------------------------------------------
+
+
+class CatalogStreamReader(SimpleDataSourceStreamReader):
+    """Stream of newly ingested content rows (cid, type).
+
+    The catalog writes an immutable snapshot per mutation and flips a
+    version pointer (catalog/catalog.py) — so the version number is a
+    ready-made exactly-once streaming offset: micro-batch N..M = the cids
+    present in snapshot M but not in snapshot N. Offsets are replayable
+    because old snapshot dirs are retained.
+
+    Scale: this reads catalog *metadata* (≪ data); the downstream plan —
+    join the stream with content reads, run inference, index — is where
+    executors do the work."""
+
+    def __init__(self, options):
+        self.root = options["catalog_root"]
+
+    def _current_version(self) -> int:
+        import os
+
+        ptr = os.path.join(self.root, "content.current")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(os.path.basename(f.read().strip()).split("-v")[-1])
+
+    def _cids_at(self, version: int) -> dict:
+        if version < 0:
+            return {}
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = {}
+        for part in glob.glob(f"{self.root}/content-v{version}/*.parquet"):
+            table = pq.read_table(part, columns=["cid", "type"])
+            for cid, typ in zip(table["cid"].to_pylist(), table["type"].to_pylist()):
+                out[cid] = typ
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def read(self, start: dict):
+        end_version = self._current_version()
+        rows = self.readBetweenOffsets(start, {"version": end_version})
+        return rows, {"version": end_version}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        before = self._cids_at(start["version"])
+        after = self._cids_at(end["version"])
+        return iter(sorted((cid, typ) for cid, typ in after.items() if cid not in before))
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are retained; offsets stay replayable
+
+
+class ComlakeCatalogStream(DataSource):
+    @classmethod
+    def name(cls):
+        return "comlake_catalog_stream"
+
+    def schema(self):
+        return StructType([StructField("cid", StringType()), StructField("type", StringType())])
+
+    def simpleStreamReader(self, schema):
+        return CatalogStreamReader(self.options)
