@@ -5,8 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced with the noop sink (full computation, no driver
-collect overhead). One warmup query first so JVM/codegen startup isn't
-attributed to the first workload.
+collect overhead). Every headline workload is first warmed at sf0.001 so
+the timed sf0.1 runs measure steady-state data processing: the warmup
+absorbs JVM startup, Catalyst analysis of each plan shape, whole-stage
+codegen compilation (cached by generated source, which is path-independent),
+and Python/Arrow UDF worker spin-up — one-time costs that are noise at this
+scale and irrelevant at cluster scale.
 """
 
 from __future__ import annotations
@@ -28,6 +32,9 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "semi_join_orders_shipped_late",
+    "join_local_supplier_volume",
+    "large_order_customers",
+    "disjunctive_filter_revenue",
     "topk_orders_per_segment",
     "distinct_event_users",
     "events_hourly",
@@ -58,8 +65,13 @@ def main() -> None:
     spark = get_spark("comlake-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer reads
-    force(REGISTRY["qast_eq_filter"].fn(spark, sf_dir))
+    # warmup: JVM + analysis + codegen + UDF workers, per plan shape, at the
+    # smallest scale factor (timed runs below then measure data processing)
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        force(REGISTRY[name].fn(spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

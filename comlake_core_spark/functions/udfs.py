@@ -62,6 +62,42 @@ def make_simhash_udf(bits: int = 64):
     return simhash_udf
 
 
+def make_hyperplane_bucket_udf(planes_t: "np.ndarray"):
+    """Random-hyperplane LSH bucket id from an embedding: one
+    (batch × dim) @ (dim × n_planes) matmul per Arrow batch against a
+    driver-computed ±1 codebook, sign bits packed into a long.  A per-plane
+    column-expression formulation needs n_planes × dim literal nodes in the
+    plan (slow to analyze, interpreted at runtime); the codebook-in-closure
+    matmul keeps both plan and runtime O(1)."""
+    weights = (1 << np.arange(planes_t.shape[1])).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        bits = (np.vstack(vecs.to_numpy()) @ planes_t) >= 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return bucket_udf
+
+
+def make_cosine_pair_udf():
+    """Exact cosine over candidate pairs (the LSH verify step), vectorized:
+    einsum dot + norms over the whole Arrow batch."""
+
+    @pandas_udf("double")
+    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av, bv = np.vstack(a.to_numpy()), np.vstack(b.to_numpy())
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(den == 0.0, 0.0, num / den))
+
+    return cosine_udf
+
+
 def make_weighted_mean_udaf():
     """Pandas grouped-agg UDF (UDAF surface): weight-averaged value.
     Series→scalar signature; Spark runs it per group with Arrow transfer."""

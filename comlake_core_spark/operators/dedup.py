@@ -264,35 +264,34 @@ def embedding_dedup_pairs(
     """Near-dup pairs among embeddings: random-hyperplane LSH bucket, then
     exact cosine verify within buckets.
 
-    The ±1 hyperplanes are seeded-deterministic and computed ON THE DRIVER,
-    then embedded as literal arrays — the per-row work is n_planes array
-    dot products in codegen, with no per-element hashing at runtime (the
-    hyperplanes are a codebook, not data)."""
+    The ±1 hyperplanes are seeded-deterministic, computed ON THE DRIVER, and
+    captured as a numpy codebook inside two Arrow-vectorized Pandas UDFs:
+    bucketing is one (batch × dim) @ (dim × n_planes) matmul per Arrow batch,
+    and the bucket-local cosine verify is an einsum over the candidate pairs.
+    Per-row work never leaves C; the shuffle carries only (id, vec, bucket)."""
     import numpy as np
 
-    from comlake_core_spark.operators.similarity import cosine
+    from comlake_core_spark.functions.udfs import make_cosine_pair_udf, make_hyperplane_bucket_udf
 
-    v = F.col(vec_col).cast("array<double>")
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = int(first["d"])
     rng = np.random.default_rng(1729)  # fixed seed: stable buckets across runs
-    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
+    planes_t = rng.choice([-1.0, 1.0], size=(n_planes, dim)).T  # (dim, n_planes)
+    bucket_udf = make_hyperplane_bucket_udf(planes_t)
+    cosine_udf = make_cosine_pair_udf()
 
-    def plane_bit(p: int) -> Column:
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(v, lit_plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
-        )
-        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    key = F.concat_ws("", *[plane_bit(p).cast("string") for p in range(n_planes)])
-    docs = ensure_parallelism(df).select(F.col(id_col).alias("_id"), v.alias("_v"), key.alias("_bucket")).persist()
+    v = F.col(vec_col).cast("array<double>")
+    docs = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), v.alias("_v"), bucket_udf(v).alias("_bucket"))
+        .persist()
+    )
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
-        .withColumn("cosine", cosine(F.col("a._v"), F.col("b._v")))
+        .withColumn("cosine", cosine_udf(F.col("a._v"), F.col("b._v")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
     )

@@ -24,6 +24,23 @@ def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` text: per-node detail sections are NOT
+    truncated, unlike `executedPlan().toString()` which elides long
+    DataFilters/PushedFilters lists with '...'."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def scan_filters_on(df: DataFrame, column: str) -> bool:
+    """True if a file scan evaluates a predicate on `column` at the scan
+    (PushedFilters or DataFilters in the formatted plan) — i.e. the filter
+    runs before any join/shuffle sees the rows."""
+    for m in re.finditer(r"(?:PushedFilters|DataFilters): \[([^\]]*)\]", formatted_plan(df)):
+        if column in m.group(1):
+            return True
+    return False
+
+
 def has_pushed_filter(df: DataFrame, column: str) -> bool:
     """True if the parquet scan received a pushed filter on `column`
     (PushedFilters: [...col...])."""

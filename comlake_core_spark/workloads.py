@@ -1782,3 +1782,268 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens").cast("double") / F.col("n_chars")).alias("tokens_per_char"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape join/aggregation suite (shapes the star schema supports without
+# partsupp): multi-way join ordering, conditional-aggregation ratios,
+# correlated-average join-back, group-filter join-back, disjunctive predicate
+# pushdown, scalar-subquery + anti-join. Each pins a distinct 100 TB plan
+# property; none exists in the reference (SURVEY.md §2.4: no joins beyond the
+# catalog equi-join, no aggregation at all).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "join_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "join",
+    "aggregation",
+    "tpch-q5",
+)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join narrowed by a region filter. Scale design:
+    the three dims (supplier/nation/region) broadcast, so the only shuffles
+    are the two fact joins (orders⋈lineitem, ⋈customer); the c_nationkey =
+    s_nationkey correlation is a post-join filter, not an extra shuffle."""
+    cu, od, li, su, na, re = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    price, disc = dec("l_extendedprice"), dec("l_discount", 4, 2)
+    dims = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re.filter(F.col("r_name") == "ASIA")), na.n_regionkey == re.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    od_f = od.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(od_f, li.l_orderkey == od_f.o_orderkey)
+        .join(cu, od_f.o_custkey == cu.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "promo_revenue_ratio",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "join",
+    "aggregation",
+    "tpch-q14",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue share).
+    One broadcast join (part is the dim), one month of lineitem after
+    pushdown, two decimal sums in a single partial-agg pass, final division
+    in double on the driver-side single row."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    price, disc = dec("l_extendedprice"), dec("l_discount", 4, 2)
+    rev = price * (1 - disc)
+    li_f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li_f.join(F.broadcast(pa), li_f.l_partkey == pa.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@workload(
+    "small_qty_order_revenue",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN per_part a ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < 0.2 * (a.sum_qty / a.cnt)
+    """,
+    "join",
+    "aggregation",
+    "tpch-q17",
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity orders — the
+    correlated scalar aggregate rewritten as an explicit per-key aggregate
+    joined back to the fact (the scalable form: one extra partial-agg pass
+    over lineitem, re-joined on the same key so AQE can pick shuffled-hash).
+    The avg is computed as exact decimal sum / count, divided in double in
+    BOTH engines so the threshold comparison agrees bit-for-bit."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    brand = pa.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey"))
+        .join(per_part.withColumnRenamed("l_partkey", "a_partkey"), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * (F.col("sum_qty") / F.col("cnt")))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@workload(
+    "large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           CAST(sq AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN big ON o_orderkey = l_orderkey
+    """,
+    "join",
+    "aggregation",
+    "having",
+    "tpch-q18",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-filter (HAVING) then join back to the
+    dimension side. Scale design: the HAVING prunes the aggregate BEFORE the
+    join (a few % of orders survive), so the orders⋈big join is small; at
+    100 TB the qualifying set usually broadcasts under AQE."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 150)
+    )
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@workload(
+    "disjunctive_filter_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "join",
+    "filter",
+    "tpch-q19",
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicate. Catalyst derives
+    the table-local implications (l_quantity ∈ [1,30] reaches the lineitem
+    scan as a pushed filter; the p_brand/p_size disjunction reaches part)
+    before the broadcast join evaluates the full OR — tested in
+    tests/test_plans.py."""
+    li, pa = _t(spark, sf_dir, "lineitem", "part")
+    price, disc = dec("l_extendedprice"), dec("l_discount", 4, 2)
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#14") & s.between(10, 30) & q.between(10, 20))
+        | ((b == "Brand#25") & s.between(20, 50) & q.between(20, 30))
+    )
+    return joined.filter(cond).agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
+
+
+@workload(
+    "idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    "join",
+    "anti",
+    "subquery",
+    "tpch-q22",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global average balance)
+    + anti join (customers with no urgent orders) + final rollup. The scalar
+    is a one-row cross join (broadcast-nested-loop of a single row — free);
+    the anti join shuffles on custkey and is AQE-skew-safe. Average is
+    exact-decimal sum / count divided in double in both engines."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, cu.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -86,3 +86,30 @@ def test_pipeline_dedup_single_shuffle(spark):
     df = run(spark, "pipeline_clean_corpus")
     assert P.count_shuffles(df) == 1
     assert P.has_window_group_limit(df)
+
+
+def test_disjunctive_filter_derives_scan_local_predicates(spark):
+    # TPC-H Q19 shape: the OR across part and lineitem columns must still
+    # reach BOTH scans as table-local pushed filters (Catalyst derives
+    # l_quantity bounds for lineitem and the brand/size disjunction for part)
+    df = run(spark, "disjunctive_filter_revenue")
+    assert P.scan_filters_on(df, "l_quantity")
+    assert P.scan_filters_on(df, "p_brand")
+    assert P.has_broadcast_join(df)
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    # TPC-H Q5 shape: supplier⋈nation⋈region dims broadcast; the only
+    # shuffles belong to the fact-side joins/agg, orderdate filter pushed
+    df = run(spark, "join_local_supplier_volume")
+    assert P.has_broadcast_join(df)
+    assert P.has_pushed_filter(df, "o_orderdate")
+    assert P.has_partial_aggregate(df)
+
+
+def test_large_order_customers_prunes_before_join(spark):
+    # TPC-H Q18 shape: the HAVING aggregate is partial-agg'd and the
+    # qualifying set joins without a cartesian product
+    df = run(spark, "large_order_customers")
+    assert P.has_partial_aggregate(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
