@@ -1,0 +1,136 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do) and naively expressing
+either of these as a theta-join plans a BroadcastNestedLoop/cartesian — the
+classic 100 TB trap. Both operators here compile to ONE equi-shuffle each:
+
+- ``asof_join``: union both sides with a side marker and run a
+  last-non-null window over (key, ts) — the "merge" formulation. State per
+  key during the sort is one row; no per-left-row probe, no range explosion.
+- ``range_join_points_to_intervals``: quantize time into buckets of the
+  maximum interval length, explode each interval to the (≤2 per length)
+  buckets it overlaps, equi-join on (key, bucket), then apply the exact
+  range predicate. Shuffle volume is |points| + 2|intervals|, never a
+  cross product.
+
+The reference has no joins beyond its single catalog equi-join and no
+time-series operators at all (SURVEY.md §2.4; qast.clj:31-50 is the whole
+operator registry), so both are north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` for the same ``on`` key (inclusive at
+    equality, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    Right-side (key, ts) pairs should be unique; among exact duplicates the
+    surviving row is unspecified (pre-aggregate to make it deterministic).
+
+    how="left" keeps left rows with no prior right row (right columns null);
+    how="inner" drops them.
+    """
+    from pyspark.sql import types as T
+
+    lcarry = [c for c in left.columns if c not in (on, left_ts)]
+    rcarry = [c for c in right.columns if c not in (on, right_ts)]
+
+    # the whole right payload (match ts + carried columns) travels as ONE
+    # struct so last(ignorenulls) picks every field from the SAME right row —
+    # per-column carries could mix rows when a right field is legitimately null
+    r_struct_type = T.StructType(
+        [T.StructField("_asof_ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rcarry]
+    )
+    rs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias("_asof_ts"), *[F.col(c).alias(c) for c in rcarry]
+        ).alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcarry],
+    )
+    ls = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
+        *[F.col(c) for c in lcarry],
+    )
+    # right rows sort before left rows at equal ts (_side 0 < 1) → inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        rs.unionByName(ls)
+        .select(
+            F.col(on),
+            F.col("_ts"),
+            F.col("_side"),
+            F.last("_r", ignorenulls=True).over(w).alias("_r"),
+            *[F.col(c) for c in lcarry],
+        )
+        .filter(F.col("_side") == 1)
+        .select(
+            F.col(on),
+            F.col("_ts").alias(left_ts),
+            *[F.col(c) for c in lcarry],
+            F.col("_r._asof_ts").alias(f"asof_{right_ts}"),
+            *[F.col(f"_r.{c}").alias(c) for c in rcarry],
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{right_ts}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    return out
+
+
+def range_join_points_to_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    max_interval_seconds: int = 3600,
+) -> DataFrame:
+    """Join point rows to interval rows of the same key with
+    ``start_ts <= point_ts < end_ts``, where every interval is at most
+    ``max_interval_seconds`` long (the quantization guarantee).
+
+    Each interval explodes to the time buckets it overlaps (≤2 for
+    length ≤ bucket width); points map to exactly one bucket, so each
+    qualifying (point, interval) pair meets in exactly one bucket — no
+    post-join dedup needed. The equi-join on (key, bucket) shuffles
+    |points| + 2|intervals| rows; AQE handles hot keys via skew split.
+    """
+    bucket_w = int(max_interval_seconds)
+    p_bucket = (F.unix_timestamp(F.col(point_ts)) / bucket_w).cast("long")
+    s_bucket = (F.unix_timestamp(F.col(start_ts)) / bucket_w).cast("long")
+    e_bucket = (F.unix_timestamp(F.col(end_ts)) / bucket_w).cast("long")
+
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(s_bucket, e_bucket)))
+    pt = points.withColumn("_bucket", p_bucket)
+    cond = (
+        (pt[on] == iv[on])
+        & (pt["_bucket"] == iv["_bucket"])
+        & (pt[point_ts] >= iv[start_ts])
+        & (pt[point_ts] < iv[end_ts])
+    )
+    return pt.join(iv, cond).drop(iv[on]).drop(iv["_bucket"]).drop(pt["_bucket"])

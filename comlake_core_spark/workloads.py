@@ -2047,3 +2047,92 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of and bounded range join —
+# neither exists in Spark natively, both one-equi-shuffle formulations.
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "asof_last_purchase",
+    """
+    SELECT v.event_id, v.user_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(p.ts) AS purchase_us,
+           p.purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS purchase_value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+    "join",
+    "asof",
+    "temporal",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view event annotated with the user's most recent
+    purchase at or before it (DuckDB ASOF JOIN is the oracle). The Spark
+    plan is the union+window merge formulation — one shuffle on user_id,
+    one sorted pass, state of one row per user; a theta-join formulation
+    would plan a broadcast-nested-loop and die at scale."""
+    from comlake_core_spark.operators.temporal import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(views, purchases, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("view_us"),
+        F.unix_micros("asof_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
+@workload(
+    "range_join_clicks_after_purchase",
+    """
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(12,4))) AS DOUBLE) AS click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+    "join",
+    "range",
+    "temporal",
+)
+def range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks within one hour after each purchase.
+    Implemented by time-bucket quantization (intervals explode to ≤2
+    buckets, points to 1) + equi-join + exact range filter — shuffle is
+    |points| + 2|intervals| rows, never the cross product a raw
+    inequality join would plan."""
+    from comlake_core_spark.operators.temporal import range_join_points_to_intervals
+
+    (ev,) = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = range_join_points_to_intervals(
+        clicks, purchases, on="user_id", point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", max_interval_seconds=3600,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(dec("value", 12, 4)).cast("double").alias("click_value"),
+    )

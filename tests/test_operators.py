@@ -180,3 +180,76 @@ def test_udaf_weighted_mean_close_to_exact(spark):
     exact = {r["l_returnflag"]: r["w"] for r in exact_df.collect()}
     for k, v in exact.items():
         assert udaf[k] == pytest.approx(v, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins
+# ---------------------------------------------------------------------------
+
+from datetime import datetime
+
+from comlake_core_spark.operators import temporal
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a"),
+         (1, _ts("2024-01-01T12:00:00"), "b"),
+         (2, _ts("2024-01-01T09:00:00"), "c")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), 10.0),
+         (1, _ts("2024-01-01T11:00:00"), 20.0),
+         (2, _ts("2024-01-01T09:00:00"), 30.0)],  # exact tie → inclusive
+        "k int, ts timestamp, v double",
+    )
+    out = {r["tag"]: (r["asof_ts"], r["v"]) for r in temporal.asof_join(left, right, on="k").collect()}
+    assert out["a"] == (_ts("2024-01-01T09:30:00"), 10.0)
+    assert out["b"] == (_ts("2024-01-01T11:00:00"), 20.0)
+    assert out["c"] == (_ts("2024-01-01T09:00:00"), 30.0)  # ts equality matches
+
+
+def test_asof_join_left_row_before_any_right(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T08:00:00"), "early")], "k int, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01T09:00:00"), 1.0)], "k int, ts timestamp, v double")
+    rows = temporal.asof_join(left, right, on="k").collect()
+    assert len(rows) == 1 and rows[0]["asof_ts"] is None and rows[0]["v"] is None
+    assert temporal.asof_join(left, right, on="k", how="inner").count() == 0
+
+
+def test_asof_join_null_right_field_not_mixed_across_rows(spark):
+    # the matched right row has v=NULL; an earlier right row has v=5.0 —
+    # the carried payload must come atomically from the MATCHED row
+    left = spark.createDataFrame([(1, _ts("2024-01-01T12:00:00"), "x")], "k int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 5.0), (1, _ts("2024-01-01T11:00:00"), None)],
+        "k int, ts timestamp, v double",
+    )
+    row = temporal.asof_join(left, right, on="k").collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01T11:00:00")
+    assert row["v"] is None  # NOT 5.0 leaked from the earlier right row
+
+
+def test_range_join_boundaries_and_bucket_spanning(spark):
+    # interval 10:30:00 → 11:30:00 spans an hour-bucket boundary; points on
+    # both boundaries pin start-inclusive / end-exclusive, and the pair that
+    # meets in the second bucket must appear exactly once
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), "start_edge"),
+         (1, _ts("2024-01-01T11:15:00"), "second_bucket"),
+         (1, _ts("2024-01-01T11:30:00"), "end_edge"),
+         (2, _ts("2024-01-01T10:45:00"), "other_key")],
+        "k int, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), _ts("2024-01-01T11:30:00"), 100)],
+        "k int, start_ts timestamp, end_ts timestamp, iv_id int",
+    )
+    rows = temporal.range_join_points_to_intervals(points, intervals, on="k").collect()
+    tags = sorted(r["tag"] for r in rows)
+    assert tags == ["second_bucket", "start_edge"]  # end-exclusive, key-scoped, no dup

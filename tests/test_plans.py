@@ -113,3 +113,22 @@ def test_large_order_customers_prunes_before_join(spark):
     df = run(spark, "large_order_customers")
     assert P.has_partial_aggregate(df)
     assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_asof_join_is_single_shuffle_merge(spark):
+    # as-of join must plan as union + window (one exchange for the window,
+    # plus the right side's pre-aggregation) — never a nested-loop join
+    df = run(spark, "asof_last_purchase")
+    plan = P.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert P.count_shuffles(df) <= 2
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # bucketed range join must hash-join on (key, bucket); a raw theta join
+    # would plan BroadcastNestedLoopJoin
+    df = run(spark, "range_join_clicks_after_purchase")
+    plan = P.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
