@@ -39,6 +39,8 @@ HEADLINE = [
     "distinct_event_users",
     "events_hourly",
     "events_sessionize",
+    "asof_last_purchase",
+    "range_join_clicks_after_purchase",
     "window_running_sum",
     "window_moving_avg",
     "agg_rollup_flag_status",
@@ -75,6 +77,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # drop cache leaked by prior workloads (several operators persist
+        # intermediates) so each timed run pays its own full computation and
+        # isn't distorted by accumulated executor storage
+        spark.catalog.clearCache()
         df = REGISTRY[name].fn(spark, sf_dir)
         start = time.perf_counter()
         force(df)

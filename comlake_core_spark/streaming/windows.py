@@ -125,3 +125,19 @@ def running_user_totals(stream_df: DataFrame, key_col: str = "user_id", value_co
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("fp",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state evicted
+    once the event-time watermark passes — the streaming form of the corpus
+    exact-dedup stage (pipeline_clean_corpus). State is bounded by distinct
+    keys per watermark horizon, not by stream history, which is what makes
+    exact dedup viable on an unbounded ingest feed; duplicates farther apart
+    than the watermark are the residual the periodic batch compaction pass
+    removes."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))

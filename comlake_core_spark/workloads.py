@@ -2136,3 +2136,42 @@ def range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_clicks"),
         F.sum(dec("value", 12, 4)).cast("double").alias("click_value"),
     )
+
+
+@workload(
+    "events_daily_rollup",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "aggregation",
+    "rollup",
+    "timeseries",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the DAILY aggregate is computed
+    FROM the hourly aggregate (aggregate-of-aggregate), not from raw events
+    — the continuous-aggregate pattern where each resolution feeds the next.
+    Exact-decimal sums compose associatively, so the two-level result equals
+    the direct daily aggregate (the oracle computes it directly from raw
+    rows). At 100 TB the hourly layer is the materialized one; daily/weekly
+    read it instead of rescanning the events history."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 12, 4)).alias("v"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("w.start")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )

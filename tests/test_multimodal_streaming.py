@@ -197,3 +197,39 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     assert dropped == 1  # the 09:30 event, counted by the stateful operator
     assert "09:00" not in rows, rows  # no window was created for it
     assert rows.get("10:00") == 1, rows  # the closed window stayed closed
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark: duplicate fingerprints across
+    micro-batches collapse to first-seen; distinct fingerprints all
+    survive."""
+    from datetime import datetime, timedelta
+
+    from comlake_core_spark.streaming.windows import read_events_stream, streaming_dedup
+
+    d = str(tmp_path_factory.mktemp("dedup_stream"))
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    for batch in range(3):
+        # fp_a repeats in every batch; fp_<batch> is unique per batch
+        rows.append(("fp_a", base + timedelta(minutes=batch)))
+        rows.append((f"fp_{batch}", base + timedelta(minutes=batch, seconds=30)))
+    df = spark.createDataFrame(rows, "fp string, ts timestamp")
+    df.repartition(3).write.mode("overwrite").parquet(d)
+
+    stream = read_events_stream(spark, d, df.schema)
+    chk = str(tmp_path_factory.mktemp("chk_dedup"))
+    q = (
+        streaming_dedup(stream, ts_col="ts", key_cols=("fp",), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT fp FROM dedup_stream_test").collect()
+    q.stop()
+    fps = sorted(r["fp"] for r in out)
+    assert fps == ["fp_0", "fp_1", "fp_2", "fp_a"]
