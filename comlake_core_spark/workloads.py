@@ -2175,3 +2175,33 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+@workload(
+    "salted_join_revenue",
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "join",
+    "skew",
+    "scale-primitive",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join under the oracle gate: the plain equi-join is
+    the oracle, so this proves salting is RESULT-TRANSPARENT (same rows,
+    only the partitioning differs). Salting spreads each hot key over
+    `salt` reducers — the deterministic fix when one key floods a
+    partition and AQE's after-the-fact split isn't enough."""
+    from comlake_core_spark.operators.relational import salted_join
+
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    dim = cu.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    joined = salted_join(od, dim, key="o_custkey", salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
