@@ -2205,3 +2205,299 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape suite, part 2: nation-pair joins, market-share ratio, double
+# aggregation over an outer join, scalar-max join-back, and the semi+anti
+# self-join — the remaining classic shapes the star schema supports (partsupp
+# does not exist in the testdata; Q9's supplycost term is documented out).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "volume_shipping_pairs",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "join",
+    "aggregation",
+    "tpch-q7",
+)
+def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation pair by ship year.
+    Scale design: both nation dims broadcast onto supplier and customer
+    BEFORE the fact joins, so the pair predicate prunes most of supplier/
+    customer early; the disjunctive pair condition is evaluated post-join
+    on two tiny dim columns, and the only big shuffles are
+    lineitem⋈orders⋈customer on their keys."""
+    su, li, od, cu, na = _t(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = na.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    sup = su.join(F.broadcast(n1), su.s_nationkey == F.col("n1_key")).select("s_suppkey", "supp_nation")
+    cus = cu.join(F.broadcast(n2), cu.c_nationkey == F.col("n2_key")).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    li_f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    return (
+        li_f.join(
+            F.broadcast(sup.filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))),
+            li_f.l_suppkey == sup.s_suppkey,
+        )
+        .join(od, li_f.l_orderkey == od.o_orderkey)
+        .join(
+            cus.filter(F.col("cust_nation").isin("NATION_1", "NATION_2")),
+            od.o_custkey == cus.c_custkey,
+        )
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@workload(
+    "market_share_by_year",
+    """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN rev
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'PROMO'
+    ) GROUP BY o_year
+    """,
+    "join",
+    "aggregation",
+    "tpch-q8",
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's share of regional promo revenue
+    by order year — 8-way join, conditional-sum ratio. part/supplier/nation/
+    region all broadcast; customers are pre-pruned to the ASIA region by a
+    broadcast semi-street before the fact joins. Both sums are exact
+    decimals divided once in double (engine-agreement discipline)."""
+    pa, su, li, od, cu, na, re = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    asia_keys = (
+        na.join(F.broadcast(re.filter(F.col("r_name") == "ASIA")), na.n_regionkey == re.r_regionkey)
+        .select(F.col("n_nationkey").alias("asia_key"))
+    )
+    cu_asia = cu.join(F.broadcast(asia_keys), cu.c_nationkey == F.col("asia_key")).select("c_custkey")
+    supp_nation = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(pa.filter(F.col("p_type") == "PROMO").select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu_asia, od.o_custkey == cu_asia.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_1", rev).otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@workload(
+    "profit_by_nation_year",
+    """
+    SELECT nation, o_year, CAST(SUM(rev) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    """,
+    "join",
+    "aggregation",
+    "tpch-q9",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, minus the ps_supplycost term (no partsupp table in
+    the testdata): revenue from parts matching a name substring, by supplier
+    nation and order year. The LIKE filter prunes part before its broadcast;
+    supplier+nation broadcast; lineitem⋈orders is the one big shuffle."""
+    pa, su, li, od, na = _t(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    red_parts = pa.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supp_nation = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
+@workload(
+    "customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+    "join",
+    "aggregation",
+    "outer",
+    "tpch-q13",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders —
+    left outer join (customers with zero orders kept, counted as 0 via
+    COUNT(col)'s null-skipping) then a second aggregation over the counts.
+    Scale design: first agg shuffles on custkey, second on c_count; the
+    second input is one row per customer, ~6 orders of magnitude smaller
+    than the fact, so the distribution step is near-free."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    od_f = od.filter(F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cu.join(od_f, cu.c_custkey == od_f.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@workload(
+    "top_supplier_by_revenue",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "join",
+    "subquery",
+    "tpch-q15",
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an aggregate view joined back against its own scalar max. The revenue
+    view is one shuffle over the date-pruned lineitem; its scalar max is a
+    single-row broadcast cross join; equality on double is engine-safe
+    because both sides derive the double from the same exact-decimal sum."""
+    su, li = _t(spark, sf_dir, "supplier", "lineitem")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(su), F.col("supplier_no") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@workload(
+    "sole_returning_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+    "join",
+    "semi",
+    "anti",
+    "tpch-q21",
+)
+def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (returnflag standing in for the missing
+    receipt/commit dates): suppliers who were the ONLY supplier with a
+    returned line in a multi-supplier finished order — a semi join plus an
+    anti join against the same fact table. Scale design: all three lineitem
+    legs shuffle on l_orderkey (one exchange reused by AQE), the
+    suppkey-inequality is a post-match filter inside each join, and
+    supplier broadcasts for the final name lookup."""
+    su, li, od = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    )
+    fin = od.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    waiting = (
+        l1.join(fin, l1.l_orderkey == fin.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(su), waiting.l_suppkey == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
