@@ -132,3 +132,55 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = P.executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_volume_shipping_pair_dims_broadcast(spark):
+    # TPC-H Q7 shape: nation-pair pruning reaches supplier/customer via
+    # broadcasts; the shipdate range is pushed to the lineitem scan
+    df = run(spark, "volume_shipping_pairs")
+    assert P.has_broadcast_join(df)
+    assert P.has_pushed_filter(df, "l_shipdate")
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_market_share_single_final_agg_shuffle(spark):
+    # TPC-H Q8 shape: all dims broadcast; both conditional sums evaluate in
+    # ONE aggregate pass (no double scan of the joined fact)
+    df = run(spark, "market_share_by_year")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_customer_distribution_two_shuffles(spark):
+    # TPC-H Q13 shape: exactly the two aggregation exchanges (custkey, then
+    # c_count) beyond the outer join's own — count(col) null-skip keeps
+    # zero-order customers without a separate union branch
+    df = run(spark, "customer_order_distribution")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) <= 3
+
+
+def test_top_supplier_scalar_max_is_broadcast(spark):
+    # TPC-H Q15 shape: the scalar max joins back as a one-row broadcast,
+    # never a re-aggregation of lineitem or a cartesian blow-up
+    df = run(spark, "top_supplier_by_revenue")
+    assert P.has_broadcast_join(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_sole_returning_supplier_semi_anti_no_cartesian(spark):
+    # TPC-H Q21 shape: both EXISTS legs are hash semi/anti joins with the
+    # suppkey inequality as a join residual, not a nested-loop pair scan
+    df = run(spark, "sole_returning_supplier")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_spreads_key(spark):
+    # the salted join must keep the equi-join hash-based (salt widens the
+    # key) and stay result-transparent (oracle gate covers values)
+    df = run(spark, "salted_join_revenue")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
