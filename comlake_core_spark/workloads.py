@@ -2501,3 +2501,41 @@ def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@workload(
+    "late_lines_by_priority",
+    """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A') AND l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    """,
+    "join",
+    "agg",
+    "tpch-q12",
+)
+def late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (returnflag standing in for the missing l_shipmode):
+    lines shipped after the order date, split into high/low-priority counts
+    per flag. Scale design: the IN-list filter is scan-local on lineitem
+    (pushed to the parquet reader, pruning before the shuffle); the
+    shipdate>orderdate predicate is a post-join filter on the shuffle-hash
+    join; the conditional counts are map-side-combined so only
+    |flags|x|partitions| partial rows cross the final exchange."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )

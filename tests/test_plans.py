@@ -184,3 +184,13 @@ def test_salted_join_spreads_key(spark):
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_lines_priority_filter_scan_local(spark):
+    # TPC-H Q12 shape: the returnflag IN-list is scan-local on lineitem
+    # (pruned before the join shuffle) and the conditional counts are
+    # map-side-combined partial aggregates
+    df = run(spark, "late_lines_by_priority")
+    assert P.has_pushed_filter(df, "l_returnflag")
+    assert P.has_partial_aggregate(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
