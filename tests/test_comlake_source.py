@@ -137,7 +137,10 @@ def test_catalog_changelog_stream(spark, tmp_path_factory):
             .outputMode("append").option("checkpointLocation", chk)
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(60)
+        # generous bound: under CPU contention the availableNow batch can
+        # exceed a tight timeout, and stop()ing it mid-batch loses rows
+        terminated = q.awaitTermination(300)
+        assert terminated, "availableNow stream did not finish within 300s"
         q.stop()
 
     run_once()
