@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_winnow",
     "text_stats",
     "text_lang_id",
     "ann_cosine_topk",

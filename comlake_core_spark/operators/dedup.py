@@ -295,3 +295,54 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
     )
+
+
+def winnow_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints
+    (operators/text.winnow_fingerprints): documents sharing >= min_shared
+    selected k-gram hashes. Complements MinHash/SimHash (whole-document
+    similarity) by catching copied *passages* inside otherwise-different
+    documents — the winnowing guarantee makes any shared normalized run of
+    w+k-1 characters produce a shared fingerprint.
+
+    Scale design: the sketch itself is map-only; the candidate join inverts
+    it into (fingerprint, doc) postings and self-joins on the fingerprint —
+    the same plan shape as the MinHash band join, shuffling only 16-byte
+    postings rows. `max_df` drops fingerprints appearing in more than that
+    many documents (boilerplate n-grams), the standard posting-list cap that
+    bounds the worst bucket to max_df^2 candidate pairs and keeps the
+    self-join skew-free at 100 TB."""
+    from comlake_core_spark.operators.text import winnow_fingerprints
+
+    postings = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(winnow_fingerprints(text_col, k=k, w=w)).alias("_fp"),
+        )
+    )
+    # fingerprints are distinct within a doc, so count(*) = document frequency
+    rare = (
+        postings.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("_fp")
+    )
+    pruned = postings.join(rare, "_fp")
+    b = pruned.select(F.col("_fp"), F.col("_id").alias("_id_b"))
+    return (
+        pruned.join(b, "_fp")
+        .filter(F.col("_id") < F.col("_id_b"))
+        .groupBy("_id", "_id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select(F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"), "shared_fps")
+    )

@@ -730,6 +730,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(emb, threshold=0.9)
 
 
+@workload("dedup_winnow", None, "dedup", "text", "no-sql-oracle")
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003) — rows-only check here (xxhash64 has no
+    DuckDB twin); the winnowing coverage guarantee and the planted-passage
+    detection are pytest-verified in tests/test_operators.py."""
+    from comlake_core_spark.operators.dedup import winnow_dedup_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return winnow_dedup_pairs(docs, min_shared=4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------

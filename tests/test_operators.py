@@ -253,3 +253,73 @@ def test_range_join_boundaries_and_bucket_spanning(spark):
     rows = temporal.range_join_points_to_intervals(points, intervals, on="k").collect()
     tags = sorted(r["tag"] for r in rows)
     assert tags == ["second_bucket", "start_edge"]  # end-exclusive, key-scoped, no dup
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (operators/text.winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _winnow(spark, texts, k=8, w=4):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    rows = df.select(
+        "doc_id", text.winnow_fingerprints("text", k=k, w=w).alias("fps")
+    ).collect()
+    return {r["doc_id"]: r["fps"] for r in rows}
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    # the winnowing guarantee: a shared normalized run of >= w+k-1 chars
+    # (here far longer) must yield at least one shared fingerprint, even
+    # embedded in otherwise-disjoint documents
+    passage = "the rain in spain stays mainly in the plain"
+    fps = _winnow(
+        spark,
+        [
+            "totally unrelated preamble text first " + passage,
+            passage + " followed by a different conclusion entirely",
+            "no overlap with the others in any way whatsoever here",
+        ],
+    )
+    assert set(fps[0]) & set(fps[1])
+    assert not (set(fps[0]) & set(fps[2]))
+    assert not (set(fps[1]) & set(fps[2]))
+
+
+def test_winnow_edge_lengths(spark):
+    # shorter than k after normalization -> no fingerprints; between k and
+    # k+w-1 k-grams -> exactly one (the global min); case/punct-insensitive
+    fps = _winnow(spark, ["ab", "abcdefgh", "AB, cd-EF gh!", "abcdefgh"], k=8, w=4)
+    assert fps[0] == []
+    assert len(fps[1]) == 1
+    assert fps[2] == fps[1]  # normalizes to the same 8 chars
+    assert fps[3] == fps[1]  # deterministic
+
+
+def test_winnow_dedup_pairs_finds_planted_passage(spark):
+    boiler = "subscribe to our newsletter for updates terms of service apply"
+    passage = (
+        "in the beginning the universe was created this has made a lot of "
+        "people very angry and been widely regarded as a bad move"
+    )
+    rows = [
+        Row(doc_id=1, text="article one intro " + passage + " outro one " + boiler),
+        Row(doc_id=2, text=boiler + " piece two begins " + passage + " and ends"),
+        Row(doc_id=3, text="entirely distinct essay about spark shuffles " + boiler),
+        Row(doc_id=4, text="fourth text on parquet encodings and page indexes"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_dedup_pairs(df, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs  # shared passage detected
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+    # max_df boilerplate cap: fingerprints in >max_df docs are dropped, so
+    # sharing ONLY the boilerplate (doc 3) can still pair only via it
+    pairs_capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_dedup_pairs(df, min_shared=3, max_df=2).collect()
+    }
+    assert (1, 2) in pairs_capped
+    assert (1, 3) not in pairs_capped and (2, 3) not in pairs_capped
