@@ -1,0 +1,133 @@
+"""Incrementally-maintained aggregate views (materialized rollups).
+
+The reference recomputes its catalog aggregates per query (SURVEY.md §2 —
+aggregation operators over the lake); at 100 TB a dashboard-style rollup
+cannot rescan history per refresh. `IncrementalRollup` keeps MERGEABLE
+partial-aggregate state per group — count / non-null count / sum / min /
+max, plus HLL sketches for approximate COUNT(DISTINCT) — so a refresh
+costs one shuffle of the DELTA's partials plus a rewrite of state that is
+O(#groups), never O(history).
+
+Why these states: count/sum/min/max are commutative monoids (merge = sum /
+sum / min / max), and Spark's DataSketches HLL (hll_sketch_agg /
+hll_union_agg) is the mergeable form of distinct-count — exact distinct is
+the one classic aggregate that CANNOT be incrementally maintained without
+keeping the full key set, which is why it ships as a sketch here.
+
+State is versioned (`v=N` subdirectories) because Spark cannot atomically
+overwrite a parquet path it is also reading; each refresh writes v=N+1 and
+readers keep seeing v=N until the write commits. A `_LATEST` marker makes
+reopen-from-disk pick the last committed version, so the view survives a
+session restart. Old versions are pruned, keeping one back for in-flight
+readers.
+
+Finalization happens at read(): avg = sum / non-null-count (matching SQL
+AVG's null semantics), distinct = hll_sketch_estimate(state). The
+incremental result is pinned EXACTLY equal to a full recompute by the
+`incremental_rollup_events` workload oracle. Sums are kept as EXACT
+decimals (input cast to decimal(12,4), state capped at decimal(38,4) so
+the schema is closed under merge): decimal addition is associative, so
+the incrementally-merged sum is bitwise-identical to a full rescan —
+double sums would drift with merge order and break both the oracle gate
+and refresh-order reproducibility.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IncrementalRollup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        measures: list[str],
+        distincts: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.measures = list(measures)
+        self.distincts = list(distincts or [])
+        self.version = self._latest_on_disk()
+
+    # -- state layout -------------------------------------------------------
+
+    def _latest_on_disk(self) -> int:
+        marker = os.path.join(self.path, "_LATEST")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _state_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v={version}")
+
+    def _read_state(self) -> DataFrame:
+        return self.spark.read.parquet(self._state_path(self.version))
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("_cnt")]
+        for m in self.measures:
+            aggs += [
+                F.count(m).alias(f"_nn_{m}"),
+                F.sum(F.col(m).cast("decimal(12,4)")).cast("decimal(38,4)").alias(f"_sum_{m}"),
+                F.min(m).alias(f"_min_{m}"),
+                F.max(m).alias(f"_max_{m}"),
+            ]
+        for d in self.distincts:
+            aggs.append(F.hll_sketch_agg(F.col(d).cast("string")).alias(f"_hll_{d}"))
+        return df.groupBy(*self.keys).agg(*aggs)
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        aggs = [F.sum("_cnt").alias("_cnt")]
+        for m in self.measures:
+            aggs += [
+                F.sum(f"_nn_{m}").alias(f"_nn_{m}"),
+                F.sum(f"_sum_{m}").cast("decimal(38,4)").alias(f"_sum_{m}"),
+                F.min(f"_min_{m}").alias(f"_min_{m}"),
+                F.max(f"_max_{m}").alias(f"_max_{m}"),
+            ]
+        for d in self.distincts:
+            aggs.append(F.hll_union_agg(f"_hll_{d}").alias(f"_hll_{d}"))
+        return a.unionByName(b).groupBy(*self.keys).agg(*aggs)
+
+    # -- public API ---------------------------------------------------------
+
+    def refresh(self, delta: DataFrame) -> int:
+        """Fold `delta` into the view; returns the new version. Cost: one
+        delta-sized partial aggregation (map-side combined) merged with
+        O(#groups) state — history is never rescanned."""
+        partial = self._partial(delta)
+        merged = self._merge(self._read_state(), partial) if self.version >= 0 else partial
+        new_version = self.version + 1
+        merged.write.mode("overwrite").parquet(self._state_path(new_version))
+        with open(os.path.join(self.path, "_LATEST"), "w") as f:
+            f.write(str(new_version))
+        # keep one version back for in-flight readers; prune older
+        for v in range(new_version - 1):
+            shutil.rmtree(self._state_path(v), ignore_errors=True)
+        self.version = new_version
+        return new_version
+
+    def read(self) -> DataFrame:
+        """Finalized view: n_rows, sum/avg/min/max per measure (avg over
+        non-null rows, matching SQL AVG), approx_distinct per sketch."""
+        cols = [*self.keys, F.col("_cnt").alias("n_rows")]
+        for m in self.measures:
+            sum_dbl = F.col(f"_sum_{m}").cast("double")
+            cols += [
+                sum_dbl.alias(f"sum_{m}"),
+                F.when(F.col(f"_nn_{m}") > 0, sum_dbl / F.col(f"_nn_{m}")).alias(f"avg_{m}"),
+                F.col(f"_min_{m}").alias(f"min_{m}"),
+                F.col(f"_max_{m}").alias(f"max_{m}"),
+            ]
+        for d in self.distincts:
+            cols.append(F.hll_sketch_estimate(f"_hll_{d}").alias(f"distinct_{d}"))
+        return self._read_state().select(*cols)

@@ -9,6 +9,8 @@ not just the row results.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,78 @@ def salted_join(
     )
     out = big_salted.join(small_replicated, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Equi-join with an explicit Bloom-filter pre-prune of the fact side.
+
+    The 100 TB case this serves: `dim` is too big (or too late-filtered) for
+    Catalyst to broadcast, so the join is a full shuffle of BOTH sides — and
+    when the dim side is selective, most fact rows shuffle only to be
+    dropped. A Bloom filter of the dim keys costs m_bits/8 bytes broadcast
+    (128 KiB at the default 2^20 bits) and drops non-matching fact rows at
+    the SCAN, before the exchange, at the price of a false-positive rate of
+    ~(1-e^(-kn/m))^k — false positives are then removed by the real join,
+    so the result is EXACTLY the plain join (the workload oracle pins this).
+
+    Spark's own runtime bloom filter (spark.sql.optimizer.runtime.
+    bloomFilter.enabled) does this automatically but only when its size
+    heuristics fire; this operator is the deterministic form, and its
+    mechanics are scale-bounded by the FILTER, not the data:
+
+    - build side: the k bit positions are computed JVM-side
+      (xxhash64 % m), and only DISTINCT positions are shuffled and
+      collected — O(min(n*k, m)) ints to the driver, never the keys;
+    - probe side: positions are again computed JVM-side; only the final
+      k-bit membership test runs in an Arrow-batched pandas UDF against
+      the broadcast numpy bitset.
+
+    Null fact keys hash to the positions of the bare seed literal; they can
+    only survive as false positives and no join `how` here emits them.
+    Reference: the engine's predicate-pushdown behavior this emulates is
+    plain filter pushdown (SURVEY.md §4); bloom join pruning itself follows
+    the classic sideways-information-passing literature.
+    """
+    pruned = fact.filter(bloom_membership(dim, key, m_bits=m_bits, k=k))
+    return pruned.join(dim, key, how)
+
+
+def bloom_membership(dim: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 5) -> Column:
+    """Build a Bloom filter of `dim[key]` and return a boolean Column that
+    tests membership of a same-named column on the probe side. Split out of
+    bloom_prune_join so tests can pin the prune selectivity directly."""
+
+    def positions_for(col: Column) -> list[Column]:
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+    built = (
+        dim.select(F.explode(F.array(*positions_for(F.col(key)))).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bitset = np.zeros(m_bits // 8, dtype=np.uint8)
+    if built:
+        pos_arr = np.array([r["pos"] for r in built], dtype=np.int64)
+        np.bitwise_or.at(bitset, pos_arr >> 3, (np.uint8(1) << (pos_arr & 7).astype(np.uint8)))
+    bc = dim.sparkSession.sparkContext.broadcast(bitset)
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        bits = bc.value
+        arr = np.vstack(pos.to_numpy()).astype(np.int64)
+        hit = (bits[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return might_contain(F.array(*positions_for(F.col(key))))
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8, sort_by: str | None = None) -> None:

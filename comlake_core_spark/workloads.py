@@ -2219,6 +2219,81 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "incremental_rollup_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+           CASE WHEN COUNT(value) > 0
+                THEN CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(value)
+           END AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    "aggregation",
+    "materialized-view",
+    "incremental",
+)
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup under the oracle gate: the view is
+    built from the FIRST half of events, then refreshed with the second
+    half — and the oracle is the one-shot full-scan aggregate, so the
+    merge of partial states is pinned exactly equal to a recompute
+    (decimal sums are associative; see operators/matview.py). At 100 TB
+    this is the difference between a refresh that shuffles one day's
+    delta and one that rescans the lake."""
+    import tempfile
+
+    from comlake_core_spark.operators.matview import IncrementalRollup
+
+    (ev,) = _t(spark, sf_dir, "events")
+    view = IncrementalRollup(
+        spark, tempfile.mkdtemp(prefix="rollup_"), keys=["event_type"], measures=["value"]
+    )
+    cutoff = "2024-01-15"
+    view.refresh(ev.filter(F.col("ts") < cutoff))
+    view.refresh(ev.filter(F.col("ts") >= cutoff))
+    return view.read()
+
+
+@workload(
+    "bloom_pruned_join",
+    """
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 7500
+    GROUP BY c_nationkey
+    """,
+    "join",
+    "scale",
+    "bloom",
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pruned join under the oracle gate: the plain equi-join
+    IS the oracle, proving the bloom pre-filter is result-transparent
+    (false positives are removed by the real join; no true matches are
+    dropped). The scale story: a selective dim predicate (c_acctbal>7500)
+    that Catalyst can't see through to the fact scan becomes a 128 KiB
+    broadcast bitset that drops non-matching orders BEFORE the join
+    exchange — sideways information passing when the dim is too big or
+    too late-filtered to broadcast outright."""
+    from comlake_core_spark.operators.relational import bloom_prune_join
+
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    dim = cu.filter(F.col("c_acctbal") > 7500).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = bloom_prune_join(od, dim, key="o_custkey")
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shape suite, part 2: nation-pair joins, market-share ratio, double
 # aggregation over an outer join, scalar-max join-back, and the semi+anti

@@ -6,6 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from comlake_core_spark.operators.relational import (
+    bloom_membership,
+    bloom_prune_join,
     salted_join,
     write_bucketed,
     write_date_partitioned,
@@ -53,6 +55,34 @@ def test_salted_join_correct_and_spread(spark):
     plain = big.join(small, "k")
     assert out.count() == plain.count()
     assert out.agg(F.sum("payload")).first()[0] == plain.agg(F.sum("payload")).first()[0]
+
+
+def test_bloom_membership_prunes_before_join(spark):
+    # dim keys 0..49, fact keys 0..999: the bloom predicate alone must keep
+    # every true match and prune (almost) everything else — at 2^20 bits /
+    # 50 keys the false-positive rate is ~0, so the pruned count should be
+    # exactly the true-match count here
+    fact = spark.range(0, 10000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    pruned = fact.filter(bloom_membership(dim, "k"))
+    true_matches = 10000 // 1000 * 50
+    n = pruned.count()
+    assert true_matches <= n <= true_matches + 50, n
+
+
+def test_bloom_prune_join_equals_plain_join(spark):
+    fact = spark.range(0, 5000).select((F.col("id") % 500).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 500, 7).select(F.col("id").alias("k"))  # every 7th key
+    out = bloom_prune_join(fact, dim, "k")
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count()
+    assert out.agg(F.sum("v")).first()[0] == plain.agg(F.sum("v")).first()[0]
+
+
+def test_bloom_membership_empty_dim(spark):
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0, 0).select(F.col("id").alias("k"))
+    assert fact.filter(bloom_membership(dim, "k")).count() == 0
 
 
 def test_partition_pruning(spark, t, tmp_path_factory):
