@@ -11,6 +11,7 @@ from comlake_core_spark.operators.relational import (
     salted_join,
     write_bucketed,
     write_date_partitioned,
+    write_zorder,
 )
 from comlake_core_spark.plans import inspect as P
 
@@ -55,6 +56,50 @@ def test_salted_join_correct_and_spread(spark):
     plain = big.join(small, "k")
     assert out.count() == plain.count()
     assert out.agg(F.sum("payload")).first()[0] == plain.agg(F.sum("payload")).first()[0]
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Count parquet files whose footer min/max for `col` intersects
+    [lo, hi] — exactly the stats a scan uses to skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total, hit = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        f_lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        f_hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        total += 1
+        hit += f_lo <= hi and f_hi >= lo
+    return hit, total
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    df = spark.range(0, 100_000).select(
+        F.pmod(F.hash("id"), F.lit(1024)).alias("x"),
+        F.pmod(F.hash("id", F.lit(1)), F.lit(1024)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "xsort")
+    write_zorder(df, zpath, "x", "y", bits=10, files=32)
+    # baseline: single-dimension sort on x
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    # y-range query: x-sorted layout cannot prune (every file spans all y);
+    # z-order must skip most files on the SAME query
+    y_hit_z, n_z = _files_overlapping(zpath, "y", 100, 140)
+    y_hit_x, n_x = _files_overlapping(xpath, "y", 100, 140)
+    assert y_hit_x == n_x  # the single-sort layout reads everything
+    assert y_hit_z <= n_z // 2, (y_hit_z, n_z)
+    # and x-range queries still prune on the z-order layout
+    x_hit_z, _ = _files_overlapping(zpath, "x", 100, 140)
+    assert x_hit_z <= n_z // 2, (x_hit_z, n_z)
+
+    # layout is result-transparent
+    assert spark.read.parquet(zpath).agg(F.sum("payload")).first()[0] == \
+        df.agg(F.sum("payload")).first()[0]
 
 
 def test_bloom_membership_prunes_before_join(spark):
