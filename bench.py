@@ -41,6 +41,8 @@ HEADLINE = [
     "events_sessionize",
     "asof_last_purchase",
     "range_join_clicks_after_purchase",
+    "bloom_pruned_join",
+    "incremental_rollup_events",
     "window_running_sum",
     "window_moving_avg",
     "agg_rollup_flag_status",

@@ -1,0 +1,98 @@
+"""Sampling primitives for training-data pipelines: deterministic
+stratified sampling, stable hash-based train/test splits, and fixed-size
+uniform samples.
+
+The reference has no sampling surface (its extract path returns whole
+filtered sets — SURVEY.md §2.2); these are the operations a 100 TB corpus
+pipeline needs on top: cap a dominant class, carve a reproducible held-out
+set, pull a fixed-size sample for inspection. All are deterministic —
+rerunning the pipeline yields byte-identical splits, which is what makes
+dataset versioning and eval contamination checks possible.
+
+Scale notes per operator are in the docstrings; the common theme is that
+each costs at most one shuffle, and the per-stratum cap rides Spark's
+WindowGroupLimit so the limit is applied map-side BEFORE the exchange
+(each task forwards at most k rows per stratum, not its whole partition).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_cap(
+    df: DataFrame, stratum: str, order_by: str, n_per_stratum: int
+) -> DataFrame:
+    """At most `n_per_stratum` rows per stratum, chosen deterministically
+    as the first n in `order_by` order. One shuffle on the stratum key;
+    rank(<=k) compiles to WindowGroupLimit, so every map task pre-trims to
+    k rows per stratum before shuffling — a dominant class costs its cap,
+    not its cardinality."""
+    w = Window.partitionBy(stratum).orderBy(order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, order_by: str, fraction: float
+) -> DataFrame:
+    """Proportional stratified sample: ceil(fraction * |stratum|) rows from
+    each stratum, deterministic in `order_by` order. Two passes: a
+    per-stratum count (map-side combined, output is O(#strata) and
+    broadcast back), then the same WindowGroupLimit-backed rank filter as
+    stratified_cap with a per-stratum quota. Exactly reproducible — the
+    quota join is on the tiny side, so the big side shuffles once."""
+    quotas = df.groupBy(stratum).agg(
+        F.ceil(F.count(F.lit(1)) * fraction).alias("_quota")
+    )
+    w = Window.partitionBy(stratum).orderBy(order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), stratum)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
+def split_assignment(key: Column, test_fraction: float, buckets: int = 10_000) -> Column:
+    """Stable train/test assignment from a content key: true → test set.
+
+    pmod(xxhash64(key), buckets) < test_fraction * buckets. Pure JVM
+    hashing (stays in codegen), no shuffle at all, and the assignment is a
+    function of the KEY — stable across runs, partitionings, cluster
+    sizes, and even re-ingestion of the same documents, which is the
+    property that keeps eval sets uncontaminated as the corpus grows."""
+    cut = int(test_fraction * buckets)
+    return F.pmod(F.xxhash64(key), F.lit(buckets)) < cut
+
+
+def hash_split(
+    df: DataFrame, key: str, test_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) DataFrames via split_assignment on df[key]."""
+    is_test = split_assignment(F.col(key), test_fraction)
+    return df.filter(~is_test), df.filter(is_test)
+
+
+def uniform_sample_n(df: DataFrame, n: int, seed: int = 42, key: str | None = None) -> DataFrame:
+    """Exactly min(n, |df|) rows, approximately uniform. Distributed
+    top-n by a per-row hash: with `key`, the hash is content-derived and
+    the sample is fully deterministic; without, xxhash64 over all columns
+    is used. Plans as TakeOrderedAndProject — each task keeps its local
+    top-n, the driver merges O(n * #partitions), no full sort."""
+    h = F.xxhash64(F.col(key)) if key else F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.orderBy(h.asc(), *[F.col(c) for c in df.columns[:1]]).limit(n)
+
+
+def sample_fraction_bounds(test_fraction: float, n: int) -> tuple[float, float]:
+    """3-sigma binomial bounds on the observed test-set fraction — what a
+    pipeline health-check should assert after a split of n keys."""
+    sigma = math.sqrt(test_fraction * (1 - test_fraction) / max(n, 1))
+    return max(0.0, test_fraction - 3 * sigma), min(1.0, test_fraction + 3 * sigma)

@@ -2220,6 +2220,41 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn,
+             CEIL(COUNT(*) OVER (PARTITION BY o_orderpriority) * 0.1) AS quota
+      FROM orders
+    )
+    WHERE rn <= quota
+    """,
+    "sampling",
+    "training-data",
+    "window",
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sample (10% per priority class),
+    deterministic in o_orderkey order — the class-balancing sampler a
+    training pipeline uses to cap a dominant class while keeping every
+    stratum represented. Two passes: O(#strata) quota agg broadcast back,
+    then one shuffle with the rank filter applied map-side
+    (WindowGroupLimit caps what each task forwards). The oracle recomputes
+    the same quota + rank in pure SQL."""
+    from comlake_core_spark.operators.sampling import stratified_sample
+
+    (od,) = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        od.select("o_orderkey", "o_orderpriority"),
+        stratum="o_orderpriority",
+        order_by="o_orderkey",
+        fraction=0.1,
+    )
+
+
+@workload(
     "incremental_rollup_events",
     """
     SELECT event_type,
