@@ -127,6 +127,38 @@ def running_user_totals(stream_df: DataFrame, key_col: str = "user_id", value_co
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: rows pair when keys match AND
+    right_ts ∈ [left_ts + lower, left_ts + upper] — the streaming form of
+    the batch bounded range join (operators/temporal.range_join).
+
+    Both sides are watermarked and the join condition bounds event time in
+    BOTH directions, which is exactly what lets Spark evict join state:
+    a buffered left row can stop waiting once the right watermark passes
+    left_ts + upper, and vice versa. State is therefore bounded by
+    (rate × interval width + watermark slack) per side, independent of
+    stream history — without the time bound, a stream-stream join must
+    buffer everything forever. Equality with the batch join on a bounded
+    replay is pinned in tests/test_multimodal_streaming.py."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.expr(f"{left_ts} + {lower}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     ts_col: str = "ts",

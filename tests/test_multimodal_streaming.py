@@ -199,6 +199,59 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     assert rows.get("10:00") == 1, rows  # the closed window stayed closed
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_stream_dir, tmp_path_factory):
+    from comlake_core_spark.session import tables
+    from comlake_core_spark.streaming.windows import interval_join_streams
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+        )
+        return purchases, clicks
+
+    ev_batch = tables(spark, sf_dir, ("events",))["events"]
+    bp, bc = split(ev_batch)
+    batch = {
+        (r["p_id"], r["c_id"])
+        for r in bp.join(
+            bc,
+            (bp["user_id"] == bc["user_id"])
+            & (bc["c_ts"] >= bp["p_ts"])
+            & (bc["c_ts"] <= F.expr("p_ts + INTERVAL 1 HOUR")),
+        ).collect()
+    }
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = read_events_stream(spark, events_stream_dir, schema)
+    sp, sc = split(stream)
+    # the replay files are NOT time-ordered (repartition(3) interleaves the
+    # whole month), so the watermark must exceed the replay's max disorder
+    # for streaming ≡ batch to hold exactly; production watermarks bound
+    # real ingestion lateness instead
+    joined = interval_join_streams(
+        sp, sc, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        upper="INTERVAL 1 HOUR", watermark="40 days",
+    )
+    chk = str(tmp_path_factory.mktemp("chk_ssj"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream-stream join did not finish"
+    streamed = {
+        (r["p_id"], r["c_id"]) for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path_factory):
     """dropDuplicatesWithinWatermark: duplicate fingerprints across
     micro-batches collapse to first-seen; distinct fingerprints all
