@@ -46,15 +46,21 @@ def stratified_sample(
     """Proportional stratified sample: ceil(fraction * |stratum|) rows from
     each stratum, deterministic in `order_by` order. Two passes: a
     per-stratum count (map-side combined, output is O(#strata) and
-    broadcast back), then the same WindowGroupLimit-backed rank filter as
-    stratified_cap with a per-stratum quota. Exactly reproducible — the
-    quota join is on the tiny side, so the big side shuffles once."""
+    broadcast back), then a rank filter against the per-stratum quota.
+
+    A join-derived quota is not a literal, so Spark can't plan
+    WindowGroupLimit from it alone; we therefore ALSO bound the rank by
+    the max quota (one O(#strata) driver-side collect of an already-tiny
+    aggregate) — that literal bound restores the map-side trim, and the
+    broadcast quota join tightens it to the exact per-stratum quota."""
     quotas = df.groupBy(stratum).agg(
         F.ceil(F.count(F.lit(1)) * fraction).alias("_quota")
     )
+    max_quota = quotas.agg(F.max("_quota")).first()[0] or 0
     w = Window.partitionBy(stratum).orderBy(order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_quota)
         .join(F.broadcast(quotas), stratum)
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")

@@ -173,6 +173,52 @@ def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
     return _bind(norm, lambda nm: _bind(_grams(nm), _select))
 
 
+def top_terms_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+    ln_idf: bool = True,
+) -> DataFrame:
+    """Top-n most distinctive terms per document by TF-IDF — the classic
+    keyword/topic signal a corpus pipeline computes for routing, quality
+    filtering, and near-dup triage.
+
+    Shape at scale: one scan exploding to (doc, term) pairs, a map-side-
+    combined tf aggregation on (doc, term), an O(vocabulary) document-
+    frequency aggregation joined back on term (vocabulary ≪ corpus; Spark
+    broadcasts it when small enough), and a WindowGroupLimit top-n per doc
+    — no all-pairs stage anywhere. N_docs rides along as a broadcast
+    scalar, not a driver-side constant baked into the plan.
+
+    `ln_idf=False` swaps ln((N+1)/(df+1)) for the raw ratio (N+1)/(df+1):
+    ln is monotone, so rankings are IDENTICAL, but the ratio is computed
+    bitwise-identically by any IEEE engine while ln's last ulp is libm-
+    dependent — the workload oracle uses the ratio form so values
+    hash-match DuckDB exactly."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    ratio = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    idf = F.log(ratio) if ln_idf else ratio
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * idf)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .select(id_col, "term", "tfidf")
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame — single scan, codegen'd, no
     shuffle; at 100 TB this is a map-only job."""

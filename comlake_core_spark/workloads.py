@@ -643,6 +643,69 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+@workload(
+    "text_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+    "text",
+    "tfidf",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document by TF-IDF (rational-idf form:
+    ln is monotone so the ranking equals the ln variant, and the ratio is
+    bitwise engine-portable — see operators/text.top_terms_tfidf). Scale:
+    explode → map-combined tf agg → O(vocab) df agg joined back →
+    WindowGroupLimit top-5; no all-pairs stage."""
+    from comlake_core_spark.operators.text import top_terms_tfidf
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return top_terms_tfidf(ensure_parallelism(docs), ln_idf=False)
+
+
+@workload(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "aggregation",
+    "grouping-sets",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the two one-column marginals in a single
+    pass, which neither rollup nor cube expresses. Spark expands the sets
+    once and partial-aggregates each; still one scan of lineitem."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (operators/dedup.py)
 # ---------------------------------------------------------------------------

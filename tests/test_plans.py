@@ -186,6 +186,45 @@ def test_salted_join_spreads_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tfidf_topn_rides_window_group_limit(spark):
+    # tf-idf top-5: the vocabulary df-agg must broadcast back onto tf (no
+    # sort-merge on term), the per-doc top-n must be WindowGroupLimit
+    # (map-side trim), and tf must partial-aggregate before its shuffle
+    df = run(spark, "text_tfidf_top_terms")
+    assert P.has_window_group_limit(df)
+    assert P.has_partial_aggregate(df)
+    assert P.has_broadcast_join(df)
+
+
+def test_grouping_sets_single_scan(spark):
+    # both marginals from ONE lineitem scan (Expand, not a union of scans)
+    df = run(spark, "agg_grouping_sets")
+    plan = P.executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_stratified_sample_map_side_trim(spark):
+    # the per-stratum rank filter must be WindowGroupLimit and the quota
+    # join must broadcast (quotas are O(#strata))
+    df = run(spark, "stratified_sample_orders")
+    assert P.has_window_group_limit(df)
+    assert P.has_broadcast_join(df)
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    # the bloom membership test must sit between the orders scan and the
+    # join exchange — pruning before the shuffle is the whole point
+    df = run(spark, "bloom_pruned_join")
+    plan = P.executed_plan(df)
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+    pre, _, post = plan.partition("ArrowEvalPython")
+    # the python filter stage appears below (after, in leaf-first reading)
+    # at least one exchange — i.e. an exchange consumes its output
+    assert "Exchange" in pre or "BroadcastExchange" in pre, plan
+
+
 def test_late_lines_priority_filter_scan_local(spark):
     # TPC-H Q12 shape: the returnflag IN-list is scan-local on lineitem
     # (pruned before the join shuffle) and the conditional counts are
