@@ -116,6 +116,40 @@ class IncrementalRollup:
         self.version = new_version
         return new_version
 
+    def stream_into(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Maintain this view from a stream: each micro-batch is folded in
+        via refresh(). Returns the started StreamingQuery (availableNow
+        trigger — pass a continuous trigger in production).
+
+        Exactly-once: Spark may REPLAY a micro-batch after a failure, and
+        refresh() is additive (a replay would double-count), so the view
+        records the last applied batch id and skips batches at or below
+        it — refresh becomes idempotent per batch id, which composes with
+        the checkpoint's at-least-once delivery to give effectively-once
+        maintenance. The same pattern any foreachBatch sink without
+        transactional writes needs."""
+        return (
+            stream_df.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent-per-batch-id refresh (the foreachBatch body): a
+        batch id at or below the last applied one is a replay and is
+        skipped."""
+        marker = os.path.join(self.path, "_LAST_BATCH")
+        last = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = int(f.read().strip())
+        if batch_id <= last:
+            return
+        self.refresh(batch_df)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
     def read(self) -> DataFrame:
         """Finalized view: n_rows, sum/avg/min/max per measure (avg over
         non-null rows, matching SQL AVG), approx_distinct per sketch."""

@@ -1,0 +1,94 @@
+"""Data-quality constraint checking over lake tables.
+
+The reference validates only request shapes at its HTTP boundary
+(SURVEY.md §2.3 — schema of /dataset bodies); it has no data-level
+constraint surface. At 100 TB ingest, declarative expectations are what
+stand between a bad upstream drop and a poisoned corpus, so this module
+adds the two shapes that cover most of them:
+
+- `check(df, rules)`: row-level predicates (non-null, ranges, domains,
+  regex shapes). ALL rules are evaluated in ONE scan — each rule becomes
+  a conditional count in a single aggregate (map-side combined), and the
+  one-row result is unpivoted to (rule, n_violations) rows. Adding a rule
+  adds a column to the agg, not a pass over the data.
+- `fk_violations(fact, key, dim, dim_key)`: referential integrity via
+  LEFT ANTI join — one shuffle (or broadcast when the dim is small
+  enough), counting fact rows whose key has no match.
+
+A row violates a rule when its predicate is not TRUE (null predicate =
+violation — an unknown can't prove validity). Violation COUNTS, not
+violating rows, are the output: counts aggregate safely at any scale and
+are what a pipeline gate thresholds on; sampling actual offenders is a
+follow-up filter with the same predicate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named row-level expectation: `pred` must be TRUE for valid rows."""
+
+    name: str
+    pred: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"range_{col}", F.col(col).between(lo, hi))
+
+
+def in_domain(col: str, values: tuple) -> Rule:
+    return Rule(f"domain_{col}", F.col(col).isin(*values))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(f"shape_{col}", F.col(col).rlike(pattern))
+
+
+def unique_key(df: DataFrame, *cols: str) -> DataFrame:
+    """(rule, n_violations) for key uniqueness: counts rows BEYOND the
+    first per key — one map-side-combined aggregation on the key."""
+    dupes = (
+        df.groupBy(*cols)
+        .agg((F.count(F.lit(1)) - 1).alias("_extra"))
+        .agg(F.sum("_extra").alias("n_violations"))
+    )
+    return dupes.select(
+        F.lit("unique_" + "_".join(cols)).alias("rule"),
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+    )
+
+
+def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """(rule, n_violations) for every rule, in one scan of df."""
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(~F.coalesce(r.pred, F.lit(False)), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(r.name)
+        for r in rules
+    ]
+    one_row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{r.name}', `{r.name}`" for r in rules)
+    return one_row.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+    ).select("rule", F.col("n_violations").cast("long"))
+
+
+def fk_violations(fact: DataFrame, key: str, dim: DataFrame, dim_key: str) -> DataFrame:
+    """(rule, n_violations) for the foreign key fact[key] → dim[dim_key]."""
+    orphans = fact.join(
+        dim.select(F.col(dim_key).alias(key)).distinct(), key, "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit(f"fk_{key}").alias("rule"), F.col("n_violations").cast("long")
+    )

@@ -2283,6 +2283,66 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dq_orders_checks",
+    """
+    SELECT 'not_null_o_custkey' AS rule,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'range_o_totalprice',
+           COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice BETWEEN 0 AND 200000, FALSE))
+    FROM orders
+    UNION ALL
+    SELECT 'domain_o_orderstatus',
+           COUNT(*) FILTER (WHERE NOT COALESCE(o_orderstatus IN ('O', 'F'), FALSE))
+    FROM orders
+    UNION ALL
+    SELECT 'shape_o_orderpriority',
+           COUNT(*) FILTER (WHERE NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE))
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey', COALESCE(SUM(cnt - 1), 0)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk_o_custkey', COUNT(*)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    """,
+    "quality",
+    "governance",
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: four row-level rules in
+    ONE scan (each rule is a conditional count in a single map-side-
+    combined aggregate — adding a rule adds a column, not a pass), plus
+    key-uniqueness (one keyed agg) and referential integrity to customer
+    (left anti join). Violation = predicate not TRUE, so nulls can't
+    sneak past a range check. The oracle recomputes every count in SQL."""
+    from comlake_core_spark.operators.quality import (
+        check,
+        fk_violations,
+        in_domain,
+        in_range,
+        matches,
+        not_null,
+        unique_key,
+    )
+
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    rules = check(
+        od,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 200000),
+            in_domain("o_orderstatus", ("O", "F")),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    return rules.unionByName(unique_key(od, "o_orderkey")).unionByName(
+        fk_violations(od, "o_custkey", cu, "c_custkey")
+    )
+
+
+@workload(
     "stratified_sample_orders",
     """
     SELECT o_orderkey, o_orderpriority

@@ -74,6 +74,40 @@ def test_hll_distinct_merge_is_deterministic(spark, tmp_path):
     assert {r["g"]: r["distinct_u"] for r in inc2.read().collect()} == got
 
 
+def test_stream_into_equals_batch(spark, tmp_path):
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).cast("string").alias("g"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+
+    view = IncrementalRollup(spark, str(tmp_path / "mv"), keys=["g"], measures=["v"])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = view.stream_into(stream, str(tmp_path / "chk"))
+    assert q.awaitTermination(300), "stream did not finish"
+    # ≥2 micro-batches actually folded in (maxFilesPerTrigger=1, 3 files)
+    assert view.version >= 1
+
+    full = IncrementalRollup(spark, str(tmp_path / "mv_full"), keys=["g"], measures=["v"])
+    full.refresh(df)
+    assert _sorted(view.read()) == _sorted(full.read())
+
+
+def test_stream_into_skips_replayed_batch(spark, tmp_path):
+    df = spark.range(0, 100).select(F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    view = IncrementalRollup(spark, str(tmp_path / "mv"), keys=["g"], measures=["v"])
+    view.apply_batch(df, 0)
+    n1 = view.read().agg(F.sum("n_rows")).first()[0]
+    view.apply_batch(df, 0)  # replay of the same batch must be a no-op
+    assert view.read().agg(F.sum("n_rows")).first()[0] == n1
+    view.apply_batch(df, 1)  # a NEW batch still folds in
+    assert view.read().agg(F.sum("n_rows")).first()[0] == 2 * n1
+
+
 def test_reopen_from_disk_and_version_pruning(spark, data, tmp_path):
     path = str(tmp_path / "mv")
     view = IncrementalRollup(spark, path, keys=["g"], measures=["v"])

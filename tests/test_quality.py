@@ -1,0 +1,73 @@
+"""Data-quality checker: violation semantics (not-TRUE = violation),
+single-scan evaluation, uniqueness and FK counting."""
+
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.quality import (
+    Rule,
+    check,
+    fk_violations,
+    in_domain,
+    in_range,
+    matches,
+    not_null,
+    unique_key,
+)
+from comlake_core_spark.plans import inspect as P
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "A", "ok-1"),
+        (2, -5.0, "B", "ok-2"),   # range violation
+        (3, None, "A", "bad"),    # null value → range violation; shape violation
+        (4, 50.0, "C", "ok-4"),   # domain violation
+        (4, 60.0, "A", "ok-5"),   # duplicate id
+    ]
+    return spark.createDataFrame(rows, "id int, v double, cat string, label string")
+
+
+def test_check_counts_and_null_semantics(spark):
+    df = _df(spark)
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in check(
+            df,
+            [
+                not_null("v"),
+                in_range("v", 0, 100),
+                in_domain("cat", ("A", "B")),
+                matches("label", "^ok-"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null_v": 1,
+        "range_v": 2,  # -5 out of range AND null not provably in range
+        "domain_cat": 1,
+        "shape_label": 1,
+    }
+
+
+def test_check_is_single_scan(spark):
+    df = _df(spark)
+    plan = P.executed_plan(
+        check(df, [not_null("v"), in_range("v", 0, 100), in_domain("cat", ("A", "B"))])
+    )
+    # one aggregate over one source; no joins/unions of repeated scans
+    assert plan.count("Scan") <= 1, plan
+
+
+def test_unique_and_fk(spark):
+    df = _df(spark)
+    uk = unique_key(df, "id").first()
+    assert (uk["rule"], uk["n_violations"]) == ("unique_id", 1)
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    fk = fk_violations(df, "id", dim, "k").first()
+    assert (fk["rule"], fk["n_violations"]) == ("fk_id", 2)  # the two id=4 rows
+
+
+def test_custom_rule_and_empty_frame(spark):
+    df = _df(spark).filter(F.lit(False))
+    out = check(df, [Rule("v_gt_cat_len", F.col("v") > F.length("cat"))]).first()
+    assert out["n_violations"] == 0  # empty frame: sum() is null → 0 via cast path
