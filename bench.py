@@ -53,6 +53,10 @@ HEADLINE = [
     "dedup_winnow",
     "text_stats",
     "text_lang_id",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "dq_orders_checks",
+    "stratified_sample_orders",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "multimodal_decode_features",

@@ -682,6 +682,58 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "text_top_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "text",
+    "ngram",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: top-20 bigrams. The bigram list is
+    built JVM-side with transform over an index sequence (no Python, no
+    self-join of token positions), exploded, then map-side-combined
+    counted; the final top-20 is TakeOrderedAndProject — each task
+    forwards 20 rows, the driver merges. Deterministic tiebreak on the
+    bigram string keeps the limit stable across engines."""
+    from comlake_core_spark.operators.text import tokens
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    t = tokens(F.lower(F.col("text")))
+    with_t = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = with_t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get(F.col("t"), i), F.get(F.col("t"), i + F.lit(1))
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@workload(
     "agg_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
@@ -2279,6 +2331,33 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@workload(
+    "train_test_split_counts",
+    None,  # xxhash64 has no DuckDB twin; determinism + bounds pinned in tests/test_sampling.py
+    "sampling",
+    "training-data",
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable content-hash train/test split of the documents corpus:
+    assignment is a pure function of doc_id (no shuffle, no randomness),
+    so re-ingesting or re-partitioning never moves a document across the
+    split — the contamination guarantee an eval set needs. Returns
+    per-split counts; disjointness/completeness/monotonicity are pinned
+    in tests/test_sampling.py."""
+    from comlake_core_spark.operators.sampling import split_assignment
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.when(split_assignment(F.col("doc_id"), 0.1), "test")
+            .otherwise("train")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
