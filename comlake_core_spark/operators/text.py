@@ -219,6 +219,61 @@ def top_terms_tfidf(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a bag of query terms —
+    the lexical-retrieval complement to the embedding ANN operators
+    (similarity.py): idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: one explode pass over the corpus feeds BOTH the per-doc
+    length agg and the per-(doc, query-term) tf agg — the isin filter on
+    query terms prunes the tf side to O(matching docs) BEFORE its shuffle.
+    Document frequency and the (N, avgdl) scalars are O(|query|) and O(1)
+    frames joined back by broadcast, and the final top-n is
+    TakeOrderedAndProject. No score for a doc containing no query term
+    (BM25 gives it 0 — it never enters the tf frame at all).
+
+    Values use ln, whose last ulp is libm-dependent, so this operator is
+    verified by pytest bounds + rank assertions (rows-only workload), not
+    a value-hash oracle — the tf-idf workload covers the hashable case."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * norm_tf).alias("score"))
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(top_n)
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame — single scan, codegen'd, no
     shuffle; at 100 TB this is a map-only job."""

@@ -734,6 +734,25 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "bm25_search",
+    None,  # ln's last ulp is libm-dependent; values + ranking pinned in tests/test_bm25.py
+    "text",
+    "search",
+)
+def bm25_search_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents corpus for a fixed query —
+    lexical retrieval beside the embedding ANN path (one explode pass
+    feeds dl and query-term tf; df/stats broadcast back; TakeOrdered
+    top-n). See operators/text.bm25_search."""
+    from comlake_core_spark.operators.text import bm25_search
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bm25_search(ensure_parallelism(docs), ("spark", "shuffle", "join"))
+
+
+@workload(
     "agg_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
