@@ -919,6 +919,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
 
 
+@workload("ann_ivf_kmeans_topk", None, "similarity", "ann", "kmeans", "no-sql-oracle")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a spherical-k-means-refined codebook (2 Lloyd passes via
+    mapInPandas partial sums — the iterative-algorithm shape; objective
+    monotonicity and cluster recovery pytest-pinned in tests/test_kmeans.py)."""
+    from comlake_core_spark.operators.similarity import ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8, refine_iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Session windows, semi/anti joins, rollup (SURVEY.md §2.4 gaps)
 # ---------------------------------------------------------------------------

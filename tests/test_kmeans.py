@@ -1,0 +1,77 @@
+"""Spherical k-means codebook refinement: objective monotonicity,
+determinism, cluster recovery on separated data, and IVF integration."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.similarity import ivf_topk, kmeans_refine, seeded_centroids
+
+
+def _clustered(spark, n_per=100, d=8, k=4, spread=0.05):
+    rng = np.random.default_rng(7)
+    # k well-separated unit directions (axes), tight noise around each
+    rows = []
+    for c in range(k):
+        base = np.zeros(d)
+        base[c] = 1.0
+        for i in range(n_per):
+            v = base + rng.normal(0, spread, d)
+            rows.append((c * n_per + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _objective(df, cents_df):
+    # mean cosine of each vector to its best centroid
+    C = np.array([r["centroid_vec"] for r in cents_df.collect()])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    X = np.array([r["embedding"] for r in df.collect()])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return float((Xn @ Cn.T).max(axis=1).mean())
+
+
+def test_refinement_improves_objective_monotonically(spark):
+    df = _clustered(spark)
+    obj = [_objective(df, seeded_centroids(df, 4, "embedding", "vec_id")
+                      .select("centroid_id", F.col("centroid_vec")))]
+    for iters in (1, 2, 3):
+        obj.append(_objective(df, kmeans_refine(df, 4, iters)))
+    for a, b in zip(obj, obj[1:]):
+        assert b >= a - 1e-9, obj
+    assert obj[-1] > obj[0]  # strictly better than the seeded pick here
+
+
+def test_refinement_recovers_separated_clusters(spark):
+    df = _clustered(spark)
+    C = np.array([r["centroid_vec"] for r in kmeans_refine(df, 4, 3).collect()])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # each true axis direction is matched by some centroid with cosine ~1
+    for axis in range(4):
+        e = np.zeros(8)
+        e[axis] = 1.0
+        assert (Cn @ e).max() > 0.95
+
+
+def test_refinement_is_deterministic(spark):
+    df = _clustered(spark)
+    a = sorted(map(tuple, (r["centroid_vec"] for r in kmeans_refine(df, 4, 2).collect())))
+    b = sorted(map(tuple, (r["centroid_vec"] for r in kmeans_refine(df, 4, 2).collect())))
+    assert a == b
+
+
+def test_ivf_with_refined_codebook(spark):
+    df = _clustered(spark)
+    def axis_vec(i):
+        return [1.0 if j == i else 0.0 for j in range(8)]
+
+    queries = spark.createDataFrame(
+        [(0, axis_vec(0)), (1, axis_vec(2))], "query_id long, embedding array<double>"
+    )
+    out = ivf_topk(df, queries, k=3, n_centroids=4, n_probe=1, refine_iters=2)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 per query
+    # neighbors come from the query's own cluster (ids 0..99 for axis 0,
+    # 200..299 for axis 2)
+    for r in rows:
+        lo = 0 if r["query_id"] == 0 else 200
+        assert lo <= r["nbr_id"] < lo + 100
