@@ -102,6 +102,35 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         df.agg(F.sum("payload")).first()[0]
 
 
+def test_spark_runtime_bloom_filter_injects(spark, t):
+    # Spark's OWN runtime bloom filter (the automatic complement to our
+    # explicit bloom_prune_join) must inject a might_contain filter on the
+    # fact side when the dim side carries a selective non-pushable filter
+    # and the join is a shuffle join. Thresholds are tuned because local
+    # sf test files are far below the 10 GB production default.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        od = t["orders"].filter(F.col("o_totalprice") > 300000)
+        j = (
+            t["lineitem"]
+            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bloom_membership_prunes_before_join(spark):
     # dim keys 0..49, fact keys 0..999: the bloom predicate alone must keep
     # every true match and prune (almost) everything else — at 2^20 bits /
