@@ -20,7 +20,7 @@ operator registry), so both are north-star extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,6 +99,57 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     return out
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    measures: dict[str, Column],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Hypertable-style gap filling with last-observation-carried-forward:
+    bucket rows to `step`, then for every key emit EVERY bucket between
+    that key's first and last observation, carrying the most recent
+    non-null value forward into empty buckets (TimescaleDB's
+    time_bucket_gapfill + locf shape). Emitted columns: key, bucket_ts,
+    one filled value per requested column, and `observed` (false for
+    filled rows).
+
+    Scale shape — two keyed shuffles, no driver-side time loop:
+    1. the bucket aggregation (map-side combined);
+    2. per-key grids built by sequence()+explode — the grid rows are
+       O(span/step) per key and are generated from each key's OWN min/max
+       (sparse keys don't pay for the global span);
+    3. the fill is one last(ignorenulls) window over (key, bucket) — one
+       sort within the already-shuffled partitioning, one row of carried
+       state per key, same as the as-of merge above.
+    The batch semantics are oracle-checked against DuckDB generate_series
+    + IGNORE NULLS window in the events_gapfill_locf workload."""
+    bucket = F.window(ts_col, step)["start"]
+    observed = df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("_nobs"),
+        *[expr.alias(f"_obs_{name}") for name, expr in measures.items()],
+    )
+    spans = observed.groupBy("key").agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))).alias("bucket_ts"),
+    )
+    joined = grid.join(observed, ["key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(f"_obs_{name}", ignorenulls=True).over(w).alias(name) for name in measures
+    ]
+    return joined.select(
+        "key", "bucket_ts", *filled, F.col("_nobs").isNotNull().alias("observed")
+    )
 
 
 def range_join_points_to_intervals(

@@ -753,6 +753,92 @@ def bm25_search_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "text_pmi_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      FROM toks
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2)
+    SELECT w1, w2, c12,
+           (CAST(tot.n AS DOUBLE) * c12) / (u1.c * u2.c) AS pmi_ratio
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.w1 = u1.w
+    JOIN ucnt u2 ON bcnt.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20
+    """,
+    "text",
+    "collocation",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength by pointwise mutual information, in its
+    ln-free ratio form N·c(xy)/(c(x)·c(y)) — ln is monotone, so the top-20
+    ranking is identical to true PMI while the ratio hash-matches any IEEE
+    engine (same trick as the tf-idf workload). Min-support c12 ≥ 5 is the
+    standard guard against low-count PMI blowup. Shape: one explode pass
+    each for unigrams and bigrams (both map-side combined), two broadcast
+    joins of the O(vocab) unigram counts onto the bigram counts, TakeOrdered
+    top-20."""
+    from comlake_core_spark.operators.text import tokens
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    t = tokens(F.lower(F.col("text")))
+    with_t = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+
+    uni = with_t.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bi = with_t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.get(F.col("t"), i).alias("w1"),
+                    F.get(F.col("t"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(F.col("c12") >= 5)
+
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (F.col("n").cast("double") * F.col("c12") / (F.col("_c1") * F.col("_c2"))).alias(
+                "pmi_ratio"
+            ),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@workload(
     "agg_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
@@ -2333,6 +2419,46 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+@workload(
+    "events_gapfill_locf",
+    """
+    WITH obs AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT key, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM obs GROUP BY key
+    ),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans
+    )
+    SELECT g.key, g.bucket_ts,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+           o.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+    """,
+    "temporal",
+    "gapfill",
+    "hypertable",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap fill: hourly avg(value) per event type with empty
+    hours filled by last-observation-carried-forward (TimescaleDB
+    time_bucket_gapfill + locf, re-expressed as bucket-agg → per-key
+    sequence grid → one last(ignorenulls) window; see
+    operators/temporal.gapfill_locf). The hourly avg uses the exact-
+    decimal-sum/count form so carried values hash-match the oracle."""
+    from comlake_core_spark.operators.temporal import gapfill_locf
+
+    (ev,) = _t(spark, sf_dir, "events")
+    avg_value = F.sum(dec("value", 12, 4)).cast("double") / F.count("value")
+    return gapfill_locf(ev, "ts", "event_type", {"avg_value": avg_value})
 
 
 @workload(

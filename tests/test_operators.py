@@ -296,6 +296,30 @@ def test_winnow_edge_lengths(spark):
     assert fps[3] == fps[1]  # deterministic
 
 
+def test_gapfill_locf_fills_missing_buckets(spark):
+    from datetime import datetime
+
+    from comlake_core_spark.operators.temporal import gapfill_locf
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 45), 20.0),
+        # hours 1-2 missing for key a
+        ("a", datetime(2024, 1, 1, 3, 10), 40.0),
+        ("b", datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gapfill_locf(df, "ts", "k", {"avg_v": F.avg("v")})
+    got = {(r["key"], r["bucket_ts"].hour): (r["avg_v"], r["observed"]) for r in out.collect()}
+    assert got[("a", 0)] == (15.0, True)
+    assert got[("a", 1)] == (15.0, False)  # filled, carries hour-0 average
+    assert got[("a", 2)] == (15.0, False)
+    assert got[("a", 3)] == (40.0, True)
+    assert got[("b", 5)] == (7.0, True)
+    # grid spans each key's OWN range: no b rows before hour 5
+    assert ("b", 4) not in got and len(got) == 5
+
+
 def test_winnow_dedup_pairs_finds_planted_passage(spark):
     boiler = "subscribe to our newsletter for updates terms of service apply"
     passage = (
