@@ -55,6 +55,9 @@ HEADLINE = [
     "text_lang_id",
     "text_tfidf_top_terms",
     "text_top_bigrams",
+    "text_pmi_bigrams",
+    "bm25_search",
+    "events_gapfill_locf",
     "dq_orders_checks",
     "stratified_sample_orders",
     "ann_cosine_topk",

@@ -1437,6 +1437,43 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "window_trailing_24h",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER w AS DOUBLE) AS sum_24h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW
+    )
+    """,
+    "window",
+    "range-frame",
+)
+def window_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each event's trailing-24-hour activity for
+    its user — the frame type rowsBetween can't express (peers at the same
+    timestamp must enter together, and the window width is value-based,
+    not row-count-based). Ordering is epoch SECONDS on both engines so
+    the frame boundary arithmetic is integer-exact; the frame sum uses
+    the exact-decimal form. Same keyed shuffle as any per-user window —
+    the frame changes per-partition evaluation only."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86399, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(dec("value", 14, 4)).over(w).cast("double").alias("sum_24h"),
+    )
+
+
 @workload("approx_distinct_users", None, "aggregation", "approx", "no-sql-oracle")
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100TB cardinality path.
