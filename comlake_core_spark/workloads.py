@@ -1340,6 +1340,50 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "set_intersect_all_buyers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "setop",
+    "multiset",
+)
+def set_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (each custkey kept min(n_O, n_F)
+    times), which DISTINCT-based set ops destroy. Spark plans this as one
+    partial-counted aggregate per side joined on the key — no row-by-row
+    matching."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return (
+        od.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersectAll(od.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@workload(
+    "set_except_all_buyers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "setop",
+    "multiset",
+)
+def set_except_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (max(n_O − n_F, 0) copies survive),
+    the dual of set_except_nations' EXCEPT DISTINCT."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return (
+        od.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .exceptAll(od.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@workload(
     "set_union_acct_holders",
     """
     SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
