@@ -27,6 +27,64 @@ from comlake_core_spark.session import ensure_parallelism
 # ---------------------------------------------------------------------------
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components by min-label propagation. Returns (node, component) where
+    component is the smallest node id reachable from `node` — the cluster
+    representative a dedup pipeline keeps.
+
+    Why this exists: every pairwise dedup stage (minhash/simhash/winnow/
+    embedding) emits edges, but the keep/drop decision needs the
+    transitive closure — A~B and B~C must collapse to ONE survivor even
+    though (A, C) was never emitted as a pair.
+
+    Algorithm: labels start as each node's own id; each round every node
+    takes the min of its label and its neighbors' labels (one equi-join on
+    the edge list + one min-agg — two keyed shuffles per round), stopping
+    when a round changes nothing. Rounds needed = graph diameter; dup
+    clusters are near-cliques (diameter ≤ ~3), so this converges in a
+    handful of rounds — the asymptotically better large-star/small-star
+    contraction (Kiveris et al.) only pays off on long-chain graphs that
+    dedup similarity edges don't produce. Convergence is checked with a
+    cheap sum(label) aggregate (strictly decreasing until fixpoint), and
+    each round localCheckpoints to keep the plan from growing with the
+    iteration count (on a cluster: checkpoint to reliable storage)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
 

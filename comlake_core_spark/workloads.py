@@ -919,6 +919,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.05)
 
 
+@workload("dedup_clusters", None, "dedup", "components", "no-sql-oracle")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidate edges
+    grouped by min-label-propagation connected components (transitive
+    closure — A~B, B~C collapse to one survivor even without an (A, C)
+    edge), returning (component, n_docs) per cluster. Convergence and
+    closure are pytest-pinned; see operators/dedup.connected_components."""
+    from comlake_core_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(ensure_parallelism(docs))
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @workload("dedup_minhash_lsh", None, "dedup", "minhash", "no-sql-oracle")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. No SQL oracle (xxhash64 signatures are

@@ -296,6 +296,25 @@ def test_winnow_edge_lengths(spark):
     assert fps[3] == fps[1]  # deterministic
 
 
+def test_connected_components_transitive_closure(spark):
+    # components: {1,2,3} via chain, {4,5}, chain 7-8-9-10 (diameter > 1)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_connected_components_on_lsh_pairs(spark, near_dup_df):
+    pairs = dedup.minhash_lsh_pairs(near_dup_df)
+    comp = dedup.connected_components(pairs)
+    by_comp = {}
+    for r in comp.collect():
+        by_comp.setdefault(r["component"], set()).add(r["node"])
+    # docs 1, 2, 3 (exact + near dups) collapse into one cluster led by 1
+    assert {1, 2, 3} <= by_comp.get(1, set())
+
+
 def test_gapfill_locf_fills_missing_buckets(spark):
     from datetime import datetime
 
