@@ -180,6 +180,42 @@ def write_zorder(
     )
 
 
+def compact(
+    spark, src_path: str, dst_path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target_file_bytes. Returns the number of files written.
+
+    The 100 TB reality this serves: streaming sinks and per-batch ingests
+    leave thousands of KB-sized files, and every later scan pays a task
+    per file (plus a footer read and an object-store request). Compaction
+    is the periodic maintenance that restores scan efficiency — same job
+    Delta's OPTIMIZE (file-size binpacking) runs.
+
+    Sizing comes from the source's actual on-disk bytes (file listing,
+    no data read), so the partition count tracks the real compression
+    ratio instead of a row-count guess. The rewrite itself is one
+    shuffle-free coalesce when shrinking file count, with order preserved
+    per input split."""
+    import glob
+    import os
+
+    total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(src_path, "*.parquet")))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return len(glob.glob(os.path.join(dst_path, "*.parquet")))
+
+
+def read_evolved(spark, *paths: str):
+    """Read parquet written under EVOLVING schemas as one DataFrame:
+    mergeSchema unions the per-file footers (new columns read as NULL in
+    old files) — the append-only schema-evolution contract a long-lived
+    lake table needs. Column RENAMES and type NARROWING are not covered:
+    those need a transactional table format's column-mapping metadata."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
 def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
     """Layout events by date directory partitions: a time-range filter then
     prunes entire partitions at planning time (PartitionFilters in the

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from comlake_core_spark.operators.relational import (
     bloom_membership,
     bloom_prune_join,
+    compact,
+    read_evolved,
     salted_join,
     write_bucketed,
     write_date_partitioned,
@@ -100,6 +102,31 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # layout is result-transparent
     assert spark.read.parquet(zpath).agg(F.sum("payload")).first()[0] == \
         df.agg(F.sum("payload")).first()[0]
+
+
+def test_compact_small_files(spark, tmp_path):
+    import glob
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 50_000).select(F.col("id"), F.hash("id").alias("v"))
+    df.repartition(64).write.parquet(src)  # the streaming-sink pathology
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact(spark, src, dst, target_file_bytes=256 * 1024)
+    assert 1 <= n < 16
+    # content identical
+    assert spark.read.parquet(dst).agg(F.sum("v"), F.count("*")).first() == \
+        df.agg(F.sum("v"), F.count("*")).first()
+
+
+def test_read_evolved_schema(spark, tmp_path):
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.range(0, 10).select(F.col("id")).write.parquet(p1)
+    spark.range(10, 20).select(F.col("id"), F.lit("new").alias("added")).write.parquet(p2)
+    df = read_evolved(spark, p1, p2)
+    assert set(df.columns) == {"id", "added"}
+    assert df.count() == 20
+    # old files surface the new column as NULL
+    assert df.filter(F.col("added").isNull()).count() == 10
 
 
 def test_spark_runtime_bloom_filter_injects(spark, t):
