@@ -1499,6 +1499,38 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "window_percentile_ranks",
+    """
+    SELECT c_custkey, c_nationkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    "window",
+    "rank",
+)
+def window_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per nation partition: percent_rank,
+    cume_dist, and quartile (ntile). Partitioned by nation so every
+    window is executor-local after one keyed shuffle — the scalable form;
+    a GLOBAL ntile would demand a single-partition sort and is the
+    documented anti-pattern (use approx quantile cuts instead at 100 TB).
+    Ties broken by custkey so ranks are engine-portable; the rank ratios
+    are exact small-integer divisions, hash-safe."""
+    (cu,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@workload(
     "window_trailing_24h",
     """
     SELECT event_id, user_id,
