@@ -9,10 +9,12 @@ costs one shuffle of the DELTA's partials plus a rewrite of state that is
 O(#groups), never O(history).
 
 Why these states: count/sum/min/max are commutative monoids (merge = sum /
-sum / min / max), and Spark's DataSketches HLL (hll_sketch_agg /
-hll_union_agg) is the mergeable form of distinct-count — exact distinct is
-the one classic aggregate that CANNOT be incrementally maintained without
-keeping the full key set, which is why it ships as a sketch here.
+sum / min / max), and the two classic aggregates that CANNOT be maintained
+incrementally without the full value set ship as DataSketches sketches:
+distinct-count as HLL (hll_sketch_agg / hll_union_agg, deterministic) and
+quantiles as KLL (kll_sketch_agg_double / kll_sketch_merge_double —
+randomized compaction, so estimates are accurate-but-not-bitwise-stable
+across rebuilds).
 
 State is versioned (`v=N` subdirectories) because Spark cannot atomically
 overwrite a parquet path it is also reading; each refresh writes v=N+1 and
@@ -49,12 +51,17 @@ class IncrementalRollup:
         keys: list[str],
         measures: list[str],
         distincts: list[str] | None = None,
+        quantiles: dict[str, list[float]] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.measures = list(measures)
         self.distincts = list(distincts or [])
+        # column -> probed quantiles, maintained as mergeable KLL sketches —
+        # like exact distinct, exact quantiles cannot be incrementally
+        # maintained without the full value set; KLL is the sketch form
+        self.quantiles = dict(quantiles or {})
         self.version = self._latest_on_disk()
 
     # -- state layout -------------------------------------------------------
@@ -83,6 +90,8 @@ class IncrementalRollup:
             ]
         for d in self.distincts:
             aggs.append(F.hll_sketch_agg(F.col(d).cast("string")).alias(f"_hll_{d}"))
+        for q in self.quantiles:
+            aggs.append(F.kll_sketch_agg_double(F.col(q).cast("double")).alias(f"_kll_{q}"))
         return df.groupBy(*self.keys).agg(*aggs)
 
     def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
@@ -96,7 +105,23 @@ class IncrementalRollup:
             ]
         for d in self.distincts:
             aggs.append(F.hll_union_agg(f"_hll_{d}").alias(f"_hll_{d}"))
-        return a.unionByName(b).groupBy(*self.keys).agg(*aggs)
+        for q in self.quantiles:
+            # KLL has no union AGGREGATE (unlike HLL); merge is the scalar
+            # kll_sketch_merge_double. A key here carries at most TWO
+            # sketches (one from state, one from the delta partial), so
+            # collect and pairwise-merge. (Not a fold via F.aggregate: a
+            # binary accumulator through that higher-order function reads
+            # corrupted sketch bytes — verified empirically.)
+            aggs.append(F.collect_list(f"_kll_{q}").alias(f"_klls_{q}"))
+        grouped = a.unionByName(b).groupBy(*self.keys).agg(*aggs)
+        for q in self.quantiles:
+            arr = F.col(f"_klls_{q}")
+            merged = F.when(
+                F.size(arr) >= 2,
+                F.kll_sketch_merge_double(F.element_at(arr, 1), F.element_at(arr, 2)),
+            ).otherwise(F.element_at(arr, 1))
+            grouped = grouped.withColumn(f"_kll_{q}", merged).drop(f"_klls_{q}")
+        return grouped
 
     # -- public API ---------------------------------------------------------
 
@@ -164,4 +189,11 @@ class IncrementalRollup:
             ]
         for d in self.distincts:
             cols.append(F.hll_sketch_estimate(f"_hll_{d}").alias(f"distinct_{d}"))
+        for q, probes in self.quantiles.items():
+            for p in probes:
+                cols.append(
+                    F.kll_sketch_get_quantile_double(f"_kll_{q}", F.lit(p)).alias(
+                        f"p{int(p * 100):02d}_{q}"
+                    )
+                )
         return self._read_state().select(*cols)
