@@ -104,6 +104,68 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         df.agg(F.sum("payload")).first()[0]
 
 
+def test_dynamic_partition_pruning(spark, t, tmp_path):
+    # a selective dim filter must prune fact PARTITIONS at runtime (DPP):
+    # the fact side's PartitionFilters gains a dynamicpruning expression
+    # fed by the dim — at 100 TB this is what turns "join a month of
+    # partitions" into "read two days"
+    path = str(tmp_path / "ev_part")
+    t["events"].withColumn("_date", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "_date"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    rows = [(f"2024-01-{d:02d}", "special" if d in (5, 6) else "normal") for d in range(1, 31)]
+    dim = spark.createDataFrame(rows, "_date string, tag string").filter(F.col("tag") == "special")
+    j = fact.join(dim, "_date").groupBy("tag").count()
+    j.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_join_strategy_hints_are_honored(spark, t):
+    # the per-join strategy override: hint("shuffle_hash") must replace the
+    # default sort-merge (saves both sort passes when one side is much
+    # smaller but too big to broadcast)
+    big = t["lineitem"].select(F.col("l_orderkey").alias("k"), "l_quantity")
+    mid = t["orders"].select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    merged = big.join(mid.hint("merge"), "k")
+    hashed = big.join(mid.hint("shuffle_hash"), "k")
+    assert P.has_sort_merge_join(merged)
+    assert "ShuffledHashJoin" in P.executed_plan(hashed), P.executed_plan(hashed)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # AQE's runtime answer to skew (complementing the explicit salted_join):
+    # with thresholds at test scale, the hot key's partition must be split —
+    # the SortMergeJoin node reports skew=true in the final adaptive plan
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        mid = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("w"))
+        j = big.join(mid, "k").groupBy().count()
+        # collect() (not a detached write) so THIS DataFrame's adaptive plan
+        # finalizes and carries the runtime skew decision
+        j.collect()
+        plan = P.executed_plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_compact_small_files(spark, tmp_path):
     import glob
 
