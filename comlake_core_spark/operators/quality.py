@@ -84,6 +84,30 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     ).select("rule", F.col("n_violations").cast("long"))
 
 
+def observed_check(df: DataFrame, rules: list[Rule], name: str = "dq"):
+    """Attach the rule counters to a DataFrame as OBSERVED metrics:
+    returns (df', observation). Unlike check(), this adds NO extra pass —
+    the counters ride along with whatever action the pipeline runs next
+    (the write, the aggregate, anything), and observation.get yields
+    {rule_name: n_violations, "_rows": n} afterwards.
+
+    This is the production shape for inline gating at 100 TB: the ingest
+    job writes its output once, and the violation counts come out of the
+    SAME scan for free; check() remains the standalone audit that scans
+    on demand."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("_rows")] + [
+        F.coalesce(
+            F.sum(F.when(~F.coalesce(r.pred, F.lit(False)), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(r.name)
+        for r in rules
+    ]
+    return df.observe(obs, *metrics), obs
+
+
 def fk_violations(fact: DataFrame, key: str, dim: DataFrame, dim_key: str) -> DataFrame:
     """(rule, n_violations) for the foreign key fact[key] → dim[dim_key]."""
     orphans = fact.join(

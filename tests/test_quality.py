@@ -67,6 +67,21 @@ def test_unique_and_fk(spark):
     assert (fk["rule"], fk["n_violations"]) == ("fk_id", 2)  # the two id=4 rows
 
 
+def test_observed_check_rides_the_action(spark, tmp_path):
+    from comlake_core_spark.operators.quality import observed_check
+
+    df = _df(spark)
+    out, obs = observed_check(df, [not_null("v"), in_range("v", 0, 100)])
+    # the pipeline's OWN action (a write) produces the metrics — no audit scan
+    out.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    got = obs.get
+    assert got["_rows"] == 5
+    assert got["not_null_v"] == 1
+    assert got["range_v"] == 2
+    # and the written data is untouched by observation
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 5
+
+
 def test_custom_rule_and_empty_frame(spark):
     df = _df(spark).filter(F.lit(False))
     out = check(df, [Rule("v_gt_cat_len", F.col("v") > F.length("cat"))]).first()
