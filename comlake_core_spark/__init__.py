@@ -39,6 +39,10 @@ def __getattr__(name):
         from comlake_core_spark.catalog import Catalog
 
         return Catalog
+    if name == "IncrementalRollup":
+        from comlake_core_spark.operators.matview import IncrementalRollup
+
+        return IncrementalRollup
     if name == "LocalStore":
         from comlake_core_spark.store import LocalStore
 
