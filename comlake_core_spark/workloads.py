@@ -1499,6 +1499,47 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "unpivot_price_components",
+    """
+    SELECT component,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT l_orderkey, 'extendedprice' AS component, l_extendedprice AS amount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'tax', l_tax FROM lineitem
+    )
+    GROUP BY component
+    """,
+    "unpivot",
+    "reshape",
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — wide price columns to long (component, amount)
+    rows, the inverse reshape of pivot_status_by_priority. Spark's unpivot
+    plans as a single-scan Expand (3 output rows per input row), NOT the
+    oracle's 3-scan UNION ALL — same result, one third the reads; the agg
+    then map-side combines per component."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
+    return (
+        long.withColumn("component", F.regexp_replace("component", "^l_", ""))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("amount")).cast("double").alias("total"),
+        )
+    )
+
+
+@workload(
     "window_percentile_ranks",
     """
     SELECT c_custkey, c_nationkey,

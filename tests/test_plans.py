@@ -225,6 +225,15 @@ def test_bloom_pruned_join_filters_before_exchange(spark):
     assert "Exchange" in pre or "BroadcastExchange" in pre, plan
 
 
+def test_unpivot_single_scan_expand(spark):
+    # melt must be one scan + Expand, not the oracle's 3-scan UNION ALL
+    df = run(spark, "unpivot_price_components")
+    plan = P.executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    assert P.has_partial_aggregate(df)
+
+
 def test_late_lines_priority_filter_scan_local(spark):
     # TPC-H Q12 shape: the returnflag IN-list is scan-local on lineitem
     # (pruned before the join shuffle) and the conditional counts are
