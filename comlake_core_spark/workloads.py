@@ -1499,6 +1499,41 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "fuzzy_customer_names",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "fuzzy",
+    "record-linkage",
+)
+def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by edit distance: candidate pairs BLOCKED on nation
+    (the classic linkage trick — the quadratic self-join runs per block,
+    |block|² ≪ n²), then levenshtein ≤ 2 keeps near-identical names. The
+    distance is a JVM built-in evaluated post-join on the blocked pairs
+    only; at 100 TB the block key would be a cheap canopy (prefix, soundex,
+    or LSH bucket) sized so blocks fit a task."""
+    (cu,) = _t(spark, sf_dir, "customer")
+    a = cu.select(
+        F.col("c_nationkey").alias("nk"), F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+    )
+    b = cu.select(
+        F.col("c_nationkey").alias("nk"), F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@workload(
     "unpivot_price_components",
     """
     SELECT component,
