@@ -1498,6 +1498,35 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARED_SQL = """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance,
+           MAX(c_acctbal) AS max_balance
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+"""
+
+
+@workload(
+    "sql_interface_shared_text",
+    _SHARED_SQL,
+    "sql",
+    "interface",
+)
+def sql_interface_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the IDENTICAL SQL text executes on Spark
+    (spark.sql over registered temp views) and on DuckDB as the oracle —
+    one string, two engines, hash-equal results. Everything the qast and
+    DataFrame surfaces can do is equally reachable through spark.sql,
+    with the same Catalyst plan underneath (pushdown, partial aggs); this
+    workload pins that the ANSI-portable subset really is portable."""
+    (cu,) = _t(spark, sf_dir, "customer")
+    cu.createOrReplaceTempView("customer")
+    return spark.sql(_SHARED_SQL)
+
+
 @workload(
     "fuzzy_customer_names",
     """
