@@ -123,6 +123,54 @@ class Catalog:
         return self._read("dataset", DATASET_SCHEMA)
 
     # ------------------------------------------------------------------
+    # time travel (extension beyond the reference: its append-only revision
+    # tree, meth.tex:268-272, keeps ROW history; snapshot version dirs give
+    # TABLE history for free — the same mechanism Delta/Iceberg expose as
+    # VERSION AS OF)
+    # ------------------------------------------------------------------
+
+    def snapshot_versions(self, table: str = "dataset") -> list[int]:
+        """All retained snapshot versions of a catalog table, oldest first.
+        Every mutation wrote one (the pointer flip is what made it
+        current), so this is the catalog's full mutation history."""
+        import re
+
+        pat = re.compile(rf"^{re.escape(table)}-v(\d+)$")
+        out = []
+        for name in os.listdir(self.root):
+            m = pat.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def dataset_as_of(self, version: int) -> DataFrame:
+        """The dataset table exactly as it was at snapshot `version` —
+        reads the old version dir directly; the current pointer is
+        untouched, so time travel is a pure read (no lock needed)."""
+        version_dir = os.path.join(self.root, f"dataset-v{version}")
+        if not os.path.isdir(version_dir):
+            raise ValueError(f"no dataset snapshot v{version}; have {self.snapshot_versions()}")
+        return self.spark.read.schema(DATASET_SCHEMA).parquet(version_dir)
+
+    def lineage(self, dataset_id: int) -> DataFrame:
+        """The revision chain of a dataset row: the row itself and every
+        ancestor, walked through `parent`. The revision tree is metadata
+        (tiny), so the walk joins per hop on the snapshot — at most
+        tree-depth hops, each a filter on an already-cached frame."""
+        ds = self.dataset()
+        chain_ids: list[int] = []
+        cur = dataset_id
+        seen = set()
+        while cur is not None and cur not in seen:
+            seen.add(cur)
+            row = ds.filter(F.col("id") == cur).select("id", "parent").first()
+            if row is None:
+                break
+            chain_ids.append(row["id"])
+            cur = row["parent"]
+        return ds.filter(F.col("id").isin(chain_ids))
+
+    # ------------------------------------------------------------------
     # content ops (reference PostgreSQL.java:41-44,55-62,84-99,181-212)
     # ------------------------------------------------------------------
 

@@ -144,6 +144,33 @@ def test_dataset_add_find_update(catalog, cids):
     assert catalog.update_dataset(99999, {"description": "x"}) is None
 
 
+def test_catalog_time_travel_and_lineage(spark, tmp_path_factory):
+    from comlake_core_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("catalog_tt")))
+    d1 = cat.add_dataset(
+        {"description": "v1", "source": "s", "topics": ["t"], "file": "cid-1"}
+    )
+    v_after_add = max(cat.snapshot_versions("dataset"))
+    d2 = cat.update_dataset(d1, {"description": "v2"})
+    d3 = cat.update_dataset(d2, {"description": "v3"})
+
+    # time travel: the snapshot taken right after the add has ONE row and
+    # still says v1, while the current table has all three revisions
+    old = cat.dataset_as_of(v_after_add)
+    assert old.count() == 1
+    assert old.first()["description"] == "v1"
+    assert cat.dataset().count() == 3
+    # the current pointer was not disturbed by the time-travel read
+    assert max(cat.snapshot_versions("dataset")) > v_after_add
+
+    # lineage of the newest revision walks the parent chain to the root
+    chain = {r["id"]: r["description"] for r in cat.lineage(d3).collect()}
+    assert chain == {d1: "v1", d2: "v2", d3: "v3"}
+    # lineage of the root is just the root
+    assert cat.lineage(d1).count() == 1
+
+
 def test_extract_csv_regex_fullmatch(spark, store, cids):
     # the reference's canonical extract: 'Vi.tnam' must full-match
     # (api_test.clj:197-204) — partial would also hit 'North Vietnam legacy'
