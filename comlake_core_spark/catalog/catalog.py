@@ -152,6 +152,23 @@ class Catalog:
             raise ValueError(f"no dataset snapshot v{version}; have {self.snapshot_versions()}")
         return self.spark.read.schema(DATASET_SCHEMA).parquet(version_dir)
 
+    def vacuum(self, keep_last: int = 2, table: str = "dataset") -> list[int]:
+        """Retention for snapshot history: delete all but the newest
+        `keep_last` version dirs (the current one always survives).
+        Returns the versions removed. Under the writer lock because a
+        concurrent mutation is also reading the current snapshot to
+        copy-on-write it; pure time-travel readers of RETAINED versions
+        are unaffected. Same contract as Delta VACUUM: history older than
+        the retention horizon stops being travelable."""
+        import shutil
+
+        with self._write_lock:
+            versions = self.snapshot_versions(table)
+            doomed = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+            for v in doomed:
+                shutil.rmtree(os.path.join(self.root, f"{table}-v{v}"), ignore_errors=True)
+            return doomed
+
     def lineage(self, dataset_id: int) -> DataFrame:
         """The revision chain of a dataset row: the row itself and every
         ancestor, walked through `parent`. The revision tree is metadata

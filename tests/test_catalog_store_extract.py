@@ -171,6 +171,26 @@ def test_catalog_time_travel_and_lineage(spark, tmp_path_factory):
     assert cat.lineage(d1).count() == 1
 
 
+def test_catalog_vacuum_retention(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from comlake_core_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("catalog_vac")))
+    d = cat.add_dataset({"description": "v1", "source": "s", "topics": ["t"], "file": "c"})
+    for i in range(2, 6):
+        d = cat.update_dataset(d, {"description": f"v{i}"})
+    before = cat.snapshot_versions("dataset")
+    assert len(before) == 5
+    removed = cat.vacuum(keep_last=2)
+    assert removed == before[:-2]
+    assert cat.snapshot_versions("dataset") == before[-2:]
+    # current table unaffected; pruned history no longer travelable
+    assert cat.dataset().count() == 5
+    with _pytest.raises(ValueError):
+        cat.dataset_as_of(removed[0])
+
+
 def test_extract_csv_regex_fullmatch(spark, store, cids):
     # the reference's canonical extract: 'Vi.tnam' must full-match
     # (api_test.clj:197-204) — partial would also hit 'North Vietnam legacy'
