@@ -1022,6 +1022,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
 
 
+@workload("hybrid_search_rrf", None, "similarity", "search", "rrf", "no-sql-oracle")
+def hybrid_search_rrf_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + cosine vector leg fused by
+    Reciprocal Rank Fusion (rank-based, no score calibration). Fusion
+    touches only 2×per_leg rows; leg shapes are the already-pinned bm25 /
+    top-k operators. Leg-fusion behavior pytest-pinned in test_bm25.py."""
+    from comlake_core_spark.operators.similarity import hybrid_search_rrf
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return hybrid_search_rrf(
+        ensure_parallelism(docs), emb, ("spark", "shuffle", "join"), list(qvec), k=10
+    )
+
+
 @workload("ann_ivf_kmeans_topk", None, "similarity", "ann", "kmeans", "no-sql-oracle")
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a spherical-k-means-refined codebook (2 Lloyd passes via

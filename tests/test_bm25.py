@@ -52,6 +52,36 @@ def test_bm25_no_match_returns_empty(spark):
     assert bm25_search(df, ("zebra",)).count() == 0
 
 
+def test_hybrid_rrf_fuses_both_legs(spark):
+    from comlake_core_spark.operators.similarity import hybrid_search_rrf
+
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    # embeddings engineered so the VECTOR leg prefers doc 3, the LEXICAL
+    # leg (query "join") prefers doc 1; doc 4 appears in both legs
+    vecs = [
+        (1, [1.0, 0.0, 0.3]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.1, 1.0]),
+        (4, [0.5, 0.0, 0.9]),
+        (5, [0.0, 1.0, 0.1]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = hybrid_search_rrf(docs, emb, ("join",), [0.0, 0.1, 1.0], k=5, per_leg=3)
+    rows = out.collect()
+    ids = [r["id"] for r in rows]
+    # doc 4: strong in the vector leg AND matches 'join' lexically → must
+    # outrank docs that appear in only one leg
+    both_legs = [r for r in rows if r["rank_lexical"] is not None and r["rank_vector"] is not None]
+    assert both_legs, rows
+    top_both = min(both_legs, key=lambda r: -r["rrf"])
+    single_leg = [r for r in rows if (r["rank_lexical"] is None) != (r["rank_vector"] is None)]
+    for r in single_leg:
+        assert top_both["rrf"] > r["rrf"], rows
+    # deterministic rerun
+    ids2 = [r["id"] for r in hybrid_search_rrf(docs, emb, ("join",), [0.0, 0.1, 1.0], k=5, per_leg=3).collect()]
+    assert ids == ids2
+
+
 def test_bm25_plan_takes_ordered_and_broadcasts(spark):
     from comlake_core_spark.plans import inspect as P
 
