@@ -252,6 +252,61 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_stream_d
     assert len(batch) > 0
 
 
+def test_streaming_pipeline_end_to_end(spark, tmp_path_factory):
+    """The composed ingest pipeline, streaming edition: file stream →
+    quality filter → watermarked exact dedup → incremental rollup view,
+    then the SAME stages in batch — results must be identical. This is
+    the 'same builders, batch ≡ streaming' claim exercised across a
+    whole pipeline, not a single operator."""
+    from pyspark.sql import functions as F
+
+    from comlake_core_spark.operators.matview import IncrementalRollup
+
+    d = str(tmp_path_factory.mktemp("pipe_src"))
+    rows = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("id") * 7)).alias("ts"),
+        # every non-key attribute is a FUNCTION OF the dedup key fp: which
+        # duplicate survives is arbitrary in both engines, so row equality
+        # after dedup requires attribute equality across duplicates
+        (F.col("id") % 5).cast("string").alias("kind"),  # 400 ≡ 0 (mod 5): stable per fp
+        (F.col("id") % 400).alias("fp"),  # forced duplicates: 400 distinct
+        ((F.col("id") % 400) % 97).cast("double").alias("v"),
+    )
+    rows.repartition(3).write.mode("overwrite").parquet(d)
+
+    def stages(df):
+        cleaned = df.filter(F.col("v") >= 5)  # the quality gate
+        deduped = (
+            cleaned.withWatermark("ts", "10 hours").dropDuplicatesWithinWatermark(["fp"])
+            if df.isStreaming
+            else cleaned.dropDuplicates(["fp"])
+        )
+        return deduped
+
+    # batch leg
+    batch_view = IncrementalRollup(
+        spark, str(tmp_path_factory.mktemp("mv_b")), keys=["kind"], measures=["v"]
+    )
+    batch_view.refresh(stages(spark.read.parquet(d)))
+
+    # streaming leg
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    stream_view = IncrementalRollup(
+        spark, str(tmp_path_factory.mktemp("mv_s")), keys=["kind"], measures=["v"]
+    )
+    q = stream_view.stream_into(stages(stream), str(tmp_path_factory.mktemp("chk_pipe")))
+    assert q.awaitTermination(300), "pipeline stream did not finish"
+
+    b = {tuple(r) for r in batch_view.read().collect()}
+    s = {tuple(r) for r in stream_view.read().collect()}
+    assert s == b
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path_factory):
     """dropDuplicatesWithinWatermark: duplicate fingerprints across
     micro-batches collapse to first-seen; distinct fingerprints all
