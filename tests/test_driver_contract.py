@@ -70,6 +70,16 @@ def test_oracle_match(spark, duck, name):
     assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
 
 
+def test_workloads_md_current():
+    from comlake_core_spark.docs_gen import workloads_markdown
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(__file__)), "WORKLOADS.md")) as f:
+        on_disk = f.read()
+    assert on_disk == workloads_markdown(), (
+        "WORKLOADS.md is stale — regenerate with `python -m comlake_core_spark.docs_gen`"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, name):
     wl = REGISTRY[name]
