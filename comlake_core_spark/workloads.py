@@ -1270,6 +1270,34 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "json",
+    "variant",
+    "aggregation",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read via the VARIANT type (Spark 4): parse_json once into
+    a binary variant, then variant_get typed paths — same answers as the
+    get_json_object twin (events_props_sum) but the parse happens ONCE per
+    row regardless of how many paths are read, where get_json_object
+    re-parses the string per extraction. At 100 TB with wide dynamic
+    payloads, variant is the difference between one parse and N."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("pv"))
+        .select("event_type", F.variant_get("pv", "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@workload(
     "qast_string_concat",
     """
     SELECT c_custkey, c_name || '/' || c_mktsegment AS tag
