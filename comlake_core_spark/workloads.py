@@ -1270,6 +1270,40 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "array_higher_order",
+    r"""
+    SELECT doc_id,
+           len(list_filter(toks, t -> len(t) > 4)) AS n_long,
+           list_has_any(toks, ['spark']) AS has_spark,
+           len(toks) = len(list_filter(toks, t -> len(t) > 0)) AS all_nonempty
+    FROM (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    """,
+    "array",
+    "higher-order",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter/exists/forall lambdas compile
+    to JVM expressions evaluated inline over the token array (no explode,
+    no shuffle, no Python): the map-only shape for per-document feature
+    extraction at scan speed."""
+    from comlake_core_spark.operators.text import tokens
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.exists(toks, lambda t: t == "spark").alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+    )
+
+
+@workload(
     "events_props_variant",
     """
     SELECT event_type,
