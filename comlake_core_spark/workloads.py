@@ -3334,3 +3334,326 @@ def late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~high, 1)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension batch: argmax aggregates, ordered string agg, null-safe join,
+# exact histograms, schema-evolution union, boolean aggregates, recursive
+# CTEs, lateral joins, map-function pipelines (SURVEY.md §2.4 widening)
+# ---------------------------------------------------------------------------
+
+# Unique total order for argmin/argmax determinism: exact integer cents of
+# the price, tie-broken by the (unique) order key. Both engines evaluate it
+# as exact BIGINT arithmetic, so the winner is engine-independent even when
+# prices tie. Cents ≤ 5e7 and keys ≤ 1.5e7 at sf10, so the packed value
+# stays far below 2^63.
+_PRICE_ORD = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey"
+
+
+@workload(
+    "agg_argmax_order",
+    f"""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, {_PRICE_ORD}) AS best_orderkey,
+           arg_min(o_orderkey, {_PRICE_ORD}) AS worst_orderkey,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "aggregation",
+    "argmax",
+)
+def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min):
+    the cheapest-and-most-expensive-order-per-priority shape. Scale design:
+    max_by carries one (value, ordering) pair of state per group through
+    map-side partial aggregation — same shuffle profile as MAX, no sort and
+    no window. Determinism: the ordering expression is a unique BIGINT
+    (exact cents packed with the order key), so ties cannot make the two
+    engines pick different winners."""
+    (od,) = _t(spark, sf_dir, "orders")
+    ord_ = F.expr(_PRICE_ORD)
+    return od.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ord_).alias("best_orderkey"),
+        F.min_by("o_orderkey", ord_).alias("worst_orderkey"),
+        F.max(dec("o_totalprice", 18, 2)).cast("double").alias("max_price"),
+    )
+
+
+@workload(
+    "string_agg_nations",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    "aggregation",
+    "string-agg",
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): Spark has no
+    ordered string_agg aggregate, so the idiomatic form is
+    array_join(array_sort(collect_list(x))) — collect_list's
+    partition-dependent order is canonicalized by the sort, making the
+    result deterministic and hash-equal to DuckDB's ORDER BY form. Scale
+    design: only valid when each group's list fits an executor (here:
+    nations per region, a dim-sized group); for unbounded groups the
+    correct tool is explode-side processing, not string concatenation."""
+    rg, na = _t(spark, sf_dir, "region", "nation")
+    return (
+        na.join(F.broadcast(rg), na.n_regionkey == rg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@workload(
+    "join_null_safe",
+    """
+    WITH a AS (SELECT nullif(event_type, 'view') AS k, COUNT(*) AS n_events
+               FROM events GROUP BY 1),
+         b AS (SELECT nullif(event_type, 'view') AS k,
+                      CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+               FROM events GROUP BY 1)
+    SELECT a.k, n_events, total_value
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    "join",
+    "null-safe",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (eqNullSafe ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics dirty
+    dimension keys need. Scale design: EqualNullSafe is still an equi-join
+    condition for Catalyst, so this plans as a hash join (NULLs hash to one
+    partition — a null-heavy fact side would need the usual skew
+    treatment), never a nested-loop."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("view"))
+    a = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_events"))
+    b = ev.groupBy(k.alias("k2")).agg(
+        F.sum(dec("value", 14, 4)).cast("double").alias("total_value")
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k2"])).select("k", "n_events", "total_value")
+
+
+@workload(
+    "histogram_totalprice",
+    """
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500000 AS bucket,
+           CAST((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500000) * 25000
+                AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+    FROM orders GROUP BY 1, 2
+    """,
+    "aggregation",
+    "histogram",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram ($25k buckets over order value) — the
+    profiling shape behind width_bucket, built from integer arithmetic so
+    bucket edges are engine-exact: double→DECIMAL(18,2)→integer cents,
+    then BIGINT floor-division (Spark DIV ≡ DuckDB //; prices are
+    non-negative so truncation == floor). Scale design: bucketing is a
+    codegen'd map-only expression and the aggregate carries one row per
+    bucket through map-side combine — a full-table profile costs one scan
+    and a |buckets|-row shuffle."""
+    (od,) = _t(spark, sf_dir, "orders")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return (
+        od.withColumn("bucket", F.expr(f"{cents} DIV 2500000"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("bucket_value"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * 25000).cast("bigint"))
+    )
+
+
+@workload(
+    "union_by_name_evolution",
+    """
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+    )
+    SELECT COALESCE(o_orderpriority, 'PRE-SCHEMA') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM u GROUP BY 1
+    """,
+    "union",
+    "schema-evolution",
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 extract (no priority column) merged
+    with a v2 extract via unionByName(allowMissingColumns=True) — Spark
+    aligns by NAME and fills the missing column with NULL, the DataFrame
+    twin of mergeSchema parquet reads (see read_evolved). The aggregate
+    then treats pre-schema rows as their own bucket. Scale design: the
+    union is a plan-level concatenation (zero shuffle); both branches scan
+    the same files, and Catalyst pushes each branch's date filter down so
+    every row is read once."""
+    (od,) = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("date")
+    v1 = od.filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_totalprice")
+    v2 = od.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("o_orderpriority", F.lit("PRE-SCHEMA")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 18, 2)).cast("double").alias("total"),
+    )
+
+
+@workload(
+    "agg_filtered_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           count_if(value > 100) AS n_high,
+           bool_or(value > 300) AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg
+    FROM events GROUP BY event_type
+    """,
+    "aggregation",
+    "boolean",
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / filtered aggregates (count_if, bool_or ≡ ANY, bool_and ≡
+    EVERY) — the SQL FILTER-clause family. Scale design: each is a single
+    conditional accumulator with map-side combine (bool_or/bool_and are
+    1-bit state), so adding more rule columns adds zero shuffle volume —
+    the same one-scan property the dq_orders_checks gate builds on."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(v > 100).alias("n_high"),
+        F.bool_or(v > 300).alias("any_extreme"),
+        F.bool_and(v >= 0).alias("all_nonneg"),
+    )
+
+
+# One SQL text, two engines (the sql_interface_shared_text discipline):
+# recursive month spine LEFT-JOINed to the monthly order counts. Spark 4
+# executes WITH RECURSIVE natively (UnionLoop); DuckDB runs the identical
+# string as the oracle. CASTs normalize the one cross-engine type split
+# (date + month-interval is DATE in Spark, TIMESTAMP in DuckDB).
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM spine WHERE m < DATE '1995-12-01'
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY 1
+)
+SELECT spine.m AS month_start, COALESCE(n, 0) AS n_orders
+FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+"""
+
+
+@workload(
+    "recursive_cte_month_spine",
+    _RECURSIVE_SPINE_SQL,
+    "recursive-cte",
+    "sql",
+    "timeseries",
+)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE): generate a 12-month spine
+    by recursion, then LEFT JOIN monthly order counts so empty months
+    surface as zero — the recursive-SQL formulation of gap filling
+    (events_gapfill_locf builds the same grid with sequence()+explode).
+    The IDENTICAL SQL text runs on both engines. Scale design: recursion
+    here produces the tiny side (one row per step on the driver-sized
+    spine); the fact scan is pruned by the pushed year filter and
+    aggregated before the broadcast-sized join. Recursion depth is bounded
+    and static — at 100 TB the spine is still 12 rows."""
+    (od,) = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+# Correlated LATERAL subquery with ORDER BY ... LIMIT — the SQL spelling of
+# grouped top-1. One text, two engines.
+_LATERAL_TOP_SQL = """
+SELECT c_custkey, best.top_orderkey, best.top_price
+FROM customer, LATERAL (
+  SELECT o_orderkey AS top_orderkey, o_totalprice AS top_price
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey DESC
+  LIMIT 1
+) AS best
+"""
+
+
+@workload(
+    "lateral_top_order",
+    _LATERAL_TOP_SQL,
+    "join",
+    "lateral",
+    "topk",
+)
+def lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (each customer's single most expensive
+    order) — identical SQL text on both engines. Spark decorrelates the
+    per-row subquery into a DomainJoin + window-style rewrite rather than
+    executing it row-at-a-time, so the plan is a join + grouped top-1, not
+    |customer| subquery executions; the ORDER BY carries a unique
+    tie-break (orderkey) so both engines pick the same row. Scale design:
+    semantically equal to topk_orders_per_segment's row_number form — that
+    one rides WindowGroupLimit and is the spelling to prefer at 100 TB;
+    this workload pins that the LATERAL front door exists and agrees."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    cu.createOrReplaceTempView("customer")
+    od.createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOP_SQL)
+
+
+@workload(
+    "map_functions_pipeline",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 3
+    """,
+    "functions",
+    "map",
+)
+def map_functions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function family end-to-end: per-user counts are packed
+    into a MAP via map_from_entries(collect_list(struct)), pruned with the
+    map_filter higher-order lambda, and unpacked by exploding the map —
+    landing exactly where the flat GROUP BY ... HAVING oracle lands. Pins
+    that Spark's map construction/lambda/explode round-trips losslessly
+    (keys are unique by construction — map_from_entries throws on
+    duplicates). Scale design: the map stage is per-user state sized by
+    |event types| (bounded, small); all lambdas are codegen'd JVM
+    expressions, no Python."""
+    (ev,) = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.explode(F.map_filter("m", lambda k, v: v >= F.lit(3))).alias("event_type", "n"),
+    )
