@@ -242,3 +242,59 @@ def test_late_lines_priority_filter_scan_local(spark):
     assert P.has_pushed_filter(df, "l_returnflag")
     assert P.has_partial_aggregate(df)
     assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_lateral_join_decorrelated(spark):
+    # correlated LATERAL + LIMIT must decorrelate to a window/join plan —
+    # never a per-row subquery (CartesianProduct / nested loop)
+    df = run(spark, "lateral_top_order")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" in plan  # grouped top-1 rewrite
+    assert P.count_shuffles(df) <= 2
+
+
+def test_null_safe_join_is_hash_join(spark):
+    # EqualNullSafe is an equi-join key: hash join, no nested loop
+    df = run(spark, "join_null_safe")
+    plan = P.executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert P.has_broadcast_join(df)
+
+
+def test_union_by_name_pushes_branch_filters(spark):
+    # each union branch's date filter reaches its parquet scan, and the
+    # union itself is plan-level (no extra exchange beyond the final agg)
+    df = run(spark, "union_by_name_evolution")
+    assert P.has_pushed_filter(df, "o_orderdate")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_recursive_cte_spine_stays_tiny(spark):
+    # the recursion materializes as a UnionLoop on the 12-row spine; the
+    # fact side is pre-aggregated (partial agg) and joined broadcast-side,
+    # with the year filter pushed to the orders scan
+    df = run(spark, "recursive_cte_month_spine")
+    plan = P.executed_plan(df)
+    assert "UnionLoop" in plan
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    # executedPlan toString elides this scan's detail; read the formatted plan
+    assert P.scan_filters_on(df, "o_orderdate")
+    assert P.count_shuffles(df) <= 1
+
+
+def test_argmax_single_shuffle_partial_agg(spark):
+    # max_by/min_by carry one pair of state per group: same plan shape as
+    # MAX — partial agg then one exchange
+    df = run(spark, "agg_argmax_order")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_histogram_single_scan_single_shuffle(spark):
+    df = run(spark, "histogram_totalprice")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
