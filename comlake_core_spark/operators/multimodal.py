@@ -32,6 +32,7 @@ IMAGE_FEATURES_SCHEMA = (
     "id string, mime string, n_bytes long, width int, height int, features array<float>"
 )
 FRAME_SCHEMA = "id string, frame_idx int, frame_bytes binary, pts_sec double"
+RESIZED_SCHEMA = "id string, width int, height int, pixels binary"
 AUDIO_STATS_SCHEMA = "id string, n_samples long, duration_sec double, rms double"
 
 
@@ -93,6 +94,44 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224, codec: str = "fake") -> DataFrame:
+    """Image resize to a fixed (width, height) — the preprocessing step in
+    front of any vision model. Output is a raw pixel buffer of exactly
+    width*height bytes (grayscale), so downstream batch shapes are static.
+
+    Fake codec: nearest-neighbor resample over the content bytes treated as
+    a square image — numpy-vectorized per batch, index math identical to a
+    real nearest-neighbor resize; a real backend (PIL.Image.resize) changes
+    only the inner per-batch function. Scale design: map-only over the scan
+    (no shuffle), output size is constant per row regardless of input size,
+    so executor memory per batch is bounded by batch_size * width * height."""
+    if codec == "real":
+        raise NotImplementedError("real resize needs PIL/opencv; use codec='fake'")
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"id": [], "width": [], "height": [], "pixels": []}
+            for _, row in pdf.iterrows():
+                data = np.frombuffer(bytes(row["content"] or b"\x00"), dtype=np.uint8)
+                side = max(int(len(data) ** 0.5), 1)
+                src = data[: side * side].reshape(side, side)
+                ys = (np.arange(height) * side) // height
+                xs = (np.arange(width) * side) // width
+                resized = src[np.ix_(ys, xs)]
+                out["id"].append(row["id"])
+                out["width"].append(width)
+                out["height"].append(height)
+                out["pixels"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec: str = "fake") -> DataFrame:

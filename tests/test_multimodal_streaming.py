@@ -341,3 +341,22 @@ def test_streaming_dedup_bounded_state(spark, tmp_path_factory):
     q.stop()
     fps = sorted(r["fp"] for r in out)
     assert fps == ["fp_0", "fp_1", "fp_2", "fp_a"]
+
+
+def test_resize_images_fixed_output(spark, blob_dir):
+    df = multimodal.load_binary_dir(spark, blob_dir, pattern="img_*.bin")
+    out = multimodal.resize_images(df, width=8, height=4).collect()
+    assert len(out) == 2
+    for r in out:
+        # static output shape regardless of input size
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["pixels"]) == 8 * 4
+    # deterministic: img_a.bin is all 'A' bytes, so every pixel is 65
+    a = next(r for r in out if r["id"] == "img_a.bin")
+    assert set(a["pixels"]) == {65}
+
+
+def test_resize_images_real_is_stubbed(spark, blob_dir):
+    df = multimodal.load_binary_dir(spark, blob_dir, pattern="img_a.bin")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(df, codec="real")
