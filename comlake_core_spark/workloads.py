@@ -3657,3 +3657,121 @@ def map_functions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.map_filter("m", lambda k, v: v >= F.lit(3))).alias("event_type", "n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product/event analytics: funnels and retention cohorts (SURVEY.md §2 —
+# beyond-reference training-pipeline analytics over the events hypertable)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "funnel_view_click_purchase",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ), per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT COUNT(t1) AS users_view,
+           COUNT(t2) AS users_click_after_view,
+           COUNT(t3) AS users_purchase_after_click
+    FROM per_user
+    """,
+    "funnel",
+    "window",
+    "events",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts for
+    stage k only if stage k's first event happens AT OR AFTER stage k-1's
+    first event. Implemented as three chained unbounded window-mins over the
+    same user partition, so each stage's anchor time is visible on every row
+    of the user without a self-join.
+
+    Scale design: ONE shuffle on user_id; the three Window operators and the
+    per-user aggregate all reuse that partitioning (no further exchange —
+    plan-pinned in tests). The classic alternative — three self-joins of
+    events with step predicates — shuffles the fact table once per stage."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = ev.select("user_id", "ts", "event_type")
+    e = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")), F.col("ts")
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("users_view"),
+        F.count("t2").alias("users_click_after_view"),
+        F.count("t3").alias("users_purchase_after_click"),
+    )
+
+
+@workload(
+    "retention_weekly_cohorts",
+    """
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+      FROM events
+    ), act AS (
+      SELECT DISTINCT user_id, cohort, wk FROM wk
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort, wk) // 7 AS INTEGER) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM act GROUP BY 1, 2
+    """,
+    "retention",
+    "cohort",
+    "events",
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users are cohorted by the ISO week of
+    their first event; each later active week contributes to that cohort's
+    (week_offset, n_active_users) cell. date_trunc('week') lands on Monday
+    in both engines, so offsets are exact multiples of 7 days.
+
+    Scale design: the cohort anchor is a window-min over user_id (one
+    shuffle); the per-(user, week) dedup is a distinct whose clustering
+    requirement is already satisfied by the user_id hash partitioning
+    (subset rule — no second full-width shuffle); only the final tiny
+    (cohort × offset) aggregate re-shuffles, and that output is bounded by
+    weeks², independent of |events|."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    e = e.withColumn("cohort", F.min("wk").over(w))
+    act = e.select("user_id", "cohort", "wk").distinct()
+    return act.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))

@@ -298,3 +298,21 @@ def test_histogram_single_scan_single_shuffle(spark):
     df = run(spark, "histogram_totalprice")
     assert P.has_partial_aggregate(df)
     assert P.count_shuffles(df) == 1
+
+
+def test_funnel_single_data_shuffle(spark):
+    # three chained window-mins + per-user agg all ride ONE hash exchange
+    # on user_id; the only other movement is the final single-row reduce
+    df = run(spark, "funnel_view_click_purchase")
+    plan = P.executed_plan(df)
+    assert plan.count("Window ") == 3 or plan.count("Window") >= 3
+    assert P.count_shuffles(df) == 1
+    assert P.has_partial_aggregate(df)
+
+
+def test_retention_distinct_reuses_user_partitioning(spark):
+    # the (user, cohort, week) distinct's clustering requirement is
+    # satisfied by the window's hash(user_id) partitioning (subset rule):
+    # only the cohort-anchor shuffle and the tiny final-cell shuffle remain
+    df = run(spark, "retention_weekly_cohorts")
+    assert P.count_shuffles(df) == 2
