@@ -3775,3 +3775,35 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
         (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@workload(
+    "token_budget_admit",
+    """
+    WITH c AS (
+      SELECT event_id, user_id,
+             SUM(CAST(value AS DECIMAL(14,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(cum AS DOUBLE) AS cum_value
+    FROM c WHERE cum <= CAST(500.0 AS DECIMAL(14,4))
+    """,
+    "quota",
+    "window",
+    "streaming-twin",
+)
+def token_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ingestion quota: admit the longest event-time prefix whose
+    cumulative value stays within a 500-unit budget — the admission-control
+    operator for capping per-source intake in a 100 TB crawl. This batch
+    form (window cumsum + filter, exact DECIMAL(14,4)) is the oracle twin
+    of streaming/budget.py's stateful streaming implementation, which is
+    pytest-pinned to emit bit-identical admissions across micro-batch
+    replay. One shuffle on user_id; the quota filter is a codegen'd
+    post-window predicate, so rejected rows never leave the executor."""
+    from comlake_core_spark.streaming.budget import admit_within_budget
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return admit_within_budget(ev, 500.0)
