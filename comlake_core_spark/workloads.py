@@ -3807,3 +3807,75 @@ def token_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _t(spark, sf_dir, "events")
     return admit_within_budget(ev, 500.0)
+
+
+@workload(
+    "events_sliding_windows",
+    """
+    WITH hops AS (SELECT 0 AS k UNION ALL SELECT 1),
+    w AS (
+      SELECT date_trunc('hour', ts) - to_hours(k) AS win_start,
+             event_type, value
+      FROM events CROSS JOIN hops
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    "time",
+    "window",
+    "streaming-twin",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2-hour windows advancing every
+    hour, so each event lands in exactly two overlapping windows. Built on
+    F.window(slideDuration=...) — the SAME expression drives the
+    readStream form (streaming/windows.py windowed_counts takes a slide),
+    so this is the batch twin of a sliding streaming aggregation. The
+    oracle expands the two covering windows explicitly (CROSS JOIN a 2-row
+    hop table). Plan: the window fanout is a flat 2x row expansion feeding
+    ONE partial-aggregated shuffle on (window, event_type) — fanout happens
+    map-side, so shuffled volume is 2x|groups-per-partition|, not
+    2x|events|; at a 1000-executor scale the overlap factor (size/slide)
+    is the knob that trades window resolution for shuffle volume."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 14, 4)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@workload(
+    "heavy_hitters_event_types",
+    """
+    SELECT event_type, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    """,
+    "sketch",
+    "frequency",
+)
+def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items summary (operators/sketches.py) run in
+    its exact regime: k=16 exceeds |distinct(event_type)|, so no decrement
+    ever fires and the sketch provably equals the exact GROUP BY — which
+    makes the whole distributed pipeline (mapInPandas partial summaries →
+    k·P-row shuffle → TakeOrdered offset broadcast) oracle-checkable. The
+    approximate regime's deterministic n/(k+1) undercount bound is
+    pytest-pinned on zipf-skewed data under multiple partitionings
+    (tests/test_sketches.py, the PODS'12 mergeability result). At 100 TB
+    the raw column never moves: shuffle volume is O(k × partitions)."""
+    from comlake_core_spark.operators.sketches import misra_gries
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return misra_gries(ev, "event_type", 16)
