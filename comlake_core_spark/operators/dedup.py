@@ -380,12 +380,17 @@ def winnow_dedup_pairs(
     self-join skew-free at 100 TB."""
     from comlake_core_spark.operators.text import winnow_fingerprints
 
+    # persist: the postings feed the df-cap aggregate AND both sides of the
+    # fingerprint self-join — without it the O(n·w) winnowing sketch is
+    # re-evaluated three times (same discipline as the MinHash/SimHash
+    # signature frames above; at 100 TB write the postings as a table).
     postings = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
             F.explode(winnow_fingerprints(text_col, k=k, w=w)).alias("_fp"),
         )
+        .persist()
     )
     # fingerprints are distinct within a doc, so count(*) = document frequency
     rare = (
