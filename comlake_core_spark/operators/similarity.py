@@ -77,11 +77,16 @@ def seeded_centroids(corpus: DataFrame, n_centroids: int, vec_col: str, id_col: 
     """Deterministic centroid pick: the n_centroids corpus vectors with the
     smallest xxhash64(id) — a seeded pseudo-random sample, no kmeans state.
     One extra pass; at 100 TB use a persisted codebook instead."""
+    # orderBy+limit plans TakeOrderedAndProject (map-side top-n per
+    # partition, driver merge) — NOT a global sort; the row_number window
+    # then runs over only the n_centroids survivors, so the single-partition
+    # exchange it needs moves n_centroids rows, never the corpus.
+    top = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(n_centroids)
     w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     return (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
+        top.withColumn("_r", F.row_number().over(w))
         .select(F.col("_r").alias("centroid_id"), F.col("_cv").alias("centroid_vec"))
     )
 
@@ -235,31 +240,88 @@ def ivf_topk(
     """Approximate top-k: score only corpus vectors whose nearest centroid is
     among the query's n_probe closest centroids. refine_iters > 0 runs that
     many spherical k-means Lloyd passes over the corpus first (kmeans_refine)
-    — better-centered buckets, same query plan."""
-    if refine_iters > 0:
-        cents = F.broadcast(kmeans_refine(corpus, n_centroids, refine_iters, vec_col, id_col))
-    else:
-        cents = F.broadcast(seeded_centroids(corpus, n_centroids, vec_col, id_col))
+    — better-centered buckets, same query plan.
 
-    def assign(df: DataFrame, key: str, vcol: str, out: str, keep: int) -> DataFrame:
-        # partition the top-k window by the row KEY only — windowing over
-        # the vector column would shuffle and compare the arrays themselves
-        scored = df.crossJoin(cents).withColumn("_sim", cosine(F.col(vcol), F.col("centroid_vec")))
-        w = Window.partitionBy(key).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .select(*df.columns, F.col("centroid_id").alias(out))
+    Bucket assignment is MAP-ONLY: the codebook is collected to the driver
+    (it is O(n_centroids) rows and driver-resident during k-means anyway),
+    L2-normalized there, and baked into the plan as a literal array of
+    (id, unit-vector) structs — so each row ranks the centroids inside a
+    single transform + array_max, no crossJoin, no window, no shuffle of
+    the corpus. Ranking by cosine against centroids is invariant to the
+    row vector's own norm, so the per-centroid score is ONE O(d) dot fold
+    against the pre-normalized centroid (no norm folds at all). The only
+    corpus shuffle in the whole query is the final per-query top-k window
+    over the bucket-pruned candidate rows."""
+    if refine_iters > 0:
+        cents_df = kmeans_refine(corpus, n_centroids, refine_iters, vec_col, id_col)
+    else:
+        cents_df = seeded_centroids(corpus, n_centroids, vec_col, id_col)
+
+    def _unit(v: list) -> list:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [float(x) / n for x in v]
+
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+            )
+            for r in cents_df.collect()
+        ]
+    )
+
+    def _scored(vcol: str):
+        # struct order (dot, -cid): max/descending = best similarity, ties
+        # broken toward the smallest centroid id (same order the k-means
+        # assignment and the old window formulation used)
+        return F.transform(
+            codebook,
+            lambda s: F.struct(
+                dot(F.col(vcol), s["cvec"]).alias("sim"),
+                (-s["cid"]).alias("ncid"),
+            ),
         )
 
-    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("_cv"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv"))
-    c_assigned = assign(c, "nbr_id", "_cv", "bucket", 1)
-    q_assigned = assign(q, "query_id", "_qv", "bucket", n_probe)
-
-    scored = c_assigned.join(F.broadcast(q_assigned), "bucket").select(
-        "query_id", "nbr_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine")
+    # explicit aliases: corpus and queries may derive from the SAME source
+    # relation (self-lookup), and the join below must bind each side's
+    # attributes to its own subtree
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).alias("_ivf_c")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).alias("_ivf_q")
+    # the 1-element explode is semantically a plain projection, but a
+    # Generate output carries NO alias constraint — preventing the
+    # optimizer's constraint inference from substituting this corpus-side
+    # expression into a filter on the (same-relation) query side and
+    # producing an unbindable reference (Catalyst
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under AQE replan at small sizes)
+    c_assigned = c.select(
+        "nbr_id",
+        "_cv",
+        F.explode(F.array((-F.array_max(_scored("_cv"))["ncid"]).cast("int"))).alias("bucket"),
     )
+    q_assigned = (
+        q.select(
+            "query_id",
+            "_qv",
+            F.explode(F.slice(F.reverse(F.array_sort(_scored("_qv"))), 1, n_probe)).alias("_s"),
+        )
+        .select("query_id", "_qv", (-F.col("_s.ncid")).cast("int").alias("_qbucket"))
+        # eager materialization of the O(|queries| × n_probe) probe frame —
+        # tiny by contract (it is the broadcast side below). Also severs
+        # shared lineage with the corpus: when queries derive from the same
+        # relation, constraint inference otherwise substitutes the corpus
+        # bucket expression into a filter on this side (unbindable
+        # attribute — Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+        .localCheckpoint(eager=True)
+    )
+
+    scored = c_assigned.join(
+        F.broadcast(q_assigned), F.col("bucket") == F.col("_qbucket")
+    ).select("query_id", "nbr_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -199,7 +199,11 @@ def top_terms_tfidf(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf feeds both the document-frequency agg and the scoring
+    # join — without it each consumer re-tokenizes the whole corpus. tf is
+    # the compacted (doc, distinct-term) frame, far smaller than the raw
+    # token explosion; at 100 TB write it as a table and reuse across runs.
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     ratio = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
@@ -247,7 +251,13 @@ def bm25_search(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term") != "")
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # persist the two SMALL aggregates (one row per doc / per (doc, term)):
+    # dl feeds both the corpus-stats agg and the final join, tf feeds both
+    # the df agg and the final join — without persist each consumer
+    # re-tokenizes the whole corpus (4 passes instead of 2). The exploded
+    # token frame itself is deliberately NOT persisted: at 100 TB it is
+    # larger than the corpus; two streaming passes beat materializing it.
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")).persist()
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
     )
@@ -255,6 +265,7 @@ def bm25_search(
         toks.filter(F.col("term").isin(*query_terms))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(

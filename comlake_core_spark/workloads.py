@@ -802,8 +802,11 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_t = docs.select(t.alias("t")).filter(F.size("t") >= 2)
 
     uni = with_t.select(F.explode("t").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    # persist the O(vocab) unigram counts: they feed BOTH broadcast sides
+    # (u1, u2) AND — as a sum — the total-token scalar, so the corpus is
+    # tokenized twice total (unigram + bigram pass), not four times.
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    tot = ucnt.agg(F.sum("c").alias("n"))
 
     idx = F.sequence(F.lit(0), F.size("t") - 2)
     bi = with_t.select(

@@ -63,6 +63,18 @@ def test_ann_topk_no_corpus_shuffle_before_scoring(spark):
     assert P.has_window_group_limit(df)
 
 
+def test_ivf_assignment_is_map_only_single_shuffle(spark):
+    # bucket assignment is a literal-codebook expression (no crossJoin, no
+    # per-row window): the ONLY shuffle in the whole query is the final
+    # per-query top-k merge, the probe frame arrives by broadcast, and no
+    # cartesian/nested-loop join appears anywhere
+    df = run(spark, "ann_ivf_topk")
+    assert P.count_shuffles(df) == 1
+    assert P.has_broadcast_join(df)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_no_cartesian_product(spark):
     # LSH banding must meet as an equi-join on bucket keys, never a
     # cartesian pair enumeration
