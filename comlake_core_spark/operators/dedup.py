@@ -247,6 +247,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate_ngrams(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval decontamination by word n-gram overlap: return the train
+    documents sharing at least one lowercased word n-gram with any eval
+    document, with the count of distinct overlapping n-grams (the standard
+    LLM-pipeline leakage check — GPT-3 App. C / PaLM-style 'n-gram
+    collision with the benchmark').
+
+    Scale shape: the eval n-gram set is DISTINCT'd and broadcast (eval
+    benchmarks are small — MBs against a 100 TB train corpus), so the
+    train side is one map-only explode + broadcast semi probe; the only
+    shuffle is the final per-doc distinct-count, over matched grams only
+    (rare by construction). Documents shorter than n tokens produce no
+    grams and can't be flagged.
+    """
+    lowered = lambda c: F.lower(F.trim(F.col(c)))  # noqa: E731
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(lowered(text_col))
+        sz = F.size(toks)
+        idx = F.sequence(F.lit(1), sz - (n - 1))
+        g = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return df.filter(sz >= n).select(
+            F.col(id_col), F.explode(F.array_distinct(g)).alias("_g")
+        )
+
+    eval_grams = grams(eval_df).select("_g").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col)
+        # grams are per-doc distinct already (array_distinct before the
+        # explode), so a plain count is the distinct count — no extra
+        # distinct aggregation state
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

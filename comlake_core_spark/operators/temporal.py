@@ -152,6 +152,122 @@ def gapfill_locf(
     )
 
 
+def scd2_compress(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Change-point compression into SCD-type-2 validity intervals: for each
+    key, collapse consecutive rows with the same ``state_col`` into one row
+    with ``valid_from`` (first ts of the run), ``valid_to`` (start of the
+    next run, null for the current run) and ``n_events`` (run length).
+
+    This is the warehouse slowly-changing-dimension build (and the
+    time-series "compress consecutive" shape). The reference has no window
+    or aggregate constructs at all (SURVEY.md §2.4) — extension operator.
+
+    Scale shape: ONE shuffle on ``key_col`` serves everything — the lag
+    (change detection), the running sum (run numbering), the run
+    aggregation (groupBy(key, run) reuses the key partitioning via the
+    subset rule), and the lead (valid_to) — so the plan is shuffle once,
+    sort within partitions, stream. State per key is one row.
+    ``tiebreak_col`` must make (ts, tiebreak) unique per key so run
+    numbering is deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("int")
+    runs = df.select(
+        key_col,
+        ts_col,
+        state_col,
+        F.col(tiebreak_col).alias("_tb"),
+        changed.alias("_chg"),
+    ).select(
+        key_col,
+        ts_col,
+        state_col,
+        F.sum("_chg")
+        .over(
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, "_tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("_run"),
+    )
+    # _chg marks run starts, so within a run (key, _run, state) is constant
+    agg = runs.groupBy(key_col, "_run", state_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lead_w = Window.partitionBy(key_col).orderBy("valid_from")
+    return agg.select(
+        key_col,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(lead_w).alias("valid_to"),
+        "n_events",
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    value_decimal: str = "decimal(14,4)",
+) -> DataFrame:
+    """Last-observation-carried-forward time-weighted average per key over
+    each key's own observation span (TimescaleDB ``time_weight('LOCF')``
+    shape): Σ value_i · (t_{i+1} − t_i) / (t_n − t_1). Keys with a single
+    observation (zero-length span) are dropped.
+
+    Engine-agreement discipline: the weighted sum is computed in exact
+    decimal × integer-microseconds arithmetic (associative, so Spark's
+    partial-aggregation order can't change it) and only the final division
+    happens in double. Scale: one shuffle on the key — the lead window and
+    the aggregation share it; the integral is a running fold, never a
+    driver loop.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seq = df.select(
+        key_col,
+        us.alias("_us"),
+        F.col(value_col).cast(value_decimal).alias("_v"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).select(
+        key_col,
+        "_us",
+        "_v",
+        (F.lead("_us").over(Window.partitionBy(key_col).orderBy("_us", "_tb")) - F.col("_us"))
+        .alias("_dt"),
+    )
+    return (
+        seq.groupBy(key_col)
+        .agg(
+            F.sum(F.col("_v") * F.coalesce(F.col("_dt"), F.lit(0))).alias("_num"),
+            (F.max("_us") - F.min("_us")).alias("_span_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("_span_us") > 0)
+        .select(
+            key_col,
+            (F.col("_num").cast("double") / F.col("_span_us").cast("double")).alias(
+                "twa_value"
+            ),
+            "_span_us",
+            "n_events",
+        )
+        .withColumnRenamed("_span_us", "span_us")
+    )
+
+
 def range_join_points_to_intervals(
     points: DataFrame,
     intervals: DataFrame,

@@ -285,6 +285,39 @@ def bm25_search(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics: token count,
+    distinct-token count, the most frequent token's count, and a
+    repetition flag (over half the tokens are repeats, or one token is
+    more than 20% of the document). All metrics are integers and the flag
+    is integer cross-multiplication — no FP, so the SQL oracle matches
+    bitwise.
+
+    Scale shape: explode → (doc, token) count with map-side partial
+    aggregation (the combine collapses each partition's duplicates before
+    the shuffle, so shuffle volume is per-partition-distinct tokens, not
+    raw tokens), then a doc-level roll-up whose input is already tiny.
+    A row-local alternative (aggregate over array_distinct) avoids both
+    shuffles but is O(n²) per document — wrong for long documents.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    per = tok.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    return per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_c").alias("max_token_count"),
+        (
+            (2 * F.count(F.lit(1)) < F.sum("_c"))
+            | (5 * F.max("_c") > F.sum("_c"))
+        ).alias("is_repetitive"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame — single scan, codegen'd, no
     shuffle; at 100 TB this is a map-only job."""

@@ -64,11 +64,17 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in tables().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamp-without-zone columns read as TIMESTAMP (LTZ),
+        # not TIMESTAMP_NTZ: watermarks/unix_micros require LTZ, and with
+        # the session TZ pinned UTC the two types carry identical instants,
+        # matching the DuckDB oracle's naive-UTC reading.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # the comlake Python Data Source implements pushFilters
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 

@@ -2652,8 +2652,12 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("view_us"),
-        F.unix_micros("asof_ts").alias("purchase_us"),
+        # events.ts is parquet timestamp[us] without a zone → TIMESTAMP_NTZ
+        # under Spark 4's NTZ inference; unix_micros only takes TIMESTAMP_LTZ.
+        # The session timezone is pinned UTC, so the cast is epoch-identity
+        # and matches DuckDB's epoch_us over the same naive values.
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("view_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp_ltz")).alias("purchase_us"),
         "purchase_value",
     )
 
@@ -3882,3 +3886,167 @@ def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _t(spark, sf_dir, "events")
     return misra_gries(ev, "event_type", 16)
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline hygiene: decontamination, repetition filtering, SCD2
+# change history, time-weighted averages (all north-star extensions;
+# reference has no aggregate/window constructs at all, SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "decontaminate_train_eval",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5
+    )
+    SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+    FROM grams
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0) e USING (g)
+    WHERE grams.doc_id % 50 <> 0
+    GROUP BY grams.doc_id
+    """,
+    "dedup",
+    "decontamination",
+    "text",
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    lowercased word 5-gram with the held-out eval slice (docs with
+    doc_id % 50 == 0 stand in for the benchmark). The eval n-gram set is
+    distinct'd and BROADCAST — at 100 TB the train side is a map-only
+    explode + broadcast semi probe; the only shuffle is the per-doc count
+    over matched grams (rare by construction)."""
+    from comlake_core_spark.operators.dedup import decontaminate_ngrams
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_ngrams(train, eval_df, n=5)
+
+
+@workload(
+    "text_repetition_filter",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, u.x AS tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS u(x)
+      WHERE u.x <> ''
+    ),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_token_count,
+           (2 * COUNT(*) < SUM(c)) OR (5 * MAX(c) > SUM(c)) AS is_repetitive
+    FROM per GROUP BY doc_id
+    """,
+    "text",
+    "quality",
+    "repetition",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (duplicate-token
+    fraction > 1/2 or one token > 20% of the doc). All-integer metrics —
+    the flag is integer cross-multiplication, bitwise oracle-safe. Scale:
+    explode → map-combined (doc, token) counts → tiny doc-level rollup."""
+    from comlake_core_spark.operators.text import repetition_stats
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return repetition_stats(ensure_parallelism(docs))
+
+
+@workload(
+    "scd2_event_type_history",
+    r"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM seq
+    ),
+    agg AS (
+      SELECT user_id, event_type, MIN(ts) AS vf, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run
+    )
+    SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           n_events
+    FROM agg
+    """,
+    "temporal",
+    "window",
+    "scd2",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 build: collapse each user's consecutive same-type events
+    into validity intervals [valid_from, valid_to) — the warehouse
+    slowly-changing-dimension / change-point-compression shape. ONE
+    shuffle on user_id serves lag, run numbering, the run aggregation
+    (subset rule), and the lead for valid_to."""
+    from comlake_core_spark.operators.temporal import scd2_compress
+
+    (ev,) = _t(spark, sf_dir, "events")
+    out = scd2_compress(ev, "user_id", "ts", "event_type", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "n_events",
+    )
+
+
+@workload(
+    "time_weighted_avg_value",
+    r"""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(14,4)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(v * COALESCE(next_us - us, 0)) AS DOUBLE)
+             / CAST(MAX(us) - MIN(us) AS DOUBLE) AS twa_value,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM seq
+    GROUP BY user_id
+    HAVING MAX(us) > MIN(us)
+    """,
+    "temporal",
+    "window",
+    "twa",
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of `value` per user over the user's own
+    observation span (TimescaleDB time_weight shape). The integral is an
+    exact decimal × integer-microsecond sum (associative ⇒ partial-agg
+    order can't change it); only the final division is double. One shuffle
+    on user_id shared by the lead window and the aggregation."""
+    from comlake_core_spark.operators.temporal import time_weighted_avg
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
