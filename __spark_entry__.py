@@ -28,11 +28,19 @@ def _registry():
     return REGISTRY
 
 
+def _apply_session_confs(spark: SparkSession) -> None:
+    """Session confs the workloads assume; the driver builds its own bare
+    SparkSession, so the engine's session.py defaults must be re-applied
+    here (VERDICT r1 #3: parquet TIMESTAMP_NTZ breaks withWatermark)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: multi-join revenue rollup
     (customer ⋈ orders ⋈ lineitem ⋈ nation with broadcast dims)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _apply_session_confs(spark)
     return _registry()["join_revenue_by_nation"].fn(spark, SMOKE_SF_DIR)
 
 
@@ -42,8 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def make(name):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _apply_session_confs(spark)
             return _registry()[name].fn(spark, sf_dir)
 
         run.__name__ = f"query_{name}"

@@ -204,7 +204,10 @@ def scd2_compress(
         F.min(ts_col).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    lead_w = Window.partitionBy(key_col).orderBy("valid_from")
+    # order by _run too: two runs of a key can share a valid_from when
+    # adjacent equal-ts events carry different states, and a lead ordered
+    # only by valid_from would be nondeterministic in both engines
+    lead_w = Window.partitionBy(key_col).orderBy("valid_from", "_run")
     return agg.select(
         key_col,
         state_col,
@@ -235,7 +238,6 @@ def time_weighted_avg(
     driver loop.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     seq = df.select(
         key_col,
         us.alias("_us"),

@@ -916,10 +916,16 @@ def dedup_exact_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked Jaccard with an EXPLICIT first-token block key so the
+    SQL oracle can mirror the blocking deterministically. The operator's
+    default blocking is now MinHash-banded (skew-safe; VERDICT r1 #8) and
+    is oracle-checked by dedup_minhash_lsh's brute-force oracle."""
     from comlake_core_spark.operators.dedup import ngram_jaccard_pairs
+    from comlake_core_spark.operators.text import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.05)
+    first_tok = F.lower(tokens("text").getItem(0))
+    return ngram_jaccard_pairs(docs, threshold=0.05, block_col=first_tok)
 
 
 @workload("dedup_clusters", None, "dedup", "components", "no-sql-oracle")
@@ -939,16 +945,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@workload("dedup_minhash_lsh", None, "dedup", "minhash", "no-sql-oracle")
+@workload(
+    "dedup_minhash_lsh",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sized a JOIN sized b
+      ON a.id < b.id
+     AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+     AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    """,
+    "dedup",
+    "minhash",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs. No SQL oracle (xxhash64 signatures are
-    not reproducible in DuckDB); recall/precision is pytest-verified against
-    constructed near-duplicates, and the exact-jaccard twin
-    (dedup_ngram_jaccard) is oracle-checked."""
+    """MinHash+LSH near-dup pairs, promoted to a full hash-checked oracle
+    (VERDICT r1 #7): the oracle brute-forces exact Jaccard over ALL pairs
+    (with an exactness-preserving size-ratio prefilter: jaccard >= t
+    implies min|grams| >= t * max|grams|), so equality holds iff LSH
+    banding recalls every true pair. At threshold 0.8 the corpus's
+    near-dup pairs all sit at jaccard >= 0.9; 16 bands x 4 rows detect
+    with P(miss) = (1-s^4)^16 ~ 4e-8 per pair — and xxhash64 is
+    deterministic, so the sf0.01 outcome is fixed and verified (8 bands
+    empirically missed exactly one 0.9-pair there), not probabilistic."""
     from comlake_core_spark.operators.dedup import minhash_lsh_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.3)
+    return minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
 
 
 @workload("dedup_simhash", None, "dedup", "simhash", "no-sql-oracle")
@@ -960,14 +995,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_pairs(docs, max_hamming=10)
 
 
-@workload("dedup_embedding", None, "dedup", "embedding", "no-sql-oracle")
+@workload(
+    "dedup_embedding",
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
+    "dedup",
+    "embedding",
+)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs via hyperplane LSH (pytest-verified;
-    the exact-cosine twin ann_cosine_topk is oracle-checked)."""
+    """Embedding cosine near-dup pairs via hyperplane LSH, with planted
+    duplicates and a full brute-force oracle (VERDICT r1 #6/#7: the old
+    rows-only check returned 0 rows at sf0.01 — the synthetic embeddings
+    have max pairwise cosine ~0.51). Every 10th vector is re-inserted
+    under id+1e6; identical vectors share every LSH bucket by
+    construction, so recall on the planted pairs is exactly 1, and no
+    natural pair reaches 0.9 — the oracle's all-pairs scan verifies both
+    the found pairs AND the absence of false positives. Cosine is
+    rounded to 6 digits on both engines (float64 einsum vs DuckDB's
+    float32 list_cosine_similarity agree to ~1e-7 on unit-identical
+    pairs)."""
     from comlake_core_spark.operators.dedup import embedding_dedup_pairs
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(emb, threshold=0.9)
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_dedup_pairs(base.unionByName(planted), threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @workload("dedup_winnow", None, "dedup", "text", "no-sql-oracle")
@@ -1176,7 +1240,7 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_sum",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1238,7 +1302,19 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
         ).alias("meta"),
     )
-    return decode_images(binary)
+    # The driver canonicalizer hashes values; serialize the float-array
+    # feature vector to a deterministic string (VERDICT r1 #3: array
+    # columns are unhashable there).
+    return decode_images(binary).select(
+        "id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        F.array_join(F.transform("features", lambda x: F.format_number(x, 6)), ",").alias(
+            "features_csv"
+        ),
+    )
 
 
 @workload("streaming_hourly_events", None, "streaming", "no-sql-oracle")
@@ -1310,7 +1386,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_variant",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -3984,12 +4060,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq
     ),
     agg AS (
-      SELECT user_id, event_type, MIN(ts) AS vf, COUNT(*) AS n_events
+      SELECT user_id, event_type, run, MIN(ts) AS vf, COUNT(*) AS n_events
       FROM runs GROUP BY user_id, event_type, run
     )
     SELECT user_id, event_type,
            strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf, run),
                     '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
            n_events
     FROM agg
@@ -4028,7 +4104,7 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           CAST(SUM(v * COALESCE(next_us - us, 0)) AS DOUBLE)
+           CAST(CAST(SUM(v * COALESCE(next_us - us, 0)) AS VARCHAR) AS DOUBLE)
              / CAST(MAX(us) - MIN(us) AS DOUBLE) AS twa_value,
            CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
            CAST(COUNT(*) AS BIGINT) AS n_events
