@@ -2353,6 +2353,146 @@ def catalog_find_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "source_read_real",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+           CAST(c_nationkey AS VARCHAR) AS c_nationkey
+    FROM customer WHERE c_custkey < 300 AND c_mktsegment = 'BUILDING'
+    """,
+    "sources",
+    "integration",
+)
+def source_read_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL comlake Python Data Source under the oracle gate (VERDICT
+    r1 #9): 300 customer rows are content-addressed into a LocalStore as a
+    3-part CSV directory (mkdir + add + immutable cp manifest derivation),
+    read back via spark.read.format('comlake') with a directory-CID fan-out
+    (one InputPartition per part), and filtered with an EqualTo that the
+    source's pushFilters applies at parse time. Extract-time semantics:
+    every CSV value is a string, mirrored by VARCHAR casts in the oracle."""
+    import tempfile
+
+    from comlake_core_spark.sources import register
+    from comlake_core_spark.store.local import LocalStore
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    # bounded driver-side ingest (300 rows) — same discipline as
+    # catalog_find_real; real ingest would stream through store.add
+    rows = sorted(
+        cust.filter(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .collect(),
+        key=lambda r: r["c_custkey"],
+    )
+    store = LocalStore(tempfile.mkdtemp(prefix="comlake-src-wl-"))
+    header = "c_custkey,c_name,c_nationkey,c_mktsegment"
+    dir_cid = store.mkdir()
+    parts = 3
+    for p in range(parts):
+        body = "".join(
+            f"{r['c_custkey']},{r['c_name']},{r['c_nationkey']},{r['c_mktsegment']}\n"
+            for i, r in enumerate(rows)
+            if i % parts == p
+        )
+        cid = store.add_bytes((header + "\n" + body).encode())
+        dir_cid = store.cp(cid, dir_cid, f"part-{p:03d}.csv")
+    register(spark)
+    df = (
+        spark.read.format("comlake")
+        .option("store_root", store.root)
+        .option("cid", dir_cid)
+        .option("mime", "text/csv")
+        .load()
+    )
+    return df.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@workload(
+    "schema_infer_csv_real",
+    r"""
+    WITH src AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+             CAST(n_chars AS VARCHAR) AS n_chars,
+             CASE WHEN doc_id % 2 = 1 THEN 'v' || CAST(n_chars AS VARCHAR)
+                  ELSE CAST(n_chars AS VARCHAR) END AS mixed,
+             CASE WHEN doc_id % 5 = 0 THEN ''
+                  ELSE CAST(n_chars AS VARCHAR) END AS padded
+      FROM documents WHERE doc_id < 200
+    ),
+    lattice AS (
+      SELECT
+        MAX(CASE WHEN doc_id IS NULL OR trim(doc_id) = ''
+                   OR regexp_full_match(doc_id, '-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?')
+                 THEN 0 ELSE 1 END) AS doc_id,
+        MAX(CASE WHEN lang IS NULL OR trim(lang) = ''
+                   OR regexp_full_match(lang, '-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?')
+                 THEN 0 ELSE 1 END) AS lang,
+        MAX(CASE WHEN source IS NULL OR trim(source) = ''
+                   OR regexp_full_match(source, '-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?')
+                 THEN 0 ELSE 1 END) AS source,
+        MAX(CASE WHEN n_chars IS NULL OR trim(n_chars) = ''
+                   OR regexp_full_match(n_chars, '-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?')
+                 THEN 0 ELSE 1 END) AS n_chars,
+        MAX(CASE WHEN mixed IS NULL OR trim(mixed) = ''
+                   OR regexp_full_match(mixed, '-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?')
+                 THEN 0 ELSE 1 END) AS mixed,
+        MAX(CASE WHEN padded IS NULL OR trim(padded) = ''
+                   OR regexp_full_match(padded, '-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?')
+                 THEN 0 ELSE 1 END) AS padded
+      FROM src
+    )
+    SELECT colname, CASE WHEN flag = 1 THEN 'string' ELSE 'number' END AS inferred
+    FROM (
+      SELECT 'doc_id' AS colname, doc_id AS flag FROM lattice
+      UNION ALL SELECT 'lang', lang FROM lattice
+      UNION ALL SELECT 'source', source FROM lattice
+      UNION ALL SELECT 'n_chars', n_chars FROM lattice
+      UNION ALL SELECT 'mixed', mixed FROM lattice
+      UNION ALL SELECT 'padded', padded FROM lattice
+    )
+    """,
+    "extract",
+    "schema",
+    "integration",
+)
+def schema_infer_csv_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL CSV schema-inference component under the oracle gate
+    (VERDICT r1 #9): documents rows are rendered to CSV (with a mixed
+    number/string column and a blank-padded number column), content-
+    addressed into a LocalStore, inferred via infer_schema_json (the
+    reference's two-type lattice: a column is 'number' iff every non-blank
+    cell full-matches the JSON number regex — metadata.clj:41-47, blanks
+    don't demote), and the draft-07 properties are returned as rows. The
+    oracle refolds the same lattice over the same values in DuckDB SQL."""
+    import json as _json
+    import tempfile
+
+    from comlake_core_spark.extract.schema_infer import infer_schema_json
+    from comlake_core_spark.store.local import LocalStore
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rows = sorted(
+        docs.filter(F.col("doc_id") < 200).select("doc_id", "lang", "source", "n_chars").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    lines = ["doc_id,lang,source,n_chars,mixed,padded"]
+    for r in rows:
+        mixed = f"v{r['n_chars']}" if r["doc_id"] % 2 == 1 else str(r["n_chars"])
+        padded = "" if r["doc_id"] % 5 == 0 else str(r["n_chars"])
+        lines.append(f"{r['doc_id']},{r['lang']},{r['source']},{r['n_chars']},{mixed},{padded}")
+    store = LocalStore(tempfile.mkdtemp(prefix="comlake-schema-wl-"))
+    cid = store.add_bytes(("\n".join(lines) + "\n").encode())
+    schema_doc = _json.loads(infer_schema_json(spark, store, cid, "text/csv"))
+    props = schema_doc["items"]["properties"]
+    return spark.createDataFrame(
+        [(name, spec["type"]) for name, spec in props.items()],
+        "colname string, inferred string",
+    )
+
+
 @workload("udaf_weighted_mean", None, "udf", "no-sql-oracle")
 def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas grouped-agg UDF (the UDAF surface — SURVEY §2.4 notes the
