@@ -7,12 +7,13 @@ mapInPandas over binary batches, so the 100 TB story is the same scan-
 partitioned map-only story as text. Loading uses Spark's binaryFile source
 (one row per object, parallelized over files).
 
-Decode is STUBBED in this environment (no image/audio libraries in the
-container): each decode function has a real, tested Spark-side pipeline —
-schema, batching, partitioning, UDF signature — and a ``codec`` switch:
-``fake`` (deterministic bytes-derived values, used by tests) or ``real``
-(raises NotImplementedError with the library it would use). Swapping in
-PIL/ffmpeg later changes ONLY the inner per-batch function.
+Codecs: each operator takes a ``codec`` switch. Three REAL formats are
+decoded in pure Python (operators/codecs.py — stdlib zlib/struct + numpy):
+``png`` for images/resize, ``wav`` (PCM16) for audio, ``y4m`` (YUV4MPEG2)
+for video frame sampling. ``fake`` is the deterministic bytes-derived
+stand-in used for plumbing tests, and ``real`` names the native-library
+formats (JPEG/MP3/MP4) that stay NotImplemented in this container —
+swapping in PIL/ffmpeg changes ONLY the inner per-batch function.
 
 The reference stores multimedia content as opaque IPFS blobs and left
 'multimedia metadata' as a TODO (reference
@@ -64,25 +65,49 @@ def _fake_image_decode(data: bytes) -> tuple[int, int, list[float]]:
     return width, height, features
 
 
+def _png_features(data: bytes) -> tuple[int, int, list[float]]:
+    """Real decode via the pure-Python PNG codec: dimensions plus an 8-bin
+    normalized luminance histogram as the feature vector."""
+    from comlake_core_spark.operators.codecs import png_decode
+
+    img = png_decode(data)
+    h, w, _ = img.shape
+    luma = img[:, :, 0].astype("float64") if img.shape[2] < 3 else (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    )
+    import numpy as np
+
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+    feats = (hist / max(luma.size, 1)).astype("float32").tolist()
+    return w, h, feats
+
+
 def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     """(id, content, meta) → (id, mime, n_bytes, width, height, features).
 
     mapInPandas: each Arrow batch of binaries is decoded in one Python call;
-    output schema is fixed so downstream plans don't depend on the codec."""
+    output schema is fixed so downstream plans don't depend on the codec.
+
+    codec='png' is a REAL decoder (operators/codecs.py, stdlib zlib +
+    numpy — all filter types, color types 0/2/3/4/6); codec='fake' is the
+    deterministic bytes-derived stand-in for formats that would need a
+    native library."""
     if codec == "real":
         raise NotImplementedError(
-            "real image decode needs PIL/opencv (not in this container); "
-            "use codec='fake' for the plumbing path"
+            "JPEG/WebP decode needs PIL/opencv (not in this container); "
+            "codec='png' is implemented in pure Python, codec='fake' covers "
+            "the rest of the plumbing"
         )
-    if codec != "fake":
+    if codec not in ("fake", "png"):
         raise ValueError(f"unknown codec {codec!r}")
+    decode = _png_features if codec == "png" else _fake_image_decode
 
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
             out = {"id": [], "mime": [], "n_bytes": [], "width": [], "height": [], "features": []}
             for _, row in pdf.iterrows():
                 data = bytes(row["content"] or b"")
-                w, h, feats = _fake_image_decode(data)
+                w, h, feats = decode(data)
                 out["id"].append(row["id"])
                 out["mime"].append(row["meta"]["mime"] if row["meta"] is not None else None)
                 out["n_bytes"].append(len(data))
@@ -94,6 +119,39 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = "id string, width int, height int, channels int, mean_pixel double"
+
+
+def decode_image_stats(df: DataFrame, codec: str = "png") -> DataFrame:
+    """(id, content, meta) → (id, width, height, channels, mean_pixel):
+    the scalar-stats twin of decode_images, decoding REAL PNG bytes. The
+    mean is an exact integer sum divided once in float64, so it is
+    oracle-comparable bit-for-bit when the expected mean has a closed
+    form."""
+    if codec != "png":
+        raise ValueError("decode_image_stats supports the pure-Python png codec")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from comlake_core_spark.operators.codecs import png_decode
+
+        for pdf in it:
+            out = {"id": [], "width": [], "height": [], "channels": [], "mean_pixel": []}
+            for _, row in pdf.iterrows():
+                img = png_decode(bytes(row["content"] or b""))
+                h, w, ch = img.shape
+                out["id"].append(row["id"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_pixel"].append(float(img.sum(dtype=np.int64)) / img.size)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224, codec: str = "fake") -> DataFrame:
@@ -108,22 +166,33 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224, codec: str
     (no shuffle), output size is constant per row regardless of input size,
     so executor memory per batch is bounded by batch_size * width * height."""
     if codec == "real":
-        raise NotImplementedError("real resize needs PIL/opencv; use codec='fake'")
-    if codec != "fake":
+        raise NotImplementedError(
+            "JPEG resize needs PIL/opencv; codec='png' decodes real PNGs in "
+            "pure Python, codec='fake' treats content bytes as a square image"
+        )
+    if codec not in ("fake", "png"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from comlake_core_spark.operators.codecs import png_decode
+
         for pdf in it:
             out = {"id": [], "width": [], "height": [], "pixels": []}
             for _, row in pdf.iterrows():
-                data = np.frombuffer(bytes(row["content"] or b"\x00"), dtype=np.uint8)
-                side = max(int(len(data) ** 0.5), 1)
-                src = data[: side * side].reshape(side, side)
-                ys = (np.arange(height) * side) // height
-                xs = (np.arange(width) * side) // width
+                if codec == "png":
+                    img = png_decode(bytes(row["content"] or b""))
+                    src = img[:, :, 0]  # luma/first channel
+                    sh, sw = src.shape
+                else:
+                    data = np.frombuffer(bytes(row["content"] or b"\x00"), dtype=np.uint8)
+                    side = max(int(len(data) ** 0.5), 1)
+                    src = data[: side * side].reshape(side, side)
+                    sh = sw = side
+                ys = (np.arange(height) * sh) // height
+                xs = (np.arange(width) * sw) // width
                 resized = src[np.ix_(ys, xs)]
                 out["id"].append(row["id"])
                 out["width"].append(width)
@@ -137,29 +206,49 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224, codec: str
 def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec: str = "fake") -> DataFrame:
     """Video frame sampling: one input row fans out to one row per sampled
     frame — the mapInPandas shape for demux-style operators (row fanout
-    with binary payloads). Fake codec: fixed-size byte windows as
-    'frames' at 30 fps."""
+    with binary payloads). codec='y4m' demuxes REAL YUV4MPEG2 streams
+    (operators/codecs.py — luma planes, true pts from the stream's frame
+    rate); codec='fake' windows raw bytes at 30 fps."""
     if codec == "real":
-        raise NotImplementedError("real demux needs ffmpeg; use codec='fake'")
+        raise NotImplementedError(
+            "MP4/H.264 demux needs ffmpeg; codec='y4m' demuxes real "
+            "YUV4MPEG2 in pure Python, codec='fake' windows raw bytes"
+        )
+    if codec not in ("fake", "y4m"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
+
+        from comlake_core_spark.operators.codecs import y4m_decode
 
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row["content"] or b"")
-                n_frames = max(len(data) // frame_size, 1)
-                for idx in range(0, n_frames, every_n):
-                    chunk = data[idx * frame_size : (idx + 1) * frame_size]
-                    rows.append(
-                        {
-                            "id": row["id"],
-                            "frame_idx": idx,
-                            "frame_bytes": chunk,
-                            "pts_sec": idx / 30.0,
-                        }
-                    )
+                if codec == "y4m":
+                    _w, _h, fps, frames = y4m_decode(data)
+                    for idx in range(0, len(frames), every_n):
+                        rows.append(
+                            {
+                                "id": row["id"],
+                                "frame_idx": idx,
+                                "frame_bytes": frames[idx].tobytes(),
+                                "pts_sec": idx / fps,
+                            }
+                        )
+                else:
+                    n_frames = max(len(data) // frame_size, 1)
+                    for idx in range(0, n_frames, every_n):
+                        chunk = data[idx * frame_size : (idx + 1) * frame_size]
+                        rows.append(
+                            {
+                                "id": row["id"],
+                                "frame_idx": idx,
+                                "frame_bytes": chunk,
+                                "pts_sec": idx / 30.0,
+                            }
+                        )
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_bytes", "pts_sec"])
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
@@ -167,23 +256,38 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec:
 
 def audio_stats(df: DataFrame, sample_rate: int = 16000, codec: str = "fake") -> DataFrame:
     """Audio feature extraction: bytes → (n_samples, duration, rms).
-    Fake codec treats content as signed 8-bit PCM — numpy-vectorized per
-    batch, the same shape a real soundfile/librosa decode would take."""
+    codec='wav' decodes REAL RIFF/WAVE PCM16 (operators/codecs.py — rate
+    and channel count from the fmt chunk); codec='fake' treats content as
+    signed 8-bit PCM at ``sample_rate``."""
     if codec == "real":
-        raise NotImplementedError("real audio decode needs soundfile/librosa; use codec='fake'")
+        raise NotImplementedError(
+            "MP3/OGG decode needs soundfile/librosa; codec='wav' decodes "
+            "real PCM WAV in pure Python, codec='fake' covers raw bytes"
+        )
+    if codec not in ("fake", "wav"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from comlake_core_spark.operators.codecs import wav_decode
+
         for pdf in it:
             out = {"id": [], "n_samples": [], "duration_sec": [], "rms": []}
             for _, row in pdf.iterrows():
-                data = np.frombuffer(bytes(row["content"] or b""), dtype=np.int8).astype("float64")
+                raw = bytes(row["content"] or b"")
+                if codec == "wav":
+                    rate, samples = wav_decode(raw)
+                    data = samples.astype("float64").mean(axis=1)  # downmix
+                    n = samples.shape[0]
+                else:
+                    data = np.frombuffer(raw, dtype=np.int8).astype("float64")
+                    rate, n = sample_rate, len(data)
                 out["id"].append(row["id"])
-                out["n_samples"].append(len(data))
-                out["duration_sec"].append(len(data) / sample_rate)
-                out["rms"].append(float(np.sqrt((data**2).mean())) if len(data) else 0.0)
+                out["n_samples"].append(n)
+                out["duration_sec"].append(n / rate)
+                out["rms"].append(float(np.sqrt((data**2).mean())) if n else 0.0)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)

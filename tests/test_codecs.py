@@ -1,0 +1,194 @@
+"""Pure-Python codec tests: PNG/WAV/Y4M roundtrips and the Spark-side
+real-codec paths of the multimodal operators."""
+
+import numpy as np
+import pytest
+
+from comlake_core_spark.operators import multimodal
+from comlake_core_spark.operators.codecs import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+    y4m_decode,
+    y4m_encode,
+)
+
+rng = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(filter_type, channels):
+    img = rng.integers(0, 256, size=(13, 17, channels), dtype=np.uint8)
+    data = png_encode(img, filter_type=filter_type)
+    out = png_decode(data)
+    assert out.shape == (13, 17, channels)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_grayscale_2d_input():
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    out = png_decode(png_encode(img))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_png_average_paeth_filters():
+    """Hand-build scanlines with Average (3) and Paeth (4) filters and
+    check the sequential unfilter path against a reference recon."""
+    import struct
+    import zlib
+
+    from comlake_core_spark.operators.codecs import PNG_SIG, _png_chunk
+
+    w = h = 4
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(np.int32)
+    lines = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y, ftype in zip(range(h), [0, 3, 4, 3]):
+        row = img[y]
+        if ftype == 0:
+            filt = row.copy()
+        else:
+            filt = np.zeros(w, dtype=np.int32)
+            for x in range(w):
+                a = row[x - 1] if x >= 1 else 0
+                b = prev[x]
+                if ftype == 3:
+                    filt[x] = (row[x] - (a + b) // 2) % 256
+                else:
+                    c = prev[x - 1] if x >= 1 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = (row[x] - pred) % 256
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(png_decode(data)[:, :, 0], img.astype(np.uint8))
+
+
+def test_png_paletted():
+    import struct
+    import zlib
+
+    from comlake_core_spark.operators.codecs import PNG_SIG, _png_chunk
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    data = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = png_decode(data)
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_roundtrip(channels):
+    samples = rng.integers(-32768, 32767, size=(1000, channels), dtype=np.int16)
+    rate, out = wav_decode(wav_encode(samples, sample_rate=8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxNOPE")
+
+
+# ---------------------------------------------------------------------------
+# Y4M
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_roundtrip():
+    frames = rng.integers(0, 256, size=(5, 16, 20), dtype=np.uint8)
+    w, h, fps, out = y4m_decode(y4m_encode(frames, fps=25))
+    assert (w, h, fps) == (20, 16, 25.0)
+    np.testing.assert_array_equal(out, frames)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side real-codec paths
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def real_blob_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("real_blobs")
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    (d / "grad.png").write_bytes(png_encode(img, filter_type=2))
+    tone = (10000 * np.sin(np.arange(1600) * 0.1)).astype(np.int16)
+    (d / "tone.wav").write_bytes(wav_encode(tone, sample_rate=16000))
+    frames = np.stack([np.full((8, 8), i * 10, dtype=np.uint8) for i in range(6)])
+    (d / "clip.y4m").write_bytes(y4m_encode(frames, fps=30))
+    return str(d)
+
+
+def test_decode_images_png_real(spark, real_blob_dir):
+    df = multimodal.load_binary_dir(spark, real_blob_dir, pattern="*.png")
+    rows = multimodal.decode_images(df, codec="png").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (8, 8)
+    assert abs(sum(r["features"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_decode_image_stats_exact(spark, real_blob_dir):
+    df = multimodal.load_binary_dir(spark, real_blob_dir, pattern="*.png")
+    r = multimodal.decode_image_stats(df, codec="png").collect()[0]
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.int64)
+    assert r["mean_pixel"] == img.sum() / 64
+
+
+def test_audio_stats_wav_real(spark, real_blob_dir):
+    df = multimodal.load_binary_dir(spark, real_blob_dir, pattern="*.wav")
+    r = multimodal.audio_stats(df, codec="wav").collect()[0]
+    tone = (10000 * np.sin(np.arange(1600) * 0.1)).astype(np.int16).astype(np.float64)
+    assert r["n_samples"] == 1600
+    assert r["duration_sec"] == 1600 / 16000
+    assert abs(r["rms"] - float(np.sqrt((tone**2).mean()))) < 1e-6
+
+
+def test_sample_frames_y4m_real(spark, real_blob_dir):
+    df = multimodal.load_binary_dir(spark, real_blob_dir, pattern="*.y4m")
+    rows = multimodal.sample_frames(df, every_n=2, codec="y4m").collect()
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    r0 = min(rows, key=lambda r: r["frame_idx"])
+    assert bytes(r0["frame_bytes"]) == bytes(np.zeros(64, dtype=np.uint8))
+    r4 = max(rows, key=lambda r: r["frame_idx"])
+    assert r4["pts_sec"] == 4 / 30
+
+
+def test_resize_images_png_real(spark, real_blob_dir):
+    df = multimodal.load_binary_dir(spark, real_blob_dir, pattern="*.png")
+    r = multimodal.resize_images(df, width=4, height=4, codec="png").collect()[0]
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    expected = img[np.ix_((np.arange(4) * 8) // 4, (np.arange(4) * 8) // 4)]
+    assert bytes(r["pixels"]) == expected.tobytes()
