@@ -79,6 +79,22 @@ def split_assignment(key: Column, test_fraction: float, buckets: int = 10_000) -
     return F.pmod(F.xxhash64(key), F.lit(buckets)) < cut
 
 
+def split_assignment_portable(key: Column, test_fraction: float) -> Column:
+    """Engine-portable stable split: true → test set.
+
+    Same contamination guarantee as split_assignment (assignment is a pure
+    function of the key), but built on md5 — available bit-identically in
+    Spark, DuckDB, and PostgreSQL — so the split can be recomputed and
+    audited OUTSIDE Spark. The first 4 hex chars are compared
+    lexicographically against floor(fraction * 16^4) in hex: [0-9a-f]
+    lexicographic order equals numeric order, so no hex→int conversion is
+    needed in engines that lack one. Granularity is 1/65536 — ample for
+    split fractions. Prefer split_assignment (xxhash64, one codegen'd
+    intrinsic) in pure-Spark hot paths."""
+    cut = format(int(test_fraction * 65536), "04x")
+    return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(cut)
+
+
 def hash_split(
     df: DataFrame, key: str, test_fraction: float = 0.1
 ) -> tuple[DataFrame, DataFrame]:

@@ -280,7 +280,9 @@ def _op_regex(args, resolve, regex_mode):
     s, p = _compile_args(args, resolve, regex_mode)
     if not isinstance(args[1], str):
         raise QastError("~ pattern must be a string literal")
-    pattern = args[1]
+    from comlake_core_spark.qast.regex_dialect import translate_posix_classes
+
+    pattern = translate_posix_classes(args[1])
     if regex_mode == "full":
         pattern = f"^(?:{pattern})$"
     return _Typed(s.col.rlike(pattern), _BOOL)

@@ -66,7 +66,9 @@ def _field(args, ev, row, mode):
 
 
 def _regex(args, ev, row, mode):
-    s, p = ev(args[0]), args[1]
+    from comlake_core_spark.qast.regex_dialect import translate_posix_classes
+
+    s, p = ev(args[0]), translate_posix_classes(args[1])
     if s is None:
         return None
     return bool(re.fullmatch(p, s)) if mode == "full" else bool(re.search(p, s))

@@ -928,19 +928,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.05, block_col=first_tok)
 
 
-@workload("dedup_clusters", None, "dedup", "components", "no-sql-oracle")
+@workload(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.comp < e.b
+    )
+    SELECT comp AS component, COUNT(*) AS n_docs
+    FROM (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+    GROUP BY comp
+    """,
+    "dedup",
+    "components",
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidate edges
     grouped by min-label-propagation connected components (transitive
     closure — A~B, B~C collapse to one survivor even without an (A, C)
-    edge), returning (component, n_docs) per cluster. Convergence and
-    closure are pytest-pinned; see operators/dedup.connected_components."""
+    edge), returning (component, n_docs) per cluster. Promoted to a full
+    oracle (VERDICT r1 pattern): the brute-force exact-Jaccard edge set at
+    0.8 equals the LSH edge set (see dedup_minhash_lsh), and DuckDB
+    computes the same min-label closure with a recursive CTE — labels
+    propagate along edges only downhill (comp < target), which reaches
+    every node because a component's minimum is smaller than every member.
+    Convergence/closure also pytest-pinned in test_operators.py."""
     from comlake_core_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(ensure_parallelism(docs))
+    pairs = minhash_lsh_pairs(ensure_parallelism(docs), threshold=0.8, num_hashes=64, bands=16)
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -1477,6 +1519,38 @@ def qast_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag_ast = ["+", [".", ["$"], "c_name"], "/", [".", ["$"], "c_mktsegment"]]
     pred = compile_predicate([">=", [".", ["$"], "c_acctbal"], 0], resolver=resolve)
     return cust.filter(pred).select("c_custkey", compile_qast(tag_ast, resolver=resolve).alias("tag"))
+
+
+@workload(
+    "qast_posix_regex",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE regexp_matches(c_name, '[[:digit:]]7$')
+      AND regexp_matches(c_mktsegment, '^[[:upper:]]+$')
+    """,
+    "qast",
+    "regex",
+    "posix",
+)
+def qast_posix_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG-dialect POSIX bracket classes on the find path (the reference
+    compiles `~` to PostgreSQL POSIX regex, qast.clj:35): the engine
+    translates [[:digit:]]/[[:upper:]] to Java-regex ranges
+    (qast/regex_dialect.py) while DuckDB's RE2 takes them natively —
+    dialect parity checked end-to-end by the oracle."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    resolve = default_resolver(cust.schema)
+    pred = compile_predicate(
+        [
+            "&",
+            ["~", [".", ["$"], "c_name"], "[[:digit:]]7$"],
+            ["~", [".", ["$"], "c_mktsegment"], "^[[:upper:]]+$"],
+        ],
+        resolver=resolve,
+        regex_mode="partial",
+    )
+    return cust.filter(pred).select("c_custkey", "c_name")
 
 
 @workload(
@@ -2290,14 +2364,32 @@ def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_normalize_expr(ev)
 
 
-@workload("zscore_events_pandas", None, "groupmap", "no-sql-oracle")
+@workload(
+    "zscore_events_pandas",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN COUNT(*) OVER w < 2 OR STDDEV_SAMP(value) OVER w = 0
+                THEN 0.0
+                ELSE ROUND((value - AVG(value) OVER w)
+                           / STDDEV_SAMP(value) OVER w, 6) END AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    "groupmap",
+)
 def zscore_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map variant (pytest asserts ≈ the expression
-    twin; numpy float summation precludes a bitwise oracle)."""
+    """applyInPandas grouped-map variant, oracle-checked at 6 decimal
+    digits: pandas mean/std(ddof=1) and DuckDB AVG/STDDEV_SAMP differ only
+    in float summation order (~1e-13 relative), so both engines agree
+    after rounding — a boundary collision would need a z-score within
+    ~1e-10 of a half-digit, which the synthetic values don't produce.
+    The bitwise-exact decimal formulation is zscore_events (expression
+    twin); pytest asserts the two are approx-equal row-by-row."""
     from comlake_core_spark.operators.groupmap import zscore_normalize_pandas
 
     (ev,) = _t(spark, sf_dir, "events")
-    return zscore_normalize_pandas(ev)
+    out = zscore_normalize_pandas(ev)
+    return out.select("user_id", "event_id", F.round("zscore", 6).alias("zscore"))
 
 
 @workload(
@@ -3078,7 +3170,12 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "train_test_split_counts",
-    None,  # xxhash64 has no DuckDB twin; determinism + bounds pinned in tests/test_sampling.py
+    """
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
     "sampling",
     "training-data",
 )
@@ -3086,15 +3183,17 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable content-hash train/test split of the documents corpus:
     assignment is a pure function of doc_id (no shuffle, no randomness),
     so re-ingesting or re-partitioning never moves a document across the
-    split — the contamination guarantee an eval set needs. Returns
-    per-split counts; disjointness/completeness/monotonicity are pinned
-    in tests/test_sampling.py."""
-    from comlake_core_spark.operators.sampling import split_assignment
+    split — the contamination guarantee an eval set needs. Uses the
+    md5-based portable assignment so the EXACT membership (not just the
+    counts) is recomputable in DuckDB/PostgreSQL for audits; the oracle
+    applies the same cut (0x1999/0x10000 = 10%). The xxhash64 fast path
+    keeps its determinism/bounds pins in tests/test_sampling.py."""
+    from comlake_core_spark.operators.sampling import split_assignment_portable
 
     (docs,) = _t(spark, sf_dir, "documents")
     return (
         docs.select(
-            F.when(split_assignment(F.col("doc_id"), 0.1), "test")
+            F.when(split_assignment_portable(F.col("doc_id"), 0.1), "test")
             .otherwise("train")
             .alias("split")
         )

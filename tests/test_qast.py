@@ -153,3 +153,48 @@ def test_map_literal_and_access(spark):
     # including field access through them
     ast = [".", {"a": 1, "b": 2}, "b"]
     assert eval_const(spark, ast) == 2
+
+
+def test_regex_posix_classes_three_backends(spark):
+    # PG-dialect POSIX bracket classes (qast.clj:35 compiles ~ to
+    # PostgreSQL POSIX regex): [[:alpha:]] etc. must work in the Spark
+    # compiler and the pure-Python interpreter (translated to ASCII
+    # ranges) and in the DuckDB SQL backend (RE2 accepts them natively).
+    import duckdb
+
+    from comlake_core_spark.qast.interp import eval_qast
+    from comlake_core_spark.qast.sqlgen import qast_to_sql
+
+    cases = [
+        ("Vietnam", "[[:alpha:]]+", True),
+        ("Vietnam7", "[[:alpha:]]+", False),  # full mode: digit not consumed
+        ("abc123", "[[:alnum:]]+", True),
+        ("tab\there", "[[:alpha:]]+[[:blank:]][[:alpha:]]+", True),
+        ("A1", "[[:upper:]][[:digit:]]", True),
+        ("a1", "[[:upper:]][[:digit:]]", False),
+        ("x!", "[[:alpha:]][[:punct:]]", True),
+    ]
+    for value, pattern, expected in cases:
+        ast = ["~", value, pattern]
+        # interpreter
+        assert eval_qast(ast, {}, regex_mode="full") is expected, (value, pattern)
+        # Spark compiler
+        got = (
+            spark.range(1)
+            .select(compile_qast(ast, regex_mode="full").alias("v"))
+            .first()["v"]
+        )
+        assert got is expected, (value, pattern)
+        # DuckDB SQL backend
+        sql = qast_to_sql(ast, regex_mode="full")
+        duck = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
+        assert bool(duck) is expected, (value, pattern)
+
+
+def test_translate_posix_classes_passthrough():
+    from comlake_core_spark.qast.regex_dialect import translate_posix_classes
+
+    # plain patterns untouched; unknown class names untouched
+    assert translate_posix_classes("a.c+[xyz]") == "a.c+[xyz]"
+    assert translate_posix_classes("[[:nosuch:]]") == "[[:nosuch:]]"
+    assert translate_posix_classes("[[:digit:]-]") == "[0-9-]"
