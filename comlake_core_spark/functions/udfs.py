@@ -104,6 +104,14 @@ def make_weighted_mean_udaf():
 
     @pandas_udf("double")
     def wmean(value: pd.Series, weight: pd.Series) -> float:
-        return float((value * weight).sum() / weight.sum())
+        # math.fsum = exact (correctly-rounded) sum of the double products,
+        # independent of the nondeterministic row order the shuffle hands
+        # each group — so the result is run-to-run stable and an exact-
+        # decimal SQL oracle agrees to ~1 ulp (the workload rounds both
+        # sides to 4 decimals, leaving ~6 orders of magnitude of margin).
+        import math
+
+        prod = (value * weight).to_numpy()
+        return float(math.fsum(prod) / math.fsum(weight.to_numpy()))
 
     return wmean

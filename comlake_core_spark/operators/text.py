@@ -231,6 +231,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 10,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranking of the corpus against a bag of query terms —
     the lexical-retrieval complement to the embedding ANN operators
@@ -245,9 +246,13 @@ def bm25_search(
     TakeOrderedAndProject. No score for a doc containing no query term
     (BM25 gives it 0 — it never enters the tf frame at all).
 
-    Values use ln, whose last ulp is libm-dependent, so this operator is
-    verified by pytest bounds + rank assertions (rows-only workload), not
-    a value-hash oracle — the tf-idf workload covers the hashable case."""
+    ``quantize=None`` (default) sums raw double contributions. With
+    ``quantize=d`` each per-(doc, term) contribution is rounded to d
+    decimals and summed EXACTLY in decimal — the score's float dependence
+    is then confined to the single per-term rounding, making the result
+    independent of Spark's partial-aggregation order and hash-comparable
+    against a SQL oracle (ln agrees across engines to ~1 ulp, ~6 orders
+    of magnitude inside the rounding grid)."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term") != "")
@@ -274,15 +279,20 @@ def bm25_search(
     norm_tf = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    return (
+    contrib = idf * norm_tf
+    if quantize is not None:
+        contrib = F.round(contrib, quantize).cast(f"decimal(20,{quantize})")
+    score = F.sum(contrib).alias("score")
+    out = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.sum(idf * norm_tf).alias("score"))
-        .orderBy(F.col("score").desc(), id_col)
-        .limit(top_n)
+        .agg(score)
     )
+    if quantize is not None:
+        out = out.select(id_col, F.col("score").cast("double").alias("score"))
+    return out.orderBy(F.col("score").desc(), id_col).limit(top_n)
 
 
 def repetition_stats(

@@ -735,7 +735,33 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "bm25_search",
-    None,  # ln's last ulp is libm-dependent; values + ranking pinned in tests/test_bm25.py
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+      WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(
+             ln(1.0::DOUBLE + ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)))
+             * ((tf * 2.2::DOUBLE)
+                / (tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)))
+           , 9) AS DECIMAL(20,9))) AS DOUBLE) AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
     "text",
     "search",
 )
@@ -743,13 +769,16 @@ def bm25_search_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 over the documents corpus for a fixed query —
     lexical retrieval beside the embedding ANN path (one explode pass
     feeds dl and query-term tf; df/stats broadcast back; TakeOrdered
-    top-n). See operators/text.bm25_search."""
+    top-n). quantize=9 confines the score's float dependence to one
+    per-term rounding (exact decimal sum after), so Java Math.log vs
+    DuckDB ln — equal to ~1 ulp — lands on the same 9-decimal grid and
+    the value hash matches. See operators/text.bm25_search."""
     from comlake_core_spark.operators.text import bm25_search
 
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return bm25_search(ensure_parallelism(docs), ("spark", "shuffle", "join"))
+    return bm25_search(ensure_parallelism(docs), ("spark", "shuffle", "join"), quantize=9)
 
 
 @workload(
@@ -1376,11 +1405,29 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(binary, codec="png")
 
 
-@workload("multimodal_decode_features", None, "multimodal", "no-sql-oracle")
+@workload(
+    "multimodal_decode_features",
+    r"""
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240 AS INT) AS width,
+           CAST(16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS INT) AS height,
+           list_aggregate(
+             list_transform(range(8), i ->
+               printf('%.6f', round(('0x' || substr(sha256(text), 5 + 2*i, 2))::INT / 255.0, 6))),
+             'string_agg', ',') AS features_csv
+    FROM documents
+    """,
+    "multimodal",
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas image-decode plumbing over binary columns synthesized
-    from documents (deterministic fake codec; pytest-verified against
-    real binary files)."""
+    from documents. The fake codec is DETERMINISTIC (sha256-derived dims +
+    8-dim feature vector, operators/multimodal.py:_fake_image_decode), so
+    the DuckDB oracle reproduces it in SQL: hex pairs of sha256(text) are
+    the digest bytes, %.6f printf matches the codec's round(b/255, 6) +
+    format_number rendering for every possible byte (all 256 verified)."""
     from comlake_core_spark.operators.multimodal import decode_images
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -2633,17 +2680,31 @@ def schema_infer_csv_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("udaf_weighted_mean", None, "udf", "no-sql-oracle")
+@workload(
+    "udaf_weighted_mean",
+    r"""
+    SELECT l_returnflag,
+           ROUND(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS wmean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "udf",
+)
 def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas grouped-agg UDF (the UDAF surface — SURVEY §2.4 notes the
     reference has no UDF surface at all): quantity-weighted mean price per
-    return flag. numpy float reduction → no bitwise oracle; pytest bounds
-    it against the exact decimal formulation."""
+    return flag. The UDAF sums with math.fsum (exact, order-independent),
+    so the exact-decimal oracle agrees to ~1 ulp; both sides round to 4
+    decimals, ~6 orders of magnitude of margin over that ulp."""
     from comlake_core_spark.functions.udfs import make_weighted_mean_udaf
 
     wmean = make_weighted_mean_udaf()
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(wmean("l_extendedprice", "l_quantity").alias("wmean_price"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(wmean("l_extendedprice", "l_quantity"), 4).alias("wmean_price")
+    )
 
 
 @workload(
