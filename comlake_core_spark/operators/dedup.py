@@ -340,10 +340,17 @@ def simhash_dedup_pairs(
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         "simhash",
+        # mask, NOT `%`: Spark's % is a signed remainder, so on a negative
+        # signature `shiftrightunsigned(sig, 0) % 2^16` is negative and the
+        # band-0 chunk would never equi-join against a positive-signature
+        # doc sharing the same low 16 bits — silently voiding the pigeonhole
+        # guarantee across the sign boundary (caught by the SQL oracle)
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftrightunsigned("simhash", b * band_bits) % (2**band_bits)).cast("long")
+                    F.shiftrightunsigned("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(2**band_bits - 1))
+                    .cast("long")
                     for b in range(n_bands)
                 ]
             )

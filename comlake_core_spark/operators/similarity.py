@@ -103,6 +103,7 @@ def hybrid_search_rrf(
     doc_id_col: str = "doc_id",
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
+    bm25_quantize: int | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 (lexical) and cosine top-k (vector) legs
     fused by Reciprocal Rank Fusion — score(d) = Σ_legs 1/(k_rrf + rank_d)
@@ -122,7 +123,16 @@ def hybrid_search_rrf(
     from comlake_core_spark.operators.text import bm25_search
 
     spark = docs.sparkSession
-    lex = bm25_search(docs, query_terms, text_col=text_col, id_col=doc_id_col, top_n=per_leg)
+    # bm25_quantize=d makes the lexical scores (and so the ranks the fusion
+    # consumes) independent of float summation order — see bm25_search
+    lex = bm25_search(
+        docs,
+        query_terms,
+        text_col=text_col,
+        id_col=doc_id_col,
+        top_n=per_leg,
+        quantize=bm25_quantize,
+    )
     w_lex = Window.orderBy(F.col("score").desc(), F.col(doc_id_col))
     lex_ranked = lex.select(
         F.col(doc_id_col).alias("id"), F.row_number().over(w_lex).alias("_r_lex")

@@ -1057,9 +1057,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
 
 
-@workload("dedup_simhash", None, "dedup", "simhash", "no-sql-oracle")
+@workload(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), toks2 AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), vocab AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(14695981039346656037::UBIGINT,
+                 list_transform(range(length(tok)), i -> unicode(substr(tok, i+1, 1))::UBIGINT)),
+               (h, b) -> CAST(CAST(xor(h, b) AS HUGEINT) * 1099511628211
+                              % 18446744073709551616 AS UBIGINT)) AS h
+      FROM (SELECT DISTINCT tok FROM toks2)
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+      FROM toks2 JOIN vocab USING (tok) CROSS JOIN range(64) bits(bit)
+      GROUP BY doc_id, bit
+    ), sig AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN tally > 0
+                                THEN CAST(1::UBIGINT << bit AS HUGEINT) END), 0) AS usig
+      FROM votes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, usig, band,
+             CAST((usig >> (band * 16)) % 65536 AS BIGINT) AS chunk
+      FROM sig CROSS JOIN range(4) bands(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(CAST(a.usig AS UBIGINT), CAST(b.usig AS UBIGINT))) AS INT)
+             AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.usig AS UBIGINT), CAST(b.usig AS UBIGINT))) <= 10
+    """,
+    "dedup",
+    "simhash",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Pandas-UDF signature; pytest-verified)."""
+    """SimHash near-dup pairs (Pandas-UDF signature). Oracle-able because
+    the signature is EXACT integer arithmetic end to end: the oracle
+    recomputes the per-token 64-bit FNV-1a in SQL (list_reduce over code
+    units — the corpus is ASCII so unicode() == the UTF-8 byte), takes the
+    same ±1 bit votes with multiplicity, packs sign bits, and mirrors the
+    16-bit pigeonhole band join + Hamming verify."""
     from comlake_core_spark.operators.dedup import simhash_dedup_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1160,12 +1205,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
 
 
-@workload("hybrid_search_rrf", None, "similarity", "search", "rrf", "no-sql-oracle")
+@workload(
+    "hybrid_search_rrf",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+      WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(ROUND(
+               ln(1.0::DOUBLE + ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)))
+               * ((tf * 2.2::DOUBLE)
+                  / (tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)))
+             , 9) AS DECIMAL(20,9))) AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 20
+    ), lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM bm25
+    ), qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id AS id,
+             list_dot_product(qv.v, CAST(embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))) AS cosine
+      FROM embeddings CROSS JOIN qv
+    ), sem AS (
+      SELECT id, r_sem FROM (
+        SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS r_sem FROM scored
+      ) WHERE r_sem <= 20
+    )
+    SELECT COALESCE(lex.id, sem.id) AS id,
+           COALESCE(1.0::DOUBLE / (60 + r_lex), 0.0::DOUBLE)
+             + COALESCE(1.0::DOUBLE / (60 + r_sem), 0.0::DOUBLE) AS rrf,
+           r_lex AS rank_lexical,
+           r_sem AS rank_vector
+    FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+    ORDER BY rrf DESC, id
+    LIMIT 10
+    """,
+    "similarity",
+    "search",
+    "rrf",
+)
 def hybrid_search_rrf_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical leg + cosine vector leg fused by
     Reciprocal Rank Fusion (rank-based, no score calibration). Fusion
     touches only 2×per_leg rows; leg shapes are the already-pinned bm25 /
-    top-k operators. Leg-fusion behavior pytest-pinned in test_bm25.py."""
+    top-k operators. Oracle-able because the fused quantities are RANKS:
+    the lexical leg runs with bm25_quantize=9 (order-independent scores,
+    ln on the same 9-decimal grid in both engines) and the vector leg's
+    cosine agrees bit-for-bit (sequential dot fold in both engines — same
+    evidence as ann_cosine_topk); the RRF sum itself is a fixed two-term
+    expression over integer ranks. Leg-fusion behavior also pytest-pinned
+    in test_bm25.py."""
     from comlake_core_spark.operators.similarity import hybrid_search_rrf
 
     from comlake_core_spark.session import ensure_parallelism
@@ -1173,7 +1282,8 @@ def hybrid_search_rrf_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, emb = _t(spark, sf_dir, "documents", "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return hybrid_search_rrf(
-        ensure_parallelism(docs), emb, ("spark", "shuffle", "join"), list(qvec), k=10
+        ensure_parallelism(docs), emb, ("spark", "shuffle", "join"), list(qvec), k=10,
+        bm25_quantize=9,
     )
 
 
