@@ -448,6 +448,7 @@ def winnow_dedup_pairs(
     w: int = 16,
     min_shared: int = 2,
     max_df: int = 100,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Substring-level near-dup pairs via winnowing fingerprints
     (operators/text.winnow_fingerprints): documents sharing >= min_shared
@@ -473,7 +474,7 @@ def winnow_dedup_pairs(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(winnow_fingerprints(text_col, k=k, w=w)).alias("_fp"),
+            F.explode(winnow_fingerprints(text_col, k=k, w=w, hasher=hasher)).alias("_fp"),
         )
         .persist()
     )

@@ -73,18 +73,33 @@ def brute_force_topk(
     )
 
 
-def seeded_centroids(corpus: DataFrame, n_centroids: int, vec_col: str, id_col: str) -> DataFrame:
+def seeded_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    hasher: str = "xxhash64",
+) -> DataFrame:
     """Deterministic centroid pick: the n_centroids corpus vectors with the
-    smallest xxhash64(id) — a seeded pseudo-random sample, no kmeans state.
-    One extra pass; at 100 TB use a persisted codebook instead."""
+    smallest hash(id) — a seeded pseudo-random sample, no kmeans state.
+    One extra pass; at 100 TB use a persisted codebook instead.
+    hasher='md5' orders by the md5 hex string instead — slower, but the
+    ordering has an exact DuckDB twin, which makes the downstream IVF
+    result SQL-oracle-checkable."""
+    if hasher == "xxhash64":
+        sort_key = F.xxhash64(F.col(id_col))
+    elif hasher == "md5":
+        sort_key = F.md5(F.col(id_col).cast("string"))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     # orderBy+limit plans TakeOrderedAndProject (map-side top-n per
     # partition, driver merge) — NOT a global sort; the row_number window
     # then runs over only the n_centroids survivors, so the single-partition
     # exchange it needs moves n_centroids rows, never the corpus.
     top = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    ).orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(n_centroids)
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    ).orderBy(sort_key, F.col(id_col)).limit(n_centroids)
+    w = Window.orderBy(sort_key, F.col(id_col))
     return (
         top.withColumn("_r", F.row_number().over(w))
         .select(F.col("_r").alias("centroid_id"), F.col("_cv").alias("centroid_vec"))
@@ -246,6 +261,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     refine_iters: int = 0,
+    seed_hasher: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose nearest centroid is
     among the query's n_probe closest centroids. refine_iters > 0 runs that
@@ -265,7 +281,7 @@ def ivf_topk(
     if refine_iters > 0:
         cents_df = kmeans_refine(corpus, n_centroids, refine_iters, vec_col, id_col)
     else:
-        cents_df = seeded_centroids(corpus, n_centroids, vec_col, id_col)
+        cents_df = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=seed_hasher)
 
     def _unit(v: list) -> list:
         n = sum(x * x for x in v) ** 0.5 or 1.0

@@ -116,7 +116,9 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
-def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, w: int = 4, hasher: str = "xxhash64"
+) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003): hash every character k-gram of the normalized text, then
     keep the minimum hash of each window of w consecutive k-grams, distinct.
@@ -136,9 +138,20 @@ def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
     expression-level let `transform(array(x), f)[0]`: Catalyst does no
     common-subexpression elimination across lambda bodies, so inlining the
     gram array into the window lambda would re-evaluate it (regex included)
-    per window position — O(n^2) per document instead of O(n*w)."""
+    per window position — O(n^2) per document instead of O(n*w).
+
+    ``hasher``: 'xxhash64' (default — fastest, a JVM intrinsic) or 'md5'
+    (first 15 hex chars of md5 as a base-16 long; slower but md5 has an
+    identical twin in DuckDB, so an md5-mode run is SQL-oracle-checkable
+    end to end — same selection logic, swapped hash primitive)."""
     c = F.col(text) if isinstance(text, str) else text
     empty = F.array().cast("array<bigint>")
+    if hasher == "xxhash64":
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    elif hasher == "md5":
+        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
 
     def _bind(col: Column, f) -> Column:
         return F.transform(F.array(col), f)[0]
@@ -149,7 +162,7 @@ def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
             n >= k,
             F.transform(
                 F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.xxhash64(nm.substr(i, F.lit(k))),
+                lambda i: gram_hash(nm.substr(i, F.lit(k))),
             ),
         ).otherwise(empty)
 

@@ -1150,16 +1150,54 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@workload("dedup_winnow", None, "dedup", "text", "no-sql-oracle")
+@workload(
+    "dedup_winnow",
+    r"""
+    WITH fps AS (
+      SELECT doc_id, unnest(sel) AS g
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(grams) >= 16 THEN
+                 list_distinct(list_transform(range(len(grams) - 15),
+                                              j -> list_min(grams[j+1:j+16])))
+               WHEN len(grams) > 0 THEN [list_min(grams)]
+               ELSE [] END AS sel
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN length(nm) >= 20 THEN
+                   list_transform(range(length(nm) - 19),
+                     i -> ('0x' || substr(md5(substr(nm, i+1, 20)), 1, 15))::BIGINT)
+                 ELSE [] END AS grams
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nm
+                FROM documents)
+        )
+      )
+    ), rare AS (
+      SELECT g FROM fps GROUP BY g HAVING COUNT(*) <= 100
+    ), pruned AS (
+      SELECT doc_id, g FROM fps JOIN rare USING (g)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM pruned a JOIN pruned b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 4
+    """,
+    "dedup",
+    "text",
+)
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level near-dup pairs via winnowing fingerprints
-    (Schleimer et al., SIGMOD 2003) — rows-only check here (xxhash64 has no
-    DuckDB twin); the winnowing coverage guarantee and the planted-passage
-    detection are pytest-verified in tests/test_operators.py."""
+    (Schleimer et al., SIGMOD 2003). Runs in hasher='md5' mode — identical
+    selection logic to the xxhash64 scale path, but the k-gram hash (first
+    15 hex chars of md5 as a base-16 long) has an exact DuckDB twin, so
+    the whole sketch → df-capped postings → self-join pipeline is under
+    the value-hash oracle. The xxhash64 path's coverage guarantee and
+    planted-passage detection are pytest-verified in tests/test_operators.py."""
     from comlake_core_spark.operators.dedup import winnow_dedup_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return winnow_dedup_pairs(docs, min_shared=4)
+    return winnow_dedup_pairs(docs, min_shared=4, hasher="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -1195,14 +1233,61 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@workload("ann_ivf_topk", None, "similarity", "ann", "no-sql-oracle")
+@workload(
+    "ann_ivf_topk",
+    r"""
+    WITH c AS (
+      SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(nbr_id AS VARCHAR)), nbr_id) AS cid, cv
+      FROM (SELECT * FROM c ORDER BY md5(CAST(nbr_id AS VARCHAR)), nbr_id LIMIT 16)
+    ), centu AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec
+      FROM cent
+    ), cassign AS (
+      SELECT nbr_id, cv, cid AS bucket FROM (
+        SELECT nbr_id, cv, cid, row_number() OVER (
+          PARTITION BY nbr_id
+          ORDER BY list_dot_product(cv, cvec) DESC, cid ASC) AS rn
+        FROM c CROSS JOIN centu
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), qprobe AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT query_id, qv, cid, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY list_dot_product(qv, cvec) DESC, cid ASC) AS rn
+        FROM q CROSS JOIN centu
+      ) WHERE rn <= 8
+    ), scored AS (
+      SELECT query_id, nbr_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM cassign JOIN qprobe USING (bucket)
+    )
+    SELECT query_id, nbr_id, cosine, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    "similarity",
+    "ann",
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (recall vs brute force is pytest-verified)."""
+    """IVF approximate top-k. Oracle-able end to end: the seeded codebook
+    orders by md5(id) (exact DuckDB twin of the hex string), unit-
+    normalization and every dot product are sequential left folds that
+    agree bit-for-bit with DuckDB's list_dot_product (same evidence as
+    ann_cosine_topk), and bucket assignment / probe ranking tie-break on
+    centroid id identically. Recall vs brute force is pytest-verified."""
     from comlake_core_spark.operators.similarity import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8, seed_hasher="md5")
 
 
 @workload(
