@@ -387,6 +387,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     max_bucket: int = 10_000,
+    method: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs among embeddings: random-hyperplane LSH bucket, then
     exact cosine verify within buckets.
@@ -404,7 +405,15 @@ def embedding_dedup_pairs(
     the cap are dropped (documented recall trade-off: a bucket that big is
     boilerplate/degenerate, exactly the content a near-dup pass should
     handle by other means), so the join does at most max_bucket² work per
-    bucket. The bucket histogram is tiny (≤ 2^n_planes rows) and broadcast."""
+    bucket. The bucket histogram is tiny (≤ 2^n_planes rows) and broadcast.
+
+    ``method``: 'pandas' runs bucketing and verify as Arrow-vectorized
+    Pandas UDFs (one matmul / einsum per batch — right for high-dim
+    embeddings, where a per-row fold would be a huge codegen expression);
+    'jvm' expresses both as built-in higher-order folds (whole-stage
+    codegen, zero Python workers — right for small dims, where Arrow
+    transfer + worker spin-up dominates the actual math); 'auto' picks
+    'jvm' when dim × n_planes is small enough to codegen comfortably."""
     import numpy as np
 
     from comlake_core_spark.functions.udfs import make_cosine_pair_udf, make_hyperplane_bucket_udf
@@ -415,13 +424,39 @@ def embedding_dedup_pairs(
     dim = int(first["d"])
     rng = np.random.default_rng(1729)  # fixed seed: stable buckets across runs
     planes_t = rng.choice([-1.0, 1.0], size=(n_planes, dim)).T  # (dim, n_planes)
-    bucket_udf = make_hyperplane_bucket_udf(planes_t)
-    cosine_udf = make_cosine_pair_udf()
+    if method == "auto":
+        method = "jvm" if dim * n_planes <= 8192 else "pandas"
+
+    if method == "jvm":
+        # same bit convention as the pandas UDF: bit j = (v · plane_j >= 0)
+        def _dot(a: Column, b: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+
+        def bucket_fn(vcol: Column) -> Column:
+            out = F.lit(0)
+            for j in range(n_planes):
+                plane = F.array(*[F.lit(float(planes_t[i, j])) for i in range(dim)])
+                out = out + F.when(_dot(vcol, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            return out.cast("long")
+
+        def cosine_fn(a: Column, b: Column) -> Column:
+            den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+            return F.when(den == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / den)
+
+    elif method == "pandas":
+        bucket_udf = make_hyperplane_bucket_udf(planes_t)
+        cosine_udf = make_cosine_pair_udf()
+        bucket_fn = lambda vcol: bucket_udf(vcol)  # noqa: E731
+        cosine_fn = lambda a, b: cosine_udf(a, b)  # noqa: E731
+    else:
+        raise ValueError(f"unknown method {method!r}")
 
     v = F.col(vec_col).cast("array<double>")
     docs = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), v.alias("_v"), bucket_udf(v).alias("_bucket"))
+        .select(F.col(id_col).alias("_id"), v.alias("_v"), bucket_fn(v).alias("_bucket"))
         .persist()
     )
     small = (
@@ -434,7 +469,7 @@ def embedding_dedup_pairs(
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
-        .withColumn("cosine", cosine_udf(F.col("a._v"), F.col("b._v")))
+        .withColumn("cosine", cosine_fn(F.col("a._v"), F.col("b._v")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
     )

@@ -353,3 +353,43 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         punct_ratio(text_col).alias("punct_ratio"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative RE2-and-Java-compatible patterns (no backrefs, no lookaround)
+# so the same regex runs in Spark (java.util.regex), DuckDB (RE2), and any
+# other engine a pipeline pairs this with.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # TPC-H-style international phone: 12-345-678-9012
+    "phone": r"[0-9]{2}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Redact PII spans from a text column and report per-category match
+    counts — the scrub step a training-data pipeline runs before anything
+    leaves the lake. Categories apply in sorted-name order (deterministic:
+    an email's digits must not first be half-eaten by the phone pattern —
+    order is part of the contract).
+
+    Scale shape: map-only — every regexp_replace / regexp_count is a
+    codegen'd JVM expression over the single scan; no shuffle, no Python.
+    """
+    pats = dict(sorted((patterns or PII_PATTERNS).items()))
+    red = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))

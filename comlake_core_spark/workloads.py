@@ -2957,6 +2957,81 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "pii_redact_customers",
+    r"""
+    WITH base AS (
+      SELECT c_custkey AS doc_id,
+             concat_ws(' ', c_name,
+               printf('%02d-%03d-%03d-%04d', c_nationkey + 10, c_custkey % 1000,
+                      (c_custkey // 1000) % 1000, c_custkey % 10000),
+               concat(lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')),
+                      '@example.com'),
+               'from',
+               printf('%d.%d.%d.%d', c_nationkey % 256, c_custkey % 256,
+                      (c_custkey * 7) % 256, (c_custkey * 13) % 256),
+               c_mktsegment) AS text
+      FROM customer
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{2}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[PII]', 'g'),
+             '[0-9]{2}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{4}', '[PII]', 'g') AS redacted
+    FROM base
+    """,
+    "text",
+    "pii",
+)
+def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the pre-export redaction step of a training-data
+    pipeline: emails, phones, and IPv4s masked, per-category counts kept
+    for audit. Exercised over customer rows rewritten as text (name +
+    synthesized TPC-H-style phone + email + IP + segment) so every
+    category actually fires. Map-only: codegen'd regexp expressions over
+    one scan; the patterns are RE2-and-Java-compatible so Spark and the
+    oracle run the SAME regex (see operators/text.PII_PATTERNS)."""
+    from comlake_core_spark.operators.text import pii_redact
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                F.col("c_nationkey") + 10,
+                F.col("c_custkey") % 1000,
+                (F.col("c_custkey") / F.lit(1000)).cast("long") % 1000,
+                F.col("c_custkey") % 10000,
+            ),
+            F.concat(
+                F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]+", ".")),
+                F.lit("@example.com"),
+            ),
+            F.lit("from"),
+            F.format_string(
+                "%d.%d.%d.%d",
+                F.col("c_nationkey") % 256,
+                F.col("c_custkey") % 256,
+                (F.col("c_custkey") * 7) % 256,
+                (F.col("c_custkey") * 13) % 256,
+            ),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return pii_redact(base)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shape join/aggregation suite (shapes the star schema supports without
 # partsupp): multi-way join ordering, conditional-aggregation ratios,

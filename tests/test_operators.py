@@ -82,6 +82,22 @@ def test_embedding_dedup_pairs(spark, emb_df):
     assert (0, 20) in found
 
 
+def test_embedding_dedup_methods_agree(spark, emb_df):
+    """The codegen fold path and the Arrow pandas-UDF path are the same
+    operator: identical buckets (same sign convention) and cosines to
+    float tolerance, so the pair sets must match exactly."""
+    df = spark.createDataFrame(emb_df)
+    jvm = dedup.embedding_dedup_pairs(df, threshold=0.9, method="jvm").collect()
+    pd_ = dedup.embedding_dedup_pairs(df, threshold=0.9, method="pandas").collect()
+    jp = {(r["id_a"], r["id_b"]) for r in jvm}
+    pp = {(r["id_a"], r["id_b"]) for r in pd_}
+    assert jp == pp
+    cj = {(r["id_a"], r["id_b"]): r["cosine"] for r in jvm}
+    cp = {(r["id_a"], r["id_b"]): r["cosine"] for r in pd_}
+    for k in cj:
+        assert abs(cj[k] - cp[k]) < 1e-9
+
+
 def test_brute_force_topk_self_is_nearest(spark, emb_df):
     df = spark.createDataFrame(emb_df)
     queries = df.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
