@@ -64,6 +64,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_decode_features",
     "pipeline_clean_corpus",
+    "pii_redact_customers",
+    "udaf_weighted_mean",
+    "hybrid_search_rrf",
 ]
 
 
