@@ -216,10 +216,32 @@ def read_evolved(spark, *paths: str):
     return spark.read.option("mergeSchema", True).parquet(*paths)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned layout with optional within-file clustering.
+
+    ``partition_cols`` become directory levels — a filter on them prunes
+    directories at PLANNING time (PartitionFilters), before any file is
+    opened; pick low-cardinality columns. ``sort_cols`` cluster rows inside
+    each written file via sortWithinPartitions — a LOCAL sort, no global
+    shuffle — so parquet row-group min/max stats become selective for range
+    filters on those columns (the one-dimensional sibling of write_zorder
+    below)."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
     """Layout events by date directory partitions: a time-range filter then
     prunes entire partitions at planning time (PartitionFilters in the
     scan) — the difference between reading a day and reading a year."""
-    df.withColumn("_date", F.date_format(F.col(ts_col), "yyyy-MM-dd")).write.mode(
-        "overwrite"
-    ).partitionBy("_date").parquet(path)
+    write_partitioned(
+        df.withColumn("_date", F.date_format(F.col(ts_col), "yyyy-MM-dd")), path, ["_date"]
+    )

@@ -1649,6 +1649,43 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "layout_partition_pruned_read",
+    r"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+    "layout",
+    "sources",
+)
+def layout_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout path under the oracle gate: events written out
+    hive-partitioned by event_type + clustered by user_id
+    (operators/relational.write_partitioned), read back through a
+    partition-pruning filter (only the click/view directories are even
+    listed — PartitionFilters, pinned in tests/test_scale_primitives.py),
+    then aggregated. The oracle aggregates the original table directly, so
+    equality proves the layout roundtrip loses/duplicates nothing."""
+    import tempfile
+
+    from comlake_core_spark.operators.relational import write_partitioned
+
+    (ev,) = _t(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="comlake-layout-")
+    write_partitioned(ev, out_dir, ["event_type"], sort_cols=["user_id"])
+    back = spark.read.parquet(out_dir).filter(F.col("event_type").isin("click", "view"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 14, 4)).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 @workload("streaming_hourly_events", None, "streaming", "no-sql-oracle")
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events replayed through Structured Streaming (file source, 3 micro-

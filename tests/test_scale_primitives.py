@@ -259,3 +259,23 @@ def test_partition_pruning(spark, t, tmp_path_factory):
     seg = plan.split("PartitionFilters")[1][:200]
     assert "_date" in seg
     assert df.count() > 0
+
+
+def test_write_partitioned_prunes_and_clusters(spark, t, tmp_path_factory):
+    from comlake_core_spark.operators.relational import write_partitioned
+
+    path = str(tmp_path_factory.mktemp("events_bytype"))
+    write_partitioned(t["events"], path, ["event_type"], sort_cols=["user_id"])
+    # category filter prunes directories at planning time...
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = P.executed_plan(df)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    full_files = spark.read.parquet(path).select("_metadata.file_path").distinct().count()
+    pruned_files = df.select("_metadata.file_path").distinct().count()
+    assert 0 < pruned_files < full_files
+    # ...and the user_id clustering reaches the scan as a pushed filter
+    rdf = spark.read.parquet(path).filter(F.col("user_id") < 100)
+    rplan = P.executed_plan(rdf)
+    assert "PushedFilters" in rplan
+    assert "user_id" in rplan.split("PushedFilters")[1][:200]
