@@ -1686,12 +1686,24 @@ def layout_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("streaming_hourly_events", None, "streaming", "no-sql-oracle")
+@workload(
+    "streaming_hourly_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming",
+)
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events replayed through Structured Streaming (file source, 3 micro-
     batches, availableNow) into the same hourly windowed agg as the batch
-    events_hourly — whose oracle covers the semantics; streaming equality
-    to batch is asserted in tests/test_multimodal_streaming.py."""
+    events_hourly. Oracle-able: with outputMode('complete') the watermark
+    never evicts rows before the final emit of a bounded availableNow
+    replay, so the streamed aggregate equals the batch aggregate exactly —
+    the oracle IS the batch SQL, making the gate a streaming≡batch proof
+    (also pytest-pinned in tests/test_multimodal_streaming.py)."""
     import tempfile
 
     from comlake_core_spark.streaming.windows import read_events_stream, run_to_memory, windowed_agg
