@@ -181,6 +181,8 @@ def kmeans_refine(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_hasher: str = "xxhash64",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Spherical k-means refinement of the IVF codebook: Lloyd iterations
     with cosine assignment and normalized-mean updates, starting from the
@@ -202,12 +204,22 @@ def kmeans_refine(
     Deterministic: seeded init, argmax ties break to the lowest centroid
     id, accumulation order fixed per partition; empty clusters keep their
     previous centroid. The spherical objective (mean cosine to assigned
-    centroid) is non-decreasing — pinned in tests/test_kmeans.py."""
+    centroid) is non-decreasing — pinned in tests/test_kmeans.py.
+
+    ``quantize=d`` rounds each unit-centroid coordinate to d decimals
+    after every iteration: numpy's partial-sum order and a SQL engine's
+    SUM order differ in the last ulp, and the rounding grid absorbs that
+    drift, so an engine re-running the same Lloyd recurrence lands on the
+    IDENTICAL codebook — what makes the kmeans-refined IVF workload
+    SQL-oracle-checkable. ``seed_hasher='md5'`` gives the seeded init the
+    same cross-engine determinism (see seeded_centroids)."""
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    seed_rows = seeded_centroids(corpus, n_centroids, vec_col, id_col).collect()
+    seed_rows = seeded_centroids(
+        corpus, n_centroids, vec_col, id_col, hasher=seed_hasher
+    ).collect()
     C = np.array([r["centroid_vec"] for r in seed_rows], dtype=np.float64)
     k, d = C.shape
     vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
@@ -244,6 +256,8 @@ def kmeans_refine(
             counts[r["c"]] += r["n"]
         means = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], C)
         C = means / np.clip(np.linalg.norm(means, axis=1, keepdims=True), 1e-12, None)
+        if quantize is not None:
+            C = np.round(C, quantize)
 
     return spark.createDataFrame(
         [(i + 1, C[i].tolist()) for i in range(k)],
@@ -262,6 +276,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     refine_iters: int = 0,
     seed_hasher: str = "xxhash64",
+    kmeans_quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose nearest centroid is
     among the query's n_probe closest centroids. refine_iters > 0 runs that
@@ -279,7 +294,15 @@ def ivf_topk(
     corpus shuffle in the whole query is the final per-query top-k window
     over the bucket-pruned candidate rows."""
     if refine_iters > 0:
-        cents_df = kmeans_refine(corpus, n_centroids, refine_iters, vec_col, id_col)
+        cents_df = kmeans_refine(
+            corpus,
+            n_centroids,
+            refine_iters,
+            vec_col,
+            id_col,
+            seed_hasher=seed_hasher,
+            quantize=kmeans_quantize,
+        )
     else:
         cents_df = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=seed_hasher)
 

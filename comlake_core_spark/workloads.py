@@ -1372,16 +1372,120 @@ def hybrid_search_rrf_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("ann_ivf_kmeans_topk", None, "similarity", "ann", "kmeans", "no-sql-oracle")
+@workload(
+    "ann_ivf_kmeans_topk",
+    r"""
+    WITH c AS (
+      SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), cn AS (
+      SELECT nbr_id, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM c
+    ), seed AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(nbr_id AS VARCHAR)), nbr_id) AS cid,
+             cv AS cent
+      FROM (SELECT * FROM c ORDER BY md5(CAST(nbr_id AS VARCHAR)), nbr_id LIMIT 16)
+    ), s0 AS (
+      SELECT cid, cent,
+             list_transform(cent, x -> x / sqrt(list_dot_product(cent, cent))) AS ucent
+      FROM seed
+    ), a1 AS (
+      SELECT nbr_id, cvn, cid FROM (
+        SELECT n.nbr_id, n.cvn, s.cid, row_number() OVER (
+          PARTITION BY n.nbr_id
+          ORDER BY list_dot_product(n.cvn, s.ucent) DESC, s.cid ASC) AS rn
+        FROM cn n CROSS JOIN s0 s
+      ) WHERE rn = 1
+    ), m1 AS (
+      SELECT cid, i, SUM(cvn[i+1]) / COUNT(*) AS mean_i
+      FROM a1 CROSS JOIN range(64) dims(i)
+      GROUP BY cid, i
+    ), v1 AS (
+      SELECT cid, list(mean_i ORDER BY i) AS mv FROM m1 GROUP BY cid
+    ), c1 AS (
+      SELECT cid,
+             list_transform(m, x -> ROUND(x / sqrt(list_dot_product(m, m)), 9)) AS cent
+      FROM (SELECT s.cid, COALESCE(v.mv, s.cent) AS m
+            FROM s0 s LEFT JOIN v1 v USING (cid))
+    ), s1 AS (
+      SELECT cid, cent,
+             list_transform(cent, x -> x / sqrt(list_dot_product(cent, cent))) AS ucent
+      FROM c1
+    ), a2 AS (
+      SELECT nbr_id, cvn, cid FROM (
+        SELECT n.nbr_id, n.cvn, s.cid, row_number() OVER (
+          PARTITION BY n.nbr_id
+          ORDER BY list_dot_product(n.cvn, s.ucent) DESC, s.cid ASC) AS rn
+        FROM cn n CROSS JOIN s1 s
+      ) WHERE rn = 1
+    ), m2 AS (
+      SELECT cid, i, SUM(cvn[i+1]) / COUNT(*) AS mean_i
+      FROM a2 CROSS JOIN range(64) dims(i)
+      GROUP BY cid, i
+    ), v2 AS (
+      SELECT cid, list(mean_i ORDER BY i) AS mv FROM m2 GROUP BY cid
+    ), c2 AS (
+      SELECT cid,
+             list_transform(m, x -> ROUND(x / sqrt(list_dot_product(m, m)), 9)) AS cent
+      FROM (SELECT s.cid, COALESCE(v.mv, s.cent) AS m
+            FROM s1 s LEFT JOIN v2 v USING (cid))
+    ), centu AS (
+      SELECT cid, list_transform(cent, x -> x / sqrt(list_dot_product(cent, cent))) AS cvec
+      FROM c2
+    ), cassign AS (
+      SELECT nbr_id, cv, cid AS bucket FROM (
+        SELECT c.nbr_id, c.cv, u.cid, row_number() OVER (
+          PARTITION BY c.nbr_id
+          ORDER BY list_dot_product(c.cv, u.cvec) DESC, u.cid ASC) AS rn
+        FROM c CROSS JOIN centu u
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), qprobe AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, u.cid, row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY list_dot_product(q.qv, u.cvec) DESC, u.cid ASC) AS rn
+        FROM q CROSS JOIN centu u
+      ) WHERE rn <= 8
+    ), scored AS (
+      SELECT query_id, nbr_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM cassign JOIN qprobe USING (bucket)
+    )
+    SELECT query_id, nbr_id, cosine, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    "similarity",
+    "ann",
+    "kmeans",
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a spherical-k-means-refined codebook (2 Lloyd passes via
     mapInPandas partial sums — the iterative-algorithm shape; objective
-    monotonicity and cluster recovery pytest-pinned in tests/test_kmeans.py)."""
+    monotonicity and cluster recovery pytest-pinned in tests/test_kmeans.py).
+
+    Oracle-able even though iterative: the oracle UNROLLS both Lloyd
+    passes in SQL (md5-seeded init, cosine argmax assignment with
+    lowest-cid tie-break, normalized-mean update, empty clusters keep the
+    previous centroid) and kmeans_quantize=9 rounds every unit-centroid
+    coordinate after each pass — numpy's partial-sum order and DuckDB's
+    SUM order differ only in the last ulp, which the 9-decimal grid
+    absorbs, so both engines walk the IDENTICAL codebook trajectory and
+    the final top-k matches bit-for-bit."""
     from comlake_core_spark.operators.similarity import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8, refine_iters=2)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=8, refine_iters=2,
+        seed_hasher="md5", kmeans_quantize=9,
+    )
 
 
 # ---------------------------------------------------------------------------
