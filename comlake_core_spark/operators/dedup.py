@@ -155,15 +155,20 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    # Two explicit select stages + persist: (a) stops Catalyst's projection
-    # collapse from inlining the shingle expression into all 32 minhash
-    # expressions (a 32× recompute), (b) the signature frame is read three
-    # times downstream (both join sides + verify) — at 100 TB this persist
-    # is a deliberate materialization of the signature index.
+    base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    # Two explicit select stages + persist: (a) the inner select stops
+    # Catalyst's projection collapse from inlining the shingle expression
+    # into all 32 minhash expressions (CollapseProject declines when a
+    # non-cheap alias is referenced many times), (b) the persisted frame is
+    # read twice downstream (both band-join sides) — at 100 TB this persist
+    # is a deliberate materialization of the signature index. Only
+    # (_id, _sig) is persisted — 32 longs per doc, NOT the shingle arrays:
+    # the verify step below recomputes shingles for candidate docs only,
+    # which at scale is a vanishing fraction of the corpus (and locally
+    # cuts the cache-write cost of materializing fat arrays).
     docs = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), shingles(text_col, k_shingle).alias("_sh"))
-        .select("_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        base.select("_id", shingles("_txt", k_shingle).alias("_sh"))
+        .select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
         .persist()
     )
 
@@ -192,7 +197,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = docs.select("_id", "_sh")
+    # exact-Jaccard verify over candidate docs only: semi-join the corpus
+    # down to ids appearing in a candidate pair, THEN shingle — at 100 TB
+    # this re-reads the text of ~|candidates| docs instead of caching every
+    # document's shingle set
+    cand_ids = candidates.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_id")
+    ).distinct()
+    sh = base.join(cand_ids, "_id", "left_semi").select(
+        "_id", shingles("_txt", k_shingle).alias("_sh")
+    )
     verified = (
         candidates.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_sh_b"}), "id_b")
