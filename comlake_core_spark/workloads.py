@@ -3111,6 +3111,63 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "chunk_documents",
+    r"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           substr(text, 1 + CAST(i AS INT) * 400, 500) AS chunk_text,
+           CAST(length(substr(text, 1 + CAST(i AS INT) * 400, 500)) AS INT) AS chunk_len
+    FROM documents
+    CROSS JOIN range(0, 1000) t(i)
+    WHERE 1 + i * 400 <= greatest(length(text), 1)
+    """,
+    "text",
+    "chunking",
+)
+def chunk_documents_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking of the corpus (500 chars, 100
+    overlap) — the pretraining/RAG prep step before tokenization. Map-only
+    sequence + posexplode + substring; the oracle enumerates the same
+    starts with a bounded range filter."""
+    from comlake_core_spark.operators.text import chunk_documents
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=500, overlap=100)
+
+
+@workload(
+    "pack_sequences",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tokens_before
+    FROM toks
+    WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+    "text",
+    "packing",
+)
+def pack_sequences_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: documents in id order are assigned
+    to fixed-capacity (2048-token) training packs by cumulative-count
+    division — the distributed approximation of greedy packing (a pack
+    can exceed budget by at most one document; the exact stateful variant
+    is the streaming admission-control operator). One range-partitioned
+    shuffle for the running sum."""
+    from comlake_core_spark.operators.text import pack_sequences, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(with_tokens, token_count="n_tokens", budget=2048)
+
+
+@workload(
     "pii_redact_customers",
     r"""
     WITH base AS (

@@ -382,3 +382,64 @@ def test_winnow_dedup_pairs_finds_planted_passage(spark):
     }
     assert (1, 2) in pairs_capped
     assert (1, 3) not in pairs_capped and (2, 3) not in pairs_capped
+
+
+def test_chunk_documents_coverage(spark):
+    from comlake_core_spark.operators import text as T
+
+    rows = [
+        Row(doc_id=1, text="a" * 1234),
+        Row(doc_id=2, text="b" * 500),
+        Row(doc_id=3, text="c" * 10),
+        Row(doc_id=4, text=""),
+    ]
+    out = T.chunk_documents(spark.createDataFrame(rows), chunk_chars=500, overlap=100).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # starts every 400: doc 1 (1234 chars) -> starts 1,401,801,1201 = 4 chunks
+    assert len(by_doc[1]) == 4
+    assert [r["chunk_len"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [
+        500, 500, 434, 34,
+    ]
+    # consecutive chunks overlap by 100 chars
+    c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])[:2]
+    assert c0["chunk_text"][-100:] == c1["chunk_text"][:100]
+    # full coverage: concatenating de-overlapped chunks reproduces the doc
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    rebuilt = chunks[0]["chunk_text"] + "".join(c["chunk_text"][100:] for c in chunks[1:])
+    assert rebuilt == "a" * 1234
+    assert len(by_doc[2]) == 2  # starts 1 and 401 (401 <= 500)
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 10
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_len"] == 0  # empty doc kept
+
+
+def test_pack_sequences_capacity(spark):
+    from comlake_core_spark.operators import text as T
+
+    rows = [Row(doc_id=i, n_tokens=600) for i in range(10)]
+    out = T.pack_sequences(spark.createDataFrame(rows), budget=2048).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    # 600-token docs, 2048 budget: tokens_before of doc i = 600i;
+    # pack switches when 600i crosses a 2048 boundary -> sizes 4,3,3
+    assert sorted(len(v) for v in packs.values()) == [3, 3, 4]
+    # every doc STARTS within its pack's budget window (fractional-bin contract)
+    for pid, docs in packs.items():
+        for r in docs:
+            assert pid * 2048 <= r["tokens_before"] < (pid + 1) * 2048
+
+
+def test_pii_redact_categories(spark):
+    from comlake_core_spark.operators import text as T
+
+    rows = [
+        Row(doc_id=1, text="mail me at a.b@x.io or call 12-345-678-9012 from 10.0.0.1"),
+        Row(doc_id=2, text="nothing sensitive here"),
+    ]
+    out = {r["doc_id"]: r for r in T.pii_redact(spark.createDataFrame(rows)).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 1)
+    assert "a.b@x.io" not in out[1]["redacted"] and "[PII]" in out[1]["redacted"]
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "nothing sensitive here"
