@@ -439,7 +439,7 @@ def chunk_documents(
 
 def pack_sequences(
     df: DataFrame,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     token_count: Column | str = "n_tokens",
     budget: int = 2048,
 ) -> DataFrame:
@@ -453,11 +453,14 @@ def pack_sequences(
     One shuffle (the global running sum's range partitioning); everything
     else is map-side. At 100 TB, pack WITHIN shards (add the shard to the
     window partition) so no global ordering is needed."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = F.col(token_count) if isinstance(token_count, str) else token_count
-    w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy(*[F.col(c) for c in ids]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum_incl = F.sum(tok).over(w)
     return df.select(
-        F.col(id_col),
+        *[F.col(c) for c in ids],
         tok.cast("long").alias("n_tokens"),
         ((cum_incl - tok) / F.lit(budget)).cast("long").alias("pack_id"),
         (cum_incl - tok).cast("long").alias("tokens_before"),

@@ -3168,6 +3168,60 @@ def pack_sequences_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "pipeline_chunk_dedup_pack",
+    r"""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_idx,
+             substr(text, 1 + CAST(i AS INT) * 400, 500) AS chunk_text
+      FROM documents
+      CROSS JOIN range(0, 1000) t(i)
+      WHERE 1 + i * 400 <= greatest(length(text), 1)
+    ), uniq AS (
+      SELECT doc_id, chunk_idx, chunk_text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, chunk_idx,
+             len(string_split_regex(trim(chunk_text), '\s+')) AS n_tokens
+      FROM uniq
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tokens_before
+    FROM toks
+    WINDOW w AS (ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+    """,
+    "pipeline",
+    "text",
+)
+def pipeline_chunk_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline in one plan: chunk the
+    corpus (500-char windows, 100 overlap) → exact-dedup chunks on the md5
+    fingerprint (keep lowest (doc_id, chunk_idx) — boilerplate shared
+    across documents collapses here) → count tokens → pack into
+    2048-token training bins. Shape: map-only fanout, ONE dedup shuffle
+    (row_number over fingerprint with WindowGroupLimit), one
+    range-partitioned running sum. This is the composite job a 100 TB
+    corpus-prep run executes; every stage is the already-oracled operator."""
+    from comlake_core_spark.operators.text import chunk_documents, pack_sequences, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_chars=500, overlap=100)
+    w = Window.partitionBy("_fp").orderBy("doc_id", "chunk_idx")
+    uniq = (
+        chunks.withColumn("_fp", F.md5("chunk_text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    toks = uniq.select("doc_id", "chunk_idx", token_count("chunk_text").alias("n_tokens"))
+    return pack_sequences(toks, id_col=["doc_id", "chunk_idx"], token_count="n_tokens", budget=2048)
+
+
+@workload(
     "pii_redact_customers",
     r"""
     WITH base AS (
