@@ -94,6 +94,10 @@ def main() -> None:
         # intermediates) so each timed run pays its own full computation and
         # isn't distorted by accumulated executor storage
         spark.catalog.clearCache()
+        # collect the garbage the PREVIOUS workload's dropped cache blocks
+        # left behind now, not as a full-GC pause inside the next timing
+        # (run-to-run variance on the dedup family was GC landing there)
+        spark._jvm.System.gc()
         df = REGISTRY[name].fn(spark, sf_dir)
         start = time.perf_counter()
         force(df)

@@ -16,6 +16,17 @@ count + schema + order-insensitive value hash, so the two sides must agree
 - **Timestamps** are emitted as formatted strings (session TZ pinned to UTC).
 - Every computed column is aliased identically in Spark and SQL (the driver
   sorts columns by name before hashing).
+- **Quantization bridges the genuinely float-dependent ops**: where an
+  operator's value passes through libm (ln in BM25) or an order-dependent
+  float reduction (k-means centroid means, the weighted-mean UDAF), both
+  engines round the SAME intermediate to a fixed decimal grid whose spacing
+  is ~6 orders of magnitude above the worst-case ulp drift, then continue
+  exactly (decimal sum / integer comparison). The rounding is part of the
+  operator's contract, not a fuzzy tolerance — the final hash is still exact.
+- **Hash-primitive parity**: sketches that default to xxhash64 (winnowing,
+  IVF seeding) run their oracle workloads in md5 mode — same pipeline,
+  swapped hash — because md5 is the one hash with an identical DuckDB twin;
+  FNV-1a (SimHash) and sha256 (fake image codec) are recomputed IN SQL.
 
 Query provenance: reference-parity entries cite the comlake.core behavior
 they reproduce (file:line into /root/reference); extension entries implement
