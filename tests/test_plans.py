@@ -328,3 +328,21 @@ def test_retention_distinct_reuses_user_partitioning(spark):
     # only the cohort-anchor shuffle and the tiny final-cell shuffle remain
     df = run(spark, "retention_weekly_cohorts")
     assert P.count_shuffles(df) == 2
+
+
+def test_chunk_documents_is_map_only(spark):
+    # fanout via sequence+posexplode+substring: a pure scan, zero shuffles
+    df = run(spark, "chunk_documents")
+    assert P.count_shuffles(df) == 0
+
+
+def test_pii_redact_is_map_only(spark):
+    df = run(spark, "pii_redact_customers")
+    assert P.count_shuffles(df) == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    # at most one exchange (the global running sum's single-partition
+    # gather; zero here because the sf0.001 input is already 1 split)
+    df = run(spark, "pack_sequences")
+    assert P.count_shuffles(df) <= 1
