@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from comlake_core_spark.operators.text import fingerprint, tokens
 from comlake_core_spark.session import ensure_parallelism
@@ -543,4 +544,75 @@ def winnow_dedup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
         .select(F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"), "shared_fps")
+    )
+
+
+def jaccard_topk_similar(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard top-k similar documents per query — the set-similarity
+    twin of similarity.brute_force_topk (retrieval, not thresholded dedup:
+    top-k has no similarity floor, so LSH banding cannot bound recall and
+    the exact scan IS the baseline; the banded variants remain the scale
+    path for thresholded workloads).
+
+    Plan shape: shingle sets stay row-local; queries broadcast; one pass
+    over the corpus scoring |Q| pairs per row (array_intersect/array_union
+    are codegen'd); WindowGroupLimit keeps the top-k per query before the
+    single final shuffle on query_id."""
+    c = corpus.select(F.col(id_col).alias("nbr_id"), shingles(text_col, shingle_k).alias("_cg"))
+    q = queries.select(F.col(id_col).alias("query_id"), shingles(text_col, shingle_k).alias("_qg"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                F.size(F.array_intersect("_qg", "_cg")).cast("double")
+                / F.size(F.array_union("_qg", "_cg"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "jaccard", "rn")
+    )
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Cluster near-dup pairs into components and pick ONE survivor per
+    cluster — the keep/drop decision a dedup pipeline actually ships.
+    Keep-rule: longest document wins (ties → smallest id), an exact
+    integer argmax so the choice is engine-agreement deterministic.
+
+    Plan: component labels from min-label propagation (O(diameter)
+    rounds); the survivor pick is one max_by per component. Components
+    are dup near-cliques so the groupBy key count ≈ cluster count —
+    no skew beyond the largest dup clique, which the upstream pair
+    stage already bounds (max_df / max_bucket caps)."""
+    comp = connected_components(pairs, max_iter=15)
+    member = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(length_col).alias("_len")), "node"
+    )
+    return (
+        member.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("node", F.struct(F.col("_len"), -F.col("node"))).alias("keep_doc_id"),
+            F.max("_len").alias("keep_len"),
+        )
+        .select("component", "keep_doc_id", F.col("keep_len").cast("long").alias("keep_len"), "n_members")
     )

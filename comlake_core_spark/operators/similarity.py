@@ -377,3 +377,39 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", "cosine", "rn")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    4× storage/bandwidth cut a 100 TB vector corpus takes before ANN
+    (per-vector absmax scaling, the faiss/SQ8 layout). Pure map-side
+    codegen: no UDF, no shuffle; returns the scale (amax) plus an exact
+    integer checksum of the quantized codes (Σ q_i·i) so correctness is
+    bit-checkable without emitting the array itself (driver canonicalizer
+    hashes scalars only).
+
+    Quantizer: q_i = floor(x_i·(127/amax) + 0.5) — floor(+0.5) instead of
+    round() because round-half rules differ across engines while floor is
+    exact in all of them. amax = 0 (the all-zero vector) quantizes to all
+    zeros."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
+    q = F.transform(v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"))
+    idx = F.sequence(F.lit(1), F.size(v))
+    checksum = F.aggregate(
+        F.zip_with(q, idx, lambda qi, i: qi * i.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        amax.alias("amax"),
+        F.size(v).alias("dim"),
+        checksum.alias("q_checksum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+    )

@@ -465,3 +465,42 @@ def pack_sequences(
         ((cum_incl - tok) / F.lit(budget)).cast("long").alias("pack_id"),
         (cum_incl - tok).cast("long").alias("tokens_before"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document novelty: the fraction of a document's distinct word
+    n-grams that occur in NO other document — the pretraining-corpus
+    signal behind 'dedup at paragraph granularity' (a doc full of
+    boilerplate n-grams scores near 0 even when no whole-doc near-dup
+    exists; RefinedWeb / Gopher both filter on it).
+
+    Plan: grams stay row-local (sequence+transform, no UDF) until ONE
+    explode; the global document-frequency agg and the per-doc re-agg are
+    the two unavoidable shuffles, both map-side combined. At 100 TB the
+    df table is |distinct grams| rows — hash-partitioned, never collected;
+    skew-safe because gram df is capped by the count, not a join fanout
+    (the re-join back to docs is on the gram hash, a near-uniform key)."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    per_doc = df.select(F.col(id_col), F.explode(grams).alias("_g"))
+    dfreq = per_doc.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        per_doc.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )

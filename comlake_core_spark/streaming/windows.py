@@ -80,13 +80,18 @@ def sessionize(
     )
 
 
-def run_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: int = 60):
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 60, output_mode: str = "complete"
+):
     """Drain a (bounded) stream with availableNow into an in-memory table —
-    the test harness for streaming operators."""
+    the test harness for streaming operators. Aggregations replay in
+    'complete' mode (nothing evicted before the final emit, so the drained
+    table equals the batch answer); row-level stateful ops (dedup) use
+    'append'."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -5019,3 +5019,405 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _t(spark, sf_dir, "events")
     return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 2 widening: advanced-subquery TPC-H shapes (Q2/Q11/Q16/Q20) +
+# corpus novelty, set-similarity retrieval, int8 quantization, canonical
+# dedup survivors, streaming exact dedup
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "min_unit_price_supplier",
+    """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS min_unit
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, per.min_unit
+    FROM per
+    JOIN part p ON per.l_partkey = p.p_partkey
+    JOIN supplier s ON per.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 10
+      AND per.min_unit = (SELECT MIN(p2.min_unit) FROM per p2
+                          WHERE p2.l_partkey = per.l_partkey)
+    """,
+    "join",
+    "subquery",
+    "tpch-q2",
+)
+def min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (observed lineitem unit price standing in for the
+    missing partsupp.ps_supplycost): for each small part, the supplier(s)
+    quoting the minimum unit price. The oracle states it as the classic
+    correlated scalar subquery; the engine states it as a per-part window
+    min — the decorrelated plan an optimizer would produce, with ties kept
+    by equality (MIN and = on doubles are exact, so both engines agree
+    bitwise). Scale: one shuffle on (partkey, suppkey) for the pre-agg,
+    the window reuses the partkey hash; part/supplier/nation are broadcast
+    lookups."""
+    li, pt, su, na = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    per = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = per.withColumn("_best", F.min("min_unit").over(w)).filter(
+        F.col("min_unit") == F.col("_best")
+    )
+    return (
+        best.join(F.broadcast(pt.filter(F.col("p_size") <= 10)), best.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(su), best.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "min_unit")
+    )
+
+
+@workload(
+    "important_part_values",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE v * 2000 > (SELECT SUM(v) FROM val)
+    """,
+    "aggregation",
+    "subquery",
+    "tpch-q11",
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction
+    (1/2000) of GLOBAL revenue — a HAVING against a scalar subquery over
+    the same aggregate. The engine computes the per-part decimal sums
+    once, reduces them again to the global total (a 1-row broadcast
+    scalar), and filters with exact decimal arithmetic (v*2000 > total
+    instead of v > total*0.0005 — integer×decimal stays exact in both
+    engines, fraction literals don't). Scale: one shuffle for the
+    per-part agg; the global total is a tree-reduce of the already-
+    aggregated rows; no second scan of lineitem."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))).alias("v")
+    )
+    total = val.agg(F.sum("v").alias("_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 2000 > F.col("_total"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@workload(
+    "supplier_count_by_part_attrs",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    "join",
+    "anti",
+    "distinct",
+    "tpch-q16",
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (negative account balance standing in for the
+    complaints comment filter): how many distinct suppliers can deliver
+    each qualifying (brand, size) — a NOT IN subquery the engine plans as
+    a broadcast anti join (the excluded-supplier set is tiny by
+    construction; a NOT IN over a nullable key would need null-aware
+    anti join, but s_suppkey is a key, so the plain anti join is exact).
+    Scale: part filter is scan-local and broadcast; the distinct-count
+    shuffles once on (brand, size) after a map-side partial distinct."""
+    li, pt, su = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ptf = pt.filter(
+        (F.col("p_brand") != "Brand#11") & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(ptf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@workload(
+    "excess_volume_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, SUM(sq) AS tq FROM ps GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM ps
+    JOIN pt ON ps.l_partkey = pt.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE ps.sq * 2 > pt.tq
+    """,
+    "join",
+    "subquery",
+    "tpch-q20",
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of some
+    part's 1995 volume — the nested-aggregate IN subquery stated as a
+    re-aggregation join (group (part,supp) → re-group part → compare),
+    which is the decorrelation Spark would have to find anyway, made
+    explicit. Exactness: quantity sums are decimal; sq*2 > tq is exact
+    decimal comparison. Scale: the date filter prunes at the parquet
+    scan; one shuffle on (partkey,suppkey) for the pre-agg and one on
+    partkey for the per-part-total window (a window over the pre-agg
+    instead of a re-agg + self-join — half the exchanges); supplier and
+    nation broadcast."""
+    li, su, na = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+    )
+    wp = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("tq", F.sum("sq").over(wp))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .join(F.broadcast(su), ps.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@workload(
+    "corpus_ngram_novelty",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), dfreq AS (SELECT g, COUNT(*) AS d FROM sh GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+    "text",
+    "dedup",
+    "novelty",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document novelty scoring: per document, the fraction of its
+    distinct word 8-grams found nowhere else in the corpus (RefinedWeb /
+    Gopher-style boilerplate signal — catches shared passages whole-doc
+    dedup misses). One explode + two map-combined shuffles; see
+    operators/text.ngram_novelty for the 100 TB argument."""
+    from comlake_core_spark.operators.text import ngram_novelty
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=8)
+
+
+@workload(
+    "jaccard_topk_similar_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    )
+    SELECT query_id, nbr_id, jaccard, rn FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS nbr_id,
+             CAST(len(list_intersect(q.grams, c.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(q.grams, c.grams))) AS jaccard,
+             row_number() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY CAST(len(list_intersect(q.grams, c.grams)) AS DOUBLE)
+                          / len(list_distinct(list_concat(q.grams, c.grams))) DESC,
+                        c.doc_id ASC) AS rn
+      FROM sh q JOIN sh c ON q.doc_id <> c.doc_id
+      WHERE q.doc_id % 29 = 0
+    ) WHERE rn <= 3
+    """,
+    "similarity",
+    "text",
+    "topk",
+)
+def jaccard_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity RETRIEVAL (not thresholded dedup): exact Jaccard
+    top-3 neighbours for each query document. Top-k has no similarity
+    floor, so LSH can't bound recall — the exact one-pass scan with
+    broadcast queries and WindowGroupLimit is the honest baseline (the
+    banded operators stay the scale path for thresholded work). Ties
+    break on neighbour id in both engines."""
+    from comlake_core_spark.operators.dedup import jaccard_topk_similar
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 29 == 0)
+    return jaccard_topk_similar(docs, queries, k=3, shingle_k=3)
+
+
+@workload(
+    "embedding_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS amax
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, amax, len(embedding) AS dim,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                      * (CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END)
+                      + 0.5) AS BIGINT)) AS qs
+      FROM base
+    )
+    SELECT vec_id, amax, CAST(dim AS INT) AS dim,
+           CAST(list_sum(list_transform(range(1, CAST(dim AS INT) + 1),
+                  i -> qs[i] * i)) AS BIGINT) AS q_checksum,
+           CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+    "similarity",
+    "multimodal",
+    "quantize",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (per-
+    vector absmax scaling, faiss-SQ8 layout) — the 4× storage cut a
+    100 TB vector corpus takes before ANN. Map-side-only codegen, no
+    shuffle; verified through exact integer checksums of the quantized
+    codes (floor(x·scale+0.5) — floor is exact in both engines where
+    round-half rules differ)."""
+    from comlake_core_spark.operators.similarity import quantize_embeddings_int8
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb)
+
+
+@workload(
+    "dedup_canonical_docs",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.comp < e.b
+    ),
+    members AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+    SELECT component, keep_doc_id, keep_len, n_members FROM (
+      SELECT m.comp AS component, d.doc_id AS keep_doc_id,
+             CAST(d.n_chars AS BIGINT) AS keep_len,
+             COUNT(*) OVER (PARTITION BY m.comp) AS n_members,
+             row_number() OVER (PARTITION BY m.comp
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM members m JOIN documents d ON m.id = d.doc_id
+    ) WHERE rn = 1
+    """,
+    "dedup",
+    "components",
+    "canonical",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a dedup pipeline actually ships: MinHash-LSH
+    pair edges → connected components → ONE survivor per cluster by the
+    exact integer keep-rule (longest doc, ties to smallest id). The
+    oracle brute-forces the same transitive closure with a recursive CTE
+    and picks the survivor with a window — end-to-end verification of
+    edges, clustering, and survivor choice in one gate."""
+    from comlake_core_spark.operators.dedup import canonical_docs, minhash_lsh_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
+    return canonical_docs(docs, pairs)
+
+
+@workload(
+    "streaming_dedup_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_first
+    FROM events GROUP BY event_type
+    """,
+    "streaming",
+    "dedup",
+)
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup proven against batch: events replayed through
+    Structured Streaming, dropDuplicatesWithinWatermark on (user_id,
+    event_type) emitting each key's FIRST row, then a batch count of the
+    drained append-mode sink. The watermark (60 days) exceeds the replay
+    span (30 days), so no state is evicted mid-replay and the streamed
+    first-occurrence set is exactly the batch DISTINCT — the oracle is
+    the batch SQL. At production scale the watermark is the dedup
+    horizon: state is bounded by keys-per-horizon, and the residual
+    beyond it belongs to the periodic batch compaction
+    (pipeline_clean_corpus)."""
+    import tempfile
+
+    from comlake_core_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    (ev,) = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-dedup-")
+    ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_events_stream(spark, stream_dir, schema)
+    deduped = streaming_dedup(
+        stream, ts_col="ts", key_cols=("user_id", "event_type"), watermark="60 days"
+    )
+    name = "streaming_dedup_users_wl"
+    q = run_to_memory(deduped, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )

@@ -346,3 +346,64 @@ def test_pack_sequences_single_shuffle(spark):
     # gather; zero here because the sf0.001 input is already 1 split)
     df = run(spark, "pack_sequences")
     assert P.count_shuffles(df) <= 1
+
+
+def test_q2_shape_window_min_broadcast_dims(spark):
+    # pre-agg on (partkey,suppkey), window min reuses partkey hash after
+    # one exchange; part/supplier/nation are broadcast lookups
+    df = run(spark, "min_unit_price_supplier")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) <= 2
+
+
+def test_q11_global_total_is_broadcast_scalar(spark):
+    # per-part agg shuffles once; the global total reduces the agg output
+    # to one broadcast row — no second lineitem scan
+    df = run(spark, "important_part_values")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) <= 2
+
+
+def test_q16_anti_join_broadcast_distinct_two_phase(spark):
+    # NOT-IN excluded suppliers broadcast to an anti join; count-distinct
+    # runs as the two-level partial-distinct aggregate
+    df = run(spark, "supplier_count_by_part_attrs")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) <= 2
+    assert not P.has_sort_merge_join(df)
+
+
+def test_q20_window_total_halves_exchanges(spark):
+    # per-part total as a window over the pre-agg, NOT a re-agg+self-join:
+    # two exchanges total, date filter pushed to the scan
+    df = run(spark, "excess_volume_suppliers")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    assert P.scan_filters_on(df, "l_shipdate")
+    assert P.count_shuffles(df) <= 3  # pre-agg, window, final distinct
+
+
+def test_novelty_two_data_shuffles(spark):
+    # explode → df-count exchange; join reuses it; per-doc re-agg is the
+    # second exchange
+    df = run(spark, "corpus_ngram_novelty")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) <= 2
+
+
+def test_jaccard_topk_broadcast_and_group_limit(spark):
+    # queries broadcast (corpus scanned once); top-k per query prunes
+    # map-side via WindowGroupLimit before the single exchange
+    df = run(spark, "jaccard_topk_similar_docs")
+    assert P.has_broadcast_join(df)
+    assert P.has_window_group_limit(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_quantize_map_only(spark):
+    # int8 quantization is pure per-row codegen: zero exchanges
+    df = run(spark, "embedding_quantize_int8")
+    assert P.count_shuffles(df) == 0
