@@ -67,6 +67,15 @@ HEADLINE = [
     "pii_redact_customers",
     "udaf_weighted_mean",
     "hybrid_search_rrf",
+    "min_unit_price_supplier",
+    "important_part_values",
+    "supplier_count_by_part_attrs",
+    "excess_volume_suppliers",
+    "corpus_ngram_novelty",
+    "jaccard_topk_similar_docs",
+    "embedding_quantize_int8",
+    "dedup_canonical_docs",
+    "dedup_incremental_batch",
 ]
 
 

@@ -616,3 +616,97 @@ def canonical_docs(
         )
         .select("component", "keep_doc_id", F.col("keep_len").cast("long").alias("keep_len"), "n_members")
     )
+
+
+def minhash_lsh_pairs_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch against the
+    EXISTING corpus index without re-pairing the corpus with itself — the
+    production dedup shape (a crawl snapshot lands; only new×old and
+    new×new pairs are in question, and old×old was settled when old was
+    ingested).
+
+    Same signature/banding/verify pipeline as minhash_lsh_pairs, but the
+    band join is new-side × (old ∪ new) instead of a full self-join: band
+    buckets from the OLD side are exactly what a persisted signature index
+    provides, so at 100 TB the old side is a pre-banded table read, not a
+    recompute, and per-batch cost scales with |new| × bucket-hit-rate, not
+    |corpus|². Returns (new_id, match_id, jaccard) where match_id is an
+    old doc or an earlier-id new doc (new×new dups are still caught).
+    """
+    rows_per_band = num_hashes // bands
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+        )
+        return (
+            base.select("_id", shingles("_txt", k_shingle).alias("_sh"))
+            .select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        )
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.array_join(F.slice("_sig", b * rows_per_band + 1, rows_per_band), ",")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_band", "_bkey"),
+        )
+
+    old_b = _banded(_sigs(old_df)).withColumnRenamed("_id", "_oid")
+    new_b = _banded(_sigs(new_df)).persist()
+
+    # new × old: every bucket collision across the index boundary
+    vs_old = new_b.join(
+        old_b,
+        (new_b._band == old_b._band) & (new_b._bkey == old_b._bkey),
+    ).select(F.col("_id").alias("new_id"), F.col("_oid").alias("match_id"))
+    # new × new: ordered self-join within the batch only
+    r = new_b.select(
+        F.col("_id").alias("_nid2"), F.col("_band").alias("_band2"), F.col("_bkey").alias("_bkey2")
+    )
+    vs_new = new_b.join(
+        r,
+        (new_b._band == F.col("_band2"))
+        & (new_b._bkey == F.col("_bkey2"))
+        & (new_b._id < F.col("_nid2")),
+    ).select(F.col("_id").alias("new_id"), F.col("_nid2").alias("match_id"))
+    candidates = vs_old.unionByName(vs_new).distinct()
+
+    # exact-Jaccard verify on candidates only (same discipline as the
+    # batch operator: re-shingle only docs that appear in a candidate)
+    corpus = ensure_parallelism(old_df.unionByName(new_df)).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    )
+    cand_ids = candidates.select(
+        F.explode(F.array(F.col("new_id"), F.col("match_id"))).alias("_id")
+    ).distinct()
+    sh = corpus.join(cand_ids, "_id", "left_semi").select(
+        "_id", shingles("_txt", k_shingle).alias("_sh")
+    )
+    return (
+        candidates.join(sh.withColumnsRenamed({"_id": "new_id", "_sh": "_sh_a"}), "new_id")
+        .join(sh.withColumnsRenamed({"_id": "match_id", "_sh": "_sh_b"}), "match_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "match_id", "jaccard")
+    )

@@ -178,3 +178,37 @@ def streaming_dedup(
     than the watermark are the residual the periodic batch compaction pass
     removes."""
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def running_user_totals_exact(stream_df: DataFrame, key_col: str = "user_id", value_col: str = "value"):
+    """Exact-state variant of running_user_totals: per-key running
+    (count, sum) held as (long, integer ten-thousandths) GroupState — the
+    same quantization discipline as streaming/budget.py, which makes the
+    final emitted totals bit-identical to a batch DECIMAL(14,4) aggregate
+    (integer addition is exact and order/batching-independent, so the
+    micro-batch split cannot change the answer). Update mode: each batch
+    emits the key's new running row; the LAST emission per key equals the
+    batch GROUP BY."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from comlake_core_spark.streaming.budget import _to_ten_thousandths
+
+    def update(key, pdf_iter, state: GroupState):
+        n, spent = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            spent += int(sum(_to_ten_thousandths(v) for v in pdf[value_col]))
+        state.update((n, spent))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [spent / 10_000.0]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, total_value double",
+        stateStructType="n long, spent long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

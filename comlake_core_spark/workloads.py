@@ -5421,3 +5421,161 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_first"))
     )
+
+
+@workload(
+    "dedup_incremental_batch",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh)
+    SELECT n.id AS new_id, o.id AS match_id,
+           CAST(len(list_intersect(n.grams, o.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.grams, o.grams))) AS jaccard
+    FROM sized n JOIN sized o
+      ON n.id % 2 = 1
+     AND (o.id % 2 = 0 OR n.id < o.id)
+     AND n.gc >= CAST(ceil(o.gc * 0.8) AS BIGINT)
+     AND o.gc >= CAST(ceil(n.gc * 0.8) AS BIGINT)
+    WHERE CAST(len(list_intersect(n.grams, o.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.grams, o.grams))) >= 0.8
+    """,
+    "dedup",
+    "minhash",
+    "incremental",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch (odd doc_ids)
+    lands against an EXISTING corpus index (even doc_ids); only new×old
+    and new×new pairs are computed, never old×old. The oracle brute-forces
+    exact Jaccard over exactly that pair space (with the exactness-
+    preserving size-ratio prefilter), so equality again proves 100% LSH
+    recall on the incremental path — same banding/recall argument as
+    dedup_minhash_lsh (64 hashes × 16 bands at threshold 0.8)."""
+    from comlake_core_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return minhash_lsh_pairs_incremental(old, new, threshold=0.8, num_hashes=64, bands=16)
+
+
+@workload(
+    "streaming_interval_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(12,4))) AS DOUBLE) AS click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+    "streaming",
+    "join",
+    "range",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join proven against the batch range join:
+    one replayed event stream split into purchase and click legs, joined
+    on user with click_ts ∈ [purchase_ts, purchase_ts + 1h], drained in
+    append mode and aggregated in batch. The watermark (60 days) exceeds
+    the replay span, so no join state is evicted mid-replay and the
+    streamed match set is exactly the batch bounded range join — the
+    oracle is the batch SQL (the streaming twin of
+    range_join_clicks_after_purchase, closed upper bound). At production
+    scale the time bound is what keeps join state finite: a buffered row
+    expires once the other side's watermark passes its window."""
+    import tempfile
+
+    from comlake_core_spark.streaming.windows import (
+        interval_join_streams,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    (ev,) = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-ij-")
+    ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_events_stream(spark, stream_dir, schema)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "value"
+    )
+    joined = interval_join_streams(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 1 HOUR",
+        watermark="60 days",
+    )
+    name = "streaming_interval_join_wl"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(dec("value", 12, 4)).cast("double").alias("click_value"),
+        )
+    )
+
+
+@workload(
+    "streaming_running_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "streaming",
+    "stateful",
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the oracle gate: per-user
+    running (count, total) via applyInPandasWithState, state held as
+    (long, integer ten-thousandths) — integer addition is exact and
+    batching-independent, so the LAST update-mode emission per key is
+    bit-identical to the batch DECIMAL(14,4) aggregate regardless of how
+    the replay slices into micro-batches (same quantization contract as
+    streaming/budget.py). State is one row per key — scales with distinct
+    users, not stream length."""
+    import tempfile
+
+    from comlake_core_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals_exact,
+    )
+
+    (ev,) = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-rt-")
+    ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_events_stream(spark, stream_dir, schema)
+    totals = running_user_totals_exact(stream)
+    name = "streaming_running_totals_wl"
+    q = run_to_memory(totals, name, output_mode="update")
+    q.stop()
+    # update mode appends each key's successive running rows; the final
+    # state per key is the row with the largest n_events
+    sink = spark.table(name)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )

@@ -443,3 +443,60 @@ def test_pii_redact_categories(spark):
     assert "a.b@x.io" not in out[1]["redacted"] and "[PII]" in out[1]["redacted"]
     assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 0, 0)
     assert out[2]["redacted"] == "nothing sensitive here"
+
+
+def test_ngram_novelty_bounds_and_shared_passage(spark):
+    # doc 1 and 2 share a long passage; doc 3 is fully unique ⇒ novelty 1.0
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=1, text=shared + " one two three four five six seven eight"),
+        Row(doc_id=2, text=shared + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        Row(doc_id=3, text="totally fresh words nobody else uses anywhere in this corpus today"),
+    ]
+    out = {r["doc_id"]: r for r in text.ngram_novelty(spark.createDataFrame(rows), n=8).collect()}
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in out.values())
+    assert out[3]["novelty"] == 1.0
+    # the shared 10-token prefix contributes three common 8-grams to each
+    assert out[1]["novelty"] < 1.0 and out[2]["novelty"] < 1.0
+    assert out[1]["n_unique"] < out[1]["n_grams"]
+
+
+def test_jaccard_topk_ranks_near_dup_first(spark, near_dup_df):
+    queries = near_dup_df.filter(F.col("doc_id") == 1)
+    out = dedup.jaccard_topk_similar(near_dup_df, queries, k=2, shingle_k=3).collect()
+    assert [r["nbr_id"] for r in out] == [3, 2]  # exact dup first, near-dup second
+    assert out[0]["jaccard"] == 1.0
+    assert 0.5 < out[1]["jaccard"] < 1.0
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    rows = [
+        Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.125]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # amax=0 edge
+        Row(vec_id=3, embedding=[127.0, -64.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings_int8(df).collect()}
+    # codes stay in int8 range: |q_i| <= 127 ⇒ L1 <= 127*dim
+    assert all(r["q_l1"] <= 127 * r["dim"] for r in out.values())
+    assert out[2]["q_l1"] == 0 and out[2]["q_checksum"] == 0
+    # reconstruction: q_i * amax/127 within half a step of the original
+    import numpy as np
+    v = np.array(rows[0].embedding)
+    amax = out[1]["amax"]
+    q = np.floor(v * (127.0 / amax) + 0.5)
+    assert np.max(np.abs(q * amax / 127.0 - v)) <= amax / 127.0 / 2 + 1e-12
+
+
+def test_canonical_docs_keep_rule(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=c) for i, c in [(1, 10), (2, 30), (3, 30), (4, 7), (9, 99)]]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]  # one cluster {1,2,3}; 4 and 9 unpaired
+    )
+    out = dedup.canonical_docs(docs, pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # longest wins; tie (2 vs 3, both 30 chars) broken to the SMALLER id
+    assert r["keep_doc_id"] == 2 and r["keep_len"] == 30 and r["n_members"] == 3
