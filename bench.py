@@ -76,6 +76,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dedup_canonical_docs",
     "dedup_incremental_batch",
+    "text_unigram_logprob",
 ]
 
 

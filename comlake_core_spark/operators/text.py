@@ -504,3 +504,47 @@ def ngram_novelty(
             (F.col("n_unique").cast("double") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize: int = 9,
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's own
+    unigram language model — the CCNet-style fluency/quality signal
+    (documents full of rare junk tokens score far below well-formed prose;
+    filter or re-weight by it before pretraining).
+
+    score(doc) = (1/|doc|) Σ_t ln(count(t)/total_tokens)
+
+    Scale shape: ONE explode pass feeds both the vocab count agg and the
+    per-doc re-agg; the token→vocab join is on the term itself (near-
+    uniform key, no broadcast needed — vocab at web scale exceeds a
+    broadcast). The ln lands on a ``quantize``-decimal grid and the
+    per-doc sum is exact decimal, so the result is independent of
+    partial-aggregation order and hash-comparable to a SQL oracle (same
+    discipline as bm25_search's quantize)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c")).persist()
+    total = vocab.agg(F.sum("_c").cast("double").alias("_t"))
+    contrib = F.round(F.log(F.col("_c").cast("double") / F.col("_t")), quantize).cast(
+        f"decimal(20,{quantize})"
+    )
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(contrib).alias("_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_lp").cast("double") / F.col("n_tokens")).alias("avg_logprob"),
+        )
+    )

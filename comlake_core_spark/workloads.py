@@ -5579,3 +5579,41 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("total_value", "n_events").alias("total_value"),
         )
     )
+
+
+@workload(
+    "text_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT term, COUNT(*) AS c FROM tok2 GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / t), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM tok2 JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    "text",
+    "quality",
+    "lm",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring: average token log-probability under
+    the corpus's own unigram LM — the standard perplexity-bucket signal
+    for pretraining-data quality (junk-token documents score far below
+    prose). ln on a 9-decimal grid + exact decimal sums make the score
+    hash-checkable; see operators/text.unigram_logprob."""
+    from comlake_core_spark.operators.text import unigram_logprob
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return unigram_logprob(ensure_parallelism(docs))
