@@ -41,9 +41,100 @@ from comlake_core_spark.catalog import Catalog, MissingMetadata
 from comlake_core_spark.extract.reader import UnsupportedType, extract
 from comlake_core_spark.extract.schema_infer import cached_schema
 from comlake_core_spark.qast.compiler import QastError
+from comlake_core_spark.qast.interp import eval_qast
 from comlake_core_spark.store.base import ContentStore
 
 FIXED_KEYS = ("id", "cid", "type", "description", "source", "topics", "parent")
+
+# Catalog column kinds for the snapshot fast path's static type check:
+# s=string, n=numeric, a=array<string>.
+_FIXED_KINDS = {
+    "id": "n",
+    "cid": "s",
+    "type": "s",
+    "description": "s",
+    "source": "s",
+    "topics": "a",
+    "parent": "n",
+}
+
+_CMP_OPS = ("==", "!=", ">", ">=", "<", "<=")
+_BOOL_OPS = ("&", "|", "!")
+# every operator head the qast language knows; a list whose head is NOT one
+# of these is an ARRAY LITERAL in both engines (qast.clj:56,61-62)
+_ALL_OPS = ("$", ".", "~", "+", "-", "*", "/", "%") + _CMP_OPS + _BOOL_OPS + ("&&",)
+
+
+def _is_array_literal(node: list) -> bool:
+    return bool(node) and (not isinstance(node[0], str) or node[0] not in _ALL_OPS)
+
+
+def _node_kind(node: Any) -> str:
+    """Static kind of a qast node: s/n/b/a, '0' for null literal, 'u' unknown."""
+    if node is None:
+        return "0"
+    if isinstance(node, bool):
+        return "b"
+    if isinstance(node, str):
+        return "s"
+    if isinstance(node, (int, float)):
+        return "n"
+    if isinstance(node, list):
+        if _is_array_literal(node) or not node:
+            return "a"
+        head = node[0]
+        if head == ".":
+            if len(node) == 3 and node[1] == ["$"] and isinstance(node[2], str):
+                return _FIXED_KINDS.get(node[2], "u")
+            return "u"
+        if head in _CMP_OPS or head in _BOOL_OPS or head in ("~", "&&"):
+            return "b"
+        return "u"
+    return "u"
+
+
+def snapshot_safe(ast: Any) -> bool:
+    """True iff the qast predicate is in the class the driver-resident
+    snapshot serves with semantics IDENTICAL to the Spark compiler:
+    every field reference is a single fixed catalog column, operators are
+    limited to field access / comparisons / regex / boolean logic / array
+    overlap, and every comparison's operands share one statically-known
+    kind — exactly the regime where the pure-Python interpreter is
+    fuzz-pinned equal to the compiler (tests/test_qast_property.py).
+    Anything else (dynamic extra fields, arithmetic, mixed-kind implicit
+    casts) falls back to the Spark path."""
+    if not isinstance(ast, list):
+        return True  # scalar literal
+    if not ast:
+        return False  # both engines reject the empty array
+    if _is_array_literal(ast):
+        # array literal: safe iff every ELEMENT is (head included); a bare
+        # ["$"] inside is a compiler error vs an interp row value — bail
+        return all(a != ["$"] and snapshot_safe(a) for a in ast)
+    head = ast[0]
+    args = ast[1:]
+    if head == "$":
+        return False  # bare row reference: only valid as the base of "."
+    if head == ".":
+        return len(ast) == 3 and ast[1] == ["$"] and isinstance(ast[2], str) and ast[2] in _FIXED_KINDS
+    if head in _CMP_OPS:
+        if not all(snapshot_safe(a) for a in args):
+            return False
+        kinds = {_node_kind(a) for a in args} - {"0"}
+        return len(kinds) <= 1 and "u" not in kinds
+    if head == "~":
+        return (
+            len(args) == 2
+            and all(snapshot_safe(a) for a in args)
+            and all(_node_kind(a) in ("s", "0") for a in args)
+        )
+    if head == "&&":
+        return all(snapshot_safe(a) for a in args) and all(
+            _node_kind(a) in ("a", "0") for a in args
+        )
+    if head in _BOOL_OPS:
+        return all(snapshot_safe(a) for a in args)
+    return False  # arithmetic / unknown heads → Spark path
 
 
 class ComlakeServer:
@@ -57,6 +148,33 @@ class ComlakeServer:
         self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="schema-infer")
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # /find snapshot fast path: the catalog is METADATA (KB–MB even
+        # when content is 100 TB), so qualifying predicates are served
+        # from a driver-resident copy through the fuzz-pinned Python
+        # interpreter instead of a Spark job per request — the same
+        # tiering as the reference, whose catalog lives in PostgreSQL
+        # while content stays in IPFS (thesis/main/meth.tex:89-94).
+        # Rebuilt lazily after any catalog mutation.
+        self._find_snap: list[tuple[dict, dict]] | None = None
+        self._snap_lock = threading.Lock()
+
+    def _invalidate_snapshot(self) -> None:
+        with self._snap_lock:
+            self._find_snap = None
+
+    def _snapshot(self) -> list[tuple[dict, dict]]:
+        """(fixed-columns row, extras map) per catalog entry — one Spark
+        collect per catalog version, amortized over every /find after it."""
+        with self._snap_lock:
+            if self._find_snap is None:
+                rows = self.catalog.joined().collect()
+                snap = []
+                for r in rows:
+                    d = r.asDict(recursive=True)
+                    extra = d.pop("extra", None) or {}
+                    snap.append(({k: d.get(k) for k in FIXED_KEYS}, extra))
+                self._find_snap = snap
+            return self._find_snap
 
     # ------------------------------------------------------------------
     # engine operations (one method per endpoint)
@@ -68,6 +186,9 @@ class ComlakeServer:
             fut = self._schema_futures.get(cid)
             if fut is None:
                 fut = self._pool.submit(self._infer, cid, mime)
+                # inference writes the schema into the content row's extras
+                # — a catalog mutation, so the /find snapshot must refresh
+                fut.add_done_callback(lambda _f: self._invalidate_snapshot())
                 self._schema_futures[cid] = fut
             return fut
 
@@ -79,6 +200,7 @@ class ComlakeServer:
     def op_mkdir(self) -> tuple[int, dict]:
         cid = self.store.mkdir()
         self.catalog.upsert_content(cid, "inode/directory")
+        self._invalidate_snapshot()
         return 200, {"cid": cid}
 
     def op_save(self, body: bytes, mime: str | None) -> tuple[int, dict]:
@@ -88,6 +210,7 @@ class ComlakeServer:
 
         cid = self.store.add(io.BytesIO(body))
         self.catalog.upsert_content(cid, mime or "application/octet-stream")
+        self._invalidate_snapshot()
         self._infer_async(cid, mime)
         return 200, {"cid": cid}
 
@@ -96,11 +219,14 @@ class ComlakeServer:
         if cid is None:
             return 400, {"error": "dest is not a directory"}
         self.catalog.upsert_content(cid, "inode/directory")
+        self._invalidate_snapshot()
         return 200, {"cid": cid}
 
     def op_add_dataset(self, meta: dict) -> tuple[int, dict]:
         try:
-            return 200, {"id": self.catalog.add_dataset(meta)}
+            new_id = self.catalog.add_dataset(meta)
+            self._invalidate_snapshot()
+            return 200, {"id": new_id}
         except MissingMetadata as exc:
             return 400, {"error": {"missing-metadata": exc.args[0]}}
 
@@ -111,9 +237,22 @@ class ComlakeServer:
         new_id = self.catalog.update_dataset(parent, meta)
         if new_id is None:
             return 400, {"error": None}
+        self._invalidate_snapshot()
         return 200, {"id": new_id}
 
     def op_find(self, ast: Any) -> tuple[int, Any]:
+        if snapshot_safe(ast):
+            try:
+                # find path is PARTIAL-match regex (reference PostgreSQL ~,
+                # qast.clj:35) — same mode the Spark path compiles with
+                hits = [
+                    (fixed, extra)
+                    for fixed, extra in self._snapshot()
+                    if eval_qast(ast, fixed, regex_mode="partial") not in (None, False)
+                ]
+            except QastError:
+                return 400, {"error": "malformed query"}
+            return 200, [{**extra, **fixed} for fixed, extra in hits]
         try:
             rows = self.catalog.find(ast).collect()
         except QastError:
@@ -162,6 +301,16 @@ class ComlakeServer:
 
     def _make_handler(server: "ComlakeServer"):
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: one thread per CONNECTION, not per
+            # request — without it every request pays connection setup +
+            # thread spawn and throughput caps ~50× below the handler cost
+            protocol_version = "HTTP/1.1"
+            # buffered response writes + no Nagle: headers and body must
+            # leave in ONE segment, or Nagle × delayed-ACK adds ~40 ms per
+            # keep-alive request (the 181 req/s wall, measured)
+            wbufsize = -1
+            disable_nagle_algorithm = True
+
             def log_message(self, *args):  # quiet
                 pass
 

@@ -5259,6 +5259,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                         c.doc_id ASC) AS rn
       FROM sh q JOIN sh c ON q.doc_id <> c.doc_id
       WHERE q.doc_id % 29 = 0
+        AND len(list_intersect(q.grams, c.grams)) > 0
     ) WHERE rn <= 3
     """,
     "similarity",
@@ -5267,11 +5268,12 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jaccard_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity RETRIEVAL (not thresholded dedup): exact Jaccard
-    top-3 neighbours for each query document. Top-k has no similarity
-    floor, so LSH can't bound recall — the exact one-pass scan with
-    broadcast queries and WindowGroupLimit is the honest baseline (the
-    banded operators stay the scale path for thresholded work). Ties
-    break on neighbour id in both engines."""
+    top-3 POSITIVE-similarity neighbours for each query document. Top-k
+    has no similarity floor, so LSH can't bound recall — but zero-overlap
+    pairs are meaningless retrieval results, and excluding them (on both
+    engines) is what lets the engine use an inverted shingle index
+    instead of an all-pairs scan; see operators/dedup.jaccard_topk_similar.
+    Ties break on neighbour id in both engines."""
     from comlake_core_spark.operators.dedup import jaccard_topk_similar
 
     (docs,) = _t(spark, sf_dir, "documents")

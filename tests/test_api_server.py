@@ -165,3 +165,82 @@ def test_unknown_route_404(server):
     assert status == 404 and err == {"error": "unsupported"}
     status, err = jcall(server, "POST", "/nonsense", b"{}")
     assert status == 404 and err == {"error": "unsupported"}
+
+
+# ---------------------------------------------------------------------------
+# /find snapshot fast path: equality with the Spark path, fallback class,
+# and invalidation on mutation
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_PREDICATES = [
+    ["==", [".", ["$"], "type"], "text/csv"],
+    ["~", [".", ["$"], "description"], "data"],
+    ["&", ["==", [".", ["$"], "source"], "upstream"],
+          ["!", ["==", [".", ["$"], "type"], "text/plain"]]],
+    ["&&", [".", ["$"], "topics"], ["demography"]],
+    [">", [".", ["$"], "id"], 0],
+    ["|", ["==", [".", ["$"], "cid"], "nope"], [">=", [".", ["$"], "id"], 1]],
+]
+
+FALLBACK_PREDICATES = [
+    ["==", [".", ["$"], "length"], "9"],          # dynamic extra field
+    [">", ["+", [".", ["$"], "id"], 1], 2],        # arithmetic
+    ["==", [".", ["$"], "id"], "1"],               # mixed-kind implicit cast
+]
+
+
+@pytest.fixture(scope="module")
+def found_dataset(server, cids):
+    status, doc = jcall(server, "POST", "/dataset", json.dumps({
+        "file": cids["csv"], "description": "snapshot data", "source": "upstream",
+        "topics": ["demography"], "length": "9",
+    }).encode())
+    assert status == 200
+    # block until background schema inference lands (it mutates the
+    # catalog, so comparing the two find paths mid-flight would race)
+    call(server, "GET", f"/schema/{cids['csv']}")
+    return doc["id"]
+
+
+def _spark_find(server, ast):
+    rows = server.catalog.find(ast).collect()
+    out = []
+    for r in rows:
+        d = dict(r.asDict(recursive=True))
+        extra = d.pop("extra", None) or {}
+        out.append({**extra, **{k: d.get(k) for k in ("id", "cid", "type", "description", "source", "topics", "parent")}})
+    return sorted(out, key=lambda d: d["id"])
+
+
+def test_snapshot_find_equals_spark_find(server, found_dataset):
+    from comlake_core_spark.server import snapshot_safe
+
+    for ast in SNAPSHOT_PREDICATES:
+        assert snapshot_safe(ast), ast
+        status, got = jcall(server, "POST", "/find", json.dumps(ast).encode())
+        assert status == 200
+        assert sorted(got, key=lambda d: d["id"]) == _spark_find(server, ast), ast
+
+
+def test_fallback_predicates_not_snapshot_safe(server, found_dataset):
+    from comlake_core_spark.server import snapshot_safe
+
+    for ast in FALLBACK_PREDICATES:
+        assert not snapshot_safe(ast), ast
+        # the fallback path still answers them (through Spark)
+        status, got = jcall(server, "POST", "/find", json.dumps(ast).encode())
+        assert status == 200
+        assert sorted(got, key=lambda d: d["id"]) == _spark_find(server, ast), ast
+
+
+def test_snapshot_invalidated_on_mutation(server, cids, found_dataset):
+    ast = ["==", [".", ["$"], "source"], "snap-mut"]
+    status, before = jcall(server, "POST", "/find", json.dumps(ast).encode())
+    assert status == 200 and before == []
+    status, doc = jcall(server, "POST", "/dataset", json.dumps({
+        "file": cids["text"], "description": "d2", "source": "snap-mut", "topics": [],
+    }).encode())
+    assert status == 200
+    status, after = jcall(server, "POST", "/find", json.dumps(ast).encode())
+    assert status == 200
+    assert [d["id"] for d in after] == [doc["id"]]

@@ -395,12 +395,14 @@ def test_novelty_two_data_shuffles(spark):
 
 
 def test_jaccard_topk_broadcast_and_group_limit(spark):
-    # queries broadcast (corpus scanned once); top-k per query prunes
-    # map-side via WindowGroupLimit before the single exchange
+    # inverted-index plan: query postings broadcast onto the exploded
+    # corpus shingles (never a |Q|×N cross product); the intersection agg
+    # is map-combined; WindowGroupLimit trims to k per query map-side
     df = run(spark, "jaccard_topk_similar_docs")
     assert P.has_broadcast_join(df)
     assert P.has_window_group_limit(df)
-    assert P.count_shuffles(df) == 1
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) <= 2
 
 
 def test_quantize_map_only(spark):
