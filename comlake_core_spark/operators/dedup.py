@@ -570,7 +570,9 @@ def jaccard_topk_similar(
     at sf0.1; this plan is ~20×). |union| = |Q-grams| + |doc-grams| −
     |intersection| from two tiny per-doc count frames. WindowGroupLimit
     trims to k per query before the final shuffle."""
-    c = corpus.select(F.col(id_col).alias("nbr_id"), shingles(text_col, shingle_k).alias("_cg"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("nbr_id"), shingles(text_col, shingle_k).alias("_cg")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), shingles(text_col, shingle_k).alias("_qg"))
     csize = c.select("nbr_id", F.size("_cg").alias("_cn"))
     qsize = q.select("query_id", F.size("_qg").alias("_qn"))

@@ -245,3 +245,51 @@ def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None
     write_partitioned(
         df.withColumn("_date", F.date_format(F.col(ts_col), "yyyy-MM-dd")), path, ["_date"]
     )
+
+
+def apply_changelog(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "_op",
+) -> DataFrame:
+    """CDC MERGE: apply a changelog (one change per key, op ∈ 'U'pdate /
+    'I'nsert / 'D'elete) to a target snapshot — the lakehouse MERGE INTO
+    shape (Delta/Iceberg), expressed as one full-outer join:
+
+      D → row dropped; U/I → changelog values win; no change → target row.
+
+    Returns the merged snapshot plus an `_action` audit column
+    (kept/updated/inserted/deleted-free output keeps only the first
+    three; deletions simply vanish). Contract: at most one change per key
+    per batch — a multi-change feed is first reduced to last-change-per-
+    key by (key, sequence) max_by, the standard compaction CDC consumers
+    apply.
+
+    Scale: ONE shuffle join on the key (the changelog is usually a tiny
+    fraction of the snapshot, so AQE broadcasts it; state never exceeds
+    snapshot + changelog). This is the batch twin of the incremental
+    matview refresh (operators/matview.py) — apply to rows instead of
+    aggregates."""
+    data_cols = [c for c in target.columns if c != key]
+    t = target.alias("t")
+    c = changes.alias("c")
+    joined = t.join(c, F.col(f"t.{key}") == F.col(f"c.{key}"), "full_outer")
+    op = F.col(f"c.{op_col}")
+    action = (
+        F.when(op.isNull(), F.lit("kept"))
+        .when(op == "D", F.lit("deleted"))
+        .when(F.col(f"t.{key}").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    merged = joined.select(
+        F.coalesce(F.col(f"t.{key}"), F.col(f"c.{key}")).alias(key),
+        *[
+            F.when(op.isin("U", "I"), F.col(f"c.{col}"))
+            .otherwise(F.col(f"t.{col}"))
+            .alias(col)
+            for col in data_cols
+        ],
+        action.alias("_action"),
+    )
+    return merged.filter(F.col("_action") != "deleted")

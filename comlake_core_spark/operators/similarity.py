@@ -396,6 +396,7 @@ def quantize_embeddings_int8(
     round() because round-half rules differ across engines while floor is
     exact in all of them. amax = 0 (the all-zero vector) quantizes to all
     zeros."""
+    df = ensure_parallelism(df)
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(amax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)

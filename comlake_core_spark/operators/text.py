@@ -556,3 +556,41 @@ def unigram_logprob(
             (F.col("_lp").cast("double") / F.col("n_tokens")).alias("avg_logprob"),
         )
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick vectorization (Weinberger et al., ICML 2009; sklearn
+    HashingVectorizer): token → bucket = md5(token) mod D, counts per
+    bucket — the fixed-width sparse feature vector a downstream linear
+    model or clustering step consumes, with no vocabulary to build,
+    broadcast, or keep consistent across 100 TB (THE reason the trick
+    exists at scale: vectorization becomes embarrassingly parallel).
+
+    md5 (not xxhash64) so bucket assignment has an exact DuckDB/PostgreSQL
+    twin — same portability argument as sampling.split_assignment_portable.
+    Emits per-doc summary scalars of the sparse vector (nnz, l1, exact l2²
+    and a bucket-weighted checksum) rather than the vector itself — the
+    driver canonicalizer hashes scalars, and the summaries pin every bucket
+    count exactly.
+
+    Plan: explode → map-combined shuffle on (doc, bucket) → per-doc
+    re-agg (second, much smaller exchange: ≤ D rows per doc). No
+    vocabulary state anywhere."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+    ).filter(F.col("_t") != "")
+    bucket = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long") % n_features
+    per_bucket = toks.select(F.col(id_col), bucket.alias("_b")).groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return per_bucket.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("_cnt").cast("long").alias("l1"),
+        F.sum(F.col("_cnt") * F.col("_cnt")).cast("long").alias("l2_sq"),
+        F.sum(F.col("_b") * F.col("_cnt")).cast("long").alias("checksum"),
+    )

@@ -5619,3 +5619,111 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return unigram_logprob(ensure_parallelism(docs))
+
+
+@workload(
+    "cdc_merge_orders",
+    """
+    WITH chg AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 20 = 0 THEN 'D'
+                  WHEN o_orderkey % 10 = 0 THEN 'U'
+                  ELSE 'I' END AS op,
+             CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+                  THEN o_orderkey ELSE o_orderkey + 3000000 END AS key2,
+             o_custkey, o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 97 = 0
+    ), chg2 AS (
+      SELECT CASE WHEN op = 'I' THEN key2 ELSE k END AS o_orderkey,
+             op, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM chg
+    )
+    SELECT COALESCE(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IN ('U','I') THEN c.o_custkey ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN c.op IN ('U','I') THEN c.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IN ('U','I') THEN c.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN c.op IN ('U','I') THEN c.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'D' THEN 'deleted'
+                WHEN t.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS _action
+    FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+          FROM orders) t
+    FULL OUTER JOIN chg2 c ON t.o_orderkey = c.o_orderkey
+    WHERE CASE WHEN c.op IS NULL THEN 'kept'
+               WHEN c.op = 'D' THEN 'deleted'
+               WHEN t.o_orderkey IS NULL THEN 'inserted'
+               ELSE 'updated' END <> 'deleted'
+    """,
+    "cdc",
+    "merge",
+    "join",
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO (Delta/Iceberg shape) under the oracle gate:
+    a deterministic changelog derived from orders — deletes for keys
+    %20==0, updates (+1000 price) for the remaining %10==0, inserts under
+    key+3e6 for %97==0 — applied to the snapshot with ONE full-outer
+    join. The oracle states the same merge as SQL CASE arms. See
+    operators/relational.apply_changelog for the scale contract."""
+    from comlake_core_spark.operators.relational import apply_changelog
+
+    (od,) = _t(spark, sf_dir, "orders")
+    base = od.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    src = od.filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 97 == 0))
+    op = (
+        F.when(F.col("o_orderkey") % 20 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 0, "U")
+        .otherwise("I")
+    )
+    changes = src.select(
+        F.when(op == "I", F.col("o_orderkey") + 3000000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("o_orderkey"),
+        op.alias("_op"),
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return apply_changelog(base, changes, key="o_orderkey", op_col="_op")
+
+
+@workload(
+    "text_feature_hashing",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ), buckets AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 1024 AS b,
+             COUNT(*) AS cnt
+      FROM tok WHERE t <> ''
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           COUNT(*) AS nnz,
+           CAST(SUM(cnt) AS BIGINT) AS l1,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS l2_sq,
+           CAST(SUM(b * cnt) AS BIGINT) AS checksum
+    FROM buckets GROUP BY doc_id
+    """,
+    "text",
+    "vectorize",
+    "ml",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (sklearn HashingVectorizer shape):
+    fixed-width sparse feature vectors with NO vocabulary state — the
+    only vectorizer that stays embarrassingly parallel at 100 TB. Bucket
+    assignment is md5-portable, so the oracle recomputes exact bucket
+    counts; the emitted scalars (nnz/l1/l2²/checksum) pin every count.
+    See operators/text.feature_hashing."""
+    from comlake_core_spark.operators.text import feature_hashing
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return feature_hashing(ensure_parallelism(docs), n_features=1024)

@@ -409,3 +409,20 @@ def test_quantize_map_only(spark):
     # int8 quantization is pure per-row codegen: zero exchanges
     df = run(spark, "embedding_quantize_int8")
     assert P.count_shuffles(df) == 0
+
+
+def test_cdc_merge_single_join_no_cartesian(spark):
+    # MERGE INTO as ONE full-outer join on the key (both sides exchange —
+    # full-outer can't broadcast); the action/COALESCE arms are codegen'd
+    df = run(spark, "cdc_merge_orders")
+    plan = P.executed_plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert P.count_shuffles(df) == 2
+    assert "Cartesian" not in plan
+
+
+def test_feature_hashing_two_aggs(spark):
+    # explode → (doc,bucket) map-combined count → small per-doc re-agg
+    df = run(spark, "text_feature_hashing")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 2
