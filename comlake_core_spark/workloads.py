@@ -5727,3 +5727,46 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return feature_hashing(ensure_parallelism(docs), n_features=1024)
+
+
+@workload(
+    "udtf_top_terms",
+    r"""
+    SELECT doc_id, term, cnt FROM (
+      SELECT doc_id, term, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, term ASC) AS rn
+      FROM (
+        SELECT doc_id, term, COUNT(*) AS cnt
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ) WHERE term <> ''
+        GROUP BY doc_id, term
+      )
+    ) WHERE rn <= 3
+    """,
+    "udtf",
+    "text",
+    "lateral",
+)
+def udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 @udtf) under the
+    oracle gate: per-document top-3 terms expanded by a LATERAL join —
+    the row-fanout extensibility surface the reference lacks entirely.
+    Deterministic expansion order (count desc, term asc) makes the
+    Python fanout hash-comparable to the oracle's window ranking. The
+    JVM codegen'd twin of this computation is text_tfidf_top_terms /
+    text_top_bigrams — a UDTF is the slow path, demonstrated here
+    because the API is the point (see functions/udtfs.py)."""
+    from comlake_core_spark.functions.udtfs import register_udtfs
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    register_udtfs(spark)
+    (docs,) = _t(spark, sf_dir, "documents")
+    ensure_parallelism(docs).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.term, t.cnt FROM _udtf_docs, LATERAL top_terms(text, 3) t"
+    )
