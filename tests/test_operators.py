@@ -500,3 +500,48 @@ def test_canonical_docs_keep_rule(spark):
     r = out[0]
     # longest wins; tie (2 vs 3, both 30 chars) broken to the SMALLER id
     assert r["keep_doc_id"] == 2 and r["keep_len"] == 30 and r["n_members"] == 3
+
+
+def test_apply_changelog_matches_python_model(spark):
+    """Hypothesis fuzz: apply_changelog ≡ a dict-based reference merge for
+    random snapshots and changelogs (U/I/D over overlapping key spaces)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from comlake_core_spark.operators.relational import apply_changelog
+
+    keys = st.integers(min_value=0, max_value=30)
+    snapshot_st = st.dictionaries(keys, st.integers(-100, 100), max_size=12)
+    change_st = st.dictionaries(
+        keys, st.tuples(st.sampled_from(["U", "I", "D"]), st.integers(-100, 100)), max_size=8
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(snapshot_st, change_st)
+    def run(snap, chg):
+        expected = {}
+        for k, v in snap.items():
+            op = chg.get(k, (None,))[0]
+            if op == "D":
+                continue
+            if op in ("U", "I"):
+                expected[k] = (chg[k][1], "updated")
+            else:
+                expected[k] = (v, "kept")
+        for k, (op, v) in chg.items():
+            if k not in snap and op in ("U", "I"):
+                expected[k] = (v, "inserted")
+        target = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or [(None, None)], "k long, val long"
+        ).filter(F.col("k").isNotNull())
+        changes = spark.createDataFrame(
+            [(k, op, v) for k, (op, v) in chg.items()] or [(None, None, None)],
+            "k long, _op string, val long",
+        ).filter(F.col("k").isNotNull())
+        got = {
+            r["k"]: (r["val"], r["_action"])
+            for r in apply_changelog(target, changes, key="k").collect()
+        }
+        assert got == expected, (snap, chg)
+
+    run()
