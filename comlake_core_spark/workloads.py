@@ -5770,3 +5770,88 @@ def udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.term, t.cnt FROM _udtf_docs, LATERAL top_terms(text, 3) t"
     )
+
+
+@workload(
+    "dedup_graph_triangles",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY node
+    ),
+    wedge AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+           n_wedges,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE CAST(3 * n_triangles AS DOUBLE) / n_wedges END AS clustering_coeff
+    FROM tri CROSS JOIN wedge
+    """,
+    "dedup",
+    "graph",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-dup edge set: triangle count and the
+    global clustering coefficient (3·triangles / wedges) — the density
+    diagnostic that tells a dedup pipeline whether its LSH edges form
+    tight cliques (safe to collapse via connected components) or sparse
+    chains (transitive collapse would over-merge). Triangle counting is
+    the canonical ordered two-join (e1=(a,b) ⋈ e2=(a,c>b) ⋈ e3=(b,c)):
+    every triangle counted exactly once, no cartesian. At 100 TB the
+    edge set is the LSH output (≪ corpus²) and the joins shuffle on node
+    ids; degree skew is bounded by the max_bucket/max_df caps upstream."""
+    from comlake_core_spark.operators.dedup import minhash_lsh_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("a2"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("b3"), F.col("id_b").alias("c3"))
+    tri = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("c") > F.col("b")))
+        .join(e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedge = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedge).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise((3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"))
+        .alias("clustering_coeff"),
+    )
