@@ -5855,3 +5855,74 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"))
         .alias("clustering_coeff"),
     )
+
+
+@workload(
+    "server_find_real",
+    """
+    WITH dataset AS (
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS file, text AS description,
+             source, CAST(n_chars AS VARCHAR) AS length
+      FROM documents WHERE doc_id < 40
+    ), content AS (
+      SELECT CAST(doc_id AS VARCHAR) AS cid, 'text/plain' AS type
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT CAST(c.cid AS BIGINT) AS id, c.cid, c.type, d.source, d.length
+    FROM dataset d JOIN content c ON d.file = c.cid
+    WHERE regexp_matches(d.source, '1') AND c.type <> 'application/json'
+    """,
+    "catalog",
+    "server",
+    "integration",
+)
+def server_find_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL serving layer's /find SNAPSHOT fast path under the oracle
+    gate: build a catalog from documents, stand up ComlakeServer (no HTTP
+    socket needed — op_find is exercised directly), and issue a
+    snapshot-safe predicate (fixed columns, partial regex, boolean
+    logic). The workload asserts the predicate actually takes the
+    snapshot path, so the driver gate covers the pure-Python interpreter
+    + driver-resident snapshot serving pipeline end to end — the same
+    component scripts/http_bench.py measures at ~50× the Spark path."""
+    import tempfile
+
+    from comlake_core_spark.catalog import Catalog
+    from comlake_core_spark.catalog.catalog import CONTENT_SCHEMA
+    from comlake_core_spark.server import ComlakeServer, snapshot_safe
+    from comlake_core_spark.store import LocalStore
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rows = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id", "text", "source", "lang", "n_chars"
+    ).collect()
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="comlake-cat-srv-"))
+    metas = [
+        {
+            "file": str(r["doc_id"]),
+            "description": r["text"],
+            "source": r["source"],
+            "topics": ["docs", r["lang"]],
+            "length": str(r["n_chars"]),
+        }
+        for r in rows
+    ]
+    metas.sort(key=lambda m: int(m["file"]))
+    cat.add_datasets(metas)
+    content = spark.createDataFrame(
+        [(str(r["doc_id"]), "text/plain", {}) for r in rows],
+        "cid string, type string, extra map<string,string>",
+    )
+    cat._write("content", content, CONTENT_SCHEMA)
+
+    srv = ComlakeServer(spark, LocalStore(tempfile.mkdtemp(prefix="comlake-cas-srv-")), cat)
+    ast = ["&", ["~", [".", ["$"], "source"], "1"],
+           ["!", ["==", [".", ["$"], "type"], "application/json"]]]
+    assert snapshot_safe(ast), "predicate must exercise the snapshot path"
+    status, hits = srv.op_find(ast)
+    assert status == 200
+    return spark.createDataFrame(
+        [(int(h["cid"]), h["cid"], h["type"], h["source"], h["length"]) for h in hits]
+        or spark.sparkContext.emptyRDD(),
+        "id long, cid string, type string, source string, length string",
+    )
