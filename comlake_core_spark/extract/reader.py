@@ -39,6 +39,12 @@ def read_content(spark: SparkSession, store: ContentStore, cid: str, mime_type: 
     if mime_type == "application/json":
         # JSON array-of-objects (the reference parses whole documents)
         return spark.read.option("multiLine", True).json(path)
+    if mime_type in ("application/vnd.apache.parquet", "application/x-parquet"):
+        # EXTENSION beyond the reference (it errors on anything but
+        # CSV/JSON, data.clj:36): parquet content keeps its native types
+        # and gives the extract path real predicate pushdown + column
+        # pruning — the format a 100 TB lake actually stores
+        return spark.read.parquet(path)
     raise UnsupportedType(f"cannot extract rows from {mime_type!r}")
 
 

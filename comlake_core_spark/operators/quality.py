@@ -116,3 +116,43 @@ def fk_violations(fact: DataFrame, key: str, dim: DataFrame, dim_key: str) -> Da
     return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
         F.lit(f"fk_{key}").alias("rule"), F.col("n_violations").cast("long")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan: per column the row
+    count, null count, exact distinct count, and min/max (cast to double
+    — the profiler targets numeric columns; engine-portable string
+    formatting of extremes does not exist). The long (column-per-row)
+    shape is what a catalog stats table stores and what a cost-based
+    optimizer consumes.
+
+    Plan: one aggregate pass computes every per-column statistic
+    (count-distincts expand internally but still read the input once);
+    the wide row is then exploded to the long shape map-side. At 100 TB
+    swap exact distinct for approx_count_distinct and this is exactly
+    Spark's own ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS —
+    the exact form is kept because it is oracle-checkable."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").cast("long").alias("n_rows"),
+                F.col(f"_nulls_{c}").cast("long").alias("n_nulls"),
+                F.col(f"_dist_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("_s")).select("_s.*")

@@ -5926,3 +5926,81 @@ def server_find_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         or spark.sparkContext.emptyRDD(),
         "id long, cid string, type string, source string, length string",
     )
+
+
+@workload(
+    "extract_parquet_real",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey < 1000 AND l_quantity > 30
+    """,
+    "extract",
+    "parquet",
+    "integration",
+)
+def extract_parquet_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL extract path over PARQUET content — an extension beyond
+    the reference (which errors on any MIME but CSV/JSON): a parquet
+    blob is written into the content store, then POST /extract semantics
+    run a qast predicate against it. Unlike the CSV path (strings-only
+    by reference parity), parquet content keeps native types, so the
+    compiled predicate pushes into the scan — the extract path inherits
+    Catalyst pushdown exactly where a 100 TB lake needs it."""
+    import io
+    import tempfile
+
+    from comlake_core_spark.extract.reader import extract
+    from comlake_core_spark.store import LocalStore
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    subset = (
+        li.filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .toPandas()
+    )
+    buf = io.BytesIO()
+    subset.to_parquet(buf, index=False)
+    buf.seek(0)
+    store = LocalStore(tempfile.mkdtemp(prefix="comlake-cas-pq-"))
+    cid = store.add(buf)
+    ast = [">", [".", ["$"], "l_quantity"], 30]
+    return extract(spark, store, cid, ast, "application/vnd.apache.parquet")
+
+
+@workload(
+    "analyze_orders_profile",
+    """
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_value,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+    "quality",
+    "analyze",
+    "stats",
+)
+def analyze_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE column statistics (the CBO's food) in one scan:
+    row/null/exact-distinct counts and numeric extremes per column,
+    emitted in the long catalog-stats shape. The oracle re-scans per
+    column (UNION ALL); the engine reads the table ONCE. See
+    operators/quality.profile_columns."""
+    from comlake_core_spark.operators.quality import profile_columns
+
+    (od,) = _t(spark, sf_dir, "orders")
+    return profile_columns(od, ["o_orderkey", "o_custkey", "o_totalprice"])

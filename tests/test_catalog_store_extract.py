@@ -265,3 +265,24 @@ def test_bulk_add_datasets(catalog, cids):
 
     with _pytest.raises(MissingMetadata):
         catalog.add_datasets([{**base, "description": "x"}, {"description": "incomplete"}])
+
+
+def test_extract_parquet_content(spark, tmp_path):
+    """Parquet MIME extension: native types survive, predicate applies."""
+    import io
+
+    import pandas as pd
+
+    from comlake_core_spark.extract.reader import extract, read_content
+    from comlake_core_spark.store import LocalStore
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    buf = io.BytesIO()
+    pdf.to_parquet(buf, index=False)
+    buf.seek(0)
+    store = LocalStore(str(tmp_path / "cas"))
+    cid = store.add(buf)
+    df = read_content(spark, store, cid, "application/vnd.apache.parquet")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "string"]
+    out = extract(spark, store, cid, [">", [".", ["$"], "a"], 1], "application/x-parquet")
+    assert sorted(r["b"] for r in out.collect()) == ["y", "z"]
