@@ -6004,3 +6004,48 @@ def analyze_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (od,) = _t(spark, sf_dir, "orders")
     return profile_columns(od, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+@workload(
+    "streaming_matview_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+           CASE WHEN COUNT(value) > 0
+                THEN CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(value)
+           END AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    "streaming",
+    "materialized-view",
+    "incremental",
+)
+def streaming_matview_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-maintained materialized view under the oracle gate: events
+    replay through foreachBatch into IncrementalRollup (batch-id
+    idempotence makes replays effectively-once), and the drained view
+    must equal the one-shot full-scan aggregate — decimal partial states
+    merge associatively, so HOW the stream sliced the data cannot change
+    the answer. The streaming sibling of incremental_rollup_events; at
+    production scale this is the continuously-maintained dashboard view
+    whose refresh cost is O(micro-batch), never O(history)."""
+    import tempfile
+
+    from comlake_core_spark.operators.matview import IncrementalRollup
+    from comlake_core_spark.streaming.windows import read_events_stream
+
+    (ev,) = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-mv-")
+    ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_events_stream(spark, stream_dir, schema)
+    view = IncrementalRollup(
+        spark, tempfile.mkdtemp(prefix="rollup_stream_"), keys=["event_type"], measures=["value"]
+    )
+    q = view.stream_into(stream, tempfile.mkdtemp(prefix="rollup_ckpt_"))
+    q.awaitTermination(120)
+    q.stop()
+    return view.read()
