@@ -77,6 +77,10 @@ HEADLINE = [
     "dedup_canonical_docs",
     "dedup_incremental_batch",
     "text_unigram_logprob",
+    "text_feature_hashing",
+    "cdc_merge_orders",
+    "analyze_orders_profile",
+    "dedup_graph_triangles",
 ]
 
 

@@ -60,7 +60,22 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast sizing: the STATIC planner estimates from compressed
+        # file bytes, which undershoots in-memory hash size ~5-10× — a
+        # growing fact table that slips under the threshold gets broadcast
+        # and the join degrades super-linearly (measured: the sf0.1×8
+        # revenue join runs 50 s broadcast vs 15 s shuffled; see
+        # SCALING.md "Measured scaling curves"). Local test scale keeps
+        # static broadcast (right for every dim at these SFs);
+        # SPARK_GRAFT_AQE_ONLY_BROADCAST=1 is the production posture:
+        # static off, AQE decides from ACTUAL runtime shuffle sizes.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            "-1"
+            if os.environ.get("SPARK_GRAFT_AQE_ONLY_BROADCAST") == "1"
+            else str(64 * 1024 * 1024),
+        )
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in tables().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

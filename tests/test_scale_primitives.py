@@ -140,6 +140,9 @@ def test_aqe_splits_skewed_join_partition(spark):
     # the SortMergeJoin node reports skew=true in the final adaptive plan
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # keep AQE from converting the SMJ to broadcast at runtime — the
+        # point here is the skew-split decision, which only SMJ carries
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
