@@ -414,3 +414,71 @@ def quantize_embeddings_int8(
         checksum.alias("q_checksum"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
     )
+
+
+def pq_quantize(
+    corpus: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hasher: str = "md5",
+    err_quantize: int = 9,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011; faiss PQ): split each
+    vector into ``m`` subvectors and store, per subvector, only the index
+    of its nearest codebook centroid — 4 bits per subvector at 16
+    centroids, a 64× compression of a float32 dim-64 embedding vs SQ8's
+    4×. This is the codebook layout IVF-PQ search decodes against at
+    corpus scale.
+
+    Codebook: the md5-seeded sample rows (seeded_centroids) sliced per
+    subvector — deterministic, no training state, and the md5 ordering
+    has an exact SQL twin so assignments are oracle-checkable (swap in
+    kmeans_refine per subvector for production codebooks). Assignment is
+    MAP-ONLY codegen: the codebook is baked into the plan as literals and
+    each row takes m argmin folds over n_centroids sub-distances —
+    struct(min) ordering breaks ties toward the smaller centroid id; no
+    shuffle anywhere. Per-subvector squared distances are left-folds
+    (deterministic both engines); the total reconstruction error sums the
+    m per-subvector distances on a ``err_quantize``-decimal grid so the
+    cross-subvector addition order cannot matter.
+
+    Returns (id, pq_code, recon_err): pq_code packs (code_j − 1) into 4
+    bits per subvector — the exact bytes a PQ index stores."""
+    cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+    codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(codebook[1])
+    sub_d = dim // m
+
+    def sub_d2(j: int, cid: int) -> Column:
+        cvec = codebook[cid][j * sub_d : (j + 1) * sub_d]
+        sub = F.slice(v, j * sub_d + 1, sub_d)
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    errs = []
+    for j in range(m):
+        entries = F.array(
+            *[F.struct(sub_d2(j, cid).alias("d2"), F.lit(cid).alias("cid")) for cid in sorted(codebook)]
+        )
+        best = F.array_min(entries)
+        codes.append(F.shiftleft((best["cid"] - 1).cast("long"), 4 * j))
+        errs.append(F.round(best["d2"], err_quantize).cast(f"decimal(20,{err_quantize})"))
+    pq_code = codes[0]
+    for c in codes[1:]:
+        pq_code = pq_code + c
+    recon = errs[0]
+    for e in errs[1:]:
+        recon = recon + e
+    return corpus.select(
+        F.col(id_col),
+        pq_code.alias("pq_code"),
+        recon.cast("double").alias("recon_err"),
+    )

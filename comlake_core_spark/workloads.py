@@ -6049,3 +6049,52 @@ def streaming_matview_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return view.read()
+
+
+@workload(
+    "embedding_pq_codes",
+    """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT b.vec_id, j.j, s.cid,
+             list_reduce(list_transform(range(1, 9),
+               i -> (b.v[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])
+                  * (b.v[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])),
+               (a, x) -> a + x) AS d2
+      FROM base b CROSS JOIN range(8) j(j) CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, j, cid, d2 FROM (
+        SELECT vec_id, j, cid, d2,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM sub) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM((cid - 1) * (CAST(1 AS BIGINT) << CAST(4 * j AS INT))) AS BIGINT)
+             AS pq_code,
+           CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(20,9))) AS DOUBLE) AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+    "similarity",
+    "quantize",
+    "pq",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PAMI 2011, the faiss PQ layout): 4-bit code
+    per 8-dim subvector — 64× compression of a float32 dim-64 embedding,
+    the codebook form IVF-PQ decodes at corpus scale. md5-seeded codebook
+    so the oracle reproduces assignment exactly: per-subvector squared
+    distances are identical left-folds in both engines, argmin ties break
+    toward the smaller centroid id, and the reconstruction error sums on
+    a 9-decimal grid. The oracle materializes the full
+    vec × subvector × centroid cross product; the engine is MAP-ONLY —
+    codebook baked as plan literals, zero shuffles. See
+    operators/similarity.pq_quantize."""
+    from comlake_core_spark.operators.similarity import pq_quantize
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pq_quantize(emb, m=8, n_centroids=16)

@@ -426,3 +426,10 @@ def test_feature_hashing_two_aggs(spark):
     df = run(spark, "text_feature_hashing")
     assert P.has_partial_aggregate(df)
     assert P.count_shuffles(df) == 2
+
+
+def test_pq_assignment_map_only(spark):
+    # codebook baked as literals: the code-assignment scan has zero
+    # exchanges (codebook seeding is a separate tiny TakeOrdered job)
+    df = run(spark, "embedding_pq_codes")
+    assert P.count_shuffles(df) == 0
