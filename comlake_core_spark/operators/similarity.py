@@ -482,3 +482,76 @@ def pq_quantize(
         pq_code.alias("pq_code"),
         recon.cast("double").alias("recon_err"),
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    hasher: str = "md5",
+    lut_quantize: int = 9,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes (Jégou et al.; the
+    faiss IVF-PQ search kernel): each query precomputes an m × n_centroids
+    look-up table of sub-distances to the codebook, and a corpus vector's
+    approximate L2² is just m table reads indexed by its stored 4-bit
+    codes — the corpus EMBEDDINGS are never touched at query time, only
+    the 64×-compressed codes. That asymmetry is the entire point at
+    100 TB: the scan reads a bigint per vector instead of 256 bytes.
+
+    Exactness discipline: LUT entries are quantized to ``lut_quantize``
+    decimals (Decimal HALF_UP — the same rounding Spark's double→DECIMAL
+    cast and DuckDB ROUND apply) and summed as exact decimals, so the
+    ADC score is independent of addition order and hash-comparable. The
+    LUT (m·n_centroids·|Q| decimals) is baked into the plan as literals;
+    the only shuffle is the per-query top-k window."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+    codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    dim = len(codebook[1])
+    sub_d = dim // m
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    quantum = Decimal(1).scaleb(-lut_quantize)
+
+    def d2(qv, cv, j):
+        acc = 0.0
+        for i in range(j * sub_d, (j + 1) * sub_d):
+            t = (qv[i] - cv[i]) * (qv[i] - cv[i])
+            acc = acc + t
+        return Decimal(acc).quantize(quantum, rounding=ROUND_HALF_UP)
+
+    codes = pq_quantize(corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col, hasher=hasher)
+    dec_t = f"decimal(20,{lut_quantize})"
+    per_query = []
+    for r in q_rows:
+        qid, qv = r["qid"], list(r["qv"])
+        score = None
+        for j in range(m):
+            lut = F.array(
+                *[
+                    F.lit(d2(qv, codebook[cid], j)).cast(dec_t)
+                    for cid in sorted(codebook)
+                ]
+            )
+            code_j = (F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))).cast("int")
+            term = F.element_at(lut, code_j + 1)
+            score = term if score is None else score + term
+        per_query.append(F.struct(F.lit(qid).alias("query_id"), score.alias("adc")))
+    scored = codes.select(
+        F.col(id_col).alias("nbr_id"),
+        F.explode(F.array(*per_query)).alias("_s"),
+    ).select("nbr_id", "_s.query_id", F.col("_s.adc").cast("double").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rn")
+    )

@@ -6098,3 +6098,65 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pq_quantize(emb, m=8, n_centroids=16)
+
+
+@workload(
+    "ann_pq_adc_topk",
+    """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT b.vec_id, j.j, s.cid,
+             list_reduce(list_transform(range(1, 9),
+               i -> (b.v[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])
+                  * (b.v[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])),
+               (a, x) -> a + x) AS d2
+      FROM base b CROSS JOIN range(8) j(j) CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM sub) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5
+    ), lut AS (
+      SELECT q.query_id, j.j, s.cid,
+             CAST(ROUND(list_reduce(list_transform(range(1, 9),
+               i -> (q.qv[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])
+                  * (q.qv[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])),
+               (a, x) -> a + x), 9) AS DECIMAL(20,9)) AS d2q
+      FROM q CROSS JOIN range(8) j(j) CROSS JOIN seeds s
+    ), adc AS (
+      SELECT l.query_id, b.vec_id AS nbr_id, CAST(SUM(l.d2q) AS DOUBLE) AS adc_dist
+      FROM best b JOIN lut l ON l.j = b.j AND l.cid = b.cid
+      GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, nbr_id, adc_dist, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, nbr_id ASC) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+    "similarity",
+    "ann",
+    "pq",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's search kernel under the oracle gate: asymmetric distance
+    computation — each query bakes an m×16 look-up table of quantized
+    sub-distances into the plan, and a corpus vector's approximate L2² is
+    m table reads indexed by its stored 4-bit codes. Query time never
+    touches the embeddings, only the 64×-compressed codes — the entire
+    reason PQ exists at 100 TB. Decimal LUT sums make the score addition-
+    order-independent, so engine and oracle agree bitwise; ties break on
+    neighbour id. See operators/similarity.pq_adc_topk."""
+    from comlake_core_spark.operators.similarity import pq_adc_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries, k=5, m=8, n_centroids=16)
