@@ -81,6 +81,8 @@ HEADLINE = [
     "cdc_merge_orders",
     "analyze_orders_profile",
     "dedup_graph_triangles",
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
 ]
 
 

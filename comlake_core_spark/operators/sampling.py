@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from comlake_core_spark.session import ensure_parallelism
+
 
 def stratified_cap(
     df: DataFrame, stratum: str, order_by: str, n_per_stratum: int
@@ -118,3 +120,44 @@ def sample_fraction_bounds(test_fraction: float, n: int) -> tuple[float, float]:
     pipeline health-check should assert after a split of n keys."""
     sigma = math.sqrt(test_fraction * (1 - test_fraction) / max(n, 1))
     return max(0.0, test_fraction - 3 * sigma), min(1.0, test_fraction + 3 * sigma)
+
+
+def negative_samples(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    anchor_id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each anchor, pick the k corpus items with the smallest
+    md5(anchor_id:item_id) — a seeded pseudo-random draw that is (a)
+    reproducible across runs/partitionings (pure function of the id
+    pair, the same portability argument as split_assignment_portable),
+    (b) different per anchor (the anchor id salts the hash), and (c)
+    exactly recomputable by a SQL oracle. Positive-pair mining (minhash/
+    embedding dedup) finds what IS similar; this supplies the matched
+    negatives an embedding-training pipeline pairs them with.
+
+    Plan: anchors broadcast over one corpus scan; WindowGroupLimit keeps
+    k per anchor map-side before the single shuffle. Exclusions beyond
+    self (e.g. known positives) can be anti-joined upstream."""
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("item_id"))
+    a = anchors.select(F.col(anchor_id_col).alias("anchor_id"))
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("item_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "item_id",
+            F.md5(
+                F.concat_ws(":", F.col("anchor_id").cast("string"), F.col("item_id").cast("string"))
+            ).alias("_h"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("_h"), F.asc("item_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("anchor_id", "item_id", "rn")
+    )

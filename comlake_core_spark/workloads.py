@@ -6160,3 +6160,35 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(emb, queries, k=5, m=8, n_centroids=16)
+
+
+@workload(
+    "contrastive_negative_samples",
+    """
+    SELECT anchor_id, item_id, rn FROM (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS item_id,
+             row_number() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)) ASC,
+                        c.doc_id ASC) AS rn
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 29 = 0) a
+      JOIN documents c ON c.doc_id <> a.doc_id
+    ) WHERE rn <= 4
+    """,
+    "sampling",
+    "training-data",
+    "contrastive",
+)
+def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs: 4 matched
+    negatives per anchor drawn by the smallest md5(anchor:item) — seeded,
+    partitioning-independent, and per-anchor distinct, so re-ingesting
+    the corpus never changes a training pair (the same portability
+    contract as the train/test split). Positive mining (minhash /
+    embedding dedup) supplies the positives; this supplies the negatives.
+    See operators/sampling.negative_samples."""
+    from comlake_core_spark.operators.sampling import negative_samples
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % 29 == 0)
+    return negative_samples(docs, anchors, k=4)
