@@ -555,3 +555,112 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", "adc_dist", "rn")
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    hasher: str = "md5",
+    lut_quantize: int = 9,
+) -> DataFrame:
+    """The complete faiss IVF-PQ pipeline: corpus vectors live in L2
+    buckets (inverted lists) keyed by their nearest full-dim centroid and
+    are stored only as PQ codes; a query probes its n_probe closest
+    buckets and ADC-scores just those lists via its per-subvector LUT —
+    bucket pruning cuts the scanned fraction to ~n_probe/C, and each
+    scanned vector costs m table reads on a bigint of codes. At 100 TB
+    the inverted lists are the partition layout (cluster-by bucket), so
+    probing IS partition pruning.
+
+    Everything is the already-proven pieces composed: seeded full-dim
+    centroids (one shared codebook for bucketing and sub-quantization),
+    map-only bucket + code assignment (plan literals), driver-side probe
+    selection (|Q| × C folds), quantized-decimal LUT scores; the single
+    shuffle is the final per-query top-k."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+    codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    dim = len(codebook[1])
+    sub_d = dim // m
+    quantum = Decimal(1).scaleb(-lut_quantize)
+    v = F.col(vec_col).cast("array<double>")
+
+    def full_d2_col(cid: int) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in codebook[cid]])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket_entries = F.array(
+        *[F.struct(full_d2_col(cid).alias("d2"), F.lit(cid).alias("cid")) for cid in sorted(codebook)]
+    )
+    bucket = F.array_min(bucket_entries)["cid"]
+    codes = pq_quantize(
+        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col, hasher=hasher
+    ).select(id_col, "pq_code")
+    with_bucket = corpus.select(F.col(id_col), bucket.alias("_bucket")).join(codes, id_col)
+
+    def py_d2(qv, cv, lo, hi):
+        acc = 0.0
+        for i in range(lo, hi):
+            t = (qv[i] - cv[i]) * (qv[i] - cv[i])
+            acc = acc + t
+        return acc
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    dec_t = f"decimal(20,{lut_quantize})"
+    per_query = []
+    for r in q_rows:
+        qid, qv = r["qid"], list(r["qv"])
+        probes = sorted(
+            sorted(codebook), key=lambda cid: (py_d2(qv, codebook[cid], 0, dim), cid)
+        )[:n_probe]
+        score = None
+        for j in range(m):
+            lut = F.array(
+                *[
+                    F.lit(
+                        Decimal(py_d2(qv, codebook[cid], j * sub_d, (j + 1) * sub_d)).quantize(
+                            quantum, rounding=ROUND_HALF_UP
+                        )
+                    ).cast(dec_t)
+                    for cid in sorted(codebook)
+                ]
+            )
+            code_j = (F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))).cast("int")
+            term = F.element_at(lut, code_j + 1)
+            score = term if score is None else score + term
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                score.alias("adc"),
+                F.array(*[F.lit(p) for p in probes]).alias("probes"),
+            )
+        )
+    scored = (
+        with_bucket.select(
+            F.col(id_col).alias("nbr_id"),
+            "_bucket",
+            F.explode(F.array(*per_query)).alias("_s"),
+        )
+        .filter(F.array_contains(F.col("_s.probes"), F.col("_bucket")))
+        .select("nbr_id", "_s.query_id", F.col("_s.adc").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rn")
+    )

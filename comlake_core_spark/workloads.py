@@ -6192,3 +6192,83 @@ def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     anchors = docs.filter(F.col("doc_id") % 29 == 0)
     return negative_samples(docs, anchors, k=4)
+
+
+@workload(
+    "ann_ivfpq_topk",
+    """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    fulld AS (
+      SELECT b.vec_id, s.cid,
+             list_reduce(list_transform(range(1, 65),
+               i -> (b.v[CAST(i AS BIGINT)] - s.cv[CAST(i AS BIGINT)])
+                  * (b.v[CAST(i AS BIGINT)] - s.cv[CAST(i AS BIGINT)])),
+               (a, x) -> a + x) AS d2
+      FROM base b CROSS JOIN seeds s
+    ), buckets AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM fulld) WHERE rn = 1
+    ), sub AS (
+      SELECT b.vec_id, j.j, s.cid,
+             list_reduce(list_transform(range(1, 9),
+               i -> (b.v[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])
+                  * (b.v[CAST(j.j*8 + i AS BIGINT)] - s.cv[CAST(j.j*8 + i AS BIGINT)])),
+               (a, x) -> a + x) AS d2
+      FROM base b CROSS JOIN range(8) j(j) CROSS JOIN seeds s
+    ), best AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM sub) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id FROM base WHERE vec_id < 5
+    ), qprobe AS (
+      SELECT f.vec_id AS query_id, f.cid AS bucket FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM fulld WHERE vec_id < 5) f WHERE f.rn <= 4
+    ), lut AS (
+      SELECT su.vec_id AS query_id, su.j, su.cid,
+             CAST(ROUND(su.d2, 9) AS DECIMAL(20,9)) AS d2q
+      FROM sub su JOIN q qb ON su.vec_id = qb.query_id
+    ), adc AS (
+      SELECT l.query_id, b.vec_id AS nbr_id, CAST(SUM(l.d2q) AS DOUBLE) AS adc_dist
+      FROM best b
+      JOIN buckets bk ON bk.vec_id = b.vec_id
+      JOIN lut l ON l.j = b.j AND l.cid = b.cid
+      JOIN qprobe p ON p.query_id = l.query_id AND p.bucket = bk.bucket
+      GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, nbr_id, adc_dist, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, nbr_id ASC) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+    "similarity",
+    "ann",
+    "pq",
+    "ivf",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE faiss IVF-PQ pipeline under one oracle gate: inverted
+    lists (L2 bucket per vector), PQ codes as the only stored
+    representation, query-side bucket probing (n_probe=4 of 16), and ADC
+    scoring of just the probed lists. At 100 TB the buckets are the
+    partition layout, so probing is partition pruning and each scanned
+    vector costs one bigint read + m LUT lookups. Composed entirely from
+    the already-oracle-proven pieces (seeded codebook, PQ assignment,
+    quantized-decimal LUT sums); see operators/similarity.ivfpq_adc_topk."""
+    from comlake_core_spark.operators.similarity import ivfpq_adc_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_adc_topk(emb, queries, k=5, m=8, n_centroids=16, n_probe=4)
