@@ -161,3 +161,70 @@ def negative_samples(
         .filter(F.col("rn") <= k)
         .select("anchor_id", "item_id", "rn")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_cols: list[str],
+    target_docs: int,
+    token_count: Column | str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture re-weighting: allocate a document budget across
+    domains proportional to the SQUARE ROOT of each domain's token mass
+    (α=0.5 temperature flattening — the standard down-weighting of
+    dominant domains / up-weighting of rare ones a pretraining mixture
+    applies; DoReMi-style learned weights drop into the same quota slot),
+    then select each domain's quota deterministically by content-hash
+    rank, so re-ingesting or re-partitioning never changes the mixture.
+
+    Exactness discipline: token masses are exact ints; sqrt is IEEE-exact
+    in every engine; each domain weight lands on a 9-decimal grid and the
+    total is an exact decimal sum, so quotas are integer-identical across
+    engines. Returns per-domain accounting INCLUDING an id-sum checksum
+    of the selected set — the hash gate pins the exact membership, not
+    just the counts.
+
+    Scale: one shuffle groups tokens per domain (tiny frame); the
+    per-domain rank rides one shuffle on the group key; weights are a
+    broadcast scalar frame. Selection never materializes outside the
+    window filter."""
+    ids = [F.col(c) for c in group_cols]
+    tok = F.col(token_count) if isinstance(token_count, str) else token_count
+    base = df.select(*ids, F.col(id_col), tok.cast("long").alias("_tok"))
+    dom = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs_total"), F.sum("_tok").alias("domain_tokens")
+    )
+    w9 = F.round(F.sqrt(F.col("domain_tokens").cast("double")), 9).cast("decimal(20,9)")
+    dom = dom.withColumn("_w", w9)
+    tot = dom.agg(F.sum("_w").alias("_tot"))
+    quota = F.floor(
+        F.lit(float(target_docs)) * (F.col("_w").cast("double") / F.col("_tot").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    domq = dom.crossJoin(F.broadcast(tot)).withColumn("quota", quota)
+    rank_w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(rank_w))
+    kept = ranked.join(F.broadcast(domq.select(*group_cols, "quota")), group_cols).filter(
+        F.col("_rn") <= F.col("quota")
+    )
+    kept_stats = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("_tok").cast("long").alias("kept_tokens"),
+        F.sum(F.col(id_col)).cast("long").alias("kept_id_sum"),
+    )
+    return (
+        domq.select(*group_cols, "n_docs_total", "domain_tokens", "quota")
+        .join(kept_stats, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_docs_total",
+            F.col("domain_tokens").cast("long").alias("domain_tokens"),
+            "quota",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+        )
+    )

@@ -6272,3 +6272,64 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_adc_topk(emb, queries, k=5, m=8, n_centroids=16, n_probe=4)
+
+
+@workload(
+    "mixture_resample_corpus",
+    r"""
+    WITH base AS (
+      SELECT lang, source, doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> '')) AS tok
+      FROM documents
+    ), dom AS (
+      SELECT lang, source, COUNT(*) AS n_docs_total,
+             CAST(SUM(tok) AS BIGINT) AS domain_tokens,
+             CAST(ROUND(sqrt(CAST(SUM(tok) AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w
+      FROM base GROUP BY lang, source
+    ), tot AS (SELECT SUM(w) AS t FROM dom),
+    domq AS (
+      SELECT lang, source, n_docs_total, domain_tokens,
+             CAST(FLOOR(200.0 * (CAST(w AS DOUBLE) / CAST(t AS DOUBLE)) + 0.5) AS BIGINT)
+               AS quota
+      FROM dom CROSS JOIN tot
+    ), ranked AS (
+      SELECT b.lang, b.source, b.doc_id, b.tok,
+             row_number() OVER (PARTITION BY b.lang, b.source
+                                ORDER BY md5(CAST(b.doc_id AS VARCHAR)) ASC,
+                                         b.doc_id ASC) AS rn
+      FROM base b
+    ), kept AS (
+      SELECT r.lang, r.source, COUNT(*) AS n_kept,
+             CAST(SUM(r.tok) AS BIGINT) AS kept_tokens,
+             CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+      FROM ranked r JOIN domq d ON r.lang = d.lang AND r.source = d.source
+      WHERE r.rn <= d.quota
+      GROUP BY r.lang, r.source
+    )
+    SELECT d.lang, d.source, d.n_docs_total, d.domain_tokens, d.quota,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.kept_id_sum, 0) AS kept_id_sum
+    FROM domq d LEFT JOIN kept k ON d.lang = k.lang AND d.source = k.source
+    """,
+    "sampling",
+    "training-data",
+    "mixture",
+)
+def mixture_resample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture re-weighting under the oracle gate: a 200-doc
+    budget allocated across (lang, source) domains by α=0.5 temperature
+    flattening of token mass (sqrt is IEEE-exact in every engine; the
+    weight normalization runs on a 9-decimal grid), each domain's quota
+    selected by content-hash rank. The kept_id_sum column pins the EXACT
+    selected membership, not just counts — re-ingestion can never move a
+    document in or out of the mixture. See
+    operators/sampling.mixture_resample."""
+    from comlake_core_spark.operators.sampling import mixture_resample
+    from comlake_core_spark.operators.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
+    base = docs.select("lang", "source", "doc_id", n_tok.alias("n_tokens"))
+    return mixture_resample(base, ["lang", "source"], target_docs=200)
