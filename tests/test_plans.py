@@ -433,3 +433,28 @@ def test_pq_assignment_map_only(spark):
     # exchanges (codebook seeding is a separate tiny TakeOrdered job)
     df = run(spark, "embedding_pq_codes")
     assert P.count_shuffles(df) == 0
+
+
+def test_ivfpq_no_cartesian_single_topk_shuffle(spark):
+    # bucket + code assignment are plan literals (map-only); probe filter
+    # is array_contains on a literal; the only data shuffle beyond the
+    # codes join is the per-query top-k window
+    df = run(spark, "ann_ivfpq_topk")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.has_window_group_limit(df) or "WindowGroupLimit" in plan
+
+
+def test_negative_samples_broadcast_group_limit(spark):
+    df = run(spark, "contrastive_negative_samples")
+    assert P.has_broadcast_join(df)
+    assert P.has_window_group_limit(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_mixture_resample_broadcast_quotas(spark):
+    # domain weights/quotas are tiny broadcast frames; the doc-level rank
+    # and the kept re-agg ride the group-key shuffles
+    df = run(spark, "mixture_resample_corpus")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
