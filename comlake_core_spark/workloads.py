@@ -6333,3 +6333,85 @@ def mixture_resample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
     base = docs.select("lang", "source", "doc_id", n_tok.alias("n_tokens"))
     return mixture_resample(base, ["lang", "source"], target_docs=200)
+
+
+@workload(
+    "streaming_sessionize_users",
+    r"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    "streaming",
+    "session-window",
+)
+def streaming_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through an ACTUAL streaming replay, proven equal to
+    the batch lag/cumsum sessionization. Append-mode session aggregation
+    only emits a session once the watermark passes its close, so a bounded
+    replay would hold back every user's last session — the workload
+    demonstrates the production answer: a watermark-advancing sentinel
+    event (far-future heartbeat) processed LAST (file modification times
+    pin the replay order; the 60-day delay exceeds the data span so
+    real-file ordering can never drop data). The sentinel's own session is
+    filtered out; every real session then emits exactly once and the
+    streamed result equals the batch answer bit-for-bit."""
+    import os
+    import tempfile
+
+    from comlake_core_spark.streaming.windows import read_events_stream, run_to_memory, sessionize
+
+    (ev,) = _t(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-sess-")
+    ev.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    before = {f for f in os.listdir(stream_dir) if f.endswith(".parquet")}
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts, -1, "sentinel", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 130 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(stream_dir)
+    base_t = 1_000_000_000
+    for f in sorted(os.listdir(stream_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = base_t if f in before else base_t + 1000
+        os.utime(os.path.join(stream_dir, f), (t, t))
+    schema = spark.read.parquet(stream_dir).schema
+    stream = read_events_stream(spark, stream_dir, schema)
+    sess = sessionize(stream, gap="1 hour", watermark="60 days")
+    name = "streaming_sessionize_users_wl"
+    q = run_to_memory(sess, name, output_mode="append", timeout_sec=120)
+    q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
