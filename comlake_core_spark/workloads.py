@@ -6415,3 +6415,75 @@ def streaming_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@workload(
+    "ols_trend_by_nation",
+    """
+    WITH monthly AS (
+      SELECT n.n_name,
+             (EXTRACT(YEAR FROM l.l_shipdate) * 12
+              + EXTRACT(MONTH FROM l.l_shipdate)) AS x,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS y
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT n_name,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(y) AS sy,
+             SUM(y * x) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM monthly GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_month,
+           CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n AS mean_monthly_revenue
+    FROM stats
+    """,
+    "aggregation",
+    "regression",
+    "analytics",
+)
+def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares trend per group — the 'is revenue
+    growing?' analytic, computed as pure aggregation (no MLlib, no
+    iteration): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over (month-index,
+    monthly-revenue) points. Every sum is exact (decimal y, integer x —
+    associative, so partial aggregation cannot change them); only the
+    final division is floating, with the VARCHAR-bridge cast making the
+    big-decimal→double step identical across engines. Scale: the monthly
+    pre-agg rides the revenue pipeline's joins; the per-nation OLS state
+    is five scalars per group — this is the map-combinable 'sufficient
+    statistics' shape any closed-form model fit takes at 100 TB."""
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount", 4, 2))
+    x = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", x.alias("x"))
+        .agg(F.sum(rev).alias("y"))
+    )
+    stats = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("string").cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return stats.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_months"),
+        (num / den).alias("slope_per_month"),
+        (F.col("sy").cast("string").cast("double") / F.col("n")).alias("mean_monthly_revenue"),
+    )
