@@ -2358,16 +2358,45 @@ def window_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("approx_distinct_users", None, "aggregation", "approx", "no-sql-oracle")
+@workload(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type
+    """,
+    "aggregation",
+    "approx",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100TB cardinality path.
-    Sketch internals are engine-specific so there is no SQL oracle; the
-    exact twin (distinct_event_users) is oracle-checked, and pytest bounds
-    the approximation error against it."""
+
+    Promoted from rows-only to a full value-hash oracle (VERDICT r2 #5):
+    the sketch estimate itself is engine-specific (DuckDB has no HLL++
+    twin), so the hashed contract is the *accuracy claim*: ``within_2pct``
+    asserts |approx − exact| / exact ≤ 0.02 per group, and the oracle emits
+    the same boolean as a constant TRUE plus the exact COUNT(DISTINCT) it
+    can verify.  HLL++ is deterministic for fixed input, so this is a hard
+    gate, not a flaky tolerance — rsd=0.005 leaves ~4σ of margin against
+    the 2% line.  The exact column rides along only for the oracle; the
+    production caller keeps the sketch and drops the shuffle-heavy exact
+    twin (distinct_event_users is the standalone exact workload)."""
     (ev,) = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.005).alias("_approx"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= F.lit(0.02)
+        ).alias("within_2pct"),
     )
 
 
@@ -5247,19 +5276,31 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(toks[i:i+2], ' '))) AS grams
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
             FROM documents)
+    ),
+    post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    -- identical max_df=100 prune as the engine: drop shingles whose corpus
+    -- document frequency exceeds the cap (grams are distinct per doc)
+    fpost AS (
+      SELECT doc_id, g FROM post
+      WHERE g NOT IN (SELECT g FROM post GROUP BY g HAVING COUNT(*) > 100)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fpost GROUP BY doc_id),
+    inter AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS nbr_id, COUNT(*) AS i
+      FROM fpost q JOIN fpost c ON q.g = c.g AND q.doc_id <> c.doc_id
+      WHERE q.doc_id % 29 = 0
+      GROUP BY q.doc_id, c.doc_id
     )
     SELECT query_id, nbr_id, jaccard, rn FROM (
-      SELECT q.doc_id AS query_id, c.doc_id AS nbr_id,
-             CAST(len(list_intersect(q.grams, c.grams)) AS DOUBLE)
-               / len(list_distinct(list_concat(q.grams, c.grams))) AS jaccard,
+      SELECT query_id, nbr_id,
+             CAST(i AS DOUBLE) / (qs.n + cs.n - i) AS jaccard,
              row_number() OVER (
-               PARTITION BY q.doc_id
-               ORDER BY CAST(len(list_intersect(q.grams, c.grams)) AS DOUBLE)
-                          / len(list_distinct(list_concat(q.grams, c.grams))) DESC,
-                        c.doc_id ASC) AS rn
-      FROM sh q JOIN sh c ON q.doc_id <> c.doc_id
-      WHERE q.doc_id % 29 = 0
-        AND len(list_intersect(q.grams, c.grams)) > 0
+               PARTITION BY query_id
+               ORDER BY CAST(i AS DOUBLE) / (qs.n + cs.n - i) DESC,
+                        nbr_id ASC) AS rn
+      FROM inter
+      JOIN sizes qs ON qs.doc_id = query_id
+      JOIN sizes cs ON cs.doc_id = nbr_id
     ) WHERE rn <= 3
     """,
     "similarity",
@@ -5273,12 +5314,14 @@ def jaccard_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are meaningless retrieval results, and excluding them (on both
     engines) is what lets the engine use an inverted shingle index
     instead of an all-pairs scan; see operators/dedup.jaccard_topk_similar.
-    Ties break on neighbour id in both engines."""
+    Ties break on neighbour id in both engines.  max_df=100 (default) drops
+    boilerplate stop-shingles on BOTH engines — the posting-list cap that
+    keeps the inverted-index join skew-free at scale (VERDICT r2 #2)."""
     from comlake_core_spark.operators.dedup import jaccard_topk_similar
 
     (docs,) = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") % 29 == 0)
-    return jaccard_topk_similar(docs, queries, k=3, shingle_k=3)
+    return jaccard_topk_similar(docs, queries, k=3, shingle_k=3, max_df=100)
 
 
 @workload(
@@ -6487,3 +6530,92 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("slope_per_month"),
         (F.col("sy").cast("string").cast("double") / F.col("n")).alias("mean_monthly_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window curation (VERDICT r2 "Next round" #1)
+#
+# The external driver verifies only the FIRST 50 entries of __spark_entry__
+# .queries() (insertion order) per round.  Rounds 1-2 both presented the same
+# first 50 registrations, so 110 workloads had only local-mirror evidence.
+# DRIVER_WINDOW rotates the window each round: ~10 sentinels pin the already
+# driver-green core (one per operator family), and the remaining ~40 slots
+# carry never-driver-seen workloads.  Names not listed follow in original
+# registration order, so the full registry is always exposed.
+#
+# Rotation log (append a line per round; used to pick the next window):
+#   r1-r2: registration order (names 0-49 of the original ordering)
+#   r3:    sentinels + TPC-H suite, temporal, PQ/IVF-PQ, CDC, sampling,
+#          streaming, sketches, incremental dedup  (this list)
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW: list[str] = [
+    # -- sentinels: one driver-green pin per family (r1+r2 verified) --
+    "qast_eq_filter",          # qast predicate compiler
+    "catalog_find",            # catalog scan + broadcast join
+    "join_revenue_by_nation",  # multi-join agg
+    "agg_pricing_summary",     # grouped aggregation
+    "window_running_sum",      # window functions
+    "topk_orders",             # top-k
+    "dedup_minhash_lsh",       # dedup family
+    "ann_cosine_topk",         # similarity family
+    "text_stats",              # text family
+    "streaming_hourly_events", # streaming≡batch
+    # -- first-time driver evidence: TPC-H-shape suite --
+    "join_local_supplier_volume",
+    "market_share_by_year",
+    "large_order_customers",
+    "disjunctive_filter_revenue",
+    "promo_revenue_ratio",
+    "small_qty_order_revenue",
+    "idle_rich_customers",
+    "volume_shipping_pairs",
+    "profit_by_nation_year",
+    "customer_order_distribution",
+    "top_supplier_by_revenue",
+    "sole_returning_supplier",
+    "late_lines_by_priority",
+    "shipping_priority",
+    "min_unit_price_supplier",
+    "important_part_values",
+    "excess_volume_suppliers",
+    # -- temporal --
+    "asof_last_purchase",
+    "range_join_clicks_after_purchase",
+    "events_gapfill_locf",
+    "scd2_event_type_history",
+    "time_weighted_avg_value",
+    # -- PQ / IVF-PQ pipeline --
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    # -- CDC --
+    "cdc_merge_orders",
+    # -- sampling / mixture --
+    "stratified_sample_orders",
+    "train_test_split_counts",
+    "contrastive_negative_samples",
+    "mixture_resample_corpus",
+    # -- streaming oracles (streaming≡batch equalities) --
+    "streaming_dedup_users",
+    "streaming_interval_join",
+    "streaming_running_totals",
+    "streaming_sessionize_users",
+    "streaming_matview_events",
+    # -- sketches / matview / incremental --
+    "heavy_hitters_event_types",
+    "incremental_rollup_events",
+    "dedup_incremental_batch",
+    # -- promoted this round: full oracle (was rows-only), df-capped rewrite --
+    "approx_distinct_users",
+    "jaccard_topk_similar_docs",
+]
+
+
+def ordered_names() -> list[str]:
+    """Registry names with DRIVER_WINDOW first, then the rest in original
+    registration order.  __spark_entry__ builds queries()/oracle_sql() in
+    this order so the driver's 50-entry window is the curated one."""
+    window = [n for n in DRIVER_WINDOW if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(window)]
+    return window + rest

@@ -1,0 +1,69 @@
+"""Driver-window curation contract (VERDICT r2 "Next round" #1).
+
+The external driver verifies only the FIRST 50 entries of
+``__spark_entry__.queries()`` per round.  These pins guarantee the round-3
+window is the curated rotation — ~10 driver-green sentinels + ≥40
+never-driver-seen workloads — and that every window entry carries a full
+value-hash oracle (so all 50 driver rows can go green, none rows-only).
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from comlake_core_spark.workloads import DRIVER_WINDOW, REGISTRY, ordered_names
+
+# the window the driver verified in rounds 1-2 (original registration order;
+# keys of CORRECTNESS_r01/r02)
+R1_R2_WINDOW = [
+    "qast_eq_filter", "qast_extract_regex", "qast_find_regex",
+    "qast_arith_revenue", "qast_maths_composite", "qast_array_overlap",
+    "extract_json_field", "catalog_find", "catalog_latest_revision",
+    "agg_pricing_summary", "topk_orders", "topk_orders_per_segment",
+    "join_revenue_by_nation", "distinct_event_users", "events_hourly",
+    "window_running_sum", "part_brand_stats", "text_stats",
+    "text_token_budget", "text_lang_id", "text_quality",
+    "text_tfidf_top_terms", "text_top_bigrams", "bm25_search",
+    "text_pmi_bigrams", "agg_grouping_sets", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding", "dedup_winnow", "ann_cosine_topk",
+    "ann_ivf_topk", "hybrid_search_rrf", "ann_ivf_kmeans_topk",
+    "events_sessionize", "semi_join_orders_shipped_late",
+    "anti_join_customers_no_final", "agg_rollup_flag_status",
+    "events_props_sum", "multimodal_bytes_meta", "multimodal_png_decode",
+    "multimodal_decode_features", "layout_partition_pruned_read",
+    "streaming_hourly_events", "array_higher_order", "events_props_variant",
+    "qast_string_concat",
+]
+
+
+def test_window_is_50_known_workloads():
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"window names not in REGISTRY: {missing}"
+
+
+def test_queries_leads_with_window_then_full_registry():
+    qs = list(entry_mod.queries())
+    assert qs[:50] == DRIVER_WINDOW
+    assert sorted(qs) == sorted(REGISTRY), "ordered_names must expose every workload"
+    assert qs == ordered_names()
+
+
+def test_window_rotation_carries_new_evidence():
+    first_time = [n for n in DRIVER_WINDOW if n not in set(R1_R2_WINDOW)]
+    assert len(first_time) >= 40, (
+        f"only {len(first_time)} never-driver-seen workloads in the window; "
+        "the rotation must carry >=40 (VERDICT r2 #1)"
+    )
+
+
+def test_every_window_entry_has_full_oracle():
+    rows_only = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert not rows_only, f"window entries without a value-hash oracle: {rows_only}"
+
+
+def test_oracle_sql_order_matches_queries():
+    qs = list(entry_mod.queries())
+    os_ = list(entry_mod.oracle_sql())
+    assert os_ == [n for n in qs if REGISTRY[n].oracle is not None]

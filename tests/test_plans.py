@@ -397,12 +397,20 @@ def test_novelty_two_data_shuffles(spark):
 def test_jaccard_topk_broadcast_and_group_limit(spark):
     # inverted-index plan: query postings broadcast onto the exploded
     # corpus shingles (never a |Q|×N cross product); the intersection agg
-    # is map-combined; WindowGroupLimit trims to k per query map-side
+    # is map-combined; WindowGroupLimit trims to k per query map-side.
+    # Shuffle budget: df-cap aggregate + its 1-row stop-array fold +
+    # intersection agg + per-query window = 4 (sizes ride the postings,
+    # so there are NO per-doc size aggregations or size joins).
     df = run(spark, "jaccard_topk_similar_docs")
     assert P.has_broadcast_join(df)
     assert P.has_window_group_limit(df)
     assert P.has_partial_aggregate(df)
-    assert P.count_shuffles(df) <= 2
+    assert P.count_shuffles(df) <= 4
+    # the max_df stop-shingle prune is live in the physical plan
+    # (VERDICT r2 #2): map-side array_except against the broadcast
+    # one-row stop array
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_except" in plan
 
 
 def test_quantize_map_only(spark):
