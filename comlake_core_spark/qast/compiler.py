@@ -283,6 +283,16 @@ def _op_regex(args, resolve, regex_mode):
     from comlake_core_spark.qast.regex_dialect import translate_posix_classes
 
     pattern = translate_posix_classes(args[1])
+    # eager validity check so a malformed pattern ("(") is a QastError at
+    # compile time (→ HTTP 400) instead of a JVM PatternSyntaxException at
+    # collect time (ADVICE r2 #4).  Python's `re` approximates the PG
+    # POSIX dialect's validity judgement the same way the interpreter does.
+    import re as _re
+
+    try:
+        _re.compile(pattern)
+    except _re.error as exc:
+        raise QastError(f"malformed regex pattern: {exc}") from exc
     if regex_mode == "full":
         pattern = f"^(?:{pattern})$"
     return _Typed(s.col.rlike(pattern), _BOOL)

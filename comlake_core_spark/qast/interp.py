@@ -68,10 +68,18 @@ def _field(args, ev, row, mode):
 def _regex(args, ev, row, mode):
     from comlake_core_spark.qast.regex_dialect import translate_posix_classes
 
+    if not isinstance(args[1], str):
+        raise QastError("~ pattern must be a string literal")  # compiler parity
     s, p = ev(args[0]), translate_posix_classes(args[1])
     if s is None:
         return None
-    return bool(re.fullmatch(p, s)) if mode == "full" else bool(re.search(p, s))
+    try:
+        return bool(re.fullmatch(p, s)) if mode == "full" else bool(re.search(p, s))
+    except re.error as exc:
+        # malformed pattern (e.g. "(") must surface as a 400 "malformed
+        # query" on the serving path, not kill the keep-alive connection
+        # (ADVICE r2 #4); the compiler path rejects it eagerly the same way
+        raise QastError(f"malformed regex pattern: {exc}") from exc
 
 
 def _add(args, ev, row, mode):

@@ -138,11 +138,28 @@ def snapshot_safe(ast: Any) -> bool:
 
 
 class ComlakeServer:
-    def __init__(self, spark: SparkSession, store: ContentStore, catalog: Catalog, port: int = 8090):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: ContentStore,
+        catalog: Catalog,
+        port: int = 8090,
+        reuse_port: bool = False,
+        snapshot_export: str | None = None,
+    ):
         self.spark = spark
         self.store = store
         self.catalog = catalog
         self.port = port
+        # multi-process read tier (serving.py): bind the public port with
+        # SO_REUSEPORT so N Spark-free worker processes can share it, and
+        # export the /find snapshot to a file the workers mmap-read.  The
+        # export is DELETED on any catalog mutation — workers seeing no
+        # file proxy /find to this primary, which rebuilds and re-exports
+        # (single-writer catalog, read-replicated serving: the reference's
+        # own scaling answer, thesis/main/meth.tex:89-94, on one box).
+        self.reuse_port = reuse_port
+        self.snapshot_export = snapshot_export
         self._schema_futures: dict[str, Future] = {}
         self._schema_lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="schema-infer")
@@ -161,6 +178,15 @@ class ComlakeServer:
     def _invalidate_snapshot(self) -> None:
         with self._snap_lock:
             self._find_snap = None
+            if self.snapshot_export is not None:
+                # make workers fall back to proxying /find until the next
+                # rebuild re-exports — never serve stale reads from a worker
+                try:
+                    import os
+
+                    os.unlink(self.snapshot_export)
+                except FileNotFoundError:
+                    pass
 
     def _snapshot(self) -> list[tuple[dict, dict]]:
         """(fixed-columns row, extras map) per catalog entry — one Spark
@@ -174,6 +200,16 @@ class ComlakeServer:
                     extra = d.pop("extra", None) or {}
                     snap.append(({k: d.get(k) for k in FIXED_KEYS}, extra))
                 self._find_snap = snap
+                if self.snapshot_export is not None:
+                    import os
+                    import tempfile
+
+                    fd, tmp = tempfile.mkstemp(
+                        dir=os.path.dirname(self.snapshot_export) or ".", suffix=".snap"
+                    )
+                    with os.fdopen(fd, "w") as f:
+                        json.dump(snap, f)
+                    os.replace(tmp, self.snapshot_export)  # atomic publish
             return self._find_snap
 
     # ------------------------------------------------------------------
@@ -381,14 +417,40 @@ class ComlakeServer:
 
     def start(self) -> int:
         handler = self._make_handler()
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", self.port), handler)
+        if self.reuse_port:
+
+            class _ReusePortServer(ThreadingHTTPServer):
+                allow_reuse_port = True  # SO_REUSEPORT: workers share the port
+
+            server_cls = _ReusePortServer
+        else:
+            server_cls = ThreadingHTTPServer
+        self._httpd = server_cls(("127.0.0.1", self.port), handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self.port
 
+    def start_private(self) -> int:
+        """Second listener on a private port (no SO_REUSEPORT) — the proxy
+        target worker processes forward mutations and snapshot-unsafe
+        /find to.  Must be distinct from the public port: with
+        SO_REUSEPORT the kernel could hand a worker's proxied connection
+        to ANOTHER worker, looping forever."""
+        handler = self._make_handler()
+        self._private_httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        self._private_thread = threading.Thread(
+            target=self._private_httpd.serve_forever, daemon=True
+        )
+        self._private_thread.start()
+        return self._private_httpd.server_address[1]
+
     def stop(self) -> None:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
+        private = getattr(self, "_private_httpd", None)
+        if private is not None:
+            private.shutdown()
+            private.server_close()
         self._pool.shutdown(wait=False)

@@ -1,0 +1,264 @@
+"""Multi-process read-scaling tier for the HTTP serving layer.
+
+VERDICT r2 "Next round" #3: the single-process serving layer is GIL-bound at
+~1/6 of the reference's published /find throughput (BASELINE.md:
+thesis/main/eval.tex:90-107, 5,575.89 req/s on wrk's find.lua predicate).
+The serving tier is stateless glue, and the reference's own scaling answer
+is "run more instances" (thesis/main/meth.tex:89-94) — this module applies
+that answer on one box:
+
+- The PRIMARY (server.ComlakeServer, owns Spark + the single-writer
+  catalog) binds the public port with SO_REUSEPORT and exports its
+  driver-resident /find snapshot to a JSON file (atomic tmp+rename).
+- N WORKER processes (this module's ``main``; no Spark, no JVM) bind the
+  SAME public port with SO_REUSEPORT — the kernel load-balances incoming
+  connections across all N+1 processes — and serve the read hot paths
+  locally:
+    POST /find   snapshot-safe predicates via the fuzz-pinned pure-Python
+                 interpreter over the exported snapshot (same eval as the
+                 primary's fast path, byte-identical responses)
+    GET  /file/{cid}, GET /dir/{cid}   straight from the shared
+                 content-addressed store directory
+    404 control  locally
+  Everything else — mutations, snapshot-unsafe /find, /schema, /extract —
+  is PROXIED over a keep-alive connection to the primary's private port,
+  preserving single-writer catalog semantics and full API coverage on
+  every connection.
+- Consistency: any catalog mutation makes the primary DELETE the export
+  before acknowledging; a worker that finds no export file proxies /find
+  to the primary (which rebuilds, re-exports, and answers), so workers
+  never serve stale snapshot reads.  The export file is re-read on mtime
+  change only (one stat() per request).
+
+This is the same read-replica tiering the reference gets from PostgreSQL
+(catalog) + IPFS gateways (content): one writer, N stateless readers over
+shared storage.  On a cluster the workers run behind one VIP on many boxes;
+SO_REUSEPORT is the one-box degenerate case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from comlake_core_spark.qast.compiler import QastError
+from comlake_core_spark.qast.interp import eval_qast
+from comlake_core_spark.server import FIXED_KEYS, snapshot_safe
+from comlake_core_spark.store.local import LocalStore
+
+
+class SnapshotReader:
+    """mtime-cached reader of the primary's snapshot export.
+
+    ``get()`` returns the [(fixed, extra), ...] list, or None when the
+    export is absent (primary invalidated it — callers must proxy)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._stamp: tuple[int, int] | None = None
+        self._snap: list | None = None
+        self._lock = threading.Lock()
+
+    def get(self) -> list | None:
+        try:
+            st = os.stat(self.path)
+        except FileNotFoundError:
+            return None
+        stamp = (st.st_mtime_ns, st.st_size)
+        with self._lock:
+            if stamp != self._stamp:
+                try:
+                    with open(self.path) as f:
+                        self._snap = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    # lost a race with invalidation/replace; proxy this one
+                    return None
+                self._stamp = stamp
+            return self._snap
+
+
+def _make_worker_handler(store: LocalStore, snap: SnapshotReader, primary_port: int):
+    proxy_local = threading.local()
+
+    class WorkerHandler(BaseHTTPRequestHandler):
+        # same socket discipline as the primary (server.py): keep-alive,
+        # one buffered write per response, no Nagle
+        protocol_version = "HTTP/1.1"
+        wbufsize = -1
+        disable_nagle_algorithm = True
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, status: int, payload, raw: bool = False):
+            body = payload if raw else json.dumps(payload).encode()
+            ctype = "application/octet-stream" if raw else "application/json"
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> bytes:
+            length = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(length)
+
+        def _proxy(self, body: bytes | None = None):
+            """Forward the request verbatim to the primary's private port
+            over a per-thread keep-alive connection; relay the response."""
+            import http.client
+
+            if body is None:
+                body = self._body()
+            conn = getattr(proxy_local, "conn", None)
+            if conn is None:
+                conn = http.client.HTTPConnection("127.0.0.1", primary_port)
+                proxy_local.conn = conn
+            headers = {}
+            ctype = self.headers.get("Content-Type")
+            if ctype:
+                headers["Content-Type"] = ctype
+            try:
+                conn.request(self.command, self.path, body or None, headers)
+                resp = conn.getresponse()
+                payload = resp.read()
+                status = resp.status
+                rtype = resp.getheader("Content-Type", "application/json")
+            except (ConnectionError, http.client.HTTPException, OSError):
+                proxy_local.conn = None
+                return self._send(502, {"error": "primary unavailable"})
+            self.send_response(status)
+            self.send_header("Content-Type", rtype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            if self.path == "/find":
+                body = self._body()
+                try:
+                    ast = json.loads(body.decode())
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    return self._send(400, {"error": "malformed query"})
+                if not snapshot_safe(ast):
+                    return self._proxy(body)
+                entries = snap.get()
+                if entries is None:  # invalidated → primary rebuilds
+                    return self._proxy(body)
+                try:
+                    hits = [
+                        (fixed, extra)
+                        for fixed, extra in entries
+                        if eval_qast(ast, fixed, regex_mode="partial") not in (None, False)
+                    ]
+                except QastError:
+                    return self._send(400, {"error": "malformed query"})
+                return self._send(200, [{**extra, **fixed} for fixed, extra in hits])
+            if self.path in ("/dir", "/file", "/cp", "/dataset", "/update") or self.path.startswith(
+                "/extract/"
+            ):
+                return self._proxy()
+            return self._send(404, {"error": "unsupported"})
+
+        def do_GET(self):
+            if self.path.startswith("/file/"):
+                cid = self.path[len("/file/") :]
+                try:
+                    with store.fetch(cid) as f:
+                        return self._send(200, f.read(), raw=True)
+                except (OSError, ValueError):
+                    return self._send(404, {"error": "content not found"})
+            if self.path.startswith("/dir/"):
+                entries = store.ls(self.path[len("/dir/") :])
+                if entries is None:
+                    return self._send(400, {"error": "not a directory"})
+                return self._send(200, entries)
+            if self.path.startswith("/schema/"):
+                return self._proxy(b"")
+            return self._send(404, {"error": "unsupported"})
+
+    return WorkerHandler
+
+
+class _ReusePortServer(ThreadingHTTPServer):
+    allow_reuse_port = True
+
+
+def main(argv: list[str]) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="comlake serving-tier read worker")
+    ap.add_argument("--port", type=int, required=True, help="shared public port (SO_REUSEPORT)")
+    ap.add_argument("--cas", required=True, help="content store root directory")
+    ap.add_argument("--snapshot", required=True, help="primary's snapshot export path")
+    ap.add_argument("--primary-port", type=int, required=True, help="primary private port")
+    args = ap.parse_args(argv)
+
+    handler = _make_worker_handler(
+        LocalStore(args.cas), SnapshotReader(args.snapshot), args.primary_port
+    )
+    httpd = _ReusePortServer(("127.0.0.1", args.port), handler)
+    print("READY", flush=True)  # parent waits for this before benchmarking
+    httpd.serve_forever()
+
+
+class ServingTier:
+    """Primary ComlakeServer + N SO_REUSEPORT read workers on one port.
+
+    The primary must be constructed with ``reuse_port=True`` and a
+    ``snapshot_export`` path; ``start()`` boots the public + private
+    listeners and the worker processes (plain subprocesses — no JVM or
+    Spark state is inherited), and blocks until every worker is bound."""
+
+    def __init__(self, primary, n_workers: int = 4):
+        if not primary.reuse_port or primary.snapshot_export is None:
+            raise ValueError("primary needs reuse_port=True and a snapshot_export path")
+        self.primary = primary
+        self.n_workers = n_workers
+        self.procs: list = []
+
+    def start(self) -> int:
+        import subprocess
+
+        port = self.primary.start()
+        private_port = self.primary.start_private()
+        cas_root = self.primary.store.root
+        for _ in range(self.n_workers):
+            proc = subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "comlake_core_spark.serving",
+                    "--port",
+                    str(port),
+                    "--cas",
+                    cas_root,
+                    "--snapshot",
+                    self.primary.snapshot_export,
+                    "--primary-port",
+                    str(private_port),
+                ],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            self.procs.append(proc)
+        for proc in self.procs:
+            line = proc.stdout.readline()
+            if line.strip() != "READY":
+                raise RuntimeError(f"serving worker failed to start: {line!r}")
+        return port
+
+    def stop(self) -> None:
+        for proc in self.procs:
+            proc.terminate()
+        for proc in self.procs:
+            proc.wait(timeout=10)
+        self.procs = []
+        self.primary.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -3,96 +3,142 @@
 evaluation (BASELINE.md: thesis/main/eval.tex:90-107 — find 5575.89 req/s,
 file download 6238.30 req/s, no-op control 29788.50 req/s on an i5-8250U).
 
-Boots the real ComlakeServer in-process on a LocalStore + Catalog seeded
-with datasets, then hammers three endpoints with keep-alive client threads:
+Boots the real serving tier — primary ComlakeServer + N SO_REUSEPORT read
+workers (comlake_core_spark/serving.py) — on a LocalStore + Catalog seeded
+with datasets, then hammers four endpoints:
 
-  find     POST /find  ["==",[".",["$"],"cid"],"Qm"]   (the wrk find.lua predicate)
-  get      GET  /file/{cid}                            (small-file download)
-  control  GET  /nope                                  (404 route — no-op control)
+  find           POST /find  ["==",[".",["$"],"cid"],"Qm"]  (the wrk find.lua predicate)
+  find_fallback  POST /find  dynamic-extra predicate         (snapshot-unsafe → Spark on primary)
+  get            GET  /file/{cid}                            (small-file download)
+  control        GET  /nope                                  (404 route — no-op control)
 
-Prints one JSON line {endpoint: req_per_sec}. The /find predicate is served
-by the driver-resident snapshot fast path (server.py snapshot_safe) — the
-architectural analogue of the reference answering /find from PostgreSQL
-rather than its data plane."""
+Load generation uses PROCESSES, not threads: a CPython threaded client is
+itself GIL-bound near the old single-process server numbers, so this script
+re-execs itself in `--client` mode N_CLIENTS times per endpoint (keep-alive
+connection per process) and sums the counts.
+
+Prints one JSON line {endpoint: req_per_sec, ...}. Env knobs:
+  SPARK_GRAFT_HTTP_WORKERS   read workers (default 8; 0 = single-process server)
+  SPARK_GRAFT_HTTP_CLIENTS   client processes (default 16)
+  SPARK_GRAFT_HTTP_SECS      seconds per endpoint (default 5)
+"""
 
 from __future__ import annotations
 
-import http.client
 import json
 import os
 import sys
-import tempfile
-import threading
-import time
+
+
+def client_main(argv: list[str]) -> None:
+    """Pure-stdlib keep-alive request loop; prints the request count.
+    Kept import-light so spawned clients start fast."""
+    import http.client
+    import time
+
+    port, method, path, duration = int(argv[0]), argv[1], argv[2], float(argv[3])
+    body = sys.stdin.buffer.read() or None
+    headers = {"Content-Type": "application/json"} if body else {}
+    conn = http.client.HTTPConnection("127.0.0.1", port)
+    n = 0
+    stop = time.monotonic() + duration
+    while time.monotonic() < stop:
+        conn.request(method, path, body, headers)
+        resp = conn.getresponse()
+        resp.read()
+        n += 1
+    conn.close()
+    print(n)
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--client":
+    client_main(sys.argv[2:])
+    sys.exit(0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from comlake_core_spark.catalog import Catalog
-from comlake_core_spark.server import ComlakeServer
-from comlake_core_spark.session import get_spark
-from comlake_core_spark.store import LocalStore
-
-N_THREADS = 8
-DURATION = 5.0  # seconds per endpoint
+N_WORKERS = int(os.environ.get("SPARK_GRAFT_HTTP_WORKERS", "8"))
+N_CLIENTS = int(os.environ.get("SPARK_GRAFT_HTTP_CLIENTS", "16"))
+DURATION = float(os.environ.get("SPARK_GRAFT_HTTP_SECS", "5"))
 
 
 def hammer(port: int, method: str, path: str, body: bytes | None) -> float:
-    stop = time.monotonic() + DURATION
-    counts = [0] * N_THREADS
+    """Aggregate req/s over N_CLIENTS single-connection client processes."""
+    import subprocess
+    import time
 
-    def worker(i: int) -> None:
-        conn = http.client.HTTPConnection("127.0.0.1", port)
-        headers = {"Content-Type": "application/json"} if body else {}
-        while time.monotonic() < stop:
-            conn.request(method, path, body, headers)
-            resp = conn.getresponse()
-            resp.read()
-            counts[i] += 1
-        conn.close()
-
-    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N_THREADS)]
+    procs = []
     t0 = time.monotonic()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    return sum(counts) / (time.monotonic() - t0)
+    for _ in range(N_CLIENTS):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--client", str(port), method, path, str(DURATION)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=False,
+        )
+        p.stdin.write(body or b"")
+        p.stdin.close()
+        procs.append(p)
+    total = 0
+    for p in procs:
+        total += int(p.stdout.read().strip() or 0)
+        p.wait()
+    return total / (time.monotonic() - t0)
 
 
 def main() -> None:
+    import io
+    import tempfile
+
+    from comlake_core_spark.catalog import Catalog
+    from comlake_core_spark.server import ComlakeServer
+    from comlake_core_spark.serving import ServingTier
+    from comlake_core_spark.session import get_spark
+    from comlake_core_spark.store import LocalStore
+
     root = tempfile.mkdtemp(prefix="comlake-httpbench-")
     spark = get_spark("http-bench")
-    srv = ComlakeServer(
-        spark, LocalStore(os.path.join(root, "cas")), Catalog(spark, os.path.join(root, "cat")), port=0
+    spark.sparkContext.setLogLevel("ERROR")
+    primary = ComlakeServer(
+        spark,
+        LocalStore(os.path.join(root, "cas")),
+        Catalog(spark, os.path.join(root, "cat")),
+        port=0,
+        reuse_port=N_WORKERS > 0,
+        snapshot_export=os.path.join(root, "find.snap") if N_WORKERS > 0 else None,
     )
-    srv.start()
+    tier = ServingTier(primary, n_workers=N_WORKERS) if N_WORKERS > 0 else None
+    port = tier.start() if tier else primary.start()
     try:
         # seed: one small file + 100 datasets over it
-        import io
-
-        cid = srv.store.add(io.BytesIO(b"name,size\nlake,3\ncore,9\n"))
-        srv.catalog.upsert_content(cid, "text/csv")
+        cid = primary.store.add(io.BytesIO(b"name,size\nlake,3\ncore,9\n"))
+        primary.catalog.upsert_content(cid, "text/csv")
         for i in range(100):
-            srv.catalog.add_dataset(
+            primary.catalog.add_dataset(
                 {"file": cid, "description": f"d{i}", "source": "bench", "topics": ["t"]}
             )
-        srv._invalidate_snapshot()
+        primary._invalidate_snapshot()
+        primary._snapshot()  # build + export so workers serve /find locally
 
         find_body = json.dumps(["==", [".", ["$"], "cid"], "Qm"]).encode()
         # dynamic-extra predicate: not snapshot_safe → one Spark job/request
         find_spark_body = json.dumps(["==", [".", ["$"], "description"], ["+", "d", "1"]]).encode()
-        warm = hammer(srv.port, "POST", "/find", find_body)  # builds snapshot, warms sockets
+        warm = hammer(port, "POST", "/find", find_body)  # warm sockets + page cache
         out = {
-            "find_rps": round(hammer(srv.port, "POST", "/find", find_body), 1),
-            "find_spark_fallback_rps": round(hammer(srv.port, "POST", "/find", find_spark_body), 1),
-            "get_rps": round(hammer(srv.port, "GET", f"/file/{cid}", None), 1),
-            "control_rps": round(hammer(srv.port, "GET", "/nope", None), 1),
-            "threads": N_THREADS,
+            "find_rps": round(hammer(port, "POST", "/find", find_body), 1),
+            "find_spark_fallback_rps": round(hammer(port, "POST", "/find", find_spark_body), 1),
+            "get_rps": round(hammer(port, "GET", f"/file/{cid}", None), 1),
+            "control_rps": round(hammer(port, "GET", "/nope", None), 1),
+            "workers": N_WORKERS,
+            "clients": N_CLIENTS,
             "warm_find_rps": round(warm, 1),
         }
         print(json.dumps(out))
     finally:
-        srv.stop()
+        if tier:
+            tier.stop()
+        else:
+            primary.stop()
         spark.stop()
 
 

@@ -244,3 +244,27 @@ def test_snapshot_invalidated_on_mutation(server, cids, found_dataset):
     status, after = jcall(server, "POST", "/find", json.dumps(ast).encode())
     assert status == 200
     assert [d["id"] for d in after] == [doc["id"]]
+
+
+def test_malformed_regex_returns_400_both_paths(server, found_dataset):
+    """ADVICE r2 #4: a syntactically invalid regex pattern must be a 400
+    "malformed query" on BOTH the snapshot fast path and the Spark
+    fallback — not an exception that kills the keep-alive connection."""
+    from comlake_core_spark.server import snapshot_safe
+
+    # snapshot-safe shape (fixed column, string kinds) with a bad pattern
+    snap_ast = ["~", [".", ["$"], "description"], "("]
+    assert snapshot_safe(snap_ast)
+    status, err = jcall(server, "POST", "/find", json.dumps(snap_ast).encode())
+    assert status == 400 and err == {"error": "malformed query"}
+
+    # dynamic-extra field → Spark compile path, same bad pattern
+    spark_ast = ["~", [".", ["$"], "language"], "(unclosed"]
+    assert not snapshot_safe(spark_ast)
+    status, err = jcall(server, "POST", "/find", json.dumps(spark_ast).encode())
+    assert status == 400 and err == {"error": "malformed query"}
+
+    # the connection survives: a well-formed follow-up on the same server
+    ok_ast = ["~", [".", ["$"], "description"], "pop.*"]
+    status, rows = jcall(server, "POST", "/find", json.dumps(ok_ast).encode())
+    assert status == 200

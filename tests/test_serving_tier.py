@@ -1,0 +1,143 @@
+"""Multi-process serving tier (comlake_core_spark/serving.py): SO_REUSEPORT
+read workers must be indistinguishable from the primary — same responses on
+every endpoint, no stale snapshot reads after mutations, full API coverage
+via proxying.  Requests here hit whichever process the kernel picks, so each
+check is issued over MANY fresh connections to exercise all workers."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from comlake_core_spark.catalog import Catalog
+from comlake_core_spark.server import ComlakeServer
+from comlake_core_spark.serving import ServingTier
+from comlake_core_spark.store import LocalStore
+
+N_WORKERS = 3
+
+
+@pytest.fixture(scope="module")
+def tier(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("tier")
+    primary = ComlakeServer(
+        spark,
+        LocalStore(str(root / "cas")),
+        Catalog(spark, str(root / "cat")),
+        port=0,
+        reuse_port=True,
+        snapshot_export=str(root / "find.snap"),
+    )
+    t = ServingTier(primary, n_workers=N_WORKERS)
+    t.start()
+    yield t
+    t.stop()
+
+
+def call(tier, method, path, body=None, content_type="application/json"):
+    # fresh connection per call → kernel assigns an arbitrary tier process
+    url = f"http://127.0.0.1:{tier.primary.port}{path}"
+    req = urllib.request.Request(url, data=body, method=method)
+    if body is not None:
+        req.add_header("Content-Type", content_type)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def jcall(tier, method, path, body=None, **kw):
+    status, raw = call(tier, method, path, body, **kw)
+    return status, json.loads(raw)
+
+
+REPEAT = 4 * (N_WORKERS + 1)  # enough fresh connections to hit every process w.h.p.
+
+
+def test_upload_then_download_from_every_process(tier):
+    status, doc = jcall(tier, "POST", "/file", b"tier-bytes", content_type="text/plain")
+    assert status == 200
+    cid = doc["cid"]
+    for _ in range(REPEAT):
+        status, raw = call(tier, "GET", f"/file/{cid}")
+        assert (status, raw) == (200, b"tier-bytes")
+
+
+def test_find_identical_across_processes_and_after_mutation(tier):
+    status, doc = jcall(tier, "POST", "/file", b"ds-1", content_type="text/plain")
+    cid1 = doc["cid"]
+    status, doc = jcall(
+        tier,
+        "POST",
+        "/dataset",
+        json.dumps(
+            {"file": cid1, "description": "tier-ds", "source": "tier", "topics": ["t"]}
+        ).encode(),
+    )
+    assert status == 200
+    ast = ["==", [".", ["$"], "source"], "tier"]
+    results = set()
+    for _ in range(REPEAT):
+        status, rows = jcall(tier, "POST", "/find", json.dumps(ast).encode())
+        assert status == 200
+        results.add(json.dumps(sorted(rows, key=lambda d: d["id"]), sort_keys=True))
+    assert len(results) == 1, "processes disagree on /find"
+    assert json.loads(next(iter(results)))[0]["description"] == "tier-ds"
+
+    # mutation through an arbitrary process (workers proxy to the primary);
+    # NO process may serve the pre-mutation snapshot afterwards
+    status, doc = jcall(tier, "POST", "/file", b"ds-2", content_type="text/plain")
+    cid2 = doc["cid"]
+    status, doc2 = jcall(
+        tier,
+        "POST",
+        "/dataset",
+        json.dumps(
+            {"file": cid2, "description": "tier-ds-2", "source": "tier", "topics": []}
+        ).encode(),
+    )
+    assert status == 200
+    for _ in range(REPEAT):
+        status, rows = jcall(tier, "POST", "/find", json.dumps(ast).encode())
+        assert status == 200
+        assert {r["description"] for r in rows} == {"tier-ds", "tier-ds-2"}
+
+
+def test_snapshot_unsafe_find_proxies_to_spark(tier):
+    # arithmetic predicate → not snapshot_safe → worker must proxy;
+    # answer must still be correct from every process
+    ast = ["==", [".", ["$"], "description"], ["+", "tier-", "ds"]]
+    for _ in range(N_WORKERS + 1):
+        status, rows = jcall(tier, "POST", "/find", json.dumps(ast).encode())
+        assert status == 200
+        assert [r["description"] for r in rows] == ["tier-ds"]
+
+
+def test_malformed_and_404_from_every_process(tier):
+    for _ in range(REPEAT):
+        status, err = jcall(tier, "POST", "/find", b"not json{")
+        assert status == 400 and err == {"error": "malformed query"}
+        status, err = jcall(tier, "POST", "/find", json.dumps(["~", [".", ["$"], "cid"], "("]).encode())
+        assert status == 400 and err == {"error": "malformed query"}
+        status, err = jcall(tier, "GET", "/nope")
+        assert status == 404 and err == {"error": "unsupported"}
+        status, err = jcall(tier, "GET", "/file/QmMissing")
+        assert status == 404 and err == {"error": "content not found"}
+
+
+def test_dir_flow_through_tier(tier):
+    status, doc = jcall(tier, "POST", "/dir")
+    assert status == 200
+    dir_cid = doc["cid"]
+    status, doc = jcall(tier, "POST", "/file", b"member", content_type="text/plain")
+    file_cid = doc["cid"]
+    status, doc = jcall(
+        tier, "POST", "/cp", json.dumps({"src": file_cid, "dest": dir_cid, "path": "m.txt"}).encode()
+    )
+    assert status == 200
+    new_dir = doc["cid"]
+    for _ in range(REPEAT):
+        status, listing = jcall(tier, "GET", f"/dir/{new_dir}")
+        assert status == 200 and listing == {"m.txt": file_cid}
