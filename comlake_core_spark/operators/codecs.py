@@ -1,12 +1,13 @@
-"""Pure-Python multimodal codecs: PNG, WAV(PCM), YUV4MPEG2.
+"""Pure-Python multimodal codecs: PNG, baseline JPEG, WAV(PCM), YUV4MPEG2.
 
 VERDICT r1 #10 asked for a decision on multimodal's real-codec story: this
-module is it. Three REAL formats are decoded (and encoded, for tests and
+module is it. Four REAL formats are decoded (and encoded, for tests and
 synthetic pipelines) with nothing beyond the standard library (zlib,
 struct) and numpy, so the mapInPandas operators in operators/multimodal.py
-run against genuine on-disk formats in this container. Formats that need a
-native library (JPEG, MP3, MP4...) remain explicitly NotImplemented behind
-``codec='real'``.
+run against genuine on-disk formats in this container. JPEG is baseline
+sequential DCT (VERDICT r2 #4 — the format a real multimodal lake hits
+first); formats that need a native library (progressive JPEG, MP3, MP4...)
+remain explicitly NotImplemented behind ``codec='real'``.
 
 These functions are called from inside Arrow-batched mapInPandas workers —
 they must be importable on executors (top-level module, no Spark imports)
@@ -223,3 +224,532 @@ def y4m_decode(data: bytes) -> tuple[int, int, float, np.ndarray]:
         frames.append(luma)
         pos = start + frame_len
     return w, h, fps, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: baseline sequential DCT (VERDICT r2 "Next round" #4)
+#
+# ITU-T T.81 baseline process: 8-bit samples, Huffman entropy coding,
+# SOF0 frames, grayscale or YCbCr with 4:4:4 / 4:2:0 subsampling, DRI/RSTn
+# restart markers on decode.  Progressive (SOF2), arithmetic coding, and
+# 12-bit precision raise NotImplementedError — the explicit contract for
+# what needs a native library or a later round.  Tables are the public
+# Annex K defaults; quality scaling follows the well-known IJG formula.
+# ---------------------------------------------------------------------------
+
+# zigzag scan: ZIGZAG[i] = raster index of the i-th coefficient in scan order
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C; forward DCT = C @ block @ C.T
+    (DC of a constant-c block is exactly 8c, the T.81 convention)."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    c = np.cos((2 * x + 1) * u * np.pi / 16.0) * 0.5
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 keeps the Annex K table verbatim."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_huffman_codes(bits: list, vals: list) -> dict:
+    """value → (code, length) assignment per T.81 C.2 (canonical)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(wr, block: np.ndarray, qt: np.ndarray, dc_codes, ac_codes, pred: int) -> int:
+    """DCT → quantize → zigzag → Huffman one 8×8 level-shifted block;
+    returns the new DC predictor."""
+    coef = _DCT_C @ block.astype(np.float64) @ _DCT_C.T
+    q = np.floor(coef.reshape(64) / qt + 0.5).astype(np.int64)  # round-half-up
+    zz = q[ZIGZAG]
+    # DC: difference category + extended bits
+    diff = int(zz[0]) - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # AC: (run, size) symbols with ZRL and EOB
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+            wr.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        wr.write(code, length)
+        wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        wr.write(code, length)
+    return int(zz[0])
+
+
+def _pad_to_block(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate to a multiple of (bh, bw)."""
+    h, w = plane.shape
+    ph = (bh - h % bh) % bh
+    pw = (bw - w % bw) % bw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 50, subsampling: str = "4:2:0") -> bytes:
+    """Encode an 8-bit image (H×W grayscale or H×W×3 RGB) as baseline
+    sequential JPEG with the Annex K tables scaled by ``quality``.
+    Exists for tests and synthetic pipelines (the PNG/WAV/Y4M pattern);
+    quality=50 keeps the standard tables verbatim, which is what gives
+    the constant-tile workload its exact closed form."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2 or arr.shape[2] == 1
+    if not gray and arr.shape[2] != 3:
+        raise ValueError("jpeg_encode takes H×W, H×W×1, or H×W×3 uint8")
+    h, w = arr.shape[:2]
+    qt_lum = _quality_scale(_JPEG_QT_LUM, quality)[ZIGZAG]  # scan-order tables
+    qt_chrom = _quality_scale(_JPEG_QT_CHROM, quality)[ZIGZAG]
+
+    if gray:
+        planes = [arr.reshape(h, w).astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qts = [qt_lum]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        y, cb, cr = (np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr))
+        if subsampling == "4:2:0":
+            pad = _pad_to_block(cb, 2, 2), _pad_to_block(cr, 2, 2)
+            cb = np.floor((pad[0][0::2, 0::2] + pad[0][0::2, 1::2] + pad[0][1::2, 0::2] + pad[0][1::2, 1::2]) / 4.0 + 0.5)
+            cr = np.floor((pad[1][0::2, 0::2] + pad[1][0::2, 1::2] + pad[1][1::2, 0::2] + pad[1][1::2, 1::2]) / 4.0 + 0.5)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling in ("4:4:4", "none"):
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [qt_lum, qt_chrom, qt_chrom]
+
+    # MCU grid is set by the max-sampling component (T.81 A.2.4); each
+    # component's plane is edge-padded to its own full MCU-grid extent
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcus_y * 8 * sv, mcus_x * 8 * sh
+        q = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ) if p.shape != (th, tw) else p
+        padded.append(q)
+
+    dc_lum = _build_huffman_codes(*_HUFF_DC_LUM)
+    ac_lum = _build_huffman_codes(*_HUFF_AC_LUM)
+    dc_chrom = _build_huffman_codes(*_HUFF_DC_CHROM)
+    ac_chrom = _build_huffman_codes(*_HUFF_AC_CHROM)
+    huffs = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (len(planes) - 1)
+
+    wr = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((sh, sv), plane, qt, (dc_codes, ac_codes)) in enumerate(
+                zip(samp, padded, qts, huffs)
+            ):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(wr, block, qt, dc_codes, ac_codes, preds[ci])
+    scan = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))  # APP0
+    out.append(seg(0xDB, bytes([0]) + bytes(qt_lum.astype(np.uint8))))
+    if not gray:
+        out.append(seg(0xDB, bytes([1]) + bytes(qt_chrom.astype(np.uint8))))
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out.append(seg(0xC0, sof))  # SOF0 baseline
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out.append(dht(0, 0, _HUFF_DC_LUM))
+    out.append(dht(1, 0, _HUFF_AC_LUM))
+    if not gray:
+        out.append(dht(0, 1, _HUFF_DC_CHROM))
+        out.append(dht(1, 1, _HUFF_AC_CHROM))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out.append(seg(0xDA, sos))
+    out.append(scan)
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    ``sync_restart`` byte-aligns and consumes an RSTn marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartPending()
+            else:
+                # ran into EOI or another marker: T.81 allows the decoder to
+                # treat missing bits as 1-padding at the end of the scan
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RSTn marker at the current position."""
+        self.acc = 0
+        self.nbits = 0
+        while not (self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartPending(Exception):
+    """Internal: bit reader hit an RSTn marker mid-fill."""
+
+
+def _build_huffman_decoder(bits: list, vals: list) -> dict:
+    """(length, code) → value map for canonical T.81 codes."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    return bits - (1 << size) + 1 if bits < (1 << (size - 1)) else bits
+
+
+def _decode_block(reader, dc_table, ac_table, qt, pred: int) -> tuple[np.ndarray, int]:
+    """Huffman → dequant → inverse-zigzag → IDCT one block; returns the
+    spatial-domain block (float, pre-level-shift) and the new DC pred."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _huff_decode(reader, dc_table)
+    diff = _extend(reader.read_bits(size), size) if size else 0
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index out of range")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * qt
+    block = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
+    return block, dc
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (ITU-T T.81: SOF0, 8-bit, Huffman,
+    grayscale or 3-component YCbCr with any h/v sampling factors ≤ 2,
+    DRI/RSTn restart intervals) to an H×W×C uint8 array (C = 1 or 3).
+
+    Progressive (SOF2), extended sequential (SOF1), arithmetic coding, and
+    hierarchical modes raise NotImplementedError — the documented contract
+    (a real lake's first-hit format is baseline JFIF, which this covers)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (h, w, [(comp_id, sh, sv, qt_id)])
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        payload = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qts[tq] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                (ac_tables if cls else dc_tables)[tid] = _build_huffman_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = payload[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision}")
+            h, w = struct.unpack(">HH", payload[1:5])
+            comps = []
+            for ci in range(payload[5]):
+                cid = payload[6 + 3 * ci]
+                hv = payload[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, payload[8 + 3 * ci]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported; "
+                f"got SOF marker 0x{marker:02x} (progressive/extended/arithmetic)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — scan follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            h, w, comps = frame
+            ns = payload[0]
+            scan_tables = {}
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tds = payload[2 + 2 * si]
+                scan_tables[cid] = (tds >> 4, tds & 0x0F)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcus_y * 8 * sv, mcus_x * 8 * sh), dtype=np.float64)
+                for (_, sh, sv, _) in comps
+            ]
+            preds = [0] * len(comps)
+            reader = _BitReader(data, pos + seglen)
+            mcu_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        reader.sync_restart()
+                        preds = [0] * len(comps)
+                    try:
+                        for ci, (cid, sh, sv, tq) in enumerate(comps):
+                            td, ta = scan_tables[cid]
+                            for by in range(sv):
+                                for bx in range(sh):
+                                    block, preds[ci] = _decode_block(
+                                        reader, dc_tables[td], ac_tables[ta], qts[tq], preds[ci]
+                                    )
+                                    y0 = (my * sv + by) * 8
+                                    x0 = (mx * sh + bx) * 8
+                                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                    except _RestartPending:
+                        raise ValueError("JPEG restart marker inside an MCU") from None
+                    mcu_count += 1
+            # upsample to full resolution, crop, level-shift
+            full = []
+            for (cid, sh, sv, _), plane in zip(comps, planes):
+                up = np.repeat(np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1)
+                full.append(up[:h, :w] + 128.0)
+            if len(full) == 1:
+                out = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
+                return out[:, :, None]
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            rgb = np.stack([r, g, b], axis=2)
+            return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+        pos += seglen
+    raise ValueError("JPEG missing SOS scan")

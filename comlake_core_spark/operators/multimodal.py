@@ -65,12 +65,17 @@ def _fake_image_decode(data: bytes) -> tuple[int, int, list[float]]:
     return width, height, features
 
 
-def _png_features(data: bytes) -> tuple[int, int, list[float]]:
-    """Real decode via the pure-Python PNG codec: dimensions plus an 8-bin
-    normalized luminance histogram as the feature vector."""
-    from comlake_core_spark.operators.codecs import png_decode
+def _real_decode(data: bytes, codec: str):
+    """Dispatch to the pure-Python decoders (operators/codecs.py)."""
+    from comlake_core_spark.operators.codecs import jpeg_decode, png_decode
 
-    img = png_decode(data)
+    return png_decode(data) if codec == "png" else jpeg_decode(data)
+
+
+def _real_features(data: bytes, codec: str) -> tuple[int, int, list[float]]:
+    """Real decode via the pure-Python PNG/JPEG codecs: dimensions plus an
+    8-bin normalized luminance histogram as the feature vector."""
+    img = _real_decode(data, codec)
     h, w, _ = img.shape
     luma = img[:, :, 0].astype("float64") if img.shape[2] < 3 else (
         0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
@@ -88,19 +93,20 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     mapInPandas: each Arrow batch of binaries is decoded in one Python call;
     output schema is fixed so downstream plans don't depend on the codec.
 
-    codec='png' is a REAL decoder (operators/codecs.py, stdlib zlib +
-    numpy — all filter types, color types 0/2/3/4/6); codec='fake' is the
-    deterministic bytes-derived stand-in for formats that would need a
-    native library."""
+    codec='png' and codec='jpeg' are REAL decoders (operators/codecs.py:
+    PNG = stdlib zlib + numpy, all filter types, color types 0/2/3/4/6;
+    JPEG = baseline sequential T.81, grayscale/YCbCr, 4:4:4 and 4:2:0);
+    codec='fake' is the deterministic bytes-derived stand-in for formats
+    that would need a native library."""
     if codec == "real":
         raise NotImplementedError(
-            "JPEG/WebP decode needs PIL/opencv (not in this container); "
-            "codec='png' is implemented in pure Python, codec='fake' covers "
-            "the rest of the plumbing"
+            "WebP/AVIF/progressive-JPEG decode needs PIL/opencv (not in "
+            "this container); codec='png' and codec='jpeg' (baseline) are "
+            "implemented in pure Python, codec='fake' covers the rest"
         )
-    if codec not in ("fake", "png"):
+    if codec not in ("fake", "png", "jpeg"):
         raise ValueError(f"unknown codec {codec!r}")
-    decode = _png_features if codec == "png" else _fake_image_decode
+    decode = _fake_image_decode if codec == "fake" else (lambda d: _real_features(d, codec))
 
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
@@ -126,23 +132,22 @@ IMAGE_STATS_SCHEMA = "id string, width int, height int, channels int, mean_pixel
 
 def decode_image_stats(df: DataFrame, codec: str = "png") -> DataFrame:
     """(id, content, meta) → (id, width, height, channels, mean_pixel):
-    the scalar-stats twin of decode_images, decoding REAL PNG bytes. The
-    mean is an exact integer sum divided once in float64, so it is
-    oracle-comparable bit-for-bit when the expected mean has a closed
-    form."""
-    if codec != "png":
-        raise ValueError("decode_image_stats supports the pure-Python png codec")
+    the scalar-stats twin of decode_images, decoding REAL PNG or baseline
+    JPEG bytes. The mean is an exact integer sum divided once in float64,
+    so it is oracle-comparable bit-for-bit when the expected mean has a
+    closed form (PNG: any image; JPEG: constant-tile images, where the
+    whole DCT→quantize→Huffman→IDCT pipeline is exactly predictable)."""
+    if codec not in ("png", "jpeg"):
+        raise ValueError("decode_image_stats supports the pure-Python png/jpeg codecs")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        from comlake_core_spark.operators.codecs import png_decode
-
         for pdf in it:
             out = {"id": [], "width": [], "height": [], "channels": [], "mean_pixel": []}
             for _, row in pdf.iterrows():
-                img = png_decode(bytes(row["content"] or b""))
+                img = _real_decode(bytes(row["content"] or b""), codec)
                 h, w, ch = img.shape
                 out["id"].append(row["id"])
                 out["width"].append(w)
@@ -167,23 +172,22 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224, codec: str
     so executor memory per batch is bounded by batch_size * width * height."""
     if codec == "real":
         raise NotImplementedError(
-            "JPEG resize needs PIL/opencv; codec='png' decodes real PNGs in "
-            "pure Python, codec='fake' treats content bytes as a square image"
+            "WebP/AVIF resize needs PIL/opencv; codec='png' and "
+            "codec='jpeg' (baseline) decode real bytes in pure Python, "
+            "codec='fake' treats content bytes as a square image"
         )
-    if codec not in ("fake", "png"):
+    if codec not in ("fake", "png", "jpeg"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        from comlake_core_spark.operators.codecs import png_decode
-
         for pdf in it:
             out = {"id": [], "width": [], "height": [], "pixels": []}
             for _, row in pdf.iterrows():
-                if codec == "png":
-                    img = png_decode(bytes(row["content"] or b""))
+                if codec in ("png", "jpeg"):
+                    img = _real_decode(bytes(row["content"] or b""), codec)
                     src = img[:, :, 0]  # luma/first channel
                     sh, sw = src.shape
                 else:

@@ -1716,6 +1716,63 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "multimodal_jpeg_decode",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           16 AS width, 16 AS height, 1 AS channels,
+           CAST(  (20 + 2*((doc_id +   0) % 100))
+                + (20 + 2*((doc_id +  37) % 100))
+                + (20 + 2*((doc_id +  74) % 100))
+                + (20 + 2*((doc_id + 111) % 100)) AS DOUBLE) / 4 AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+    "multimodal",
+    "codec",
+    "integration",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec under the oracle gate (VERDICT r2 #4;
+    same pattern as multimodal_png_decode): each doc_id < 200 becomes a
+    16x16 grayscale image of four constant 8x8 tiles with even values
+    v_t = 20 + 2*((doc_id + 37t) % 100), JPEG-encoded at quality 50
+    (Annex K tables verbatim) in one mapInPandas stage, then decoded by
+    the pure-Python baseline decoder (operators/codecs.py: marker parse,
+    Huffman, DC-prediction chain, dequant, IDCT) in a second.  Even-offset
+    constant tiles make the lossy pipeline EXACT: DC = 8(v-128), Q00 = 16,
+    so quantize→dequantize→IDCT is the identity and mean_pixel = Σv_t/4
+    bit-for-bit (powers-of-two division; proven in
+    tests/test_codecs.py::test_jpeg_constant_tiles_exact).  The AC path is
+    pinned by the exact single-cosine roundtrip test."""
+    from comlake_core_spark.operators.multimodal import decode_image_stats
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from comlake_core_spark.operators.codecs import jpeg_encode
+
+        tiles = [(0, 0), (0, 8), (8, 0), (8, 8)]
+        for pdf in it:
+            out = {"id": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for t, (ty, tx) in enumerate(tiles):
+                    img[ty : ty + 8, tx : tx + 8] = 20 + 2 * ((int(doc_id) + 37 * t) % 100)
+                out["id"].append(str(doc_id))
+                out["content"].append(jpeg_encode(img, quality=50))
+                out["meta"].append({"mime": "image/jpeg", "n_bytes": 0})
+            yield pd.DataFrame(out)
+
+    binary = ensure_parallelism(docs.filter(F.col("doc_id") < 200).select("doc_id")).mapInPandas(
+        encode_batches, "id string, content binary, meta struct<mime string, n_bytes long>"
+    )
+    return decode_image_stats(binary, codec="jpeg")
+
+
+@workload(
     "multimodal_decode_features",
     r"""
     SELECT CAST(doc_id AS VARCHAR) AS id,
@@ -6556,7 +6613,6 @@ DRIVER_WINDOW: list[str] = [
     "join_revenue_by_nation",  # multi-join agg
     "agg_pricing_summary",     # grouped aggregation
     "window_running_sum",      # window functions
-    "topk_orders",             # top-k
     "dedup_minhash_lsh",       # dedup family
     "ann_cosine_topk",         # similarity family
     "text_stats",              # text family
@@ -6606,9 +6662,13 @@ DRIVER_WINDOW: list[str] = [
     "heavy_hitters_event_types",
     "incremental_rollup_events",
     "dedup_incremental_batch",
-    # -- promoted this round: full oracle (was rows-only), df-capped rewrite --
+    # -- promoted this round: full oracle (was rows-only), df-capped rewrite,
+    #    and the new baseline-JPEG decoder (topk_orders sentinel gave up its
+    #    slot: the top-k family keeps driver-green history from r1+r2 and
+    #    stays pinned by the local mirror + plan tests) --
     "approx_distinct_users",
     "jaccard_topk_similar_docs",
+    "multimodal_jpeg_decode",
 ]
 
 
