@@ -694,6 +694,10 @@ def minhash_lsh_pairs_incremental(
     |corpus|². Returns (new_id, match_id, jaccard) where match_id is an
     old doc or an earlier-id new doc (new×new dups are still caught).
     """
+    if num_hashes % bands != 0:
+        # banding would silently drop the trailing hashes from every
+        # signature, weakening recall with no warning (ADVICE r2 #1)
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
 
     def _sigs(df: DataFrame) -> DataFrame:

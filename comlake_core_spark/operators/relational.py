@@ -252,6 +252,8 @@ def apply_changelog(
     changes: DataFrame,
     key: str,
     op_col: str = "_op",
+    seq_col: str | None = None,
+    assert_unique: bool = True,
 ) -> DataFrame:
     """CDC MERGE: apply a changelog (one change per key, op ∈ 'U'pdate /
     'I'nsert / 'D'elete) to a target snapshot — the lakehouse MERGE INTO
@@ -262,15 +264,41 @@ def apply_changelog(
     Returns the merged snapshot plus an `_action` audit column
     (kept/updated/inserted/deleted-free output keeps only the first
     three; deletions simply vanish). Contract: at most one change per key
-    per batch — a multi-change feed is first reduced to last-change-per-
-    key by (key, sequence) max_by, the standard compaction CDC consumers
-    apply.
+    per batch.  The contract is ENFORCED (ADVICE r2 #3 — duplicate keys
+    would silently fan out the full-outer join): pass ``seq_col`` to
+    pre-compact a multi-change feed to last-change-per-key (max_by on the
+    sequence column, the standard CDC compaction), or leave
+    ``assert_unique=True`` to fail fast with the offending keys (one
+    small count job over the changelog — tiny by contract — at operator
+    construction; set False only when the feed is known-compacted).
 
     Scale: ONE shuffle join on the key (the changelog is usually a tiny
     fraction of the snapshot, so AQE broadcasts it; state never exceeds
     snapshot + changelog). This is the batch twin of the incremental
     matview refresh (operators/matview.py) — apply to rows instead of
     aggregates."""
+    if seq_col is not None:
+        others = [c for c in changes.columns if c != key]
+        changes = (
+            changes.groupBy(key)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in others]), F.col(seq_col)).alias("_last"))
+            .select(key, *[F.col(f"_last.{c}").alias(c) for c in others])
+        )
+    elif assert_unique:
+        dups = [
+            r[key]
+            for r in changes.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select(key)
+            .limit(5)
+            .collect()
+        ]
+        if dups:
+            raise ValueError(
+                f"apply_changelog: multiple changes for key(s) {dups}; "
+                "pass seq_col= to compact to last-change-per-key"
+            )
     data_cols = [c for c in target.columns if c != key]
     t = target.alias("t")
     c = changes.alias("c")

@@ -178,12 +178,20 @@ def mixture_resample(
     then select each domain's quota deterministically by content-hash
     rank, so re-ingesting or re-partitioning never changes the mixture.
 
+    Quotas use LARGEST-REMAINDER apportionment (ADVICE r2 #2): each
+    domain gets floor(target·wᵢ/Σw), and the leftover seats go to the
+    domains with the largest fractional remainders (ties → group-key
+    order), so Σquota == target_docs EXACTLY — independent rounding could
+    drift by ±n_domains/2.  (A domain whose quota exceeds its document
+    count still undershoots n_kept; the budget claim is about quotas.)
+
     Exactness discipline: token masses are exact ints; sqrt is IEEE-exact
     in every engine; each domain weight lands on a 9-decimal grid and the
-    total is an exact decimal sum, so quotas are integer-identical across
-    engines. Returns per-domain accounting INCLUDING an id-sum checksum
-    of the selected set — the hash gate pins the exact membership, not
-    just the counts.
+    total is an exact decimal sum; the remainders are identical doubles of
+    identical inputs in both engines, so quotas are integer-identical
+    across engines. Returns per-domain accounting INCLUDING an id-sum
+    checksum of the selected set — the hash gate pins the exact
+    membership, not just the counts.
 
     Scale: one shuffle groups tokens per domain (tiny frame); the
     per-domain rank rides one shuffle on the group key; weights are a
@@ -198,11 +206,26 @@ def mixture_resample(
     w9 = F.round(F.sqrt(F.col("domain_tokens").cast("double")), 9).cast("decimal(20,9)")
     dom = dom.withColumn("_w", w9)
     tot = dom.agg(F.sum("_w").alias("_tot"))
-    quota = F.floor(
-        F.lit(float(target_docs)) * (F.col("_w").cast("double") / F.col("_tot").cast("double"))
-        + F.lit(0.5)
-    ).cast("long")
-    domq = dom.crossJoin(F.broadcast(tot)).withColumn("quota", quota)
+    raw = F.lit(float(target_docs)) * (F.col("_w").cast("double") / F.col("_tot").cast("double"))
+    domq = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn("_base", F.floor(raw).cast("long"))
+        .withColumn("_rem", raw - F.col("_base"))
+    )
+    base_sum = domq.agg(F.sum("_base").alias("_bsum"))
+    # single-partition window is fine: the frame is one row per DOMAIN
+    lr_w = Window.orderBy(F.desc("_rem"), *[F.asc(c) for c in group_cols])
+    domq = (
+        domq.crossJoin(F.broadcast(base_sum))
+        .withColumn("_lr", F.row_number().over(lr_w))
+        .withColumn(
+            "quota",
+            F.col("_base")
+            + F.when(F.col("_lr") <= F.lit(target_docs) - F.col("_bsum"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
     rank_w = Window.partitionBy(*group_cols).orderBy(
         F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
     )

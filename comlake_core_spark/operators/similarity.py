@@ -446,10 +446,17 @@ def pq_quantize(
 
     Returns (id, pq_code, recon_err): pq_code packs (code_j − 1) into 4
     bits per subvector — the exact bytes a PQ index stores."""
+    if n_centroids > 16:
+        # (cid-1) is packed into a 4-bit nibble; 17+ centroids would
+        # silently overflow into the next subvector's bits (ADVICE r2 #1)
+        raise ValueError(f"pq_quantize packs 4-bit codes: n_centroids must be <= 16, got {n_centroids}")
     cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
     codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
     v = F.col(vec_col).cast("array<double>")
     dim = len(codebook[1])
+    if dim % m != 0:
+        # trailing dimensions would be silently dropped from every distance
+        raise ValueError(f"pq_quantize needs dim % m == 0, got dim={dim}, m={m}")
     sub_d = dim // m
 
     def sub_d2(j: int, cid: int) -> Column:

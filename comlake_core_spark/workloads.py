@@ -6388,11 +6388,21 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(sqrt(CAST(SUM(tok) AS DOUBLE)), 9) AS DECIMAL(20,9)) AS w
       FROM base GROUP BY lang, source
     ), tot AS (SELECT SUM(w) AS t FROM dom),
+    -- largest-remainder apportionment (identical to the engine): floors,
+    -- then the leftover seats to the biggest fractional remainders
+    domq0 AS (
+      SELECT lang, source, n_docs_total, domain_tokens,
+             200.0 * (CAST(w AS DOUBLE) / CAST(t AS DOUBLE)) AS raw
+      FROM dom CROSS JOIN tot
+    ),
     domq AS (
       SELECT lang, source, n_docs_total, domain_tokens,
-             CAST(FLOOR(200.0 * (CAST(w AS DOUBLE) / CAST(t AS DOUBLE)) + 0.5) AS BIGINT)
-               AS quota
-      FROM dom CROSS JOIN tot
+             CAST(FLOOR(raw) AS BIGINT)
+               + CASE WHEN row_number() OVER (ORDER BY raw - FLOOR(raw) DESC,
+                                              lang ASC, source ASC)
+                        <= 200 - (SELECT SUM(CAST(FLOOR(raw) AS BIGINT)) FROM domq0)
+                      THEN 1 ELSE 0 END AS quota
+      FROM domq0
     ), ranked AS (
       SELECT b.lang, b.source, b.doc_id, b.tok,
              row_number() OVER (PARTITION BY b.lang, b.source

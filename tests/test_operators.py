@@ -545,3 +545,47 @@ def test_apply_changelog_matches_python_model(spark):
         assert got == expected, (snap, chg)
 
     run()
+
+
+def test_apply_changelog_rejects_duplicate_keys(spark):
+    """ADVICE r2 #3: duplicate changelog keys would silently fan out the
+    full-outer join — the guard fails fast, seq_col compacts instead."""
+    from comlake_core_spark.operators.relational import apply_changelog
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    dup = spark.createDataFrame(
+        [(1, "x", "U", 10), (1, "y", "U", 20)], "k int, v string, _op string, seq int"
+    )
+    with pytest.raises(ValueError, match="multiple changes"):
+        apply_changelog(target, dup.drop("seq"), key="k")
+    # seq_col compacts to the LAST change per key (max seq wins)
+    out = {r["k"]: r["v"] for r in apply_changelog(target, dup, key="k", seq_col="seq").collect()}
+    assert out == {1: "y", 2: "b"}
+
+
+def test_mixture_quota_sums_to_target(spark):
+    """ADVICE r2 #2: largest-remainder apportionment — Σquota must equal
+    target_docs exactly, for targets that don't divide evenly."""
+    from comlake_core_spark.operators.sampling import mixture_resample
+
+    rows = [(f"d{i % 7}", i, 1 + (i * 13) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "domain string, doc_id int, n_tokens int")
+    for target in (10, 97, 200, 299):
+        out = mixture_resample(df, ["domain"], target_docs=target)
+        assert out.agg(F.sum("quota")).collect()[0][0] == target, target
+
+
+def test_pq_and_banding_guards(spark):
+    """ADVICE r2 #1: nibble overflow / dropped dims / dropped hashes must
+    raise, not corrupt silently."""
+    from comlake_core_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from comlake_core_spark.operators.similarity import pq_quantize
+
+    emb = spark.createDataFrame([(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="n_centroids"):
+        pq_quantize(emb, m=2, n_centroids=17)
+    with pytest.raises(ValueError, match="dim % m"):
+        pq_quantize(emb, m=3, n_centroids=2)
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs_incremental(docs, docs, num_hashes=30, bands=8)
