@@ -32,6 +32,12 @@ OPS = [
     "join_revenue_by_nation",
     "dedup_exact",
     "embedding_quantize_int8",
+    # similarity/PQ family (VERDICT r2 #6): watching for broadcast cliffs
+    # like the revenue join's — codebooks/LUTs are plan literals, so these
+    # must stay scan-shaped as the corpus grows
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 ]
 
 

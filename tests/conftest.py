@@ -9,10 +9,20 @@ from comlake_core_spark.session import get_spark, tables  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Partitioning-independence sweep (VERDICT r2 #7): every workload's result
+# must be identical under any parallelism, and the DuckDB oracle is
+# partition-blind, so re-running the full contract sweep under a different
+# executor/shuffle layout IS the independence proof.  One command:
+#
+#   SPARK_GRAFT_CPUS=7 SPARK_GRAFT_TEST_SHUFFLE=5 \
+#       python -m pytest tests/test_driver_contract.py -q
+#
+SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("comlake-tests", shuffle_partitions=8)
+    spark = get_spark("comlake-tests", shuffle_partitions=SHUFFLE_PARTITIONS)
     yield spark
 
 

@@ -286,3 +286,48 @@ def test_extract_parquet_content(spark, tmp_path):
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "string"]
     out = extract(spark, store, cid, [">", [".", ["$"], "a"], 1], "application/x-parquet")
     assert sorted(r["b"] for r in out.collect()) == ["y", "z"]
+
+
+def test_catalog_writer_mutex_cross_process(spark, tmp_path):
+    """Two PROCESSES mutating one catalog root must serialize via the
+    flock in _WriterMutex: every add lands, ids are distinct (no lost
+    updates from racing snapshot-pointer flips)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from comlake_core_spark.catalog import Catalog
+
+    root = str(tmp_path / "mpcat")
+    cat = Catalog(spark, root)
+    cat.upsert_content("QmMP", "text/plain")
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from comlake_core_spark.catalog import Catalog
+        from comlake_core_spark.session import get_spark
+        spark = get_spark("mutex-worker-" + sys.argv[2], shuffle_partitions=2)
+        cat = Catalog(spark, sys.argv[1])
+        ids = [cat.add_dataset({"file": "QmMP", "description": f"p{sys.argv[2]}-{i}",
+                                "source": "mp", "topics": []}) for i in range(3)]
+        print(",".join(map(str, ids)))
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for i in range(2)
+    ]
+    all_ids = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0
+        all_ids += [int(x) for x in out.strip().splitlines()[-1].split(",")]
+    assert len(all_ids) == 6
+    assert len(set(all_ids)) == 6, f"lost update: duplicate ids {sorted(all_ids)}"
+    final = {r["description"] for r in cat.dataset().collect()}
+    assert final == {f"p{w}-{i}" for w in range(2) for i in range(3)}
