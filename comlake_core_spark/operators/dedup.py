@@ -766,3 +766,87 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "match_id", "jaccard")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hasher: str = "md5",
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — the clustering turns the
+    O(n²) all-pairs cosine problem into per-cluster problems whose union
+    is ~n²/k, and at 100 TB the cluster id doubles as the partition key
+    (each cluster's pruning is embarrassingly parallel).
+
+    Pipeline (every stage reuses an already-oracled primitive):
+      1. centroids: similarity.seeded_centroids (md5 ordering — exact SQL
+         twin), unit-normalized and baked into the plan as literals;
+      2. assignment: per-row argmax cosine against the literal codebook —
+         map-only, the ivf_topk idiom, no shuffle;
+      3. intra-cluster edges: self-join on the cluster id, exact cosine
+         >= threshold (clusters above ``max_cluster`` rows are EXCLUDED
+         from pruning — the same worst-bucket cap as embedding LSH's
+         max_bucket; a production run re-clusters those with more
+         centroids);
+      4. survivors: connected components per edge set, keep the smallest
+         id per component (deterministic canonical pick).
+
+    Returns per-cluster accounting: (bucket, n_vectors, n_survivors,
+    survivor_id_sum) — the id-sum checksum pins the exact surviving
+    membership under the driver's hash gate."""
+    from comlake_core_spark.operators.similarity import cosine, dot, seeded_centroids
+
+    cents = seeded_centroids(emb, n_clusters, vec_col, id_col, hasher=hasher).collect()
+
+    def _unit(v: list) -> list:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [float(x) / n for x in v]
+
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+            )
+            for r in cents
+        ]
+    )
+    scored = F.transform(
+        codebook,
+        lambda s: F.struct(dot(F.col("_v"), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
+    )
+    assigned = (
+        ensure_parallelism(emb)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("bucket", (-F.array_max(scored)["ncid"]).cast("int"))
+        .persist()
+    )
+    small = (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cluster)
+        .select("bucket")
+    )
+    prunable = assigned.join(F.broadcast(small), "bucket")
+    a, b = prunable.alias("a"), prunable.alias("b")
+    edges = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .withColumn("_cos", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    comp = connected_components(edges)  # (node, component); component = min id
+    labeled = assigned.join(comp, assigned["_id"] == comp["node"], "left").select(
+        "bucket", "_id", F.coalesce("component", F.col("_id")).alias("_rep")
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("_rep").alias("n_survivors"),
+        F.sum(F.when(F.col("_id") == F.col("_rep"), F.col("_id"))).cast("long").alias("survivor_id_sum"),
+    )

@@ -251,3 +251,59 @@ def mixture_resample(
             F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    test_fraction: float = 0.125,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Contamination-safe train/test split: near-duplicate documents must
+    land in the SAME split, or the eval set silently overlaps the training
+    set (the leakage a plain per-document hash split cannot prevent — a
+    near-dup pair hashes to independent splits with probability
+    2·f·(1−f)).
+
+    The unit of assignment is the near-dup CLUSTER: ``pairs`` (any
+    pairwise dedup stage's edges) collapse to connected components
+    (operators/dedup.connected_components), every document maps to its
+    component representative (itself when unpaired), and the
+    engine-portable md5 split (split_assignment_portable) is applied to
+    the REPRESENTATIVE — so cluster members move together by
+    construction.
+
+    Returns per-split accounting: n_docs, n_clustered docs, an id-sum
+    membership checksum, and ``cross_split_pairs`` — the number of input
+    pairs whose endpoints land in different splits, COMPUTED (not
+    assumed) so the zero-leakage claim is part of the verified output.
+
+    Scale: components are O(diameter) label-propagation rounds over the
+    edge set (dup clusters are near-cliques, diameter ~2); the join of
+    docs→component is one shuffle on id; everything after is a small
+    per-split aggregate."""
+    from comlake_core_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)  # (node, component)
+    docs = df.select(F.col(id_col).alias("_id"))
+    with_rep = docs.join(comp, docs["_id"] == comp["node"], "left").select(
+        "_id", F.coalesce("component", F.col("_id")).alias("_rep")
+    )
+    split = F.when(split_assignment_portable(F.col("_rep"), test_fraction), "test").otherwise(
+        "train"
+    )
+    assigned = with_rep.select("_id", "_rep", split.alias("split"))
+    # leakage metric: endpoints of any input pair in different splits
+    a = assigned.select(F.col("_id").alias(id_a), F.col("split").alias("_sa"))
+    b = assigned.select(F.col("_id").alias(id_b), F.col("split").alias("_sb"))
+    crossing = (
+        pairs.join(a, id_a).join(b, id_b).filter(F.col("_sa") != F.col("_sb")).count()
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("_rep") != F.col("_id")).cast("long")).alias("n_in_clusters"),
+        F.sum("_id").cast("long").alias("id_sum"),
+        F.lit(crossing).cast("long").alias("cross_split_pairs"),
+    )

@@ -6689,3 +6689,150 @@ def ordered_names() -> list[str]:
     window = [n for n in DRIVER_WINDOW if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in set(window)]
     return window + rest
+
+
+@workload(
+    "semantic_dedup_embeddings",
+    r"""
+    WITH RECURSIVE aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+      FROM (SELECT * FROM aug ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), centu AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec
+      FROM cent
+    ), cassign AS (
+      SELECT vec_id, cv, cid AS bucket FROM (
+        SELECT vec_id, cv, cid, row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY list_dot_product(cv, cvec) DESC, cid ASC) AS rn
+        FROM aug CROSS JOIN centu
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cassign a JOIN cassign b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.cv, b.cv)
+              / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+            >= 0.92
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.comp < e.b
+    ), comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+    labeled AS (
+      SELECT c.bucket, c.vec_id AS id, COALESCE(p.comp, c.vec_id) AS rep
+      FROM cassign c LEFT JOIN comps p ON c.vec_id = p.id
+    )
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_vectors,
+           COUNT(DISTINCT rep) AS n_survivors,
+           CAST(SUM(CASE WHEN id = rep THEN id END) AS BIGINT) AS survivor_id_sum
+    FROM labeled GROUP BY bucket
+    """,
+    "dedup",
+    "embedding",
+    "semantic",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) under the full oracle
+    gate: cluster embeddings by md5-seeded centroids (exact SQL twin, the
+    ann_ivf_topk pattern), prune cosine>=0.92 near-dups WITHIN clusters
+    via connected components, keep the min-id survivor per component.
+    Planted duplicates (every 10th vector re-inserted at id+1e6, the
+    dedup_embedding pattern) guarantee real prunes: an identical pair
+    shares its centroid assignment by construction, so recall on planted
+    pairs is exactly 1, and no natural pair reaches 0.92 (max ~0.51) —
+    the oracle's per-cluster all-pairs scan plus recursive-CTE closure
+    verifies found prunes AND absence of false positives. See
+    operators/dedup.semantic_dedup for the 100 TB shape (cluster id =
+    partition key; max_cluster caps the worst bucket)."""
+    from comlake_core_spark.operators.dedup import semantic_dedup
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(base.unionByName(planted), n_clusters=16, threshold=0.92)
+
+
+@workload(
+    "leakage_safe_split_docs",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.comp < e.b
+    ), comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id AS id, COALESCE(c.comp, d.doc_id) AS rep,
+             CASE WHEN substring(md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 4)
+                       < '2000'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    ),
+    crossing AS (
+      SELECT COUNT(*) AS n FROM pairs p
+      JOIN labeled la ON la.id = p.id_a
+      JOIN labeled lb ON lb.id = p.id_b
+      WHERE la.split <> lb.split
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rep <> id THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           (SELECT n FROM crossing) AS cross_split_pairs
+    FROM labeled GROUP BY split
+    """,
+    "sampling",
+    "training-data",
+    "dedup",
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/test split under the full oracle gate: a
+    plain per-document hash split puts a near-dup pair in DIFFERENT splits
+    with probability 2f(1-f) — eval leakage. Here the assignment unit is
+    the near-dup CLUSTER (MinHash-LSH edges at 0.8 ≡ brute-force exact
+    Jaccard, the proven dedup_clusters equality → connected components →
+    engine-portable md5 split of the representative), and the output's
+    cross_split_pairs column COMPUTES the leakage (must be 0) rather than
+    assuming it. See operators/sampling.leakage_safe_split."""
+    from comlake_core_spark.operators.dedup import minhash_lsh_pairs
+    from comlake_core_spark.operators.sampling import leakage_safe_split
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        ensure_parallelism(docs), threshold=0.8, num_hashes=64, bands=16
+    ).select("id_a", "id_b")
+    return leakage_safe_split(docs, pairs, test_fraction=0.125)

@@ -22,7 +22,10 @@ from comlake_core_spark.session import get_spark, tables
 from comlake_core_spark.workloads import REGISTRY
 
 SRC = "/root/testdata/sf0.1"
-BASE = "/tmp/comlake-scale"
+# v2: copies offset o_custkey/c_custkey too — without that, every order
+# matched `factor` duplicate customers and the join OUTPUT grew as
+# factor² (a builder artifact that read as a super-linear plan cliff)
+BASE = "/tmp/comlake-scale-v2"
 FACTORS = [1, 2, 4, 8]
 OPS = [
     "dedup_minhash_lsh",
@@ -68,7 +71,13 @@ def build(spark, factor: int) -> str:
             elif name == "orders":
                 d = d.select(
                     (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
-                    *[c for c in d.columns if c != "o_orderkey"],
+                    (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
+                    *[c for c in d.columns if c not in ("o_orderkey", "o_custkey")],
+                )
+            elif name == "customer":
+                d = d.select(
+                    (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+                    *[c for c in d.columns if c != "c_custkey"],
                 )
             elif name == "events":
                 d = d.select(

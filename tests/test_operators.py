@@ -145,13 +145,16 @@ def test_quality_score_range(spark, t):
 
 
 def test_approx_distinct_within_bound(spark, t):
+    # promoted workload emits the accuracy claim itself (within_2pct) plus
+    # the exact count; the standalone exact twin must agree
     from comlake_core_spark.workloads import REGISTRY
     import os
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    approx = {r["event_type"]: r["approx_users"] for r in REGISTRY["approx_distinct_users"].fn(spark, sf).collect()}
+    rows = {r["event_type"]: r for r in REGISTRY["approx_distinct_users"].fn(spark, sf).collect()}
     exact = {r["event_type"]: r["n_users"] for r in REGISTRY["distinct_event_users"].fn(spark, sf).collect()}
     for et, ex in exact.items():
-        assert abs(approx[et] - ex) <= max(0.1 * ex, 2), (et, approx[et], ex)
+        assert rows[et]["exact_users"] == ex
+        assert rows[et]["within_2pct"] is True, (et, rows[et])
 
 
 def test_zscore_pandas_matches_expr(spark, t):

@@ -466,3 +466,25 @@ def test_mixture_resample_broadcast_quotas(spark):
     df = run(spark, "mixture_resample_corpus")
     assert P.has_broadcast_join(df)
     assert P.has_partial_aggregate(df)
+
+
+def test_semantic_dedup_map_only_assignment(spark):
+    # SemDeDup: centroid assignment is literal-codebook map-side work; the
+    # intra-cluster pairing is an equi-join on the bucket, never a
+    # cartesian/nested-loop.  (The worst-bucket broadcast cap and the
+    # component rounds run upstream of a localCheckpoint, so the returned
+    # plan shows only the doc⋈component join + the accounting agg.)
+    df = run(spark, "semantic_dedup_embeddings")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_leakage_split_no_cartesian_and_partial_agg(spark):
+    # cluster-representative split: the components loop is equi-joins on
+    # the edge list; doc→component is one keyed join; accounting is a
+    # partial agg
+    df = run(spark, "leakage_safe_split_docs")
+    assert "CartesianProduct" not in P.executed_plan(df)
+    assert P.has_partial_aggregate(df)
