@@ -83,6 +83,9 @@ HEADLINE = [
     "dedup_graph_triangles",
     "embedding_pq_codes",
     "ann_pq_adc_topk",
+    "multimodal_jpeg_decode",
+    "semantic_dedup_embeddings",
+    "leakage_safe_split_docs",
 ]
 
 

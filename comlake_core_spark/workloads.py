@@ -6612,8 +6612,15 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Rotation log (append a line per round; used to pick the next window):
 #   r1-r2: registration order (names 0-49 of the original ordering)
-#   r3:    sentinels + TPC-H suite, temporal, PQ/IVF-PQ, CDC, sampling,
-#          streaming, sketches, incremental dedup  (this list)
+#   r3:    9 sentinels + 41 first-timers — TPC-H suite, temporal,
+#          PQ/IVF-PQ, CDC, sampling, streaming, sketches, incremental
+#          dedup, jaccard/approx promotions, multimodal_jpeg_decode
+#   r4 TODO: rotate again — ~5-9 sentinels + the never-driver-seen
+#          remainder (qast extras, set ops, window/agg extras, the `_real`
+#          integration entries, udaf/udtf, funnel/retention, matview,
+#          semantic_dedup_embeddings, leakage_safe_split_docs, ...);
+#          r5 takes what is left.  test_driver_window.py holds the r1-r2
+#          list; anything in neither that list nor a past window is unseen.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
