@@ -592,3 +592,52 @@ def test_pq_and_banding_guards(spark):
     docs = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs_incremental(docs, docs, num_hashes=30, bands=8)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from comlake_core_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id int")
+    # chain 1-2-3 plus pair 10-11: all must co-locate with their cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    out = leakage_safe_split(docs, pairs, test_fraction=0.5)
+    rows = {r["split"]: r for r in out.collect()}
+    assert set(rows) <= {"train", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == 100
+    # the leakage metric is computed and must be zero by construction
+    assert all(r["cross_split_pairs"] == 0 for r in rows.values())
+    # clustered docs counted: 2,3 follow 1; 11 follows 10 → 3 non-representative docs
+    assert sum(r["n_in_clusters"] for r in rows.values()) == 3
+
+
+def test_semantic_dedup_prunes_planted_identicals(spark):
+    from comlake_core_spark.operators.dedup import semantic_dedup
+
+    base = [
+        (i, [float(((i * 2654435761 + d * 40503) % 1009) - 504) for d in range(8)])
+        for i in range(1, 21)
+    ]
+    planted = [(i + 1000, v) for i, v in base if i % 5 == 0]  # 4 identical copies
+    emb = spark.createDataFrame(base + planted, "vec_id int, embedding array<double>")
+    out = semantic_dedup(emb, n_clusters=4, threshold=0.999)
+    total_vecs = sum(r["n_vectors"] for r in out.collect())
+    total_surv = sum(r["n_survivors"] for r in out.collect())
+    assert total_vecs == 24
+    # every planted identical collapses onto its original (cosine=1 >= .999)
+    assert total_surv == 20
+    # survivor checksum = sum of min-ids per component + singletons ⇒ the
+    # originals' ids, never the planted 1000+ ids
+    assert all((r["survivor_id_sum"] or 0) < 1000 * r["n_survivors"] for r in out.collect())
+
+
+def test_semantic_dedup_max_cluster_cap_excludes_pruning(spark):
+    from comlake_core_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(1, 8)]  # all identical → one cluster
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    capped = semantic_dedup(emb, n_clusters=1, threshold=0.9, max_cluster=3)
+    r = capped.collect()[0]
+    # cluster exceeds the cap → no pruning there (production would re-cluster)
+    assert r["n_vectors"] == 7 and r["n_survivors"] == 7
