@@ -424,6 +424,7 @@ def pq_quantize(
     id_col: str = "vec_id",
     hasher: str = "md5",
     err_quantize: int = 9,
+    codebook: dict[int, list] | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al., PAMI 2011; faiss PQ): split each
     vector into ``m`` subvectors and store, per subvector, only the index
@@ -450,8 +451,12 @@ def pq_quantize(
         # (cid-1) is packed into a 4-bit nibble; 17+ centroids would
         # silently overflow into the next subvector's bits (ADVICE r2 #1)
         raise ValueError(f"pq_quantize packs 4-bit codes: n_centroids must be <= 16, got {n_centroids}")
-    cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
-    codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    if codebook is None:
+        # callers that already hold the codebook (pq_adc_topk/ivfpq_adc_topk
+        # share it between bucketing and sub-quantization) pass it in to
+        # avoid a second centroid-selection job per query
+        cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+        codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
     v = F.col(vec_col).cast("array<double>")
     dim = len(codebook[1])
     if dim % m != 0:
@@ -535,7 +540,10 @@ def pq_adc_topk(
             acc = acc + t
         return Decimal(acc).quantize(quantum, rounding=ROUND_HALF_UP)
 
-    codes = pq_quantize(corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col, hasher=hasher)
+    codes = pq_quantize(
+        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
+        hasher=hasher, codebook=codebook,
+    )
     dec_t = f"decimal(20,{lut_quantize})"
     per_query = []
     for r in q_rows:
@@ -613,7 +621,8 @@ def ivfpq_adc_topk(
     )
     bucket = F.array_min(bucket_entries)["cid"]
     codes = pq_quantize(
-        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col, hasher=hasher
+        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
+        hasher=hasher, codebook=codebook,
     ).select(id_col, "pq_code")
     with_bucket = corpus.select(F.col(id_col), bucket.alias("_bucket")).join(codes, id_col)
 

@@ -6843,3 +6843,94 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(docs), threshold=0.8, num_hashes=64, bands=16
     ).select("id_a", "id_b")
     return leakage_safe_split(docs, pairs, test_fraction=0.125)
+
+
+@workload(
+    "ann_recall_at_k",
+    r"""
+    WITH c AS (
+      SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(nbr_id AS VARCHAR)), nbr_id) AS cid, cv
+      FROM (SELECT * FROM c ORDER BY md5(CAST(nbr_id AS VARCHAR)), nbr_id LIMIT 16)
+    ), centu AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec
+      FROM cent
+    ), cassign AS (
+      SELECT nbr_id, cv, cid AS bucket FROM (
+        SELECT nbr_id, cv, cid, row_number() OVER (
+          PARTITION BY nbr_id
+          ORDER BY list_dot_product(cv, cvec) DESC, cid ASC) AS rn
+        FROM c CROSS JOIN centu
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 25
+    ), qprobe AS (
+      SELECT query_id, qv, cid AS bucket FROM (
+        SELECT query_id, qv, cid, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY list_dot_product(qv, cvec) DESC, cid ASC) AS rn
+        FROM q CROSS JOIN centu
+      ) WHERE rn <= 2
+    ), ivf AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT query_id, nbr_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rn
+        FROM (
+          SELECT query_id, nbr_id,
+                 list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM cassign JOIN qprobe USING (bucket)
+        )
+      ) WHERE rn <= 5
+    ), exact AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT q.query_id, c.nbr_id, row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                   c.nbr_id ASC) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id, 5 AS k,
+           CAST(COUNT(i.nbr_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(i.nbr_id) AS DOUBLE) / 5 AS recall
+    FROM exact e
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.nbr_id = i.nbr_id
+    GROUP BY e.query_id
+    """,
+    "similarity",
+    "ann",
+    "evaluation",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality gate: recall@5 of IVF (16 centroids, n_probe=2
+    — a genuinely lossy setting, unlike the all-buckets equality pin in
+    tests) against the exact brute-force top-5, per query.  This is the
+    number a production ANN deployment watches when tuning
+    n_probe/n_centroids — 'measure, don't guess' applied to the engine's
+    own approximation; both legs are the already-oracled operators, and
+    the oracle recomputes the intersection, so the reported recall itself
+    is hash-verified."""
+    from comlake_core_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    approx = ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=2, seed_hasher="md5"
+    ).select(F.col("query_id").alias("_qa"), F.col("nbr_id").alias("_na"))
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["_qa"]) & (exact["nbr_id"] == approx["_na"]),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.lit(5).alias("k"),
+        F.count("_na").alias("n_hit"),
+        (F.count("_na").cast("double") / 5).alias("recall"),
+    )
