@@ -6934,3 +6934,143 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_na").alias("n_hit"),
         (F.count("_na").cast("double") / 5).alias("recall"),
     )
+
+
+@workload(
+    "pipeline_pretrain_corpus",
+    r"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\s+') AS t,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), enriched AS (
+      SELECT doc_id, lang, text, fp, len(t) AS n_tokens,
+        least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+        + least((CAST(len(list_filter(t, x -> list_contains(
+              ['the','a','of','and','to','in','is','it'], lower(x)))) AS DOUBLE)
+            / len(t)) * 4, 1.0) * 0.3
+        + (1.0 - least((CAST(length(text) - length(regexp_replace(
+              text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+            / length(text)) * 10, 1.0)) * 0.3 AS quality
+      FROM scored
+    ), filtered AS (
+      SELECT * FROM enriched
+      WHERE n_tokens >= 20 AND lang IN ('en','de','fr','es') AND quality >= 0.6
+    ), exact_kept AS (
+      SELECT doc_id, lang, text, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM exact_kept)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+      WHERE w.comp < e.b
+    ), comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+    final AS (
+      SELECT k.doc_id, k.lang, k.n_tokens,
+             CASE WHEN substring(md5(CAST(COALESCE(c.comp, k.doc_id) AS VARCHAR)), 1, 4)
+                       < '2000'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM exact_kept k LEFT JOIN comps c ON k.doc_id = c.id
+      WHERE COALESCE(c.comp, k.doc_id) = k.doc_id
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+    FROM final GROUP BY lang, split
+    """,
+    "pipeline",
+    "training-data",
+    "dedup",
+    "sampling",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-corpus curation job in one oracle-gated
+    pipeline — every stage an already-proven operator, composed the way a
+    100 TB data team actually chains them:
+
+      1. score:   token count + quality (length/stopword/punctuation mix)
+      2. filter:  n_tokens >= 20, lang ∈ {en,de,fr,es}, quality >= 0.6
+      3. exact dedup: one survivor per normalized-text fingerprint
+      4. near-dup:    MinHash-LSH edges at 0.8 over the survivors →
+                      connected components → min-id survivor per cluster
+      5. split:   contamination-safe — the portable md5 split applied to
+                  the CLUSTER representative (leakage_safe_split semantics)
+      6. account: per (lang, split) doc/token totals + id-sum checksum
+                  pinning the exact final membership
+
+    The oracle re-derives all six stages in SQL (quality formula, exact-
+    Jaccard pair space ≡ the LSH edge set, recursive-CTE closure, same
+    split cut), so the END-TO-END composition is value-hash-verified, not
+    just the pieces.  Scale: one scan feeds scoring+filtering (codegen),
+    the exact pass is one fingerprint shuffle, near-dup runs only on
+    filtered survivors, and the accounting is a partial agg."""
+    from comlake_core_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from comlake_core_spark.operators.sampling import split_assignment_portable
+    from comlake_core_spark.operators.text import fingerprint, quality_score, token_count
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = ensure_parallelism(docs).select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & F.col("lang").isin("en", "de", "fr", "es")
+        & (F.col("quality") >= 0.6)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text", "n_tokens")
+        .persist()  # feeds the LSH pair stage AND the final labeling
+    )
+    pairs = minhash_lsh_pairs(exact_kept, threshold=0.8, num_hashes=64, bands=16).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    labeled = exact_kept.join(comp, exact_kept["doc_id"] == comp["node"], "left").select(
+        "doc_id", "lang", "n_tokens", F.coalesce("component", F.col("doc_id")).alias("_rep")
+    )
+    final = labeled.filter(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(split_assignment_portable(F.col("_rep"), 0.125), "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return final.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
