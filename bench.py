@@ -86,6 +86,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "semantic_dedup_embeddings",
     "leakage_safe_split_docs",
+    "pipeline_pretrain_corpus",
 ]
 
 
