@@ -80,11 +80,28 @@ class IpfsStore(ContentStore):
     def mkdir(self) -> str:
         return EMPTY_DIR_CID
 
+    def _stat(self, path: str) -> dict | None:
+        """files/stat, None on failure — the reference's `stat`
+        (InterPlanetaryFileSystem.java:58-68)."""
+        try:
+            return json.loads(self._post(f"{self.api}/files/stat?arg={path}"))
+        except StoreUnavailable:
+            return None
+
+    def is_directory(self, cid: str) -> bool:
+        """The reference's `isdir` (InterPlanetaryFileSystem.java:70-74):
+        files/stat Type — the ONLY reliable discriminator.  Inferring from
+        /ls link shape is wrong: an EMPTY directory and a small single-
+        block file both list zero named links (divergence caught by the
+        fake-daemon suite in round 3 — cp into a fresh mkdir() failed)."""
+        st = self._stat(f"/ipfs/{cid}")
+        return st is not None and st.get("Type") == "directory"
+
     def cp(self, src_cid: str, dest_dir_cid: str, name: str) -> str | None:
         """Immutable dir derivation via the MFS temp-dir dance the reference
         does (InterPlanetaryFileSystem.java:81-97): cp dest into a scratch
         MFS path, cp src under it, stat for the new CID, pin, clean up."""
-        if self.ls(dest_dir_cid) is None:
+        if not self.is_directory(dest_dir_cid):
             return None
         tmp = f"/comlake-{uuid.uuid4().hex}"
         try:
@@ -101,19 +118,16 @@ class IpfsStore(ContentStore):
                 pass
 
     def ls(self, cid: str) -> dict[str, str] | None:
-        try:
-            raw = self._post(f"{self.api}/ls?arg={cid}")
-        except StoreUnavailable:
-            raise
+        """Directory listing, None for non-directories — isdir-gated like
+        the reference (InterPlanetaryFileSystem.java:99-105), so an EMPTY
+        directory correctly lists as {} instead of None."""
+        if not self.is_directory(cid):
+            return None
+        raw = self._post(f"{self.api}/ls?arg={cid}")
         doc = json.loads(raw)
         objs = doc.get("Objects") or []
-        if not objs:
-            return None
-        links = objs[0].get("Links") or []
-        # a file has no named links; reference treats that as not-a-directory
-        if any(not l.get("Name") for l in links) or not links:
-            return None
-        return {l["Name"]: l["Hash"] for l in links}
+        links = (objs[0].get("Links") or []) if objs else []
+        return {l["Name"]: l["Hash"] for l in links if l.get("Name")}
 
     def gateway_url(self, cid: str) -> str:
         return f"{self.gateway}/ipfs/{cid}"

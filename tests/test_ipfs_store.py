@@ -54,26 +54,30 @@ def test_mkdir_is_wellknown_cid(store):
 
 
 def test_ls_directory_and_file(store, stub):
+    # directory-ness comes from files/stat Type, the reference's isdir
+    # (InterPlanetaryFileSystem.java:70-74) — NOT from /ls link shape,
+    # which cannot distinguish an empty dir from a small file
+    stub.responses["/files/stat"] = json.dumps({"Hash": "QmDir", "Type": "directory"}).encode()
     stub.responses["/ls"] = json.dumps(
         {"Objects": [{"Hash": "QmDir", "Links": [{"Name": "a.csv", "Hash": "QmA", "Size": 3, "Type": 2}]}]}
     ).encode()
     assert store.ls("QmDir") == {"a.csv": "QmA"}
-    # a plain file: links without names → not a directory
-    stub.responses["/ls"] = json.dumps({"Objects": [{"Hash": "QmF", "Links": [{"Name": "", "Hash": "QmB"}]}]}).encode()
+    # an empty directory lists as {} (round-3 parity fix)
+    stub.responses["/ls"] = json.dumps({"Objects": [{"Hash": "QmEmpty", "Links": []}]}).encode()
+    assert store.ls("QmEmpty") == {}
+    # a plain file: stat says file → not a directory
+    stub.responses["/files/stat"] = json.dumps({"Hash": "QmF", "Type": "file"}).encode()
     assert store.ls("QmF") is None
 
 
 def test_cp_mfs_dance(store, stub):
-    stub.responses["/ls"] = json.dumps(
-        {"Objects": [{"Hash": "QmDir", "Links": [{"Name": "x", "Hash": "QmX"}]}]}
-    ).encode()
     stub.responses["/files/cp"] = b"{}"
-    stub.responses["/files/stat"] = json.dumps({"Hash": "QmNewDir"}).encode()
+    stub.responses["/files/stat"] = json.dumps({"Hash": "QmNewDir", "Type": "directory"}).encode()
     stub.responses["/pin/add"] = b"{}"
     stub.responses["/files/rm"] = b"{}"
     assert store.cp("QmSrc", "QmDir", "name.csv") == "QmNewDir"
     ops = [u.split("/api/v0/")[1].split("?")[0] for u, _, _ in stub.calls]
-    assert ops == ["ls", "files/cp", "files/cp", "files/stat", "pin/add", "files/rm"]
+    assert ops == ["files/stat", "files/cp", "files/cp", "files/stat", "pin/add", "files/rm"]
 
 
 def test_unavailable_daemon_raises():
