@@ -251,7 +251,10 @@ class ComlakeServer:
         return 200, {"cid": cid}
 
     def op_cp(self, args: dict) -> tuple[int, dict]:
-        cid = self.store.cp(args.get("src"), args.get("dest"), args.get("path"))
+        try:
+            cid = self.store.cp(args.get("src"), args.get("dest"), args.get("path"))
+        except RuntimeError:  # StoreUnavailable mid-dance: reference's cp
+            cid = None  # returns null on IOException → same 400 body
         if cid is None:
             return 400, {"error": "dest is not a directory"}
         self.catalog.upsert_content(cid, "inode/directory")
@@ -311,7 +314,10 @@ class ComlakeServer:
         try:
             with self.store.fetch(cid) as f:
                 return 200, f.read()
-        except (OSError, ValueError):
+        except (OSError, ValueError, RuntimeError):
+            # RuntimeError covers StoreUnavailable: the reference's fetch
+            # returns null on IOException and the handler answers 404
+            # (InterPlanetaryFileSystem.java:113-121, HttpHandler 404 path)
             return 404, {"error": "content not found"}
 
     def op_schema(self, cid: str) -> tuple[int, Any]:

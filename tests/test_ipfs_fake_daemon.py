@@ -205,3 +205,56 @@ def test_ls_empty_directory_is_empty_map_not_none(daemon_store):
     file_cid = store.add(io.BytesIO(b"f"))
     assert not store.is_directory(file_cid)
     assert store.ls(file_cid) is None
+
+
+def test_server_over_ipfs_store_maps_store_failures(daemon_store, spark, tmp_path):
+    """The full HTTP API over the IPFS store: upload/download roundtrip
+    works against the fake daemon, and a dead daemon maps to the
+    reference's error bodies (404 content-not-found / 400 not-a-directory)
+    instead of killing the connection."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from comlake_core_spark.catalog import Catalog
+    from comlake_core_spark.server import ComlakeServer
+
+    daemon, store = daemon_store
+    srv = ComlakeServer(spark, store, Catalog(spark, str(tmp_path / "cat")), port=0)
+    srv.start()
+    real_api = store.api  # restored below: the fixture is module-scoped
+
+    def call(method, path, body=None, ctype="application/json"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=body, method=method
+        )
+        if body is not None:
+            req.add_header("Content-Type", ctype)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    try:
+        status, doc = call("POST", "/file", b"ipfs-backed bytes", ctype="text/plain")
+        assert status == 200
+        cid = _json.loads(doc)["cid"]
+        status, raw = call("GET", f"/file/{cid}")
+        assert (status, raw) == (200, b"ipfs-backed bytes")
+        status, err = call("GET", "/file/QmNopeNope")
+        assert status == 404 and _json.loads(err) == {"error": "content not found"}
+        # dead daemon: swap the store's endpoint to nowhere
+        store.api = "http://127.0.0.1:9/api/v0"
+        status, err = call("GET", f"/file/{cid}")
+        assert status == 404 and _json.loads(err) == {"error": "content not found"}
+        status, err = call(
+            "POST", "/cp", _json.dumps({"src": cid, "dest": cid, "path": "x"}).encode()
+        )
+        assert status == 400 and _json.loads(err) == {"error": "dest is not a directory"}
+        # connection still alive for a normal request afterwards
+        status, _ = call("GET", "/nope")
+        assert status == 404
+    finally:
+        store.api = real_api
+        srv.stop()
