@@ -7074,3 +7074,96 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("doc_id").cast("long").alias("kept_id_sum"),
     )
+
+
+@workload(
+    "approx_quantiles_prices",
+    """
+    WITH ex AS (
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.5)  AS p50_exact,
+             quantile_disc(l_extendedprice, 0.95) AS p95_exact,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(p50_exact AS DOUBLE) AS p50_exact,
+           CAST(p95_exact AS DOUBLE) AS p95_exact,
+           n_rows,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p95_within_rank_eps
+    FROM ex
+    """,
+    "aggregation",
+    "approx",
+    "sketch",
+)
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch via percentile_approx)
+    under the accuracy-claim oracle — the same promotion pattern as
+    approx_distinct_users: the sketch value is engine-specific, so the
+    hashed contract is its RANK-ERROR guarantee.  For each group the
+    workload computes the approx p50/p95, then verifies IN-ENGINE that the
+    approx value's true rank lies within ±eps·n of the target rank
+    (eps = 1/accuracy = 1/1000 — GK's formal guarantee), and emits that
+    boolean plus the exact quantiles (which DuckDB recomputes via
+    quantile_disc).  percentile_approx is deterministic for fixed input,
+    so the booleans are a hard gate.  At 100 TB the sketch is the only
+    viable path (mergeable, one pass, O(1/eps) state per group) and the
+    exact twin rides along here only for the oracle."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(price, [0.5, 0.95], 1000).alias("_ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # exact DISCRETE quantiles (DuckDB quantile_disc twin): lowest value
+    # whose rank >= ceil(q*n); computed with a window-free join-back
+    ranked = li.select("l_returnflag", price.alias("_v")).groupBy("l_returnflag", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("_v")
+    cum = ranked.withColumn("_cum", F.sum("_c").over(w))
+    totals = ranked.groupBy("l_returnflag").agg(F.sum("_c").alias("_n"))
+    cum = cum.join(totals, "l_returnflag")
+    exact = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * 0.5), F.col("_v"))).alias("p50_exact"),
+        F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * 0.95), F.col("_v"))).alias("p95_exact"),
+    )
+    # rank-error check: the approx value's cumulative rank must lie within
+    # eps*n of the target rank (two lookups against the same cum frame)
+    joined = approx.join(exact, "l_returnflag")
+    a50 = F.element_at("_ap", 1)
+    a95 = F.element_at("_ap", 2)
+    r = cum.select(
+        F.col("l_returnflag").alias("_rf"), F.col("_v").alias("_rv"), "_cum", "_n"
+    )
+    out = (
+        joined.join(r, (F.col("l_returnflag") == F.col("_rf")) & (F.col("_rv") <= a50), "left")
+        .groupBy("l_returnflag", "_ap", "n_rows", "p50_exact", "p95_exact")
+        .agg(F.max("_cum").alias("_rank50"), F.max("_n").alias("_n"))
+        .join(
+            r.select(
+                F.col("_rf").alias("_rf2"), F.col("_rv").alias("_rv2"), F.col("_cum").alias("_cum2")
+            ),
+            (F.col("l_returnflag") == F.col("_rf2")) & (F.col("_rv2") <= F.element_at("_ap", 2)),
+            "left",
+        )
+        .groupBy("l_returnflag", "_ap", "n_rows", "p50_exact", "p95_exact", "_rank50", "_n")
+        .agg(F.max("_cum2").alias("_rank95"))
+    )
+    eps = 1.0 / 1000
+    return out.select(
+        "l_returnflag",
+        F.col("p50_exact").cast("double").alias("p50_exact"),
+        F.col("p95_exact").cast("double").alias("p95_exact"),
+        "n_rows",
+        (
+            F.abs(F.col("_rank50") - F.ceil(F.col("_n") * 0.5))
+            <= F.greatest(F.ceil(F.col("_n") * eps), F.lit(1))
+        ).alias("p50_within_rank_eps"),
+        (
+            F.abs(F.col("_rank95") - F.ceil(F.col("_n") * 0.95))
+            <= F.greatest(F.ceil(F.col("_n") * eps), F.lit(1))
+        ).alias("p95_within_rank_eps"),
+    )
