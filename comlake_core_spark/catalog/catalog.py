@@ -96,17 +96,37 @@ class _WriterMutex:
         self._fd = None
         self._depth = 0
 
+    _warned_no_flock = False
+
     def __enter__(self):
         self._tlock.acquire()
         self._depth += 1
         if self._depth == 1:
+            fd = None
             try:
                 import fcntl
 
-                self._fd = open(self._path, "a+")
-                fcntl.flock(self._fd, fcntl.LOCK_EX)
+                fd = open(self._path, "a+")
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                self._fd = fd
             except (ImportError, OSError):
-                self._fd = None  # non-POSIX: in-process lock only
+                # non-POSIX / flock failure: close the fd (no leak) and fall
+                # back to in-process locking — loudly, once, because the
+                # cross-process lost-update protection is degraded.
+                if fd is not None:
+                    fd.close()
+                self._fd = None
+                if not _WriterMutex._warned_no_flock:
+                    _WriterMutex._warned_no_flock = True
+                    import warnings
+
+                    warnings.warn(
+                        "catalog writer lock: fcntl.flock unavailable on "
+                        f"{self._path!r}; cross-process write serialization "
+                        "degraded to in-process only",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         return self
 
     def __exit__(self, *exc):

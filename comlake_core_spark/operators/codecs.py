@@ -366,10 +366,20 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the partial byte with 1-bits (T.81 B.2.1.2), e.g. before a
+        restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)
+
+    def write_marker(self, byte2: int) -> None:
+        """Emit a raw 0xFF xx marker into the scan (never byte-stuffed)."""
+        self.align()
+        self.out += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -420,12 +430,19 @@ def _pad_to_block(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 50, subsampling: str = "4:2:0") -> bytes:
+def jpeg_encode(
+    pixels: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an 8-bit image (H×W grayscale or H×W×3 RGB) as baseline
     sequential JPEG with the Annex K tables scaled by ``quality``.
     Exists for tests and synthetic pipelines (the PNG/WAV/Y4M pattern);
     quality=50 keeps the standard tables verbatim, which is what gives
-    the constant-tile workload its exact closed form."""
+    the constant-tile workload its exact closed form.  ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs (with the
+    T.81 predictor reset), exercising the decoder's restart path."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2 or arr.shape[2] == 1
     if not gray and arr.shape[2] != 3:
@@ -478,8 +495,13 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 50, subsampling: str = "4:2:0
 
     wr = _BitWriter()
     preds = [0] * len(planes)
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wr.write_marker(0xD0 + (mcu_count // restart_interval - 1) % 8)
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, ((sh, sv), plane, qt, (dc_codes, ac_codes)) in enumerate(
                 zip(samp, padded, qts, huffs)
             ):
@@ -515,6 +537,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 50, subsampling: str = "4:2:0
     if not gray:
         out.append(dht(0, 1, _HUFF_DC_CHROM))
         out.append(dht(1, 1, _HUFF_AC_CHROM))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
@@ -536,8 +560,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy-coded data ends mid-scan")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: entropy-coded data ends mid-scan")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF data byte
@@ -570,9 +598,12 @@ class _BitReader:
         """Byte-align and consume the RSTn marker at the current position."""
         self.acc = 0
         self.nbits = 0
-        while not (self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
             self.pos += 1
-        self.pos += 2
+        raise ValueError("truncated JPEG: expected RSTn marker before end of data")
 
 
 class _RestartPending(Exception):
@@ -725,7 +756,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                         preds = [0] * len(comps)
                     try:
                         for ci, (cid, sh, sv, tq) in enumerate(comps):
+                            if cid not in scan_tables:
+                                raise ValueError(f"JPEG SOS omits frame component {cid}")
                             td, ta = scan_tables[cid]
+                            if td not in dc_tables or ta not in ac_tables:
+                                raise ValueError(
+                                    f"JPEG scan references undefined Huffman table "
+                                    f"(DC {td}, AC {ta})"
+                                )
+                            if tq not in qts:
+                                raise ValueError(
+                                    f"JPEG component references undefined quant table {tq}"
+                                )
                             for by in range(sv):
                                 for bx in range(sh):
                                     block, preds[ci] = _decode_block(

@@ -216,6 +216,15 @@ class ServingTier:
     def __init__(self, primary, n_workers: int = 4):
         if not primary.reuse_port or primary.snapshot_export is None:
             raise ValueError("primary needs reuse_port=True and a snapshot_export path")
+        # Workers re-open the content store by filesystem root, so only a
+        # LocalStore primary can be fronted; an IpfsStore (no .root, daemon
+        # behind HTTP) would crash start() or silently serve the wrong
+        # backend.  Fail at construction with a clear message instead.
+        if not isinstance(primary.store, LocalStore):
+            raise ValueError(
+                "ServingTier requires a LocalStore-backed primary (workers "
+                f"re-open the store by root path); got {type(primary.store).__name__}"
+            )
         self.primary = primary
         self.n_workers = n_workers
         self.procs: list = []

@@ -7134,36 +7134,46 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eps*n of the target rank (two lookups against the same cum frame)
     joined = approx.join(exact, "l_returnflag")
     a50 = F.element_at("_ap", 1)
-    a95 = F.element_at("_ap", 2)
+    # The approx value is an element of the input, so the largest _rv <= a50
+    # IS that value's row; max(struct(_cum, _c)) picks it and carries its own
+    # count, giving the value's rank RANGE [_cum - _c + 1, _cum].  GK only
+    # guarantees SOME rank in that range is within eps*n of the target, so
+    # the check passes iff the range intersects target +/- eps*n (duplicated
+    # values straddling the target rank were a spurious-fail risk before).
     r = cum.select(
-        F.col("l_returnflag").alias("_rf"), F.col("_v").alias("_rv"), "_cum", "_n"
+        F.col("l_returnflag").alias("_rf"), F.col("_v").alias("_rv"), "_cum", "_c", "_n"
     )
     out = (
         joined.join(r, (F.col("l_returnflag") == F.col("_rf")) & (F.col("_rv") <= a50), "left")
         .groupBy("l_returnflag", "_ap", "n_rows", "p50_exact", "p95_exact")
-        .agg(F.max("_cum").alias("_rank50"), F.max("_n").alias("_n"))
+        .agg(F.max(F.struct("_cum", "_c")).alias("_s50"), F.max("_n").alias("_n"))
         .join(
             r.select(
-                F.col("_rf").alias("_rf2"), F.col("_rv").alias("_rv2"), F.col("_cum").alias("_cum2")
+                F.col("_rf").alias("_rf2"),
+                F.col("_rv").alias("_rv2"),
+                F.col("_cum").alias("_cum2"),
+                F.col("_c").alias("_c2"),
             ),
             (F.col("l_returnflag") == F.col("_rf2")) & (F.col("_rv2") <= F.element_at("_ap", 2)),
             "left",
         )
-        .groupBy("l_returnflag", "_ap", "n_rows", "p50_exact", "p95_exact", "_rank50", "_n")
-        .agg(F.max("_cum2").alias("_rank95"))
+        .groupBy("l_returnflag", "_ap", "n_rows", "p50_exact", "p95_exact", "_s50", "_n")
+        .agg(F.max(F.struct("_cum2", "_c2")).alias("_s95"))
     )
     eps = 1.0 / 1000
+    eps_n = F.greatest(F.ceil(F.col("_n") * eps), F.lit(1))
+
+    def _within(s: str, cum_f: str, cnt_f: str, q: float):
+        target = F.ceil(F.col("_n") * q)
+        hi = F.col(s).getField(cum_f)
+        lo = hi - F.col(s).getField(cnt_f) + 1
+        return (lo <= target + eps_n) & (hi >= target - eps_n)
+
     return out.select(
         "l_returnflag",
         F.col("p50_exact").cast("double").alias("p50_exact"),
         F.col("p95_exact").cast("double").alias("p95_exact"),
         "n_rows",
-        (
-            F.abs(F.col("_rank50") - F.ceil(F.col("_n") * 0.5))
-            <= F.greatest(F.ceil(F.col("_n") * eps), F.lit(1))
-        ).alias("p50_within_rank_eps"),
-        (
-            F.abs(F.col("_rank95") - F.ceil(F.col("_n") * 0.95))
-            <= F.greatest(F.ceil(F.col("_n") * eps), F.lit(1))
-        ).alias("p95_within_rank_eps"),
+        _within("_s50", "_cum", "_c", 0.5).alias("p50_within_rank_eps"),
+        _within("_s95", "_cum2", "_c2", 0.95).alias("p95_within_rank_eps"),
     )

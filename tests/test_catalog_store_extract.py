@@ -331,3 +331,30 @@ def test_catalog_writer_mutex_cross_process(spark, tmp_path):
     assert len(set(all_ids)) == 6, f"lost update: duplicate ids {sorted(all_ids)}"
     final = {r["description"] for r in cat.dataset().collect()}
     assert final == {f"p{w}-{i}" for w in range(2) for i in range(3)}
+
+
+def test_writer_mutex_flock_failure_closes_fd_and_warns(tmp_path, monkeypatch):
+    """ADVICE r3: when flock raises OSError the opened fd must be closed
+    (no leak per failed acquire) and a one-time RuntimeWarning must flag the
+    degraded cross-process protection."""
+    import warnings
+
+    import fcntl as real_fcntl
+
+    from comlake_core_spark.catalog.catalog import _WriterMutex
+
+    def boom(*a, **k):
+        raise OSError("flock not supported")
+
+    monkeypatch.setattr(real_fcntl, "flock", boom)
+    monkeypatch.setattr(_WriterMutex, "_warned_no_flock", False)
+    m = _WriterMutex(str(tmp_path))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with m:
+            assert m._fd is None  # fd closed, not leaked half-open
+        with m:  # second acquire: no duplicate warning
+            pass
+    runtime = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert len(runtime) == 1
+    assert "degraded" in str(runtime[0].message)

@@ -288,21 +288,68 @@ def test_jpeg_rejects_progressive_and_garbage():
         jpeg_decode(bytes(data))
 
 
-def test_jpeg_restart_markers():
-    """Decoder handles DRI/RSTn: splice a restart interval into a stream
-    encoded without one by re-encoding MCU rows independently."""
+def test_jpeg_skips_unknown_com_segment():
+    """Decoder's marker scan skips APPn/COM segments it doesn't know."""
     from comlake_core_spark.operators.codecs import jpeg_decode, jpeg_encode
 
-    # encoder doesn't emit DRI, so synthesize: encode two images and verify
-    # the decoder's marker scan skips APPn/COM segments it doesn't know
     img = np.full((8, 8), 130, dtype=np.uint8)
     data = bytearray(jpeg_encode(img))
-    # inject a COM segment after APP0 (decoder must skip unknown segments)
     com = b"\xff\xfe" + (5).to_bytes(2, "big") + b"abc"
     idx = data.find(b"\xff\xdb")
     data[idx:idx] = com
     out = jpeg_decode(bytes(data))
     assert (out[:, :, 0] == img).all()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """Real DRI/RSTn coverage: a multi-MCU grayscale scan encoded with
+    restart_interval=1 carries a DRI segment and RST0..RSTn markers between
+    per-interval flushed entropy runs; the decoder must byte-align at each
+    marker, reset the DC predictors, and still roundtrip exactly (even
+    constant tiles at quality 50 survive bit-exact)."""
+    from comlake_core_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    img = np.zeros((16, 24), dtype=np.uint8)  # 2x3 = 6 MCUs
+    for t, v in enumerate([20, 60, 100, 140, 180, 220]):
+        ty, tx = divmod(t, 3)
+        img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = v
+    data = jpeg_encode(img, quality=50, restart_interval=1)
+    assert b"\xff\xdd" in data  # DRI segment present
+    sos = data.find(b"\xff\xda")
+    scan = data[sos:]
+    for n in range(5):  # 6 MCUs, interval 1 -> RST0..RST4 between them
+        assert bytes([0xFF, 0xD0 + n]) in scan, f"RST{n} missing"
+    out = jpeg_decode(data)
+    assert out.shape == (16, 24, 1)
+    assert (out[:, :, 0] == img).all()
+    # interval 2 exercises the modulo-8 marker index path on fewer markers
+    out2 = jpeg_decode(jpeg_encode(img, quality=50, restart_interval=2))
+    assert (out2[:, :, 0] == img).all()
+
+
+def test_jpeg_error_contract_is_value_error():
+    """Truncated/corrupt streams surface ValueError (the documented codec
+    contract shared with PNG/WAV), never IndexError/KeyError."""
+    import pytest as _pytest
+
+    from comlake_core_spark.operators.codecs import jpeg_decode, jpeg_encode
+
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    good = jpeg_encode(img, quality=50)
+    # truncate mid-scan (drop EOI and the scan tail)
+    with _pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(good[: len(good) - 8])
+    # truncate a restart stream before its RSTn marker
+    rst = bytearray(jpeg_encode(img, quality=50, restart_interval=1))
+    cut = rst.find(b"\xff\xd0")
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(rst[:cut]))
+    # undefined Huffman table id referenced by the scan: flip SOS's Td/Ta
+    bad = bytearray(good)
+    sos = bad.find(b"\xff\xda")
+    bad[sos + 6] = 0x33  # component 1 now wants DC table 3 / AC table 3
+    with _pytest.raises(ValueError, match="Huffman"):
+        jpeg_decode(bytes(bad))
 
 
 def test_decode_image_stats_jpeg_exact(spark, tmp_path):

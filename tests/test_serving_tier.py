@@ -141,3 +141,23 @@ def test_dir_flow_through_tier(tier):
     for _ in range(REPEAT):
         status, listing = jcall(tier, "GET", f"/dir/{new_dir}")
         assert status == 200 and listing == {"m.txt": file_cid}
+
+
+def test_tier_rejects_non_local_store(spark, tmp_path):
+    """ADVICE r3: workers re-open the store by .root, so a non-LocalStore
+    primary must fail at construction with a clear error, not AttributeError
+    in start() (or worse, silently serve the wrong backend)."""
+
+    class FakeIpfsStore:
+        root = None  # even an attribute named root must not fool the check
+
+    primary = ComlakeServer(
+        spark,
+        FakeIpfsStore(),
+        Catalog(spark, str(tmp_path / "cat")),
+        port=0,
+        reuse_port=True,
+        snapshot_export=str(tmp_path / "find.snap"),
+    )
+    with pytest.raises(ValueError, match="LocalStore"):
+        ServingTier(primary, n_workers=1)

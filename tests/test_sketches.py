@@ -76,3 +76,26 @@ def test_merge_prune_is_valid_mg_merge():
         assert w <= exact[item]
     for item, c in exact.items():
         assert c - merged.get(item, 0) <= n / (k + 1)
+
+
+def test_gk_rank_check_tolerates_duplicates_straddling_target(spark, tmp_path):
+    """ADVICE r3: when the returned quantile value is duplicated more than
+    eps*n times AND its run straddles the target rank, the value's true rank
+    is a RANGE [cum - count + 1, cum]; GK guarantees only that some rank in
+    the range is within eps*n.  A check using the top of the range alone
+    would spuriously fail this data: 10k rows of a single price (rank range
+    [1001, 11000] around the p50 target 5500+, top endpoint 11000 far from
+    it).  The rank-range intersection check must stay TRUE — matching the
+    oracle's pinned TRUE — on heavy duplicates."""
+    from comlake_core_spark.workloads import REGISTRY
+
+    rows = [("A", 50.0)] * 1_000 + [("A", 100.0)] * 10_000 + [("A", 200.0)] * 500
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = REGISTRY["approx_quantiles_prices"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 11_500
+    assert r["p50_exact"] == 100.0
+    assert r["p50_within_rank_eps"] is True
+    assert r["p95_within_rank_eps"] is True
