@@ -6615,77 +6615,90 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r3:    9 sentinels + 41 first-timers — TPC-H suite, temporal,
 #          PQ/IVF-PQ, CDC, sampling, streaming, sketches, incremental
 #          dedup, jaccard/approx promotions, multimodal_jpeg_decode
-#   r4 TODO: rotate again — ~5-9 sentinels + the never-driver-seen
-#          remainder (qast extras, set ops, window/agg extras, the `_real`
-#          integration entries, udaf/udtf, funnel/retention, matview,
-#          semantic_dedup_embeddings, leakage_safe_split_docs, ...);
-#          r5 takes what is left.  test_driver_window.py holds the r1-r2
-#          list; anything in neither that list nor a past window is unseen.
+#   r4:    5 sentinels + 45 first-timers — window-function family, set ops,
+#          scalar-function families (string/date/array/map), pivot/unpivot,
+#          udaf/udtf, the five `_real` integration entries, the r3
+#          capstones (semantic dedup, leakage split, ANN recall, pretrain
+#          pipeline, GK quantiles), joins/agg extras, funnel/retention.
+#   r5 TODO: the 28 never-seen remainder (qast_posix_regex,
+#          agg_stats_manual, sql_interface_shared_text,
+#          fuzzy_customer_names, forecast_revenue, zscore_events_pandas,
+#          top_customers_by_returns, pipeline_clean_corpus,
+#          chunk_documents, pack_sequences, pipeline_chunk_dedup_pack,
+#          pii_redact_customers, events_daily_rollup, dq_orders_checks,
+#          join_null_safe, agg_filtered_counts, token_budget_admit,
+#          events_sliding_windows, decontaminate_train_eval,
+#          text_repetition_filter, supplier_count_by_part_attrs,
+#          corpus_ngram_novelty, embedding_quantize_int8,
+#          text_unigram_logprob, text_feature_hashing,
+#          dedup_graph_triangles, analyze_orders_profile,
+#          ols_trend_by_nation) + sentinels; that closes 166/166.
+#          test_driver_window.py holds the r1-r3 driver-seen list;
+#          anything not in it is unseen.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- sentinels: one driver-green pin per family (r1+r2 verified) --
+    # -- sentinels: one driver-green pin per major family (r1-r3 verified) --
     "qast_eq_filter",          # qast predicate compiler
     "catalog_find",            # catalog scan + broadcast join
     "join_revenue_by_nation",  # multi-join agg
-    "agg_pricing_summary",     # grouped aggregation
-    "window_running_sum",      # window functions
     "dedup_minhash_lsh",       # dedup family
-    "ann_cosine_topk",         # similarity family
-    "text_stats",              # text family
     "streaming_hourly_events", # streaming≡batch
-    # -- first-time driver evidence: TPC-H-shape suite --
-    "join_local_supplier_volume",
-    "market_share_by_year",
-    "large_order_customers",
-    "disjunctive_filter_revenue",
-    "promo_revenue_ratio",
-    "small_qty_order_revenue",
-    "idle_rich_customers",
-    "volume_shipping_pairs",
-    "profit_by_nation_year",
-    "customer_order_distribution",
-    "top_supplier_by_revenue",
-    "sole_returning_supplier",
-    "late_lines_by_priority",
-    "shipping_priority",
-    "min_unit_price_supplier",
-    "important_part_values",
-    "excess_volume_suppliers",
-    # -- temporal --
-    "asof_last_purchase",
-    "range_join_clicks_after_purchase",
-    "events_gapfill_locf",
-    "scd2_event_type_history",
-    "time_weighted_avg_value",
-    # -- PQ / IVF-PQ pipeline --
-    "embedding_pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    # -- CDC --
-    "cdc_merge_orders",
-    # -- sampling / mixture --
-    "stratified_sample_orders",
-    "train_test_split_counts",
-    "contrastive_negative_samples",
-    "mixture_resample_corpus",
-    # -- streaming oracles (streaming≡batch equalities) --
-    "streaming_dedup_users",
-    "streaming_interval_join",
-    "streaming_running_totals",
-    "streaming_sessionize_users",
-    "streaming_matview_events",
-    # -- sketches / matview / incremental --
-    "heavy_hitters_event_types",
-    "incremental_rollup_events",
-    "dedup_incremental_batch",
-    # -- promoted this round: full oracle (was rows-only), df-capped rewrite,
-    #    and the new baseline-JPEG decoder (topk_orders sentinel gave up its
-    #    slot: the top-k family keeps driver-green history from r1+r2 and
-    #    stays pinned by the local mirror + plan tests) --
-    "approx_distinct_users",
-    "jaccard_topk_similar_docs",
-    "multimodal_jpeg_decode",
+    # -- window-function family (most-used SQL surface, VERDICT r3 #1) --
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_ranks",
+    "window_trailing_24h",
+    "window_percentile_ranks",
+    # -- set operations --
+    "set_intersect_nations",
+    "set_except_nations",
+    "set_intersect_all_buyers",
+    "set_except_all_buyers",
+    "set_union_acct_holders",
+    # -- scalar-function families --
+    "string_functions",
+    "date_functions",
+    "array_functions",
+    "map_functions_pipeline",
+    # -- pivot / unpivot --
+    "pivot_status_by_priority",
+    "unpivot_price_components",
+    # -- UDAF / UDTF --
+    "udaf_weighted_mean",
+    "udtf_top_terms",
+    # -- the five `_real` integration entries (catalog/server/extract/source) --
+    "catalog_find_real",
+    "source_read_real",
+    "schema_infer_csv_real",
+    "server_find_real",
+    "extract_parquet_real",
+    # -- r3 capstones --
+    "semantic_dedup_embeddings",
+    "leakage_safe_split_docs",
+    "ann_recall_at_k",
+    "pipeline_pretrain_corpus",
+    "approx_quantiles_prices",
+    # -- join strategies / quality --
+    "salted_join_revenue",
+    "bloom_pruned_join",
+    "full_outer_nation_presence",
+    "union_by_name_evolution",
+    "lateral_top_order",
+    "recursive_cte_month_spine",
+    # -- aggregation extras --
+    "agg_median_quantity",
+    "agg_cube_status",
+    "agg_corr_price_qty",
+    "agg_argmax_order",
+    "string_agg_nations",
+    "histogram_totalprice",
+    "explode_token_counts",
+    # -- analytics --
+    "zscore_events",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "dedup_canonical_docs",
 ]
 
 

@@ -1,13 +1,16 @@
 """Driver-window curation contract (VERDICT r2 "Next round" #1).
 
 The external driver verifies only the FIRST 50 entries of
-``__spark_entry__.queries()`` per round.  These pins guarantee the round-3
-window is the curated rotation — ~10 driver-green sentinels + ≥40
+``__spark_entry__.queries()`` per round.  These pins guarantee each round's
+window is the curated rotation — a few driver-green sentinels + ≥40
 never-driver-seen workloads — and that every window entry carries a full
 value-hash oracle (so all 50 driver rows can go green, none rows-only).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import __spark_entry__ as entry_mod
 from comlake_core_spark.workloads import DRIVER_WINDOW, REGISTRY, ordered_names
@@ -50,11 +53,23 @@ def test_queries_leads_with_window_then_full_registry():
     assert qs == ordered_names()
 
 
+def driver_seen() -> set[str]:
+    """Every workload with a driver-green row in a past round: the r1-r2
+    window plus the keys of each committed CORRECTNESS_r*.json artifact."""
+    seen = set(R1_R2_WINDOW)
+    repo = os.path.dirname(os.path.dirname(__file__))
+    for fname in sorted(os.listdir(repo)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            with open(os.path.join(repo, fname)) as f:
+                seen |= set(json.load(f))
+    return seen
+
+
 def test_window_rotation_carries_new_evidence():
-    first_time = [n for n in DRIVER_WINDOW if n not in set(R1_R2_WINDOW)]
+    first_time = [n for n in DRIVER_WINDOW if n not in driver_seen()]
     assert len(first_time) >= 40, (
         f"only {len(first_time)} never-driver-seen workloads in the window; "
-        "the rotation must carry >=40 (VERDICT r2 #1)"
+        "the rotation must carry >=40 (VERDICT r3 #1)"
     )
 
 
