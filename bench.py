@@ -108,29 +108,44 @@ def main() -> None:
     for name in HEADLINE:
         force(REGISTRY[name].fn(spark, warm_dir))
 
+    # Median-of-3 per query (VERDICT r3 "What's wrong" #1): a single timed
+    # pass lets one noisy machine moment poison the whole round's record —
+    # r3's bench drifted +22% on unchanged queries with no code cause.  The
+    # median discards one bad rep (GC pause, page-cache first touch, a
+    # co-tenant burst); min/max ride along in "spread" so a loaded machine
+    # is visible in the artifact instead of argued about after the fact.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        # drop cache leaked by prior workloads (several operators persist
-        # intermediates) so each timed run pays its own full computation and
-        # isn't distorted by accumulated executor storage
-        spark.catalog.clearCache()
-        # collect the garbage the PREVIOUS workload's dropped cache blocks
-        # left behind now, not as a full-GC pause inside the next timing
-        # (run-to-run variance on the dedup family was GC landing there)
-        spark._jvm.System.gc()
         df = REGISTRY[name].fn(spark, sf_dir)
-        start = time.perf_counter()
-        force(df)
-        timings[name] = round(time.perf_counter() - start, 3)
+        samples = []
+        for _ in range(reps):
+            # drop cache leaked by prior workloads (several operators persist
+            # intermediates) so each timed rep pays its own full computation
+            # and isn't distorted by accumulated executor storage
+            spark.catalog.clearCache()
+            # collect the garbage the PREVIOUS rep's dropped cache blocks
+            # left behind now, not as a full-GC pause inside the next timing
+            # (run-to-run variance on the dedup family was GC landing there)
+            spark._jvm.System.gc()
+            start = time.perf_counter()
+            force(df)
+            samples.append(time.perf_counter() - start)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline workload wall time",
+                "metric": "headline workload wall time (median of %d)" % reps,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -776,6 +776,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     hasher: str = "md5",
     max_cluster: int = 10_000,
+    max_depth: int = 2,
+    recluster_clusters: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -790,10 +792,12 @@ def semantic_dedup(
       2. assignment: per-row argmax cosine against the literal codebook —
          map-only, the ivf_topk idiom, no shuffle;
       3. intra-cluster edges: self-join on the cluster id, exact cosine
-         >= threshold (clusters above ``max_cluster`` rows are EXCLUDED
-         from pruning — the same worst-bucket cap as embedding LSH's
-         max_bucket; a production run re-clusters those with more
-         centroids);
+         >= threshold.  Clusters above ``max_cluster`` rows are first
+         RE-CLUSTERED with a fresh per-cluster codebook (up to
+         ``max_depth`` rounds — at 100 TB the head cluster is exactly
+         where the duplicates live, so it must be pruned, not exempted);
+         a cluster still oversized after the depth cap falls back to the
+         worst-bucket exclusion, like embedding LSH's max_bucket;
       4. survivors: connected components per edge set, keep the smallest
          id per component (deterministic canonical pick).
 
@@ -802,31 +806,64 @@ def semantic_dedup(
     membership under the driver's hash gate."""
     from comlake_core_spark.operators.similarity import cosine, dot, seeded_centroids
 
-    cents = seeded_centroids(emb, n_clusters, vec_col, id_col, hasher=hasher).collect()
-
     def _unit(v: list) -> list:
         n = sum(x * x for x in v) ** 0.5 or 1.0
         return [float(x) / n for x in v]
 
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
-            )
-            for r in cents
-        ]
+    def _assign(df: DataFrame, cents: list, id_offset: int) -> DataFrame:
+        """Map-only argmax-cosine assignment against a literal codebook;
+        bucket ids are offset so refinement rounds never collide."""
+        codebook = F.array(
+            *[
+                F.struct(
+                    F.lit(id_offset + int(r["centroid_id"])).alias("cid"),
+                    F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+                )
+                for r in cents
+            ]
+        )
+        scored = F.transform(
+            codebook,
+            lambda s: F.struct(dot(F.col("_v"), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
+        )
+        return df.withColumn("bucket", (-F.array_max(scored)["ncid"]).cast("int"))
+
+    rows = ensure_parallelism(emb).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    scored = F.transform(
-        codebook,
-        lambda s: F.struct(dot(F.col("_v"), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
-    )
-    assigned = (
-        ensure_parallelism(emb)
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn("bucket", (-F.array_max(scored)["ncid"]).cast("int"))
-        .persist()
-    )
+    cents = seeded_centroids(emb, n_clusters, vec_col, id_col, hasher=hasher).collect()
+    assigned = _assign(rows, cents, 0).persist()
+
+    # Depth-capped recursive refinement (VERDICT r3 #4): clusters above
+    # max_cluster re-cluster with a fresh per-cluster seeded codebook
+    # instead of being exempted from pruning.  The driver loop is over
+    # OVERSIZED CLUSTER IDS only (O(head-of-distribution), not O(rows));
+    # each sub-codebook is one bounded collect and the re-assignment stays
+    # map-only, so the plan shape survives 100 TB.  New bucket ids are
+    # allocated sequentially past the current max — compact and stable.
+    for _depth in range(max_depth):
+        oversized = sorted(
+            r["bucket"]
+            for r in assigned.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cluster)
+            .collect()
+        )
+        if not oversized:
+            break
+        next_id = assigned.agg(F.max("bucket").alias("m")).first()["m"] + 1
+        parts = [assigned.filter(~F.col("bucket").isin([int(b) for b in oversized]))]
+        k_sub = recluster_clusters or n_clusters
+        for b in oversized:
+            sub = assigned.filter(F.col("bucket") == int(b)).select("_id", "_v")
+            sub_cents = seeded_centroids(sub, k_sub, "_v", "_id", hasher=hasher).collect()
+            parts.append(_assign(sub, sub_cents, int(next_id)))
+            next_id += len(sub_cents)
+        refined = parts[0]
+        for p in parts[1:]:
+            refined = refined.unionByName(p)
+        assigned = refined.persist()
+
     small = (
         assigned.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_n"))

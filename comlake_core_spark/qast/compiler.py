@@ -163,15 +163,40 @@ def _lit(value: Any) -> _Typed:
     raise QastError(f"unsupported literal: {value!r}")
 
 
+def _num_view(t: _Typed) -> Column:
+    """Numeric view of an operand: UNKNOWN-kind subexpressions (dynamic
+    extras fields, JSON-extracted values — both strings at runtime) coerce
+    via ``try_cast(double)``: the classic Spark string→numeric promotion
+    with malformed→NULL, made EXPLICIT so the behavior is deterministic
+    under ANSI mode — which would otherwise abort the whole job on the
+    first malformed row of a scan.  Typed numeric operands pass through
+    (Catalyst handles widening)."""
+    return t.col.try_cast("double") if t.kind == _UNKNOWN else t.col
+
+
 def _chain(args: list[_Typed], cmp: Callable[[Column, Column], Column]) -> _Typed:
     """Variadic monotonic chain: AND of pairwise-adjacent comparisons
-    (closure backend semantics, reference qast.clj:107-112)."""
-    pairs = [cmp(a.col, b.col) for a, b in zip(args, args[1:])]
+    (closure backend semantics, reference qast.clj:107-112).  Per pair, an
+    UNKNOWN-kind side compared against a known-numeric side takes the
+    ``_num_view`` coercion (string→double, malformed→NULL→pair NULL), the
+    jsonb-number behavior of the reference's dynamic fields
+    (qast.clj:23-29); UNKNOWN-vs-string and UNKNOWN-vs-UNKNOWN pairs
+    compare as strings."""
+
+    def pair(a: _Typed, b: _Typed) -> Column:
+        ca, cb = a.col, b.col
+        if a.kind == _UNKNOWN and b.kind == _NUM:
+            ca = a.col.try_cast("double")
+        elif b.kind == _UNKNOWN and a.kind == _NUM:
+            cb = b.col.try_cast("double")
+        return cmp(ca, cb)
+
+    pairs = [pair(a, b) for a, b in zip(args, args[1:])]
     return _Typed(reduce(lambda x, y: x & y, pairs), _BOOL)
 
 
 def _arith(args: list[_Typed], op: Callable[[Column, Column], Column], kind: str = _NUM) -> _Typed:
-    return _Typed(reduce(op, [a.col for a in args]), kind)
+    return _Typed(reduce(op, [_num_view(a) for a in args]), kind)
 
 
 def _check_arity(op: str, args: list[Any], minimum: int, exact: int | None = None) -> None:
@@ -314,7 +339,7 @@ def _op_sub(args, resolve, regex_mode):
     _check_arity("-", args, 1)
     ts = _compile_args(args, resolve, regex_mode)
     if len(ts) == 1:
-        return _Typed(-ts[0].col, _NUM)
+        return _Typed(-_num_view(ts[0]), _NUM)
     return _arith(ts, lambda a, b: a - b)
 
 
@@ -326,10 +351,12 @@ def _op_mul(args, resolve, regex_mode):
 def _op_div(args, resolve, regex_mode):
     _check_arity("/", args, 1)
     ts = _compile_args(args, resolve, regex_mode)
+    # try_divide, not /: division by zero is NULL (the interpreter's pinned
+    # semantics and classic-Spark behavior) instead of an ANSI-mode abort.
     if len(ts) == 1:
-        return _Typed(F.lit(1.0) / ts[0].col.cast("double"), _NUM)
-    cols = [t.col.cast("double") for t in ts]
-    return _Typed(reduce(lambda a, b: a / b, cols), _NUM)
+        return _Typed(F.try_divide(F.lit(1.0), _num_view(ts[0]).cast("double")), _NUM)
+    cols = [_num_view(t).cast("double") for t in ts]
+    return _Typed(reduce(F.try_divide, cols), _NUM)
 
 
 def _op_mod(args, resolve, regex_mode):
@@ -337,7 +364,9 @@ def _op_mod(args, resolve, regex_mode):
     a, b = _compile_args(args, resolve, regex_mode)
     # Spark's % keeps the dividend's sign — same as Clojure rem (qast.clj:106)
     # and PostgreSQL MOD (qast.clj:40); the one spot both backends agree.
-    return _Typed(a.col % b.col, _NUM)
+    # try_mod: remainder by zero is NULL (interpreter parity), not an
+    # ANSI-mode abort.
+    return _Typed(F.try_mod(_num_view(a), _num_view(b)), _NUM)
 
 
 def _op_eq(args, resolve, regex_mode):

@@ -70,7 +70,9 @@ def _is_array_literal(node: list) -> bool:
 
 
 def _node_kind(node: Any) -> str:
-    """Static kind of a qast node: s/n/b/a, '0' for null literal, 'u' unknown."""
+    """Static kind of a qast node: s/n/b/a, '0' for null literal, 'e' for a
+    dynamic extras field (string-or-null at runtime, numeric via Spark's
+    try_cast coercion), 'u' unknown."""
     if node is None:
         return "0"
     if isinstance(node, bool):
@@ -85,24 +87,39 @@ def _node_kind(node: Any) -> str:
         head = node[0]
         if head == ".":
             if len(node) == 3 and node[1] == ["$"] and isinstance(node[2], str):
-                return _FIXED_KINDS.get(node[2], "u")
+                return _FIXED_KINDS.get(node[2], "e")
             return "u"
         if head in _CMP_OPS or head in _BOOL_OPS or head in ("~", "&&"):
             return "b"
+        if head in ("-", "*", "/", "%"):
+            ks = {_node_kind(a) for a in node[1:]} - {"0"}
+            return "n" if ks <= {"n", "e"} else "u"
+        if head == "+":
+            ks = {_node_kind(a) for a in node[1:]} - {"0"}
+            if ks == {"s"}:
+                return "s"
+            if ks == {"a"}:
+                return "a"
+            return "n" if ks <= {"n"} else "u"
         return "u"
     return "u"
 
 
 def snapshot_safe(ast: Any) -> bool:
     """True iff the qast predicate is in the class the driver-resident
-    snapshot serves with semantics IDENTICAL to the Spark compiler:
-    every field reference is a single fixed catalog column, operators are
-    limited to field access / comparisons / regex / boolean logic / array
-    overlap, and every comparison's operands share one statically-known
-    kind — exactly the regime where the pure-Python interpreter is
-    fuzz-pinned equal to the compiler (tests/test_qast_property.py).
-    Anything else (dynamic extra fields, arithmetic, mixed-kind implicit
-    casts) falls back to the Spark path."""
+    snapshot serves with semantics IDENTICAL to the Spark compiler —
+    the regime where the pure-Python interpreter is fuzz-pinned equal to
+    the compiler (tests/test_qast_property.py, incl. the extras fuzz).
+
+    Served from the snapshot: fixed-column AND dynamic-extras field access
+    ('e' kind: string-or-null at runtime), comparisons whose operands are
+    one static kind or extras-vs-string (string compare) / extras-vs-number
+    (Spark try_cast-double coercion, mirrored by the interpreter), regex,
+    arithmetic over numbers/extras (- * / % and all-number or all-string
+    +), boolean logic, array overlap.  Falls back to Spark: multi-segment
+    extras paths (JSON traversal), '+' with an extras operand (static
+    concat-vs-add ambiguity the interpreter cannot resolve dynamically),
+    extras under boolean truthiness, and mixed literal kinds."""
     if not isinstance(ast, list):
         return True  # scalar literal
     if not ast:
@@ -116,25 +133,61 @@ def snapshot_safe(ast: Any) -> bool:
     if head == "$":
         return False  # bare row reference: only valid as the base of "."
     if head == ".":
-        return len(ast) == 3 and ast[1] == ["$"] and isinstance(ast[2], str) and ast[2] in _FIXED_KINDS
+        return len(ast) == 3 and ast[1] == ["$"] and isinstance(ast[2], str)
     if head in _CMP_OPS:
         if not all(snapshot_safe(a) for a in args):
             return False
         kinds = {_node_kind(a) for a in args} - {"0"}
-        return len(kinds) <= 1 and "u" not in kinds
+        if "u" in kinds:
+            return False
+        if "e" in kinds:
+            # extras mix only with strings (string compare) or numbers
+            # (double coercion); bool/array mixes → Spark path
+            other = kinds - {"e"}
+            return other <= {"s"} or other <= {"n"}
+        return len(kinds) <= 1
     if head == "~":
         return (
             len(args) == 2
             and all(snapshot_safe(a) for a in args)
-            and all(_node_kind(a) in ("s", "0") for a in args)
+            and _node_kind(args[0]) in ("s", "0", "e")
+            and _node_kind(args[1]) in ("s", "0")
         )
     if head == "&&":
         return all(snapshot_safe(a) for a in args) and all(
             _node_kind(a) in ("a", "0") for a in args
         )
     if head in _BOOL_OPS:
-        return all(snapshot_safe(a) for a in args)
-    return False  # arithmetic / unknown heads → Spark path
+        # 'e' operands excluded: compiler truthiness for UNKNOWN drops the
+        # string "false", which the kind-blind interpreter can't mirror
+        return all(snapshot_safe(a) and _node_kind(a) != "e" for a in args)
+    if head in ("-", "*", "/", "%"):
+        return all(snapshot_safe(a) for a in args) and all(
+            _node_kind(a) in ("n", "0", "e") for a in args
+        )
+    if head == "+":
+        if not all(snapshot_safe(a) for a in args):
+            return False
+        kinds = {_node_kind(a) for a in args}
+        # all-string → concat; numbers/nulls → add.  'e' operands stay on
+        # the Spark path: their runtime strings would concat in the
+        # interpreter but numeric-add in the compiler.
+        return kinds == {"s"} or kinds <= {"n", "0"}
+    return False  # unknown heads → Spark path
+
+
+def snapshot_match(ast: Any, fixed: dict, extra: dict) -> bool:
+    """Row filter for the snapshot fast path, ≡ compile_predicate's
+    truthiness wrapper over the interpreter's value: null/False drop the
+    row; for an UNKNOWN-kind top level (bare extras access) the compiler
+    additionally drops the literal string "false" (qast compiler
+    _truthy).  Fixed columns shadow extras, like catalog.find's resolver."""
+    value = eval_qast(ast, {**extra, **fixed}, regex_mode="partial")
+    if value is None or value is False:
+        return False
+    if value == "false" and _node_kind(ast) == "e":
+        return False
+    return True
 
 
 class ComlakeServer:
@@ -287,7 +340,7 @@ class ComlakeServer:
                 hits = [
                     (fixed, extra)
                     for fixed, extra in self._snapshot()
-                    if eval_qast(ast, fixed, regex_mode="partial") not in (None, False)
+                    if snapshot_match(ast, fixed, extra)
                 ]
             except QastError:
                 return 400, {"error": "malformed query"}

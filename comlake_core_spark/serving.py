@@ -45,8 +45,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from comlake_core_spark.qast.compiler import QastError
-from comlake_core_spark.qast.interp import eval_qast
-from comlake_core_spark.server import FIXED_KEYS, snapshot_safe
+from comlake_core_spark.server import FIXED_KEYS, snapshot_match, snapshot_safe
 from comlake_core_spark.store.local import LocalStore
 
 
@@ -152,7 +151,7 @@ def _make_worker_handler(store: LocalStore, snap: SnapshotReader, primary_port: 
                     hits = [
                         (fixed, extra)
                         for fixed, extra in entries
-                        if eval_qast(ast, fixed, regex_mode="partial") not in (None, False)
+                        if snapshot_match(ast, fixed, extra)
                     ]
                 except QastError:
                     return self._send(400, {"error": "malformed query"})

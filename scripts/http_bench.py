@@ -115,17 +115,24 @@ def main() -> None:
         primary.catalog.upsert_content(cid, "text/csv")
         for i in range(100):
             primary.catalog.add_dataset(
-                {"file": cid, "description": f"d{i}", "source": "bench", "topics": ["t"]}
+                {"file": cid, "description": f"d{i}", "source": "bench",
+                 "topics": ["t"], "length": str(i)}
             )
         primary._invalidate_snapshot()
         primary._snapshot()  # build + export so workers serve /find locally
 
         find_body = json.dumps(["==", [".", ["$"], "cid"], "Qm"]).encode()
-        # dynamic-extra predicate: not snapshot_safe → one Spark job/request
-        find_spark_body = json.dumps(["==", [".", ["$"], "description"], ["+", "d", "1"]]).encode()
+        # dynamic-extras numeric predicate: snapshot-served since r4
+        # (string→double coercion regime, VERDICT r3 "What's wrong" #2)
+        find_extras_body = json.dumps([">", [".", ["$"], "length"], 50]).encode()
+        # '+' with an extras operand: still snapshot-unsafe → Spark on primary
+        find_spark_body = json.dumps(
+            [">", ["+", [".", ["$"], "length"], 1], 2]
+        ).encode()
         warm = hammer(port, "POST", "/find", find_body)  # warm sockets + page cache
         out = {
             "find_rps": round(hammer(port, "POST", "/find", find_body), 1),
+            "find_extras_rps": round(hammer(port, "POST", "/find", find_extras_body), 1),
             "find_spark_fallback_rps": round(hammer(port, "POST", "/find", find_spark_body), 1),
             "get_rps": round(hammer(port, "GET", f"/file/{cid}", None), 1),
             "control_rps": round(hammer(port, "GET", "/nope", None), 1),

@@ -632,12 +632,46 @@ def test_semantic_dedup_prunes_planted_identicals(spark):
     assert all((r["survivor_id_sum"] or 0) < 1000 * r["n_survivors"] for r in out.collect())
 
 
-def test_semantic_dedup_max_cluster_cap_excludes_pruning(spark):
+def test_semantic_dedup_depth_cap_is_last_resort(spark):
     from comlake_core_spark.operators.dedup import semantic_dedup
 
     rows = [(i, [1.0, 0.0]) for i in range(1, 8)]  # all identical → one cluster
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
     capped = semantic_dedup(emb, n_clusters=1, threshold=0.9, max_cluster=3)
-    r = capped.collect()[0]
-    # cluster exceeds the cap → no pruning there (production would re-cluster)
-    assert r["n_vectors"] == 7 and r["n_survivors"] == 7
+    rs = capped.collect()
+    # identical vectors can never split: every refinement round re-forms one
+    # oversized cluster, so after max_depth the exclusion fallback applies
+    assert sum(r["n_vectors"] for r in rs) == 7
+    assert sum(r["n_survivors"] for r in rs) == 7
+
+
+def test_semantic_dedup_reclusters_oversized_and_prunes(spark):
+    """VERDICT r3 #4: an oversized cluster must be re-clustered (fresh
+    per-cluster codebook), not exempted — its planted duplicates must be
+    provably pruned after refinement."""
+    from comlake_core_spark.operators.dedup import semantic_dedup
+
+    base = [
+        (i, [float(((i * 2654435761 + d * 40503) % 1009) - 504) for d in range(8)])
+        for i in range(1, 25)
+    ]
+    dup = [(i + 1000, v) for i, v in base]  # every vector duplicated once
+    emb = spark.createDataFrame(base + dup, "vec_id int, embedding array<double>")
+    # one top-level cluster of 48 rows >> max_cluster=12 → refinement must
+    # split it with 8 sub-centroids before pruning can run
+    out = semantic_dedup(
+        emb, n_clusters=1, threshold=0.999, max_cluster=12, recluster_clusters=8
+    ).collect()
+    assert sum(r["n_vectors"] for r in out) == 48
+    # refinement happened: more than the single top-level bucket reported
+    assert len(out) > 1
+    # duplicates are exact copies → always co-assigned; every pruned pair
+    # keeps the original (min id), so survivors are exactly the 24 originals
+    # in every cluster small enough to prune
+    pruned = [r for r in out if r["n_survivors"] < r["n_vectors"]]
+    assert pruned, "no cluster was pruned — refinement failed to split"
+    surv = sum(r["n_survivors"] for r in out)
+    assert surv < 48
+    for r in pruned:
+        assert r["n_survivors"] * 2 == r["n_vectors"]  # dup collapses per pair
+        assert (r["survivor_id_sum"] or 0) < 1000 * r["n_survivors"]

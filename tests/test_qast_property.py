@@ -100,3 +100,127 @@ def test_compiler_matches_interpreter(spark, asts):
 @pytest.fixture(scope="module")
 def spark_for_props(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Extras-regime fuzz (VERDICT r3 "What's wrong" #2): the /find snapshot fast
+# path now serves dynamic-extras predicates (string compare, Spark
+# try_cast-double coercion, arithmetic, regex).  Pin compiler ≡ snapshot_match
+# on randomized admitted predicates over a value pool covering the cast
+# corner cases measured against Spark 4 (suffixed doubles, hex floats, nan,
+# inf, overflow, junk, missing keys).
+# ---------------------------------------------------------------------------
+
+EXTRA_VALUES = [
+    "1000", " 12.5 ", "1e3", ".5", "5.", "+3", "-0", "nan", "NaN", "-nan",
+    "inf", "Infinity", "-infinity", "0x1A", "1.0d", "1.0f", "0x1p3", "abc",
+    "", "1_000", "1,000", "false", "true", "9", "-7", "3.14", "1e309",
+]
+EXTRA_FIELDS = ["length", "lang", "score"]
+
+
+def _extras_rows():
+    """One row per pool value in 'length' (other fields rotate), plus rows
+    with missing keys and an empty extras map."""
+    rows = []
+    for i, v in enumerate(EXTRA_VALUES):
+        extra = {"length": v, "lang": EXTRA_VALUES[(i * 7 + 3) % len(EXTRA_VALUES)]}
+        if i % 3 == 0:
+            extra["score"] = EXTRA_VALUES[(i * 5 + 1) % len(EXTRA_VALUES)]
+        rows.append((i, "text/csv" if i % 2 else "application/json",
+                     f"desc {i}", "src", ["t%d" % (i % 3)], None, extra))
+    rows.append((len(rows), "text/csv", "no extras", "src", [], None, {}))
+    return rows
+
+
+def efield():
+    return st.sampled_from([[".", ["$"], f] for f in EXTRA_FIELDS + ["missing"]])
+
+
+def e_num_atom():
+    return st.one_of(
+        efield(),
+        st.sampled_from([0, 1, 4, 9, -7, 2.5, 1000.0]),
+        st.tuples(st.sampled_from(["-", "*", "%"]), efield(),
+                  st.sampled_from([2, 3, 4])).map(lambda t: [t[0], t[1], t[2]]),
+        st.tuples(st.just("/"), efield(), st.sampled_from([2, 4.0, 0])).map(
+            lambda t: [t[0], t[1], t[2]]),
+    )
+
+
+def e_pred():
+    cmps = st.sampled_from(["==", "!=", "<", "<=", ">", ">="])
+    num_cmp = st.tuples(cmps, e_num_atom(), e_num_atom()).map(lambda t: [t[0], t[1], t[2]])
+    str_cmp = st.tuples(cmps, efield(), st.one_of(
+        efield(), st.sampled_from(["9", "abc", "nan", "false", ""]))).map(
+        lambda t: [t[0], t[1], t[2]])
+    rex = st.tuples(st.just("~"), efield(), st.sampled_from(
+        ["[0-9]+", "n.n", ".*", "a"])).map(lambda t: [t[0], t[1], t[2]])
+    base = st.one_of(num_cmp, str_cmp, rex)
+    return st.one_of(
+        base,
+        st.tuples(st.sampled_from(["&", "|"]), base, base).map(lambda t: [t[0], t[1], t[2]]),
+        st.tuples(st.just("!"), base).map(lambda t: [t[0], t[1]]),
+    )
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(e_pred(), min_size=4, max_size=10))
+def test_extras_snapshot_matches_spark_path(extras_df_and_rows, asts):
+    from comlake_core_spark.qast.compiler import _Typed, _UNKNOWN, _kind_of, compile_predicate
+    from comlake_core_spark.server import snapshot_safe, snapshot_match
+    from pyspark.sql import functions as F
+
+    df, rows = extras_df_and_rows
+    schema = df.schema
+
+    def resolver(path):
+        head, *rest = path
+        if head in schema.names:
+            col = F.col(head)
+            for part in rest:
+                col = col.getItem(part)
+            return _Typed(col, _kind_of(schema[head].dataType) if not rest else _UNKNOWN)
+        col = F.col("extra").getItem(head)
+        for part in rest:
+            col = F.get_json_object(col, "$." + part)
+        return _Typed(col, _UNKNOWN)
+
+    safe = [a for a in asts if snapshot_safe(a)]
+    if not safe:
+        return
+    cols = [
+        F.when(compile_predicate(a, resolver=resolver, regex_mode="partial"), True)
+        .otherwise(False).alias(f"p{i}")
+        for i, a in enumerate(safe)
+    ]
+    spark_hits = df.select("id", *cols).collect()
+    for i, ast in enumerate(safe):
+        want = {r["id"] for r in spark_hits if r[f"p{i}"]}
+        got = {
+            fixed["id"]
+            for fixed, extra in rows
+            if snapshot_match(ast, fixed, extra)
+        }
+        assert got == want, (ast, sorted(got), sorted(want))
+
+
+@pytest.fixture(scope="module")
+def extras_df_and_rows(spark):
+    raw = _extras_rows()
+    df = spark.createDataFrame(
+        raw,
+        "id long, type string, description string, source string, "
+        "topics array<string>, parent bigint, extra map<string,string>",
+    )
+    df = df.cache()
+    df.count()
+    rows = [
+        (
+            {"id": r[0], "cid": None, "type": r[1], "description": r[2],
+             "source": r[3], "topics": r[4], "parent": r[5]},
+            r[6],
+        )
+        for r in raw
+    ]
+    return df, rows
