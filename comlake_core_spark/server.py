@@ -176,18 +176,31 @@ def snapshot_safe(ast: Any) -> bool:
     return False  # unknown heads → Spark path
 
 
+def snapshot_matcher(ast: Any):
+    """Per-REQUEST row filter for the snapshot fast path, ≡
+    compile_predicate's truthiness wrapper over the interpreter's value:
+    null/False drop the row; for an UNKNOWN-kind top level (bare extras
+    access) the compiler additionally drops the literal string "false"
+    (qast compiler _truthy).  The static kind is computed once here, not
+    per row — the returned callable takes the PREBUILT merged row
+    (extras with fixed columns shadowing, like catalog.find's resolver),
+    so the hot loop does one eval_qast per row and nothing else."""
+    drop_false_string = _node_kind(ast) == "e"
+
+    def match(merged_row: dict) -> bool:
+        value = eval_qast(ast, merged_row, regex_mode="partial")
+        if value is None or value is False:
+            return False
+        if drop_false_string and value == "false":
+            return False
+        return True
+
+    return match
+
+
 def snapshot_match(ast: Any, fixed: dict, extra: dict) -> bool:
-    """Row filter for the snapshot fast path, ≡ compile_predicate's
-    truthiness wrapper over the interpreter's value: null/False drop the
-    row; for an UNKNOWN-kind top level (bare extras access) the compiler
-    additionally drops the literal string "false" (qast compiler
-    _truthy).  Fixed columns shadow extras, like catalog.find's resolver."""
-    value = eval_qast(ast, {**extra, **fixed}, regex_mode="partial")
-    if value is None or value is False:
-        return False
-    if value == "false" and _node_kind(ast) == "e":
-        return False
-    return True
+    """One-off form of ``snapshot_matcher`` (tests, single rows)."""
+    return snapshot_matcher(ast)({**extra, **fixed})
 
 
 class ComlakeServer:
@@ -225,7 +238,7 @@ class ComlakeServer:
         # tiering as the reference, whose catalog lives in PostgreSQL
         # while content stays in IPFS (thesis/main/meth.tex:89-94).
         # Rebuilt lazily after any catalog mutation.
-        self._find_snap: list[tuple[dict, dict]] | None = None
+        self._find_snap: list[dict] | None = None
         self._snap_lock = threading.Lock()
 
     def _invalidate_snapshot(self) -> None:
@@ -241,9 +254,12 @@ class ComlakeServer:
                 except FileNotFoundError:
                     pass
 
-    def _snapshot(self) -> list[tuple[dict, dict]]:
-        """(fixed-columns row, extras map) per catalog entry — one Spark
-        collect per catalog version, amortized over every /find after it."""
+    def _snapshot(self) -> list[dict]:
+        """One MERGED row dict (extras with fixed columns shadowing — the
+        same merge catalog.find's resolver and the response body use) per
+        catalog entry.  One Spark collect per catalog version, amortized
+        over every /find after it; the merge happens HERE, once per
+        version, never in the per-request hot loop."""
         with self._snap_lock:
             if self._find_snap is None:
                 rows = self.catalog.joined().collect()
@@ -251,7 +267,7 @@ class ComlakeServer:
                 for r in rows:
                     d = r.asDict(recursive=True)
                     extra = d.pop("extra", None) or {}
-                    snap.append(({k: d.get(k) for k in FIXED_KEYS}, extra))
+                    snap.append({**extra, **{k: d.get(k) for k in FIXED_KEYS}})
                 self._find_snap = snap
                 if self.snapshot_export is not None:
                     import os
@@ -337,14 +353,11 @@ class ComlakeServer:
             try:
                 # find path is PARTIAL-match regex (reference PostgreSQL ~,
                 # qast.clj:35) — same mode the Spark path compiles with
-                hits = [
-                    (fixed, extra)
-                    for fixed, extra in self._snapshot()
-                    if snapshot_match(ast, fixed, extra)
-                ]
+                match = snapshot_matcher(ast)
+                hits = [merged for merged in self._snapshot() if match(merged)]
             except QastError:
                 return 400, {"error": "malformed query"}
-            return 200, [{**extra, **fixed} for fixed, extra in hits]
+            return 200, hits
         try:
             rows = self.catalog.find(ast).collect()
         except QastError:

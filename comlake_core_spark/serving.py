@@ -45,14 +45,15 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from comlake_core_spark.qast.compiler import QastError
-from comlake_core_spark.server import FIXED_KEYS, snapshot_match, snapshot_safe
+from comlake_core_spark.server import FIXED_KEYS, snapshot_matcher, snapshot_safe
 from comlake_core_spark.store.local import LocalStore
 
 
 class SnapshotReader:
     """mtime-cached reader of the primary's snapshot export.
 
-    ``get()`` returns the [(fixed, extra), ...] list, or None when the
+    ``get()`` returns the list of MERGED row dicts (extras with fixed
+    columns shadowing, prebuilt by the primary's export), or None when the
     export is absent (primary invalidated it — callers must proxy)."""
 
     def __init__(self, path: str):
@@ -148,14 +149,11 @@ def _make_worker_handler(store: LocalStore, snap: SnapshotReader, primary_port: 
                 if entries is None:  # invalidated → primary rebuilds
                     return self._proxy(body)
                 try:
-                    hits = [
-                        (fixed, extra)
-                        for fixed, extra in entries
-                        if snapshot_match(ast, fixed, extra)
-                    ]
+                    match = snapshot_matcher(ast)
+                    hits = [merged for merged in entries if match(merged)]
                 except QastError:
                     return self._send(400, {"error": "malformed query"})
-                return self._send(200, [{**extra, **fixed} for fixed, extra in hits])
+                return self._send(200, hits)
             if self.path in ("/dir", "/file", "/cp", "/dataset", "/update") or self.path.startswith(
                 "/extract/"
             ):

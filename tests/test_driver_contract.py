@@ -98,3 +98,19 @@ def test_contract_shape():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_coverage_http_numbers_cite_artifact():
+    """VERDICT r3 "What's wrong" #3: COVERAGE.md embedded HTTP throughput
+    copies that drifted from the measured artifact within one round.  The
+    doc must cite BENCH_HTTP_r{N}.json; the only req/s figures allowed
+    inline are the reference's PUBLISHED baselines (BASELINE.md)."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        text = f.read()
+    assert "BENCH_HTTP_r" in text, "COVERAGE.md must cite the measured artifact"
+    inline = set(re.findall(r"([\d,]+(?:\.\d+)?)\s*req/s", text))
+    allowed = {"5,576", "6,238", "29,789", "965"}  # baselines + the r2 client-artifact anecdote
+    assert inline <= allowed, f"measured numbers embedded in COVERAGE.md: {inline - allowed}"
