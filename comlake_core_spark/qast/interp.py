@@ -1,12 +1,25 @@
 """Pure-Python qast interpreter with the reference closure-backend semantics
 (reference src/comlake/core/qast.clj:90-129).
 
-This is NOT a runtime execution path — the engine always executes through
+Two surfaces:
+
+- ``compile_eval(ast, regex_mode) -> Callable[[row], value]`` — stages the
+  AST walk ONCE (the reference's closure backend is literally this design:
+  qast.clj compiles the query to a nested closure, then maps it over rows).
+  The serving layer's /find snapshot path compiles per REQUEST and runs the
+  closure per row, so the hot loop does no AST dispatch, no regex re-parse,
+  no arity checks.
+- ``eval_qast(ast, row, regex_mode)`` — one-shot convenience wrapper
+  (compile + run), used by tests and single-row callers.
+
+This is NOT a Spark execution path — the engine always executes through
 the Spark compiler. It exists as the independent second implementation for
 divergence testing: the reference caught regressions by running the same
 queries through both of its backends (thesis/main/eval.tex:199-205); here,
 property-based tests (tests/test_qast_property.py) compare the Spark
-compiler against this interpreter on randomized ASTs.
+compiler against this interpreter on randomized ASTs — and as the
+Spark-free evaluator behind the /find snapshot fast path (server.py,
+serving.py).
 
 Semantics pinned to match the compiler's documented choices:
 - null propagation for arithmetic/comparison/regex/concat (not-nil-fn,
@@ -14,7 +27,9 @@ Semantics pinned to match the compiler's documented choices:
 - & | ! Clojure truthiness with nil→false (qast.clj:114-118);
 - % = sign of dividend (Clojure rem, qast.clj:106);
 - / = double division (documented divergence from Clojure rationals);
-- ~ full or partial regex per mode (qast.clj:97-101 vs :35);
+- ~ full or partial regex per mode (qast.clj:97-101 vs :35); a malformed
+  pattern is a QastError at COMPILE time, exactly like the Spark
+  compiler's eager validation (ADVICE r2 #4);
 - unknown head → array literal (qast.clj:56,61-62);
 - dynamic string operands in numeric contexts take Spark's try_cast
   double coercion (spark_str_to_double below), and NaN compares with
@@ -28,7 +43,7 @@ from __future__ import annotations
 import math
 import re
 from functools import reduce
-from typing import Any
+from typing import Any, Callable
 
 from comlake_core_spark.qast.compiler import QastError
 
@@ -88,102 +103,170 @@ def _coerce_num(v: Any) -> Any:
     return spark_str_to_double(v) if isinstance(v, str) else v
 
 
-def eval_qast(ast: Any, row: dict | None = None, regex_mode: str = "full") -> Any:
-    row = row or {}
+RowFn = Callable[[dict], Any]
 
-    def ev(node: Any) -> Any:
+
+def compile_eval(ast: Any, regex_mode: str = "full") -> RowFn:
+    """Stage the AST into a row→value closure (compile once, run per row)."""
+
+    def comp(node: Any) -> RowFn:
         if not isinstance(node, list):
-            return node
+            return lambda row: node
         if not node:
             raise QastError("empty array is not a valid expression")
         head = node[0]
-        if not isinstance(head, str) or head not in _OPS:
-            return [ev(e) for e in node]
-        return _OPS[head](node[1:], ev, row, regex_mode)
+        if not isinstance(head, str) or head not in _COMPILERS:
+            elems = [comp(e) for e in node]
+            return lambda row: [e(row) for e in elems]
+        return _COMPILERS[head](node[1:], comp, regex_mode)
 
-    return ev(ast)
-
-
-def _field(args, ev, row, mode):
-    base = args[0]
-    if isinstance(base, list) and base == ["$"]:
-        cur: Any = row
-    else:
-        cur = ev(base)
-    for key in args[1:]:
-        if cur is None:
-            return None
-        cur = cur.get(key) if isinstance(cur, dict) else None
-    return cur
+    return comp(ast)
 
 
-def _regex(args, ev, row, mode):
+def eval_qast(ast: Any, row: dict | None = None, regex_mode: str = "full") -> Any:
+    return compile_eval(ast, regex_mode)(row or {})
+
+
+def _c_root(args, comp, mode) -> RowFn:
+    return lambda row: row
+
+
+def _c_field(args, comp, mode) -> RowFn:
+    base, keys = args[0], args[1:]
+    from_root = isinstance(base, list) and base == ["$"]
+    if from_root and len(keys) == 1:
+        key = keys[0]  # the serving hot path: one dict lookup per row
+        return lambda row: row.get(key) if isinstance(row, dict) else None
+    base_fn = (lambda row: row) if from_root else comp(base)
+
+    def field(row):
+        cur = base_fn(row)
+        for key in keys:
+            if cur is None:
+                return None
+            cur = cur.get(key) if isinstance(cur, dict) else None
+        return cur
+
+    return field
+
+
+def _c_regex(args, comp, mode) -> RowFn:
     from comlake_core_spark.qast.regex_dialect import translate_posix_classes
 
     if not isinstance(args[1], str):
         raise QastError("~ pattern must be a string literal")  # compiler parity
-    s, p = ev(args[0]), translate_posix_classes(args[1])
-    if s is None:
-        return None
     try:
-        return bool(re.fullmatch(p, s)) if mode == "full" else bool(re.search(p, s))
+        rx = re.compile(translate_posix_classes(args[1]))
     except re.error as exc:
         # malformed pattern (e.g. "(") must surface as a 400 "malformed
         # query" on the serving path, not kill the keep-alive connection
-        # (ADVICE r2 #4); the compiler path rejects it eagerly the same way
+        # (ADVICE r2 #4); eager validation = the compiler's behavior
         raise QastError(f"malformed regex pattern: {exc}") from exc
+    sub = comp(args[0])
+    matcher = rx.fullmatch if mode == "full" else rx.search
+
+    def regex(row):
+        s = sub(row)
+        return None if s is None else bool(matcher(s))
+
+    return regex
 
 
-def _add(args, ev, row, mode):
-    vals = [ev(a) for a in args]
-    if _num_guard(vals):
+def _c_add(args, comp, mode) -> RowFn:
+    subs = [comp(a) for a in args]
+
+    def add(row):
+        vals = [s(row) for s in subs]
+        if _num_guard(vals):
+            return None
+        if all(isinstance(v, str) for v in vals):
+            return "".join(vals)
+        if all(isinstance(v, list) for v in vals):
+            return reduce(lambda a, b: a + b, vals)
+        return sum(vals)
+
+    return add
+
+
+def _c_sub(args, comp, mode) -> RowFn:
+    subs = [comp(a) for a in args]
+
+    def sub_(row):
+        vals = [_coerce_num(s(row)) for s in subs]
+        if _num_guard(vals):
+            return None
+        if len(vals) == 1:
+            return -vals[0]
+        return reduce(lambda a, b: a - b, vals)
+
+    return sub_
+
+
+def _c_mul(args, comp, mode) -> RowFn:
+    subs = [comp(a) for a in args]
+
+    def mul(row):
+        vals = [_coerce_num(s(row)) for s in subs]
+        return None if _num_guard(vals) else reduce(lambda a, b: a * b, vals)
+
+    return mul
+
+
+def _c_div(args, comp, mode) -> RowFn:
+    subs = [comp(a) for a in args]
+
+    def div(row):
+        vals = [_coerce_num(s(row)) for s in subs]
+        if _num_guard(vals):
+            return None
+        if len(vals) == 1:
+            vals = [1.0, vals[0]]
+        try:
+            return reduce(lambda a, b: float(a) / float(b), vals)
+        except ZeroDivisionError:
+            return None  # compiler uses try_divide: division by zero → NULL
+
+    return div
+
+
+def _c_mod(args, comp, mode) -> RowFn:
+    sa, sb = comp(args[0]), comp(args[1])
+
+    def mod(row):
+        a, b = _coerce_num(sa(row)), _coerce_num(sb(row))
+        if a is None or b is None or b == 0:
+            return None  # compiler uses try_mod: remainder by zero → NULL
+        if (isinstance(a, float) and not math.isfinite(a)) or (
+            isinstance(b, float) and math.isnan(b)
+        ):
+            return math.nan  # try_mod: ±inf dividend or NaN operand → NaN
+        r = math.fmod(a, b)  # sign of dividend, like Clojure rem / Spark %
+        return int(r) if isinstance(a, int) and isinstance(b, int) else r
+
+    return mod
+
+
+def _cmp_pair(x, y, cmp):
+    # mixed str/number pair: the compiler try_casts the UNKNOWN (string)
+    # side to double — mirror it dynamically
+    if isinstance(x, str) and _is_number(y):
+        x = spark_str_to_double(x)
+    elif isinstance(y, str) and _is_number(x):
+        y = spark_str_to_double(y)
+    if x is None or y is None:
         return None
-    if all(isinstance(v, str) for v in vals):
-        return "".join(vals)
-    if all(isinstance(v, list) for v in vals):
-        return reduce(lambda a, b: a + b, vals)
-    return sum(vals)
+    # Spark's comparison ordering for NaN: equal to itself, greater than
+    # every other double (docs "NaN semantics"); Python's IEEE NaN would
+    # answer False to everything.  Reachable here via a coerced "nan"
+    # extras value or a NaN double column.
+    if (isinstance(x, float) and math.isnan(x)) or (isinstance(y, float) and math.isnan(y)):
+        xk = (1,) if isinstance(x, float) and math.isnan(x) else (0, x)
+        yk = (1,) if isinstance(y, float) and math.isnan(y) else (0, y)
+        return cmp(xk, yk)
+    return cmp(x, y)
 
 
-def _sub(args, ev, row, mode):
-    vals = [_coerce_num(ev(a)) for a in args]
-    if _num_guard(vals):
-        return None
-    if len(vals) == 1:
-        return -vals[0]
-    return reduce(lambda a, b: a - b, vals)
-
-
-def _mul(args, ev, row, mode):
-    vals = [_coerce_num(ev(a)) for a in args]
-    return None if _num_guard(vals) else reduce(lambda a, b: a * b, vals)
-
-
-def _div(args, ev, row, mode):
-    vals = [_coerce_num(ev(a)) for a in args]
-    if _num_guard(vals):
-        return None
-    if len(vals) == 1:
-        vals = [1.0, vals[0]]
-    try:
-        return reduce(lambda a, b: float(a) / float(b), vals)
-    except ZeroDivisionError:
-        return None  # compiler uses try_divide: division by zero → NULL
-
-
-def _mod(args, ev, row, mode):
-    a, b = _coerce_num(ev(args[0])), _coerce_num(ev(args[1]))
-    if a is None or b is None or b == 0:
-        return None  # compiler uses try_mod: remainder by zero → NULL
-    if (isinstance(a, float) and not math.isfinite(a)) or (
-        isinstance(b, float) and math.isnan(b)
-    ):
-        return math.nan  # try_mod: ±inf dividend or NaN operand → NaN
-    r = math.fmod(a, b)  # sign of dividend, like Clojure rem / Spark %
-    return int(r) if isinstance(a, int) and isinstance(b, int) else r
-
-
-def _chain(cmp):
+def _c_chain(cmp, negate: bool = False):
     """Comparison chain with Kleene three-valued AND.
 
     Deliberate, documented divergence from the reference's not-nil-fn
@@ -194,80 +277,74 @@ def _chain(cmp):
     indistinguishable (false and nil both drop the row), and keeping the
     plain AND chain preserves parquet filter pushdown, so the engine pins
     Kleene semantics and this interpreter models that pin.
+
+    ``negate`` implements ``!=`` (Clojure not= is "not all equal",
+    qast.clj:108): null stays null, True/False flip.
     """
 
-    def pair(x, y):
-        # mixed str/number pair: the compiler try_casts the UNKNOWN
-        # (string) side to double — mirror it dynamically
-        if isinstance(x, str) and _is_number(y):
-            x = spark_str_to_double(x)
-        elif isinstance(y, str) and _is_number(x):
-            y = spark_str_to_double(y)
-        if x is None or y is None:
+    def compile_(args, comp, mode) -> RowFn:
+        subs = [comp(a) for a in args]
+
+        def chain(row):
+            vals = [s(row) for s in subs]
+            pairs = [_cmp_pair(x, y, cmp) for x, y in zip(vals, vals[1:])]
+            if any(p is False for p in pairs):
+                result = False
+            elif any(p is None for p in pairs):
+                return None
+            else:
+                result = True
+            return (not result) if negate else result
+
+        return chain
+
+    return compile_
+
+
+def _c_overlap(args, comp, mode) -> RowFn:
+    sa, sb = comp(args[0]), comp(args[1])
+
+    def overlap(row):
+        a, b = sa(row), sb(row)
+        if a is None or b is None:
             return None
-        # Spark's comparison ordering for NaN: equal to itself, greater
-        # than every other double (docs "NaN semantics"); Python's IEEE
-        # NaN would answer False to everything.  Reachable here via a
-        # coerced "nan" extras value or a NaN double column.
-        if (isinstance(x, float) and math.isnan(x)) or (isinstance(y, float) and math.isnan(y)):
-            xk = (1,) if isinstance(x, float) and math.isnan(x) else (0, x)
-            yk = (1,) if isinstance(y, float) and math.isnan(y) else (0, y)
-            return cmp(xk, yk)
-        return cmp(x, y)
+        return bool(set(a) & set(b))
 
-    def impl(args, ev, row, mode):
-        vals = [ev(a) for a in args]
-        pairs = [pair(x, y) for x, y in zip(vals, vals[1:])]
-        if any(p is False for p in pairs):
-            return False
-        if any(p is None for p in pairs):
-            return None
-        return True
-
-    return impl
+    return overlap
 
 
-def _ne(args, ev, row, mode):
-    eq = _chain(lambda x, y: x == y)(args, ev, row, mode)
-    return None if eq is None else not eq
+def _c_and(args, comp, mode) -> RowFn:
+    subs = [comp(a) for a in args]
+    return lambda row: all(_truthy(s(row)) for s in subs)
 
 
-def _overlap(args, ev, row, mode):
-    a, b = ev(args[0]), ev(args[1])
-    if a is None or b is None:
-        return None
-    return bool(set(a) & set(b))
+def _c_or(args, comp, mode) -> RowFn:
+    subs = [comp(a) for a in args]
+    return lambda row: any(_truthy(s(row)) for s in subs)
 
 
-def _and(args, ev, row, mode):
-    return all(_truthy(ev(a)) for a in args)
+def _c_not(args, comp, mode) -> RowFn:
+    sub = comp(args[0])
+    return lambda row: not _truthy(sub(row))
 
 
-def _or(args, ev, row, mode):
-    return any(_truthy(ev(a)) for a in args)
-
-
-def _not(args, ev, row, mode):
-    return not _truthy(ev(args[0]))
-
-
-_OPS = {
-    "$": lambda args, ev, row, mode: row,
-    ".": _field,
-    "~": _regex,
-    "+": _add,
-    "-": _sub,
-    "*": _mul,
-    "/": _div,
-    "%": _mod,
-    "==": _chain(lambda x, y: x == y),
-    "!=": _ne,
-    ">": _chain(lambda x, y: x > y),
-    ">=": _chain(lambda x, y: x >= y),
-    "<": _chain(lambda x, y: x < y),
-    "<=": _chain(lambda x, y: x <= y),
-    "&&": _overlap,
-    "&": _and,
-    "|": _or,
-    "!": _not,
+_COMPILERS = {
+    "$": _c_root,
+    ".": _c_field,
+    "~": _c_regex,
+    "+": _c_add,
+    "-": _c_sub,
+    "*": _c_mul,
+    "/": _c_div,
+    "%": _c_mod,
+    "==": _c_chain(lambda x, y: x == y),
+    "!=": _c_chain(lambda x, y: x == y, negate=True),
+    ">": _c_chain(lambda x, y: x > y),
+    ">=": _c_chain(lambda x, y: x >= y),
+    "<": _c_chain(lambda x, y: x < y),
+    "<=": _c_chain(lambda x, y: x <= y),
+    "&&": _c_overlap,
+    "&": _c_and,
+    "|": _c_or,
+    "!": _c_not,
 }

@@ -41,7 +41,7 @@ from comlake_core_spark.catalog import Catalog, MissingMetadata
 from comlake_core_spark.extract.reader import UnsupportedType, extract
 from comlake_core_spark.extract.schema_infer import cached_schema
 from comlake_core_spark.qast.compiler import QastError
-from comlake_core_spark.qast.interp import eval_qast
+from comlake_core_spark.qast.interp import compile_eval
 from comlake_core_spark.store.base import ContentStore
 
 FIXED_KEYS = ("id", "cid", "type", "description", "source", "topics", "parent")
@@ -184,11 +184,12 @@ def snapshot_matcher(ast: Any):
     (qast compiler _truthy).  The static kind is computed once here, not
     per row — the returned callable takes the PREBUILT merged row
     (extras with fixed columns shadowing, like catalog.find's resolver),
-    so the hot loop does one eval_qast per row and nothing else."""
+    so the hot loop is one compiled-closure call per row and nothing else."""
     drop_false_string = _node_kind(ast) == "e"
+    fn = compile_eval(ast, regex_mode="partial")  # one AST walk per request
 
     def match(merged_row: dict) -> bool:
-        value = eval_qast(ast, merged_row, regex_mode="partial")
+        value = fn(merged_row)
         if value is None or value is False:
             return False
         if drop_false_string and value == "false":

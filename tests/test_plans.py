@@ -488,3 +488,39 @@ def test_leakage_split_no_cartesian_and_partial_agg(spark):
     df = run(spark, "leakage_safe_split_docs")
     assert "CartesianProduct" not in P.executed_plan(df)
     assert P.has_partial_aggregate(df)
+
+
+def test_jaccard_topk_shuffle_fallback_no_posting_broadcast(spark):
+    """VERDICT r3 #5: broadcast_queries=False must shuffle-join the posting
+    lists — for the |Q|~|corpus| regime where broadcasting the query side
+    would not fit executor memory."""
+    from comlake_core_spark.operators.dedup import jaccard_topk_similar
+    from comlake_core_spark.session import tables
+
+    t = tables(spark, SF)
+    docs = t["documents"].select("doc_id", "text")
+    q = docs.limit(4)
+    df = jaccard_topk_similar(docs, q, k=3, max_df=None, broadcast_queries=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the posting join runs as a shuffled join; broadcast appears nowhere
+    # (max_df=None also removes the stop-array broadcast fold)
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_jaccard_topk_strategies_identical_results(spark):
+    from comlake_core_spark.operators.dedup import jaccard_topk_similar
+    from comlake_core_spark.session import tables
+
+    t = tables(spark, SF)
+    docs = t["documents"].select("doc_id", "text")
+    q = docs.limit(6)
+    outs = [
+        sorted(
+            tuple(r) for r in jaccard_topk_similar(
+                docs, q, k=3, broadcast_queries=mode
+            ).collect()
+        )
+        for mode in (True, False, "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2]
