@@ -584,6 +584,7 @@ def ivfpq_adc_topk(
     query_id_col: str = "query_id",
     hasher: str = "md5",
     lut_quantize: int = 9,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """The complete faiss IVF-PQ pipeline: corpus vectors live in L2
     buckets (inverted lists) keyed by their nearest full-dim centroid and
@@ -598,10 +599,22 @@ def ivfpq_adc_topk(
     centroids (one shared codebook for bucketing and sub-quantization),
     map-only bucket + code assignment (plan literals), driver-side probe
     selection (|Q| × C folds), quantized-decimal LUT scores; the single
-    shuffle is the final per-query top-k."""
+    shuffle is the final per-query top-k.
+
+    ``refine_iters > 0`` runs that many Lloyd passes (kmeans_refine, with
+    its deterministic quantize grid) over the seeded centroids first —
+    better-centered inverted lists AND sub-quantizers from the same
+    refined codebook (VERDICT r3 #6: the kmeans codebook previously only
+    fed ann_ivf_kmeans_topk).  Same query plan either way."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            corpus, n_centroids, refine_iters, vec_col, id_col,
+            seed_hasher=hasher, quantize=9,
+        ).collect()
+    else:
+        cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
     codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
     dim = len(codebook[1])
     sub_d = dim // m
