@@ -147,36 +147,120 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         # Writer lock: see _WriterMutex — thread + process serialization of
-        # read-modify-write mutations; readers never need it.
+        # read-modify-write mutations; readers never need it.  The CAS
+        # commit protocol below is the correctness layer when the lock
+        # cannot span writers (two primaries on a shared store).
         self._write_lock = _WriterMutex(root)
+        self._commit_seq = 0
 
     # ------------------------------------------------------------------
     # snapshot storage
     # ------------------------------------------------------------------
 
-    def _ptr(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.current")
+    # Commit protocol (VERDICT r3 #7 — optimistic multi-writer):
+    #
+    # A committed snapshot version N of `table` is exactly the existence of
+    # the TOKEN file `{table}.current.vN`, whose content names the version
+    # dir.  Commit order is (1) write the parquet version dir under a
+    # writer-unique name, (2) publish the token with os.link() — link is
+    # atomic and FAILS if the token already exists, so exactly ONE writer
+    # can ever commit version N: that failure IS the compare-and-swap, and
+    # the loser retries its read-modify-write against the new snapshot
+    # (_commit).  Crash windows are benign by construction: dying before
+    # the link leaves an unreferenced data dir (garbage, vacuumable), never
+    # a half-commit, and there is no state that blocks future writers.
+    # Readers take max(N) over tokens — one readdir, no lock.  The
+    # in-process RLock + flock (_WriterMutex) remain as the FAST path that
+    # avoids wasted parquet writes; the CAS is what makes two primaries on
+    # a shared store (or a box where flock degrades) serialize instead of
+    # lost-updating each other.  Same design as Delta's log-entry
+    # put-if-absent commit, on plain POSIX.
+
+    def _token(self, table: str, version: int) -> str:
+        return os.path.join(self.root, f"{table}.current.v{version}")
+
+    def _current_pointer(self, table: str) -> tuple[int, str | None]:
+        """(version, version_dir) of the newest committed snapshot;
+        (-1, None) for an empty catalog."""
+        import re
+
+        pat = re.compile(rf"^{re.escape(table)}\.current\.v(\d+)$")
+        best = -1
+        for name in os.listdir(self.root):
+            m = pat.match(name)
+            if m:
+                best = max(best, int(m.group(1)))
+        if best >= 0:
+            with open(self._token(table, best)) as f:
+                return best, f.read().strip()
+        # legacy single-pointer layout (pre-CAS catalogs)
+        legacy = os.path.join(self.root, f"{table}.current")
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                version_dir = f.read().strip()
+            return int(os.path.basename(version_dir).split("-v")[-1]), version_dir
+        return -1, None
 
     def _read(self, table: str, schema: T.StructType) -> DataFrame:
-        ptr = self._ptr(table)
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                version_dir = f.read().strip()
+        _ver, version_dir = self._current_pointer(table)
+        if version_dir is not None:
             return self.spark.read.schema(schema).parquet(version_dir)
         return self.spark.createDataFrame([], schema)
 
-    def _write(self, table: str, df: DataFrame, schema: T.StructType) -> None:
-        ptr = self._ptr(table)
-        current_version = 0
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                current_version = int(os.path.basename(f.read().strip()).split("-v")[-1]) + 1
-        version_dir = os.path.join(self.root, f"{table}-v{current_version}")
+    class CommitConflict(Exception):
+        """Another writer committed this version first — re-read and retry."""
+
+    def _write(
+        self,
+        table: str,
+        df: DataFrame,
+        schema: T.StructType,
+        expected_version: int | None = None,
+    ) -> None:
+        current_version, _dir = self._current_pointer(table)
+        if expected_version is not None and current_version != expected_version:
+            raise Catalog.CommitConflict(
+                f"{table}: read v{expected_version}, now v{current_version}"
+            )
+        new_version = current_version + 1
+        # writer-unique dir name: two racing writers never overwrite each
+        # other's parquet files; only the token CAS decides who committed
+        self._commit_seq += 1
+        version_dir = os.path.join(
+            self.root,
+            f"{table}-v{new_version}-p{os.getpid()}"
+            f"o{id(self) & 0xFFFFFF}t{threading.get_ident() & 0xFFFF}c{self._commit_seq}",
+        )
         df.select(*[f.name for f in schema.fields]).write.mode("overwrite").parquet(version_dir)
-        tmp = ptr + ".tmp"
+        token = self._token(table, new_version)
+        tmp = f"{version_dir}.ptr"
         with open(tmp, "w") as f:
             f.write(version_dir)
-        os.replace(tmp, ptr)  # atomic pointer flip → snapshot isolation
+        try:
+            os.link(tmp, token)  # atomic put-if-absent: the CAS
+        except FileExistsError:
+            import shutil
+
+            shutil.rmtree(version_dir, ignore_errors=True)  # loser's orphan
+            raise Catalog.CommitConflict(f"{table}: lost the race to v{new_version}") from None
+        finally:
+            os.unlink(tmp)
+
+    def _commit(self, table: str, build, schema: T.StructType, retries: int = 8):
+        """Optimistic read-modify-write: ``build()`` reads the CURRENT
+        snapshot and returns (df, result); on CommitConflict the build
+        reruns against the newly committed snapshot."""
+        last: Exception | None = None
+        for _ in range(retries):
+            version, _dir = self._current_pointer(table)
+            df, result = build()
+            try:
+                self._write(table, df, schema, expected_version=version)
+                return result
+            except Catalog.CommitConflict as exc:
+                last = exc
+                continue
+        raise last  # pathological contention: surface it
 
     def content(self) -> DataFrame:
         return self._read("content", CONTENT_SCHEMA)
@@ -193,11 +277,11 @@ class Catalog:
 
     def snapshot_versions(self, table: str = "dataset") -> list[int]:
         """All retained snapshot versions of a catalog table, oldest first.
-        Every mutation wrote one (the pointer flip is what made it
-        current), so this is the catalog's full mutation history."""
+        Every committed mutation published one token, so this is the
+        catalog's full mutation history."""
         import re
 
-        pat = re.compile(rf"^{re.escape(table)}-v(\d+)$")
+        pat = re.compile(rf"^{re.escape(table)}\.current\.v(\d+)$")
         out = []
         for name in os.listdir(self.root):
             m = pat.match(name)
@@ -205,12 +289,20 @@ class Catalog:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _version_dir(self, table: str, version: int) -> str | None:
+        token = self._token(table, version)
+        if os.path.exists(token):
+            with open(token) as f:
+                return f.read().strip()
+        legacy = os.path.join(self.root, f"{table}-v{version}")
+        return legacy if os.path.isdir(legacy) else None
+
     def dataset_as_of(self, version: int) -> DataFrame:
         """The dataset table exactly as it was at snapshot `version` —
         reads the old version dir directly; the current pointer is
         untouched, so time travel is a pure read (no lock needed)."""
-        version_dir = os.path.join(self.root, f"dataset-v{version}")
-        if not os.path.isdir(version_dir):
+        version_dir = self._version_dir("dataset", version)
+        if version_dir is None or not os.path.isdir(version_dir):
             raise ValueError(f"no dataset snapshot v{version}; have {self.snapshot_versions()}")
         return self.spark.read.schema(DATASET_SCHEMA).parquet(version_dir)
 
@@ -228,7 +320,13 @@ class Catalog:
             versions = self.snapshot_versions(table)
             doomed = versions[:-keep_last] if keep_last > 0 else versions[:-1]
             for v in doomed:
-                shutil.rmtree(os.path.join(self.root, f"{table}-v{v}"), ignore_errors=True)
+                version_dir = self._version_dir(table, v)
+                if version_dir is not None:
+                    shutil.rmtree(version_dir, ignore_errors=True)
+                try:
+                    os.unlink(self._token(table, v))
+                except FileNotFoundError:
+                    pass
             return doomed
 
     def lineage(self, dataset_id: int) -> DataFrame:
@@ -254,13 +352,13 @@ class Catalog:
     # ------------------------------------------------------------------
 
     def upsert_content(self, cid: str, mime_type: str, extra: dict[str, str] | None = None) -> None:
+        row = self.spark.createDataFrame([(cid, mime_type, extra or {})], CONTENT_SCHEMA)
+
+        def build():
+            return self.content().filter(F.col("cid") != cid).unionByName(row), None
+
         with self._write_lock:
-            current = self.content()
-            row = self.spark.createDataFrame(
-                [(cid, mime_type, extra or {})], CONTENT_SCHEMA
-            )
-            merged = current.filter(F.col("cid") != cid).unionByName(row)
-            self._write("content", merged, CONTENT_SCHEMA)
+            self._commit("content", build, CONTENT_SCHEMA)
 
     def get_type(self, cid: str) -> str | None:
         row = self.content().filter(F.col("cid") == cid).select("type").first()
@@ -275,18 +373,20 @@ class Catalog:
             self._set_schema_locked(cid, schema_json)
 
     def _set_schema_locked(self, cid: str, schema_json: str) -> None:
-        current = self.content()
-        updated = current.withColumn(
-            "extra",
-            F.when(
-                F.col("cid") == cid,
-                F.map_concat(
-                    F.map_filter(F.coalesce("extra", F.create_map().cast("map<string,string>")), lambda k, _: k != F.lit("schema")),
-                    F.create_map(F.lit("schema"), F.lit(schema_json)),
-                ),
-            ).otherwise(F.col("extra")),
-        )
-        self._write("content", updated, CONTENT_SCHEMA)
+        def build():
+            updated = self.content().withColumn(
+                "extra",
+                F.when(
+                    F.col("cid") == cid,
+                    F.map_concat(
+                        F.map_filter(F.coalesce("extra", F.create_map().cast("map<string,string>")), lambda k, _: k != F.lit("schema")),
+                        F.create_map(F.lit("schema"), F.lit(schema_json)),
+                    ),
+                ).otherwise(F.col("extra")),
+            )
+            return updated, None
+
+        self._commit("content", build, CONTENT_SCHEMA)
 
     # ------------------------------------------------------------------
     # dataset ops (reference PostgreSQL.java:45-50,102-154)
@@ -304,15 +404,18 @@ class Catalog:
             return self._add_dataset_locked(meta)
 
     def _add_dataset_locked(self, meta: dict[str, Any]) -> int:
-        new_id = self._next_id()
         fixed = {k: meta[k] for k in REQUIRED_DATASET_FIELDS}
         extra = {k: _as_str(v) for k, v in meta.items() if k not in REQUIRED_DATASET_FIELDS}
-        row = self.spark.createDataFrame(
-            [(new_id, fixed["file"], fixed["description"], fixed["source"], list(fixed["topics"]), extra, None)],
-            DATASET_SCHEMA,
-        )
-        self._write("dataset", self.dataset().unionByName(row), DATASET_SCHEMA)
-        return new_id
+
+        def build():
+            new_id = self._next_id()  # re-reads the current snapshot on retry
+            row = self.spark.createDataFrame(
+                [(new_id, fixed["file"], fixed["description"], fixed["source"], list(fixed["topics"]), extra, None)],
+                DATASET_SCHEMA,
+            )
+            return self.dataset().unionByName(row), new_id
+
+        return self._commit("dataset", build, DATASET_SCHEMA)
 
     def add_datasets(self, metas: list[dict[str, Any]]) -> list[int]:
         """Bulk ingest: one snapshot write for N datasets (the scale path —
@@ -322,7 +425,7 @@ class Catalog:
             missing = [k for k in REQUIRED_DATASET_FIELDS if k not in meta]
             if missing:
                 raise MissingMetadata(f"missing metadata fields: {missing}")
-        with self._write_lock:
+        def build():
             next_id = self._next_id()
             rows = []
             ids = []
@@ -341,8 +444,10 @@ class Catalog:
                 )
                 ids.append(next_id + offset)
             batch = self.spark.createDataFrame(rows, DATASET_SCHEMA)
-            self._write("dataset", self.dataset().unionByName(batch), DATASET_SCHEMA)
-            return ids
+            return self.dataset().unionByName(batch), ids
+
+        with self._write_lock:
+            return self._commit("dataset", build, DATASET_SCHEMA)
 
     def update_dataset(self, parent_id: int, overrides: dict[str, Any]) -> int | None:
         """Copy-on-write revision: new row = coalesce(overrides, parent row),
@@ -352,25 +457,36 @@ class Catalog:
             return self._update_dataset_locked(parent_id, overrides)
 
     def _update_dataset_locked(self, parent_id: int, overrides: dict[str, Any]) -> int | None:
-        parent = self.dataset().filter(F.col("id") == parent_id).first()
-        if parent is None:
-            return None  # orphan update (api_test.clj:134-140 → 400)
-        new_id = self._next_id()
-        merged_extra = dict(parent["extra"] or {})
-        for k, v in overrides.items():
-            if k not in FIXED_DATASET_COLS:
-                merged_extra[k] = _as_str(v)
-        row = (
-            new_id,
-            overrides.get("file", parent["file"]),
-            overrides.get("description", parent["description"]),
-            overrides.get("source", parent["source"]),
-            list(overrides.get("topics", parent["topics"])),
-            merged_extra,
-            parent_id,
-        )
-        self._write("dataset", self.dataset().unionByName(self.spark.createDataFrame([row], DATASET_SCHEMA)), DATASET_SCHEMA)
-        return new_id
+        class _Orphan(Exception):
+            pass
+
+        def build():
+            parent = self.dataset().filter(F.col("id") == parent_id).first()
+            if parent is None:
+                raise _Orphan()  # orphan update (api_test.clj:134-140 → 400)
+            new_id = self._next_id()
+            merged_extra = dict(parent["extra"] or {})
+            for k, v in overrides.items():
+                if k not in FIXED_DATASET_COLS:
+                    merged_extra[k] = _as_str(v)
+            row = (
+                new_id,
+                overrides.get("file", parent["file"]),
+                overrides.get("description", parent["description"]),
+                overrides.get("source", parent["source"]),
+                list(overrides.get("topics", parent["topics"])),
+                merged_extra,
+                parent_id,
+            )
+            return (
+                self.dataset().unionByName(self.spark.createDataFrame([row], DATASET_SCHEMA)),
+                new_id,
+            )
+
+        try:
+            return self._commit("dataset", build, DATASET_SCHEMA)
+        except _Orphan:
+            return None
 
     # ------------------------------------------------------------------
     # find (reference PostgreSQL.java:51-54,157-178)

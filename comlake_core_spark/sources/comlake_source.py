@@ -247,12 +247,30 @@ class CatalogStreamReader(SimpleDataSourceStreamReader):
 
     def _current_version(self) -> int:
         import os
+        import re
 
-        ptr = os.path.join(self.root, "content.current")
+        pat = re.compile(r"^content\.current\.v(\d+)$")
+        best = -1
+        for name in os.listdir(self.root):
+            m = pat.match(name)
+            if m:
+                best = max(best, int(m.group(1)))
+        if best >= 0:
+            return best
+        ptr = os.path.join(self.root, "content.current")  # legacy layout
         if not os.path.exists(ptr):
             return -1
         with open(ptr) as f:
             return int(os.path.basename(f.read().strip()).split("-v")[-1])
+
+    def _version_dir(self, version: int) -> str:
+        import os
+
+        token = os.path.join(self.root, f"content.current.v{version}")
+        if os.path.exists(token):
+            with open(token) as f:
+                return f.read().strip()
+        return os.path.join(self.root, f"content-v{version}")  # legacy layout
 
     def _cids_at(self, version: int) -> dict:
         if version < 0:
@@ -262,7 +280,7 @@ class CatalogStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         out = {}
-        for part in glob.glob(f"{self.root}/content-v{version}/*.parquet"):
+        for part in glob.glob(f"{self._version_dir(version)}/*.parquet"):
             table = pq.read_table(part, columns=["cid", "type"])
             for cid, typ in zip(table["cid"].to_pylist(), table["type"].to_pylist()):
                 out[cid] = typ
