@@ -118,38 +118,59 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        df = REGISTRY[name].fn(spark, sf_dir)
         samples = []
         for _ in range(reps):
-            # drop cache leaked by prior workloads (several operators persist
-            # intermediates) so each timed rep pays its own full computation
-            # and isn't distorted by accumulated executor storage
+            # Reps must be cold w.r.t. each other but run the plan the
+            # engine actually executes.  r4 called clearCache() on a df
+            # built ONCE outside the loop, which stripped the workloads'
+            # own persist() markers — the dedup family's recorded times
+            # measured a double-scan plan the engine never runs (VERDICT
+            # r4 "What's wrong" #3).  Order matters: clear the PREVIOUS
+            # rep's cache blocks first, then rebuild the DataFrame so its
+            # persist() markers are fresh and intact for the timed force.
             spark.catalog.clearCache()
-            # collect the garbage the PREVIOUS rep's dropped cache blocks
-            # left behind now, not as a full-GC pause inside the next timing
-            # (run-to-run variance on the dedup family was GC landing there)
+            # collect the garbage the dropped cache blocks left behind
+            # now, not as a full-GC pause inside the next timing
             spark._jvm.System.gc()
+            df = REGISTRY[name].fn(spark, sf_dir)
             start = time.perf_counter()
             force(df)
             samples.append(time.perf_counter() - start)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        timings[name] = round(samples[len(samples) // 2], 2)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline workload wall time (median of %d)" % reps,
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Spread/reps go to a side file: r4's single fat JSON line (~4.4 KB)
+    # overflowed the driver's 2 KB stdout tail capture and the round lost
+    # its official bench record (VERDICT r4 "What's wrong" #2).  The
+    # compact headline dict is printed as the FINAL stdout line and must
+    # stay under ~2000 bytes.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"spread": spread, "reps": reps, "sf": sf_val, "total": total},
+            f,
+            indent=1,
+            sort_keys=True,
         )
+    line = json.dumps(
+        {
+            "metric": "headline median sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1990:  # belt-and-braces: never emit an uncapturable line
+        line = json.dumps(
+            {"metric": "headline median sec", "value": total, "unit": "sec", "sf": sf_val},
+            separators=(",", ":"),
+        )
+    print(line)
     spark.stop()
 
 

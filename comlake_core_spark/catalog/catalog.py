@@ -185,14 +185,24 @@ class Catalog:
         import re
 
         pat = re.compile(rf"^{re.escape(table)}\.current\.v(\d+)$")
-        best = -1
-        for name in os.listdir(self.root):
-            m = pat.match(name)
-            if m:
-                best = max(best, int(m.group(1)))
-        if best >= 0:
-            with open(self._token(table, best)) as f:
-                return best, f.read().strip()
+        # listdir→open races a concurrent process's vacuum(): the token we
+        # picked can be unlinked between the scan and the read (the other
+        # process already committed vN+1 and retained only that).  A pure
+        # read must never fail on that — re-scan; the newest token always
+        # survives vacuum, so this terminates (ADVICE r4, catalog.py:182).
+        for _attempt in range(8):
+            best = -1
+            for name in os.listdir(self.root):
+                m = pat.match(name)
+                if m:
+                    best = max(best, int(m.group(1)))
+            if best < 0:
+                break
+            try:
+                with open(self._token(table, best)) as f:
+                    return best, f.read().strip()
+            except FileNotFoundError:
+                continue
         # legacy single-pointer layout (pre-CAS catalogs)
         legacy = os.path.join(self.root, f"{table}.current")
         if os.path.exists(legacy):
@@ -237,7 +247,21 @@ class Catalog:
         with open(tmp, "w") as f:
             f.write(version_dir)
         try:
-            os.link(tmp, token)  # atomic put-if-absent: the CAS
+            try:
+                os.link(tmp, token)  # atomic put-if-absent: the CAS
+            except FileExistsError:
+                raise
+            except OSError:
+                # Filesystems where flock degrades (NFS variants, FUSE /
+                # object-store mounts) often also lack hard links — exactly
+                # the deployments the CAS exists for.  O_CREAT|O_EXCL is
+                # equally put-if-absent on POSIX (and on NFSv3+ where EXCL
+                # is honored), so fall back to an exclusive-create token
+                # write instead of hard-failing every commit (ADVICE r4,
+                # catalog.py:240).
+                fd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(version_dir)
         except FileExistsError:
             import shutil
 
@@ -278,15 +302,26 @@ class Catalog:
     def snapshot_versions(self, table: str = "dataset") -> list[int]:
         """All retained snapshot versions of a catalog table, oldest first.
         Every committed mutation published one token, so this is the
-        catalog's full mutation history."""
+        catalog's full mutation history.  Pre-CAS catalogs named version
+        dirs ``{table}-vN`` with no token — enumerate those too (deduped)
+        so history, vacuum and dataset_as_of error messages stay correct
+        on a catalog created before the CAS commit protocol (ADVICE r4,
+        catalog.py:278).  Post-CAS dirs carry a writer-unique suffix
+        (``-vN-p…``), so the anchored legacy pattern cannot double-count
+        them."""
         import re
 
         pat = re.compile(rf"^{re.escape(table)}\.current\.v(\d+)$")
-        out = []
+        legacy_pat = re.compile(rf"^{re.escape(table)}-v(\d+)$")
+        out: set[int] = set()
         for name in os.listdir(self.root):
             m = pat.match(name)
             if m:
-                out.append(int(m.group(1)))
+                out.add(int(m.group(1)))
+                continue
+            m = legacy_pat.match(name)
+            if m and os.path.isdir(os.path.join(self.root, name)):
+                out.add(int(m.group(1)))
         return sorted(out)
 
     def _version_dir(self, table: str, version: int) -> str | None:
@@ -523,7 +558,14 @@ class Catalog:
 
         def resolver(path: list[str]) -> _Typed:
             head, *rest = path
-            if head in schema.names:
+            # "extra" is RESERVED, not schema-resolvable: /find predicates
+            # evaluate over the MERGED output row, whose extras are popped
+            # flat — a field named "extra" can only mean the extras-map key
+            # "extra", never the raw MAP column (which the snapshot path
+            # cannot see and whose comparisons AnalysisException anyway).
+            # Binding it below keeps the two paths identical AND keeps the
+            # predicate snapshot-servable (ADVICE r4, server.py:90).
+            if head in schema.names and head != "extra":
                 col = F.col(head)
                 for part in rest:
                     col = col.getItem(part)

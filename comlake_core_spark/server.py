@@ -87,6 +87,11 @@ def _node_kind(node: Any) -> str:
         head = node[0]
         if head == ".":
             if len(node) == 3 and node[1] == ["$"] and isinstance(node[2], str):
+                # NB: the field literally named "extra" is kind 'e' like any
+                # other non-fixed name — catalog.find's resolver reserves it
+                # (it resolves to the extras-map key "extra", never the raw
+                # MAP column), so snapshot and Spark semantics agree
+                # (ADVICE r4, server.py:90).
                 return _FIXED_KINDS.get(node[2], "e")
             return "u"
         if head in _CMP_OPS or head in _BOOL_OPS or head in ("~", "&&"):

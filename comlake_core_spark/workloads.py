@@ -2806,7 +2806,7 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     r"""
     SELECT doc_id,
-           list_sort(list_distinct(string_split_regex(trim(text), '\s+'))) AS vocab,
+           array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ') AS vocab,
            len(list_distinct(string_split_regex(trim(text), '\s+'))) AS vocab_size,
            array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+')))[1:3], ',') AS first3
     FROM documents WHERE doc_id % 29 = 0
@@ -2815,14 +2815,19 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array",
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function parity: distinct, sort, slice, join."""
+    """Array function parity: distinct, sort, slice, join.
+
+    The sorted-distinct vocab is emitted as a space-joined STRING, not a raw
+    ARRAY<STRING>: the driver's canonicalizer sorts result rows with pandas,
+    which cannot hash numpy arrays (r4's one red CORRECTNESS row). The array
+    ops under test are identical; only the output shape is scalar."""
     from comlake_core_spark.operators.text import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
     vocab = F.array_sort(F.array_distinct(tokens("text")))
     return docs.filter(F.col("doc_id") % 29 == 0).select(
         "doc_id",
-        vocab.alias("vocab"),
+        F.array_join(vocab, " ").alias("vocab"),
         F.size(F.array_distinct(tokens("text"))).alias("vocab_size"),
         F.array_join(F.slice(vocab, 1, 3), ",").alias("first3"),
     )
@@ -6620,85 +6625,68 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          udaf/udtf, the five `_real` integration entries, the r3
 #          capstones (semantic dedup, leakage split, ANN recall, pretrain
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
-#   r5 TODO: the 28 never-seen remainder (qast_posix_regex,
-#          agg_stats_manual, sql_interface_shared_text,
-#          fuzzy_customer_names, forecast_revenue, zscore_events_pandas,
-#          top_customers_by_returns, pipeline_clean_corpus,
-#          chunk_documents, pack_sequences, pipeline_chunk_dedup_pack,
-#          pii_redact_customers, events_daily_rollup, dq_orders_checks,
-#          join_null_safe, agg_filtered_counts, token_budget_admit,
-#          events_sliding_windows, decontaminate_train_eval,
-#          text_repetition_filter, supplier_count_by_part_attrs,
-#          corpus_ngram_novelty, embedding_quantize_int8,
-#          text_unigram_logprob, text_feature_hashing,
-#          dedup_graph_triangles, analyze_orders_profile,
-#          ols_trend_by_nation) + sentinels; that closes 166/166.
-#          test_driver_window.py holds the r1-r3 driver-seen list;
-#          anything not in it is unseen.
+#   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
+#          + array_functions (r4's one red row, output reshaped to scalar
+#          vocab string) + 16 r4-green family sentinels.  Closes 166/166:
+#          every registry workload driver-verified at least once.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- sentinels: one driver-green pin per major family (r1-r3 verified) --
+    # -- sentinels: one driver-green pin per major family (r1-r4 verified) --
     "qast_eq_filter",          # qast predicate compiler
     "catalog_find",            # catalog scan + broadcast join
     "join_revenue_by_nation",  # multi-join agg
     "dedup_minhash_lsh",       # dedup family
     "streaming_hourly_events", # streaming≡batch
-    # -- window-function family (most-used SQL surface, VERDICT r3 #1) --
-    "window_lag_delta",
-    "window_moving_avg",
-    "window_ranks",
-    "window_trailing_24h",
-    "window_percentile_ranks",
-    # -- set operations --
-    "set_intersect_nations",
-    "set_except_nations",
-    "set_intersect_all_buyers",
-    "set_except_all_buyers",
-    "set_union_acct_holders",
-    # -- scalar-function families --
-    "string_functions",
-    "date_functions",
+    # -- array_functions re-run: r4 red row was the driver canonicalizer
+    #    choking on a raw ARRAY<STRING> column; vocab is now a joined string --
     "array_functions",
-    "map_functions_pipeline",
-    # -- pivot / unpivot --
+    # -- the 28-name never-driver-seen remainder (rotation log above) --
+    "qast_posix_regex",
+    "agg_stats_manual",
+    "sql_interface_shared_text",
+    "fuzzy_customer_names",
+    "forecast_revenue",
+    "zscore_events_pandas",
+    "top_customers_by_returns",
+    "pipeline_clean_corpus",
+    "chunk_documents",
+    "pack_sequences",
+    "pipeline_chunk_dedup_pack",
+    "pii_redact_customers",
+    "events_daily_rollup",
+    "dq_orders_checks",
+    "join_null_safe",
+    "agg_filtered_counts",
+    "token_budget_admit",
+    "events_sliding_windows",
+    "decontaminate_train_eval",
+    "text_repetition_filter",
+    "supplier_count_by_part_attrs",
+    "corpus_ngram_novelty",
+    "embedding_quantize_int8",
+    "text_unigram_logprob",
+    "text_feature_hashing",
+    "dedup_graph_triangles",
+    "analyze_orders_profile",
+    "ols_trend_by_nation",
+    # -- r4-green family sentinels filling the remaining slots --
+    "window_lag_delta",
+    "set_intersect_nations",
+    "string_functions",
     "pivot_status_by_priority",
-    "unpivot_price_components",
-    # -- UDAF / UDTF --
     "udaf_weighted_mean",
-    "udtf_top_terms",
-    # -- the five `_real` integration entries (catalog/server/extract/source) --
     "catalog_find_real",
-    "source_read_real",
-    "schema_infer_csv_real",
     "server_find_real",
-    "extract_parquet_real",
-    # -- r3 capstones --
     "semantic_dedup_embeddings",
     "leakage_safe_split_docs",
     "ann_recall_at_k",
     "pipeline_pretrain_corpus",
     "approx_quantiles_prices",
-    # -- join strategies / quality --
     "salted_join_revenue",
-    "bloom_pruned_join",
-    "full_outer_nation_presence",
-    "union_by_name_evolution",
-    "lateral_top_order",
-    "recursive_cte_month_spine",
-    # -- aggregation extras --
     "agg_median_quantity",
-    "agg_cube_status",
-    "agg_corr_price_qty",
-    "agg_argmax_order",
-    "string_agg_nations",
-    "histogram_totalprice",
-    "explode_token_counts",
-    # -- analytics --
     "zscore_events",
     "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "dedup_canonical_docs",
 ]
 
 

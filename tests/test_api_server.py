@@ -192,6 +192,10 @@ SNAPSHOT_PREDICATES = [
     [">", ["*", [".", ["$"], "length"], 2], 10],
     ["==", [".", ["$"], "nosuchfield"], "x"],      # missing extras → no hit
     ["==", [".", ["$"], "length"], [".", ["$"], "length"]],  # extras vs extras
+    # the field literally named "extra" is RESERVED: both paths resolve it
+    # to the extras-map key "extra" (never the raw MAP column), so it stays
+    # snapshot-servable and cannot AnalysisException (ADVICE r4 server.py:90)
+    ["==", [".", ["$"], "extra"], "x"],
 ]
 
 FALLBACK_PREDICATES = [

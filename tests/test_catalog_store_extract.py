@@ -418,3 +418,111 @@ def test_cas_two_writer_threads_no_lost_update(spark, tmp_path, monkeypatch):
     assert got == {f"w{i}" for i in range(2 * n_each)}, "lost update detected"
     versions = writers[0].snapshot_versions("dataset")
     assert versions == list(range(2 * n_each)), f"non-serialized history: {versions}"
+
+
+def test_snapshot_versions_sees_legacy_pre_cas_dirs(spark, tmp_path):
+    """ADVICE r4 catalog.py:278: a catalog created before the CAS commit
+    protocol has token-less `{table}-vN` dirs and a `{table}.current`
+    single-pointer file.  snapshot_versions must enumerate those (deduped
+    against token versions) so history, vacuum and dataset_as_of error
+    messages stay correct after the first CAS commit on a legacy root."""
+    import shutil
+
+    import os
+
+    from comlake_core_spark.catalog.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.add_dataset({"file": "f", "description": "v0", "source": "s", "topics": []})
+    cat.add_dataset({"file": "f", "description": "v1", "source": "s", "topics": []})
+    # rewrite the catalog into the PRE-CAS layout: plain `dataset-vN` dirs
+    # + a single `dataset.current` pointer, no tokens
+    versions = cat.snapshot_versions("dataset")
+    assert versions == [0, 1]
+    for v in versions:
+        src = cat._version_dir("dataset", v)
+        legacy_dir = str(tmp_path / f"dataset-v{v}")
+        shutil.copytree(src, legacy_dir)
+    for name in list(os.listdir(tmp_path)):
+        if name.startswith("dataset.current.v") or (
+            name.startswith("dataset-v") and "-p" in name
+        ):
+            p = tmp_path / name
+            shutil.rmtree(p) if p.is_dir() else p.unlink()
+    with open(tmp_path / "dataset.current", "w") as f:
+        f.write(str(tmp_path / "dataset-v1"))
+
+    legacy = Catalog(spark, str(tmp_path))
+    # history visible without any token files
+    assert legacy.snapshot_versions("dataset") == [0, 1]
+    assert {r["description"] for r in legacy.dataset_as_of(0).collect()} == {"v0"}
+    # first CAS commit on the legacy root must not make pre-migration
+    # versions disappear from the listing
+    legacy.add_dataset({"file": "f", "description": "v2", "source": "s", "topics": []})
+    assert legacy.snapshot_versions("dataset") == [0, 1, 2]
+    # ...and vacuum now actually cleans the legacy dirs
+    doomed = legacy.vacuum(keep_last=1, table="dataset")
+    assert doomed == [0, 1]
+    assert not (tmp_path / "dataset-v0").exists()
+    assert not (tmp_path / "dataset-v1").exists()
+    assert {r["description"] for r in legacy.dataset().collect()} == {"v0", "v1", "v2"}
+
+
+def test_current_pointer_survives_racing_vacuum_unlink(spark, tmp_path, monkeypatch):
+    """ADVICE r4 catalog.py:182: another process's vacuum() can unlink a
+    token between our os.listdir and open.  Simulate the stale listing with
+    a phantom token name on the FIRST listdir; the reader must re-scan and
+    return the real newest snapshot instead of raising FileNotFoundError."""
+    import os as _os
+
+    from comlake_core_spark.catalog.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.add_dataset({"file": "f", "description": "v0", "source": "s", "topics": []})
+
+    real_listdir = _os.listdir
+    calls = {"n": 0}
+
+    def stale_once(path):
+        out = list(real_listdir(path))
+        if _os.path.abspath(str(path)) == _os.path.abspath(str(tmp_path)):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                out.append("dataset.current.v99")  # unlinked-by-vacuum ghost
+        return out
+
+    monkeypatch.setattr(_os, "listdir", stale_once)
+    version, vdir = cat._current_pointer("dataset")
+    assert version == 0 and vdir is not None
+    assert calls["n"] >= 2, "reader did not re-scan after the ghost token"
+
+
+def test_cas_commit_falls_back_when_hardlinks_unsupported(spark, tmp_path, monkeypatch):
+    """ADVICE r4 catalog.py:240: on filesystems without hard links (the
+    same mounts where flock degrades), os.link raises a generic OSError —
+    the commit must fall back to an O_CREAT|O_EXCL token write instead of
+    hard-failing every mutation, and the fallback must still lose cleanly
+    when the token already exists."""
+    import errno
+    import os as _os
+
+    from comlake_core_spark.catalog.catalog import Catalog
+
+    def no_links(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted (no hardlink support)")
+
+    monkeypatch.setattr(_os, "link", no_links)
+    cat = Catalog(spark, str(tmp_path))
+    cat.add_dataset({"file": "f", "description": "a", "source": "s", "topics": []})
+    cat.add_dataset({"file": "f", "description": "b", "source": "s", "topics": []})
+    assert cat.snapshot_versions("dataset") == [0, 1]
+    assert {r["description"] for r in cat.dataset().collect()} == {"a", "b"}
+    # conflict path under the fallback: pre-existing token → CommitConflict,
+    # loser's orphan dir cleaned up
+    ver, _ = cat._current_pointer("dataset")
+    df = cat.dataset()
+    schema = df.schema
+    with open(cat._token("dataset", ver + 1), "w") as f:
+        f.write("someone-else")
+    with pytest.raises(Catalog.CommitConflict):
+        cat._write("dataset", df, schema, expected_version=ver)
