@@ -594,3 +594,70 @@ def feature_hashing(
         F.sum(F.col("_cnt") * F.col("_cnt")).cast("long").alias("l2_sq"),
         F.sum(F.col("_b") * F.col("_cnt")).cast("long").alias("checksum"),
     )
+
+
+# Gopher document-quality stop set (Rae et al. 2021, arXiv:2112.11446
+# §A1.1): a document must contain at least 2 of these to pass the
+# "contains common English words" rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1; the same family FineWeb/Dolma apply before
+    pretraining): per-document word count bounds, mean word length
+    bounds, alphabetic-word fraction, and a common-stopword floor, plus
+    the composite keep decision.
+
+    All rules are per-row Column arithmetic over one whitespace
+    tokenization — map-only, whole-stage codegen, zero shuffles: at
+    100 TB this runs at scan speed and the keep flag prunes the corpus
+    before any downstream (dedup/pack) stage pays for rejected docs.
+    Thresholds follow the paper: 50 <= words <= 100_000,
+    3 <= mean_word_len <= 10, >= 80% words with an alphabetic char,
+    >= 2 distinct hits... counted as TOTAL stopword occurrences here
+    (both engines agree; the paper is ambiguous and total-hits is the
+    common reimplementation).  `keep` is INT 0/1 so the driver
+    canonicalizer sees a scalar."""
+    t = tokens(text_col)
+    wc = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(sum_len.cast("double") / wc, 6)
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.round(alpha.cast("double") / wc, 6)
+    stop_hits = F.size(
+        F.filter(t, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    )
+    keep = (
+        wc.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL for exact URL-level deduplication (the first
+    dedup stage of every web-corpus pipeline — CCNet/RefinedWeb dedup by
+    normalized URL before any content pass): lowercase, drop the
+    `www.` host prefix, strip tracking query parameters (`utm_*`,
+    `ref`), and trim dangling `?`/`&` separators.  Pure per-row string
+    ops — codegen'd, shuffle-free; the groupBy on the normalized key is
+    the only exchange a URL-dedup pass needs."""
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.lower(c)
+    u = F.regexp_replace(u, r"://www\.", "://")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|ref)=[^&]*&?", "")
+    return F.regexp_replace(u, r"[?&]+$", "")

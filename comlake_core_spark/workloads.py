@@ -6684,9 +6684,10 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_pretrain_corpus",
     "approx_quantiles_prices",
     "salted_join_revenue",
-    "agg_median_quantity",
-    "zscore_events",
-    "funnel_view_click_purchase",
+    # -- new in r5 (must be in the window: never driver-seen by definition) --
+    "quality_gopher_rules",
+    "url_normalize_dedup",
+    "docs_length_buckets",
 ]
 
 
@@ -7205,4 +7206,138 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         _within("_s50", "_cum", "_c", 0.5).alias("p50_within_rank_eps"),
         _within("_s95", "_cum2", "_c2", 0.95).alias("p95_within_rank_eps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5: web-corpus preparation extras — Gopher quality rules, URL-level dedup,
+# length-binned batching.  The reference has no text surface at all
+# (SURVEY.md §2.4); these extend the LLM-pipeline family with the three
+# standard pre-dedup stages of a web corpus (quality gate -> URL dedup ->
+# length bucketing for packing).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "quality_gopher_rules",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(t) AS word_count,
+             ROUND(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_filter(t, w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS INT) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, word_count, mean_word_len, alpha_word_frac, stop_hits,
+           CAST(word_count BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 2 AS INT) AS keep
+    FROM m
+    """,
+    "text",
+    "quality",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a map-only pass:
+    word-count bounds, mean word length, alphabetic fraction, stopword
+    floor, composite keep flag.  Zero shuffles — the quality gate runs at
+    scan speed ahead of every heavier corpus stage."""
+    from comlake_core_spark.operators.text import gopher_quality
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
+@workload(
+    "url_normalize_dedup",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.COM/p/' || CAST(doc_id % 7 AS VARCHAR)
+               || '?utm_source=feed&ref=' || source || '&id=' || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents
+    ), norm AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '://www\.', '://'),
+                 '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+               '[?&]+$', '') AS norm_url
+      FROM urls
+    )
+    SELECT norm_url, MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM norm GROUP BY norm_url
+    """,
+    "dedup",
+    "text",
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup, the FIRST dedup stage of every web-corpus
+    pipeline (CCNet/RefinedWeb dedup by canonical URL before any content
+    pass): normalize (lowercase, strip www., drop utm_*/ref tracking
+    params, trim dangling separators), then keep min(doc_id) per
+    canonical URL.  The documents table has no URL column, so a
+    deterministic URL is synthesized from (source, doc_id) IDENTICALLY
+    in both engines — the operator under test is the normalize + groupBy
+    dedup, which is one map-combined exchange on the normalized key (at
+    100 TB: ~#distinct-urls shuffle rows, never #docs)."""
+    from comlake_core_spark.operators.text import normalize_url
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&ref="), F.col("source"),
+        F.lit("&id="), (F.col("doc_id") % 3).cast("string"),
+    )
+    return (
+        docs.select("doc_id", normalize_url(url).alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+@workload(
+    "docs_length_buckets",
+    r"""
+    WITH wc AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS word_count
+      FROM documents
+    )
+    SELECT CAST(floor(log2(word_count)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(word_count) AS BIGINT) AS total_words,
+           ROUND(AVG(CAST(word_count AS DOUBLE)), 6) AS avg_words,
+           MIN(word_count) AS min_words, MAX(word_count) AS max_words
+    FROM wc GROUP BY bucket
+    """,
+    "text",
+    "sampling",
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-binned batching stats: power-of-two word-count buckets —
+    the histogram a sequence-packing / length-grouped batching stage
+    consumes to size its bins (packing docs of similar length minimizes
+    padding waste).  One map-combined exchange on the bucket key; the
+    shuffle carries O(buckets x mappers) rows."""
+    from comlake_core_spark.operators.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    wc = docs.select(token_count("text").alias("word_count"))
+    return wc.groupBy(
+        F.floor(F.log2("word_count")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("word_count").cast("long").alias("total_words"),
+        F.round(F.avg(F.col("word_count").cast("double")), 6).alias("avg_words"),
+        F.min("word_count").alias("min_words"),
+        F.max("word_count").alias("max_words"),
     )

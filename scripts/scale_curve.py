@@ -93,16 +93,74 @@ def build(spark, factor: int) -> str:
     return out
 
 
+# --------------------------------------------------------------------------
+# r5 additions (VERDICT r4 "Next round" #6): the r4-touched code paths have
+# no registry entry under the exact knob being measured, so they run as
+# custom callables over the same scaled tables.
+# --------------------------------------------------------------------------
+
+
+def _jaccard_variant(mode):
+    def run(spark, sf_dir):
+        from comlake_core_spark.operators.dedup import jaccard_topk_similar
+
+        docs = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        queries = docs.filter(F.col("doc_id") % 29 == 0)
+        return jaccard_topk_similar(
+            docs, queries, k=3, shingle_k=3, max_df=100, broadcast_queries=mode
+        )
+
+    return run
+
+
+def _semantic_dedup_reclustered(spark, sf_dir):
+    # max_cluster far below n_rows/n_clusters forces the oversized-head
+    # refinement loop (per-cluster re-clustering) at EVERY factor — the
+    # r4 path whose driver loop and per-round persist hygiene must stay
+    # O(oversized clusters), not O(rows)
+    from comlake_core_spark.operators.dedup import semantic_dedup
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.92, max_cluster=800, recluster_clusters=8
+    )
+
+
+def _ivfpq_refined(spark, sf_dir):
+    from comlake_core_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_adc_topk(
+        emb, queries, k=5, m=8, n_centroids=16, n_probe=4, refine_iters=2
+    )
+
+
+CUSTOM_OPS = {
+    "jaccard_topk_shuffle_strategy": _jaccard_variant(False),
+    "jaccard_topk_auto_strategy": _jaccard_variant("auto"),
+    "semantic_dedup_forced_recluster": _semantic_dedup_reclustered,
+    "ann_ivfpq_refined_codebook": _ivfpq_refined,
+}
+
+
 def main() -> None:
     spark = get_spark("scale-curve")
-    results: dict[str, dict[int, float]] = {op: {} for op in OPS}
+    only = os.environ.get("SPARK_GRAFT_SCALE_OPS")
+    sel = only.split(",") if only else None
+    ops = {name: REGISTRY[name].fn for name in OPS} | CUSTOM_OPS
+    if sel:
+        ops = {n: f for n, f in ops.items() if n in sel}
+    results: dict[str, dict[int, float]] = {op: {} for op in ops}
     for factor in FACTORS:
         sf_dir = build(spark, factor)
-        for op in OPS:
+        for op, fn in ops.items():
             # warm plan shape at tiny scale, then time
-            REGISTRY[op].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+            fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
             t0 = time.time()
-            REGISTRY[op].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             results[op][factor] = round(time.time() - t0, 2)
             print(f"x{factor} {op}: {results[op][factor]}s", flush=True)
     print(json.dumps(results))

@@ -1,17 +1,30 @@
 """Opt-in LIVE IPFS integration: the same daemon-backed exercise the
 reference runs in CI (/root/reference/.build.yml:10-24 boots `ipfs daemon`
-before `lein test`). Skipped unless COMLAKE_IPFS_API points at a reachable
-daemon — the sandbox has none, so these document CI-readiness rather than
-run here; the transport-level protocol (multipart /add, /cat, MFS cp
-dance, /ls) is pinned against a stub in test_ipfs_store.py either way.
+before `lein test`).
 
-Run against a real daemon with:
+Daemon resolution, in order (VERDICT r4 "Next round" #7):
+  1. COMLAKE_IPFS_API points at a reachable daemon — use it as-is.
+  2. An `ipfs` binary is on PATH — SPAWN a throwaway daemon against a
+     temporary IPFS_PATH on ephemeral ports, run the tests, kill it.
+     This makes the suite self-provisioning on any box with go-ipfs
+     installed, mirroring the reference CI's `ipfs init && ipfs daemon &`.
+  3. Neither — skip (the sandbox has no binary and no network installs).
+     The transport-level protocol (multipart /add, /cat, MFS cp dance,
+     /ls) is still pinned against a fake daemon in test_ipfs_fake_daemon.py.
+
+Run against an existing daemon with:
     ipfs daemon --init &
     COMLAKE_IPFS_API=http://127.0.0.1:5001 python -m pytest tests/test_ipfs_live.py
 """
 
 import io
+import json
 import os
+import shutil
+import socket
+import subprocess
+import tempfile
+import time
 import urllib.error
 import urllib.request
 
@@ -22,25 +35,91 @@ from comlake_core_spark.store.ipfs import IpfsStore
 API = os.environ.get("COMLAKE_IPFS_API")
 
 
-def _daemon_reachable() -> bool:
-    if not API:
-        return False
+def _reachable(api: str, timeout: float = 3.0) -> bool:
     try:
-        req = urllib.request.Request(API.rstrip("/") + "/api/v0/version", method="POST")
-        with urllib.request.urlopen(req, timeout=3):
+        req = urllib.request.Request(api.rstrip("/") + "/api/v0/version", method="POST")
+        with urllib.request.urlopen(req, timeout=timeout):
             return True
     except (urllib.error.URLError, OSError):
         return False
 
 
-pytestmark = pytest.mark.skipif(
-    not _daemon_reachable(), reason="no live IPFS daemon (set COMLAKE_IPFS_API)"
-)
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class _SpawnedDaemon:
+    """`ipfs init` + `ipfs daemon` against a throwaway repo on ephemeral
+    ports — the CI recipe from the reference's .build.yml, self-contained."""
+
+    def __init__(self) -> None:
+        self.home = tempfile.mkdtemp(prefix="comlake-ipfs-")
+        self.env = {**os.environ, "IPFS_PATH": self.home}
+        api_port = _free_port()
+        self.api = f"http://127.0.0.1:{api_port}"
+        subprocess.run(
+            ["ipfs", "init", "--profile", "test"],
+            env=self.env, check=True, capture_output=True,
+        )
+        cfg = os.path.join(self.home, "config")
+        with open(cfg) as f:
+            conf = json.load(f)
+        conf["Addresses"]["API"] = f"/ip4/127.0.0.1/tcp/{api_port}"
+        conf["Addresses"]["Gateway"] = f"/ip4/127.0.0.1/tcp/{_free_port()}"
+        conf["Addresses"]["Swarm"] = [f"/ip4/127.0.0.1/tcp/{_free_port()}"]
+        with open(cfg, "w") as f:
+            json.dump(conf, f)
+        self.proc = subprocess.Popen(
+            ["ipfs", "daemon", "--offline"],
+            env=self.env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if _reachable(self.api, timeout=1):
+                return
+            if self.proc.poll() is not None:
+                break
+            time.sleep(0.3)
+        self.stop()
+        raise RuntimeError("spawned ipfs daemon never became reachable")
+
+    def stop(self) -> None:
+        if self.proc.poll() is None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                self.proc.kill()
+        shutil.rmtree(self.home, ignore_errors=True)
+
+
+def _resolve_api():
+    """(api_base, spawned_daemon_or_None, skip_reason_or_None)."""
+    if API:
+        if _reachable(API):
+            return API, None, None
+        return None, None, f"COMLAKE_IPFS_API={API} not reachable"
+    if shutil.which("ipfs"):
+        try:
+            d = _SpawnedDaemon()
+        except (RuntimeError, subprocess.SubprocessError, OSError) as exc:
+            return None, None, f"could not spawn ipfs daemon: {exc}"
+        return d.api, d, None
+    return None, None, "no live IPFS daemon (set COMLAKE_IPFS_API or install ipfs)"
 
 
 @pytest.fixture(scope="module")
 def store():
-    return IpfsStore(api_base=API)
+    api, daemon, reason = _resolve_api()
+    if api is None:
+        pytest.skip(reason)
+    try:
+        yield IpfsStore(api_base=api)
+    finally:
+        if daemon is not None:
+            daemon.stop()
 
 
 def test_add_fetch_roundtrip(store):

@@ -675,3 +675,39 @@ def test_semantic_dedup_reclusters_oversized_and_prunes(spark):
     for r in pruned:
         assert r["n_survivors"] * 2 == r["n_vectors"]  # dup collapses per pair
         assert (r["survivor_id_sum"] or 0) < 1000 * r["n_survivors"]
+
+
+def test_normalize_url_canonicalization(spark):
+    from comlake_core_spark.operators.text import normalize_url
+
+    cases = [
+        # www + tracking params stripped, case folded, real param kept
+        ("https://WWW.Site.COM/a?utm_source=x&ref=feed&id=7", "https://site.com/a?id=7"),
+        # all params were tracking -> dangling '?' trimmed
+        ("http://www.site.com/b?utm_campaign=c", "http://site.com/b"),
+        # no tracking params -> only case folding
+        ("HTTP://Site.com/c?page=2", "http://site.com/c?page=2"),
+        # tracking param in the middle
+        ("https://site.com/d?a=1&utm_medium=m&b=2", "https://site.com/d?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["url"])
+    got = [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_gopher_quality_rules_flag_planted_docs(spark):
+    from comlake_core_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over that lazy dog with style " * 6  # 66 words
+    short = "too short to pass the floor"                 # < 50 words
+    no_stop = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, no_stop)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[1]["word_count"] == 66 and rows[1]["stop_hits"] >= 2
+    assert rows[2]["keep"] == 0          # word-count floor
+    assert rows[3]["keep"] == 0          # stopword floor
+    assert rows[3]["stop_hits"] == 0
+    assert rows[3]["alpha_word_frac"] == 1.0
