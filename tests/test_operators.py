@@ -711,3 +711,31 @@ def test_gopher_quality_rules_flag_planted_docs(spark):
     assert rows[3]["keep"] == 0          # stopword floor
     assert rows[3]["stop_hits"] == 0
     assert rows[3]["alpha_word_frac"] == 1.0
+
+
+def test_semantic_dedup_refinement_releases_prior_round_cache(spark):
+    """ADVICE r4 dedup.py:882: each refinement round must unpersist the
+    previous round's cached assignment — otherwise executor storage grows
+    by one cached assignment copy PER ROUND in exactly the oversized-head
+    scenario the refinement targets.  Identical vectors never split, so
+    every round re-forms one oversized cluster and runs to max_depth:
+    the persistent-RDD delta must NOT grow with the round count (the
+    final assignment's own cache and bounded slack are allowed; a
+    per-round leak shows up as delta growing by ~max_depth)."""
+    from comlake_core_spark.operators.dedup import semantic_dedup
+
+    jsc = spark.sparkContext._jsc
+    rows = [(i, [1.0, 0.0]) for i in range(1, 16)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    deltas = {}
+    for depth in (1, 3):
+        before = jsc.getPersistentRDDs().size()
+        out = semantic_dedup(
+            emb, n_clusters=1, threshold=0.9, max_cluster=3, max_depth=depth
+        )
+        out.count()  # materialize the full pipeline
+        deltas[depth] = jsc.getPersistentRDDs().size() - before
+    assert deltas[3] <= deltas[1] + 1, (
+        f"cached-frame delta grew with refinement depth ({deltas}) — "
+        "rounds are leaking their predecessors' persist()"
+    )
