@@ -843,9 +843,10 @@ def semantic_dedup(
         n = sum(x * x for x in v) ** 0.5 or 1.0
         return [float(x) / n for x in v]
 
-    def _assign(df: DataFrame, cents: list, id_offset: int) -> DataFrame:
-        """Map-only argmax-cosine assignment against a literal codebook;
-        bucket ids are offset so refinement rounds never collide."""
+    def _bucket_expr(cents: list, id_offset: int):
+        """Argmax-cosine bucket id against a literal codebook, as a pure
+        Column expression; bucket ids are offset so refinement rounds
+        never collide."""
         codebook = F.array(
             *[
                 F.struct(
@@ -859,7 +860,11 @@ def semantic_dedup(
             codebook,
             lambda s: F.struct(dot(F.col("_v"), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
         )
-        return df.withColumn("bucket", (-F.array_max(scored)["ncid"]).cast("int"))
+        return (-F.array_max(scored)["ncid"]).cast("int")
+
+    def _assign(df: DataFrame, cents: list, id_offset: int) -> DataFrame:
+        """Map-only argmax-cosine assignment against a literal codebook."""
+        return df.withColumn("bucket", _bucket_expr(cents, id_offset))
 
     rows = ensure_parallelism(emb).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -894,18 +899,70 @@ def semantic_dedup(
         if not oversized:
             break
         next_id = assigned.agg(F.max("bucket").alias("m")).first()["m"] + 1
-        parts = [assigned.filter(~F.col("bucket").isin([int(b) for b in oversized]))]
         k_sub = recluster_clusters or n_clusters
+        # ONE windowed job seeds EVERY oversized cluster: row_number per
+        # bucket over the same (hash, id) ordering seeded_centroids uses,
+        # so the seeds are identical to a per-cluster
+        # seeded_centroids(sub, k_sub) — but B collect-jobs become one.
+        # (The first r4 shape ran one seeding job per oversized cluster
+        # and rebuilt `assigned` as a (B+1)-way filter/union, whose
+        # partition count multiplied every round — at 8x scale the curve
+        # went super-linear on task-scheduling overhead alone, measured
+        # 224 s vs 26 s for this shape.)
+        if hasher == "xxhash64":
+            sort_key = F.xxhash64(F.col("_id"))
+        else:
+            sort_key = F.md5(F.col("_id").cast("string"))
+        w_seed = Window.partitionBy("bucket").orderBy(sort_key, F.col("_id"))
+        seed_rows = (
+            assigned.filter(F.col("bucket").isin([int(b) for b in oversized]))
+            .withColumn("_r", F.row_number().over(w_seed))
+            .filter(F.col("_r") <= k_sub)
+            .select("bucket", "_r", "_v")
+            .collect()
+        )
+        by_bucket: dict[int, list] = {}
+        for r in seed_rows:
+            by_bucket.setdefault(r["bucket"], []).append((r["_r"], r["_v"]))
+        # The per-bucket sub-codebooks ride a BROADCAST JOIN on the bucket
+        # key — NOT plan literals: a literal chained-when was tried first
+        # and its B x k_sub x dim constants made Catalyst analysis itself
+        # the bottleneck once round 2 had many oversized clusters
+        # (measured 106 s at 2x where this shape takes ~20 s).  The join
+        # attaches each oversized row its own cluster's codebook array;
+        # scoring stays the same map-only argmax transform, rows outside
+        # any oversized bucket keep their assignment (null codebook).
+        # Plan size is constant per round; the broadcast is O(B x k_sub)
+        # rows.  Sub-centroid ids are offset past the current max in
+        # sorted-bucket order, exactly as the literal path allocated them.
+        cb_rows = []
         for b in oversized:
-            sub = assigned.filter(F.col("bucket") == int(b)).select("_id", "_v")
-            sub_cents = seeded_centroids(sub, k_sub, "_v", "_id", hasher=hasher).collect()
-            parts.append(_assign(sub, sub_cents, int(next_id)))
-            next_id += len(sub_cents)
-        refined = parts[0]
-        for p in parts[1:]:
-            refined = refined.unionByName(p)
+            cents = sorted(by_bucket[int(b)], key=lambda t: t[0])
+            # ids = next_id + row_number (1-based), matching the original
+            # per-cluster `_assign(sub, sub_cents, next_id)` allocation
+            cb_rows.append(
+                (int(b), [(int(next_id) + int(_r), _unit(v)) for _r, v in cents])
+            )
+            next_id += len(cents)
+        cbdf = emb.sparkSession.createDataFrame(
+            cb_rows, "bucket int, _cb array<struct<cid:int,cvec:array<double>>>"
+        )
+        scored = F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(dot(F.col("_v"), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
+        )
         prev = assigned
-        assigned = refined.persist()
+        assigned = (
+            assigned.join(F.broadcast(cbdf), "bucket", "left")
+            .withColumn(
+                "bucket",
+                F.when(F.col("_cb").isNull(), F.col("bucket")).otherwise(
+                    (-F.array_max(scored)["ncid"]).cast("int")
+                ),
+            )
+            .drop("_cb")
+            .persist()
+        )
     if prev is not None:
         # depth cap hit with clusters still oversized: materialize the final
         # assignment before releasing its parent's cache (its lineage reads
@@ -919,7 +976,15 @@ def semantic_dedup(
         .filter(F.col("_n") <= max_cluster)
         .select("bucket")
     )
-    prunable = assigned.join(F.broadcast(small), "bucket")
+    # Pin the all-pairs stage's parallelism with an EXPLICIT keyed
+    # repartition: the self-join's input is small in BYTES (AQE coalesces
+    # its shuffle to 1-2 partitions under the AQE-only-broadcast posture)
+    # but its OUTPUT is Σ|cluster|² cosine pairs — byte-based coalescing
+    # is blind to join fan-out, and the pair work went serial (measured
+    # 108 s vs ~15 s at a 4k-vector scale point).  An explicit partition
+    # count is respected by AQE; per-key cost stays bounded by max_cluster.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    prunable = assigned.join(F.broadcast(small), "bucket").repartition(par, "bucket")
     a, b = prunable.alias("a"), prunable.alias("b")
     edges = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))

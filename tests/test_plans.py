@@ -524,3 +524,29 @@ def test_jaccard_topk_strategies_identical_results(spark):
         for mode in (True, False, "auto")
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_gopher_quality_map_only(spark):
+    # the quality gate must run at scan speed: pure per-row Column
+    # arithmetic, zero exchanges — it prunes the corpus BEFORE any
+    # heavier (dedup/pack) stage pays a shuffle
+    df = run(spark, "quality_gopher_rules")
+    assert P.count_shuffles(df) == 0
+    assert "Exchange" not in P.executed_plan(df)
+
+
+def test_url_dedup_single_combined_exchange(spark):
+    # normalize is map-side string ops; the groupBy on the normalized key
+    # is the ONLY exchange and it partial-aggregates, so shuffle volume is
+    # O(distinct urls x mappers), never O(docs)
+    df = run(spark, "url_normalize_dedup")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_length_buckets_partial_agg_single_shuffle(spark):
+    # power-of-two histogram: map-combined agg on the bucket key; the
+    # shuffle carries O(buckets x mappers) rows
+    df = run(spark, "docs_length_buckets")
+    assert P.has_partial_aggregate(df)
+    assert P.count_shuffles(df) == 1
