@@ -480,7 +480,16 @@ def embedding_dedup_pairs(
         .filter(F.col("_n") <= max_bucket)
         .select("_bucket")
     )
-    docs = docs.join(F.broadcast(small), "_bucket")
+    # Same fan-out hazard as semantic_dedup's all-pairs stage (SCALING.md
+    # round-5 fix #2): embedding rows are small in BYTES but the bucket
+    # self-join's output is Σ|bucket|² cosine pairs, so byte-based AQE
+    # shuffle coalescing can serialize the pair work.  An explicit keyed
+    # repartition pins the stage width; per-key cost is bounded by
+    # max_bucket.  (The text-side self-joins — minhash/simhash/winnow/
+    # ngram — don't need this: their inputs are byte-heavy relative to
+    # their df-capped fan-out, so coalescing cannot collapse them.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = docs.join(F.broadcast(small), "_bucket").repartition(par, "_bucket")
     a, b = docs.alias("a"), docs.alias("b")
     return (
         a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
