@@ -6674,7 +6674,6 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_delta",
     "set_intersect_nations",
     "string_functions",
-    "pivot_status_by_priority",
     "udaf_weighted_mean",
     "catalog_find_real",
     "server_find_real",
@@ -6685,6 +6684,7 @@ DRIVER_WINDOW: list[str] = [
     "approx_quantiles_prices",
     "salted_join_revenue",
     # -- new in r5 (must be in the window: never driver-seen by definition) --
+    "events_ewma_decay",
     "quality_gopher_rules",
     "url_normalize_dedup",
     "docs_length_buckets",
@@ -7340,4 +7340,63 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("word_count").cast("double")), 6).alias("avg_words"),
         F.min("word_count").alias("min_words"),
         F.max("word_count").alias("max_words"),
+    )
+
+
+@workload(
+    "events_ewma_decay",
+    r"""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS vc,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS tref
+      FROM events
+    ), recent AS (
+      SELECT user_id, vc, (tref - us) // 3600000000 AS dh
+      FROM base WHERE (tref - us) // 3600000000 <= 48
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_recent,
+           ROUND(CAST(SUM(CAST(vc AS HUGEINT)
+                          * CAST(1::BIGINT << CAST(48 - dh AS INT) AS HUGEINT)) AS DOUBLE)
+                 / 281474976710656.0, 6) AS ewma_value
+    FROM recent GROUP BY user_id
+    """,
+    "window",
+    "temporal",
+)
+def events_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay feature (EWMA-style): each user's decayed
+    value mass at their LAST event time, half-life 1 hour, horizon 48 h —
+    the recency-weighted activity feature every behavioural model /
+    training-mixture freshness weighting consumes.
+
+    Exactness bridge (the reason decay = 1/2 per whole hour): the weight
+    0.5^delta_hours scaled by 2^48 is an INTEGER power of two, and value
+    in integer cents times that weight is an exact integer — both engines
+    sum integers (Spark DECIMAL(38,0), DuckDB HUGEINT), so no float
+    summation-order divergence exists; ONE final double division by 2^48
+    lands both on the identical double.  Integer `div` (not floating /)
+    computes delta-hours so bucket boundaries cannot ulp-flip.
+
+    Plan: one window max over the user key, then one map-combined agg on
+    the same key — the second exchange is elided because the window
+    already partitioned by user_id (the subset rule); shuffle volume is
+    O(users), never O(events)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        F.expr("(max(unix_micros(ts)) over (partition by user_id) - unix_micros(ts)) div 3600000000").alias("dh"),
+    )
+    recent = base.filter(F.col("dh") <= 48)
+    contrib = (
+        F.col("vc").cast("decimal(20,0)")
+        * F.expr("shiftleft(1L, cast(48 - dh as int))").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_recent"),
+        F.round(
+            F.sum(contrib).cast("double") / F.lit(float(2**48)), 6
+        ).alias("ewma_value"),
     )

@@ -550,3 +550,11 @@ def test_length_buckets_partial_agg_single_shuffle(spark):
     df = run(spark, "docs_length_buckets")
     assert P.has_partial_aggregate(df)
     assert P.count_shuffles(df) == 1
+
+
+def test_ewma_decay_single_user_shuffle(spark):
+    # the decay feature rides ONE user_id exchange: the groupBy reuses the
+    # window's partitioning (subset rule), so shuffle volume is O(events)
+    # once, never twice
+    df = run(spark, "events_ewma_decay")
+    assert P.count_shuffles(df) == 1
