@@ -99,6 +99,61 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 10,
+) -> DataFrame:
+    """Sub-document line-level dedup (C4 §2.2 / RefinedWeb): every line that
+    occurs more than once ANYWHERE in the corpus is kept only at its first
+    occurrence (smallest (doc_id, line_idx)) and removed everywhere else —
+    the stage that strips boilerplate (nav bars, cookie banners, license
+    headers) that document-level dedup can never see. The corpus here has
+    no newlines, so a "line" is a fixed span of `words_per_line` whitespace
+    tokens — the operator is span-identity dedup either way.
+
+    Returns one row per document: (doc_id, n_lines, n_kept, kept_text_md5)
+    where kept_text_md5 fingerprints the surviving text in original line
+    order (md5 so a SQL oracle can recompute it bit-for-bit).
+
+    Shape at 100 TB: map-only explode (fanout = #lines), ONE hash shuffle
+    on the line value for the keep-first window, one keyed shuffle back to
+    doc_id for reassembly. Never all-pairs. The window partitions by full
+    line text — a viral line (e.g. an empty span) concentrates its
+    occurrences on one task; if that bounds throughput, pre-aggregate
+    min(struct(doc_id, line_idx)) per line (map-side combine collapses the
+    viral key) and join the winner back instead of sorting it."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(words_per_line))), F.lit(1)
+    ).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * words_per_line + F.lit(1), words_per_line), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("line_idx", "line")
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("line_idx").asc())
+    flagged = exploded.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    kept_struct = F.when(F.col("keep"), F.struct(F.col("line_idx"), F.col("line")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                " ",
+            )
+        ).alias("kept_text_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -6627,8 +6627,9 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + 16 r4-green family sentinels.  Closes 166/166:
-#          every registry workload driver-verified at least once.
+#          vocab string) + 11 r4-green family sentinels + the 5 NEW r5
+#          workloads (never-seen by definition).  Closes 171/171: every
+#          registry workload driver-verified at least once.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -6673,7 +6674,6 @@ DRIVER_WINDOW: list[str] = [
     # -- r4-green family sentinels filling the remaining slots --
     "window_lag_delta",
     "set_intersect_nations",
-    "string_functions",
     "udaf_weighted_mean",
     "catalog_find_real",
     "server_find_real",
@@ -6688,6 +6688,7 @@ DRIVER_WINDOW: list[str] = [
     "quality_gopher_rules",
     "url_normalize_dedup",
     "docs_length_buckets",
+    "dedup_lines_corpus",
 ]
 
 
@@ -7400,3 +7401,43 @@ def events_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib).cast("double") / F.lit(float(2**48)), 6
         ).alias("ewma_value"),
     )
+
+
+@workload(
+    "dedup_lines_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), lines AS (
+      SELECT doc_id, CAST(u.i AS INT) AS line_idx,
+             array_to_string(t[CAST(u.i*10+1 AS BIGINT):CAST(u.i*10+10 AS BIGINT)], ' ') AS line
+      FROM toks,
+           LATERAL (SELECT unnest(range(greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) AS i) u
+    ), flagged AS (
+      SELECT doc_id, line_idx, line,
+             (row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx)) = 1 AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_idx), '')) AS kept_text_md5
+    FROM flagged GROUP BY doc_id
+    """,
+    "dedup",
+    "text",
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (C4 §2.2 / RefinedWeb): duplicate lines
+    are removed corpus-wide, keeping only the first occurrence by
+    (doc_id, line_idx) — the sub-document stage that strips boilerplate
+    the seven document-level dedup workloads cannot see.  Output is one
+    row per document with total/kept line counts and an md5 fingerprint
+    of the surviving text in original order (md5 per the oracle-bridge
+    discipline: bit-identical in both engines).  Plan: map-only explode,
+    one hash shuffle on the line value (keep-first window), one keyed
+    shuffle back to doc_id — shuffle volume O(#lines), never all-pairs."""
+    from comlake_core_spark.operators.dedup import dedup_lines
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup_lines(docs, words_per_line=10)

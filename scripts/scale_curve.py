@@ -152,7 +152,12 @@ def main() -> None:
     sel = only.split(",") if only else None
     ops = {name: REGISTRY[name].fn for name in OPS} | CUSTOM_OPS
     if sel:
-        ops = {n: f for n, f in ops.items() if n in sel}
+        # selection may name ANY registry workload, not just the default set
+        ops = {
+            n: (ops.get(n) or REGISTRY[n].fn)
+            for n in sel
+            if n in ops or n in REGISTRY
+        }
     results: dict[str, dict[int, float]] = {op: {} for op in ops}
     for factor in FACTORS:
         sf_dir = build(spark, factor)

@@ -32,6 +32,40 @@ def test_exact_dedup_groups(spark, near_dup_df):
     assert len(out) == 4
 
 
+def test_dedup_lines_removes_cross_doc_duplicates(spark):
+    import hashlib
+
+    boiler = "cookie banner accept all terms apply now"  # 8 words -> one line
+    rows = [
+        Row(doc_id=1, text=boiler),                      # first owner keeps it
+        Row(doc_id=2, text=boiler),                      # dup line -> removed
+        Row(doc_id=3, text="totally original body here"),
+    ]
+    out = {r["doc_id"]: r for r in dedup.dedup_lines(spark.createDataFrame(rows), words_per_line=8).collect()}
+    assert out[1]["n_lines"] == 1 and out[1]["n_kept"] == 1
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 0
+    assert out[3]["n_kept"] == 1
+    assert out[1]["kept_text_md5"] == hashlib.md5(boiler.encode()).hexdigest()
+    # fully-deduped doc fingerprints the empty string (matches the SQL
+    # oracle's coalesce(string_agg(...), ''))
+    assert out[2]["kept_text_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_dedup_lines_spans_and_order(spark):
+    # 20 words -> two 10-word lines; doc 2 repeats doc 1's SECOND line as
+    # its FIRST: removal must preserve the survivor's original order
+    a = " ".join(f"w{i}" for i in range(10))
+    b = " ".join(f"x{i}" for i in range(10))
+    c = " ".join(f"y{i}" for i in range(10))
+    rows = [Row(doc_id=1, text=a + " " + b), Row(doc_id=2, text=b + " " + c)]
+    out = {r["doc_id"]: r for r in dedup.dedup_lines(spark.createDataFrame(rows)).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    import hashlib
+
+    assert out[2]["kept_text_md5"] == hashlib.md5(c.encode()).hexdigest()
+
+
 def test_minhash_finds_near_dups(spark, near_dup_df):
     pairs = dedup.minhash_lsh_pairs(near_dup_df, threshold=0.5, num_hashes=32, bands=16).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
