@@ -87,6 +87,11 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "leakage_safe_split_docs",
     "pipeline_pretrain_corpus",
+    "quality_gopher_rules",
+    "url_normalize_dedup",
+    "docs_length_buckets",
+    "events_ewma_decay",
+    "dedup_lines_corpus",
 ]
 
 

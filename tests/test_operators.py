@@ -755,20 +755,41 @@ def test_semantic_dedup_refinement_releases_prior_round_cache(spark):
     every round re-forms one oversized cluster and runs to max_depth:
     the persistent-RDD delta must NOT grow with the round count (the
     final assignment's own cache and bounded slack are allowed; a
-    per-round leak shows up as delta growing by ~max_depth)."""
+    per-round leak shows up as delta growing by ~max_depth).
+
+    Measurement discipline (two flakiness sources seen in-suite):
+    (a) Spark's CacheManager dedups by canonicalized plan, so each call
+    gets DISTINCT ids and vector values — otherwise a call's frames alias
+    caches left by other tests and its delta reads 0; (b) only NEW,
+    NAMED persistent RDDs are counted: cache entries are named with their
+    plan string and held strongly by the CacheManager (exactly what
+    persist()/unpersist() manage), while connected_components'
+    localCheckpoint RDDs are unnamed and reclaimed ASYNCHRONOUSLY by the
+    ContextCleaner, so raw getPersistentRDDs().size() deltas wobble with
+    GC timing."""
     from comlake_core_spark.operators.dedup import semantic_dedup
 
     jsc = spark.sparkContext._jsc
-    rows = [(i, [1.0, 0.0]) for i in range(1, 16)]
-    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def cached_named_ids() -> set:
+        out = set()
+        it = jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if e.getValue().name() is not None:
+                out.add(e.getKey())
+        return out
+
     deltas = {}
     for depth in (1, 3):
-        before = jsc.getPersistentRDDs().size()
+        rows = [(1000 * depth + i, [float(depth), 0.5]) for i in range(1, 16)]
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        before = cached_named_ids()
         out = semantic_dedup(
             emb, n_clusters=1, threshold=0.9, max_cluster=3, max_depth=depth
         )
         out.count()  # materialize the full pipeline
-        deltas[depth] = jsc.getPersistentRDDs().size() - before
+        deltas[depth] = len(cached_named_ids() - before)
     assert deltas[3] <= deltas[1] + 1, (
         f"cached-frame delta grew with refinement depth ({deltas}) — "
         "rounds are leaking their predecessors' persist()"
