@@ -92,6 +92,8 @@ HEADLINE = [
     "docs_length_buckets",
     "events_ewma_decay",
     "dedup_lines_corpus",
+    "mad_outlier_events",
+    "weighted_sample_docs",
 ]
 
 

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 @dataclass(frozen=True)
@@ -156,3 +157,48 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(entries).alias("_s")).select("_s.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    (|x - median| > k * MAD), the heavy-tail-safe alternative to the
+    stddev z-score (one extreme value inflates a stddev but barely moves
+    a median — on power-law event values the z-score masks exactly the
+    outliers it should flag). Returns one row per group:
+    (group, n, med_value, mad_value, n_outliers).
+
+    Exactness bridge: values are quantized to integers (× `quantize`)
+    before the medians, so every interpolated median is an exact
+    half-integer and the outlier comparison 2*|2x - 2*med| > 3*(4*MAD)
+    is pure integer arithmetic — bit-identical across engines, with no
+    float-boundary flips (the raw rule would compare against
+    k*MAD in floating point, where a 1-ulp median difference between
+    engines flips boundary rows).
+
+    Plan: ONE hash shuffle on the group key; both median windows and the
+    final aggregate reuse that partitioning (Spark's subset rule elides
+    the later exchanges). The exact per-group median needs the group
+    sorted in one task — at 100 TB with huge groups switch the medians
+    to percentile_approx (mergeable sketch, no full sort) and keep this
+    exact form as its oracle at test scale."""
+    w = Window.partitionBy(group_col)
+    vq = F.round(F.col(value_col) * quantize, 0).cast("long")
+    med2 = (2 * F.percentile(F.col("_vq"), 0.5).over(w)).cast("long")
+    with_med = df.select(F.col(group_col), vq.alias("_vq")).withColumn("_med2", med2)
+    dev2 = F.abs(2 * F.col("_vq") - F.col("_med2"))
+    mad4 = (2 * F.percentile(F.col("_dev2"), 0.5).over(w)).cast("long")
+    with_mad = with_med.withColumn("_dev2", dev2).withColumn("_mad4", mad4)
+    return with_mad.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("_med2") / F.lit(2.0 * quantize), 6).alias("med_value"),
+        F.round(F.max("_mad4") / F.lit(4.0 * quantize), 6).alias("mad_value"),
+        F.sum(
+            F.when(2 * F.col("_dev2") > F.lit(k) * F.col("_mad4"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

@@ -307,3 +307,48 @@ def leakage_safe_split(
         F.sum("_id").cast("long").alias("id_sum"),
         F.lit(crossing).cast("long").alias("cross_split_pairs"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column | str,
+    n_per_group: int,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement per group —
+    the A-ES scheme (Efraimidis & Spirakis 2006): each row gets the key
+    u^(1/w) for a uniform u, and the top-n keys per group are exactly a
+    weighted sample without replacement. The stage a quality-weighted
+    corpus subsampler runs ("keep 5 docs per source, preferring long /
+    high-quality ones, reproducibly").
+
+    Determinism + portability: u is derived from md5(id) (bit-identical
+    in Spark / DuckDB / PostgreSQL — same recipe as
+    split_assignment_portable): the first 12 hex chars parse to an
+    integer h, and u = (h+1)/2^48 ∈ (0, 1]. Rows are ranked by
+    ln(u)/w — a monotone transform of u^(1/w) that avoids pow — and the
+    key is QUANTIZED to an integer (×1e9) before ranking, so a 1-ulp
+    libm difference between engines cannot reorder boundary rows.
+
+    Plan: hashing and key computation are map-only codegen'd JVM
+    expressions; the rank(<= n) rides WindowGroupLimit, so each map task
+    forwards at most n rows per group BEFORE the one shuffle on the
+    group key — a dominant group costs its cap, not its cardinality."""
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+    u = (h.cast("long") + 1) / F.lit(float(2**48))
+    qk = F.round(F.log(u) / F.greatest(wcol, F.lit(1)) * 1e9, 0).cast("long")
+    w = Window.partitionBy(group_col).orderBy(F.col("_qk").desc(), F.col(id_col))
+    return (
+        df.withColumn("_qk", qk)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .select(
+            group_col,
+            "sample_rank",
+            id_col,
+            wcol.cast("long").alias("weight"),
+            F.round(F.col("_qk") / F.lit(1e9), 6).alias("es_key"),
+        )
+    )

@@ -6627,8 +6627,8 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + 11 r4-green family sentinels + the 5 NEW r5
-#          workloads (never-seen by definition).  Closes 171/171: every
+#          vocab string) + 9 r4-green family sentinels + the 7 NEW r5
+#          workloads (never-seen by definition).  Closes 173/173: every
 #          registry workload driver-verified at least once.
 # ---------------------------------------------------------------------------
 
@@ -6672,8 +6672,6 @@ DRIVER_WINDOW: list[str] = [
     "analyze_orders_profile",
     "ols_trend_by_nation",
     # -- r4-green family sentinels filling the remaining slots --
-    "window_lag_delta",
-    "set_intersect_nations",
     "udaf_weighted_mean",
     "catalog_find_real",
     "server_find_real",
@@ -6689,6 +6687,8 @@ DRIVER_WINDOW: list[str] = [
     "url_normalize_dedup",
     "docs_length_buckets",
     "dedup_lines_corpus",
+    "mad_outlier_events",
+    "weighted_sample_docs",
 ]
 
 
@@ -7441,3 +7441,92 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return dedup_lines(docs, words_per_line=10)
+
+
+@workload(
+    "mad_outlier_events",
+    r"""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS vq FROM events
+    ), m AS (
+      SELECT event_type, vq,
+             CAST(2 * quantile_cont(vq, 0.5) OVER (PARTITION BY event_type) AS BIGINT) AS med2
+      FROM q
+    ), d AS (
+      SELECT event_type, med2, ABS(2*vq - med2) AS dev2 FROM m
+    ), md AS (
+      SELECT event_type, med2, dev2,
+             CAST(2 * quantile_cont(dev2, 0.5) OVER (PARTITION BY event_type) AS BIGINT) AS mad4
+      FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(med2) / 2000000.0, 6) AS med_value,
+           ROUND(MAX(mad4) / 4000000.0, 6) AS mad_value,
+           CAST(SUM(CASE WHEN 2*dev2 > 3*mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM md GROUP BY event_type
+    """,
+    "quality",
+    "stats",
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts via median absolute deviation
+    (|x - med| > 3*MAD) — the heavy-tail-safe complement to the stddev
+    z-score family (zscore_events): one extreme value inflates a stddev
+    but barely moves a median.  Values are quantized to integer
+    micro-units before the medians, so every interpolated median is an
+    exact half-integer and the outlier comparison is pure integer
+    arithmetic in both engines (no float-boundary flips — see
+    operators/quality.py:mad_outliers).  One shuffle on event_type; both
+    median windows and the final agg reuse that partitioning."""
+    from comlake_core_spark.operators.quality import mad_outliers
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", "event_type", k=3)
+
+
+@workload(
+    "weighted_sample_docs",
+    r"""
+    WITH wc AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, w,
+             CAST(round(
+               ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)
+                  / 281474976710656.0) / greatest(w, 1) * 1000000000.0, 0) AS BIGINT) AS qk
+      FROM wc
+    ), ranked AS (
+      SELECT source, doc_id, w, qk,
+             row_number() OVER (PARTITION BY source ORDER BY qk DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT source, sample_rank, doc_id,
+           CAST(w AS BIGINT) AS weight,
+           ROUND(qk / 1000000000.0, 6) AS es_key
+    FROM ranked WHERE sample_rank <= 5
+    """,
+    "sampling",
+    "text",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 5 docs per source weighted
+    by word count — the A-ES scheme (Efraimidis & Spirakis 2006): rank by
+    u^(1/w) (here the monotone ln(u)/w), top-n per group.  u derives from
+    md5(doc_id) (the engine-portable recipe of split_assignment_portable)
+    and the ranking key is quantized to an integer before the sort, so a
+    1-ulp libm ln() difference between engines cannot reorder boundary
+    rows.  The rank filter rides WindowGroupLimit: each map task forwards
+    at most 5 rows per source before the single shuffle."""
+    from comlake_core_spark.operators.sampling import weighted_sample
+    from comlake_core_spark.operators.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.withColumn("_w", token_count("text")),
+        weight="_w",
+        n_per_group=5,
+        group_col="source",
+    )

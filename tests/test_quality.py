@@ -86,3 +86,22 @@ def test_custom_rule_and_empty_frame(spark):
     df = _df(spark).filter(F.lit(False))
     out = check(df, [Rule("v_gt_cat_len", F.col("v") > F.length("cat"))]).first()
     assert out["n_violations"] == 0  # empty frame: sum() is null → 0 via cast path
+
+
+def test_mad_outliers_robust_to_heavy_tail(spark):
+    from comlake_core_spark.operators.quality import mad_outliers
+
+    # group "a": 1..9 plus one extreme value.  median = 5.5, deviations
+    # 0.5..4.5 plus 94.5 -> MAD = 2.5; only the extreme exceeds 3*MAD.
+    # The stddev z-score would be inflated BY the outlier (~3.0 sigma cut
+    # barely flags it); MAD flags exactly it.
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+    rows += [("b", 2.0), ("b", 2.5), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in mad_outliers(df, "value", "grp").collect()}
+    assert out["a"]["n"] == 10
+    assert out["a"]["med_value"] == 5.5
+    assert out["a"]["mad_value"] == 2.5
+    assert out["a"]["n_outliers"] == 1
+    # b: med 2.5, MAD 0.5, no deviation exceeds 1.5
+    assert out["b"]["n_outliers"] == 0

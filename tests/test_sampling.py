@@ -84,3 +84,43 @@ def test_stratified_sample_plan_uses_window_group_limit(spark):
     df = _classes(spark, 10000)
     out = stratified_cap(df, "cls", "id", 10)
     assert "WindowGroupLimit" in P.executed_plan(out)
+
+
+def test_weighted_sample_deterministic_and_capped(spark):
+    from comlake_core_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "s1", 10) for i in range(1, 21)] + [(i, "s2", 10) for i in range(21, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+    out = weighted_sample(df, "w", 5, "source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sorted(by_src) == ["s1", "s2"]
+    for src, rs in by_src.items():
+        assert sorted(r["sample_rank"] for r in rs) == [1, 2, 3, 4, 5]
+        keys = [r["es_key"] for r in sorted(rs, key=lambda r: r["sample_rank"])]
+        assert keys == sorted(keys, reverse=True)  # rank follows the ES key
+    # rerun is byte-identical (u derives from md5(doc_id), no RNG state)
+    again = weighted_sample(df, "w", 5, "source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from comlake_core_spark.operators.sampling import weighted_sample
+
+    # one document with overwhelming weight among weight-1 peers: its key
+    # ln(u)/w is ~0 while every peer needs u within 1e-6 of 1.0 to beat it
+    rows = [(i, "s", 1) for i in range(1, 50)] + [(99, "s", 1_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+    out = weighted_sample(df, "w", 1, "source").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 99
+
+
+def test_weighted_sample_plan_uses_window_group_limit(spark):
+    from comlake_core_spark.operators.sampling import weighted_sample
+    from comlake_core_spark.plans import inspect as P
+
+    rows = [(i, "s%d" % (i % 3), i % 7 + 1) for i in range(1, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+    out = weighted_sample(df, "w", 5, "source")
+    assert "WindowGroupLimit" in P.executed_plan(out)
