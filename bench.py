@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_lines_corpus",
     "mad_outlier_events",
     "weighted_sample_docs",
+    "pagerank_dedup_graph",
 ]
 
 

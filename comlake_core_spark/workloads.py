@@ -6627,8 +6627,8 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + 9 r4-green family sentinels + the 7 NEW r5
-#          workloads (never-seen by definition).  Closes 173/173: every
+#          vocab string) + 8 r4-green family sentinels + the 8 NEW r5
+#          workloads (never-seen by definition).  Closes 174/174: every
 #          registry workload driver-verified at least once.
 # ---------------------------------------------------------------------------
 
@@ -6672,7 +6672,6 @@ DRIVER_WINDOW: list[str] = [
     "analyze_orders_profile",
     "ols_trend_by_nation",
     # -- r4-green family sentinels filling the remaining slots --
-    "udaf_weighted_mean",
     "catalog_find_real",
     "server_find_real",
     "semantic_dedup_embeddings",
@@ -6689,6 +6688,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_lines_corpus",
     "mad_outlier_events",
     "weighted_sample_docs",
+    "pagerank_dedup_graph",
 ]
 
 
@@ -7529,4 +7529,87 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="_w",
         n_per_group=5,
         group_col="source",
+    )
+
+
+@workload(
+    "pagerank_dedup_graph",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+    it0 AS (SELECT node, d, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+    it1 AS (
+      SELECT deg.node, deg.d,
+             CAST(150000000000 + (85 * agg.c) // 100 AS BIGINT) AS r
+      FROM deg JOIN (
+        SELECT sym.dst AS node, SUM(p.r // p.d) AS c
+        FROM sym JOIN it0 p ON sym.src = p.node GROUP BY sym.dst
+      ) agg ON agg.node = deg.node
+    ),
+    it2 AS (
+      SELECT deg.node, deg.d,
+             CAST(150000000000 + (85 * agg.c) // 100 AS BIGINT) AS r
+      FROM deg JOIN (
+        SELECT sym.dst AS node, SUM(p.r // p.d) AS c
+        FROM sym JOIN it1 p ON sym.src = p.node GROUP BY sym.dst
+      ) agg ON agg.node = deg.node
+    ),
+    it3 AS (
+      SELECT deg.node, deg.d,
+             CAST(150000000000 + (85 * agg.c) // 100 AS BIGINT) AS r
+      FROM deg JOIN (
+        SELECT sym.dst AS node, SUM(p.r // p.d) AS c
+        FROM sym JOIN it2 p ON sym.src = p.node GROUP BY sym.dst
+      ) agg ON agg.node = deg.node
+    )
+    SELECT node AS doc_id, CAST(d AS BIGINT) AS degree, r AS rank_q,
+           ROUND(r / 1000000000000.0, 6) AS pagerank
+    FROM it3
+    """,
+    "dedup",
+    "graph",
+    "iterative",
+)
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm under a FULL value-hash oracle: 3 rounds
+    of PageRank (damping 0.85) over the near-dup edge set — which
+    duplicated page is the hub its mirrors cluster around, the
+    importance signal web-corpus curation weighs survivors by.  Float
+    PageRank cannot be oracle-checked (summation order); this one is
+    INTEGER fixed-point throughout (operators/dedup.py:pagerank), so
+    Spark and the unrolled-SQL oracle agree bit-for-bit.  Spark builds
+    the edge set via banded MinHash LSH + exact-Jaccard verify; the
+    oracle brute-forces the same exact-Jaccard pairs (the LSH recall
+    proof is dedup_minhash_lsh's own oracle).  Per round: one keyed join
+    + one map-combined sum — same exchanges as connected components."""
+    from comlake_core_spark.operators.dedup import minhash_lsh_pairs, pagerank
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
+    pr = pagerank(pairs, iterations=3)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "rank_q",
+        F.round(F.col("rank_q") / F.lit(1e12), 6).alias("pagerank"),
     )

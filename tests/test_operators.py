@@ -794,3 +794,20 @@ def test_semantic_dedup_refinement_releases_prior_round_cache(spark):
         f"cached-frame delta grew with refinement depth ({deltas}) — "
         "rounds are leaking their predecessors' persist()"
     )
+
+
+def test_pagerank_integer_fixed_point_path_graph(spark):
+    # path 1-2-3: the middle node is the hub.  All arithmetic is integer
+    # fixed-point, so the expected values are hand-computable exactly:
+    # r0 = 1e12 each; each round r' = 0.15e12 + (85 * sum(r div deg)) div 100.
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    from comlake_core_spark.operators.dedup import pagerank
+
+    out = {r["node"]: r for r in pagerank(pairs, iterations=3).collect()}
+    assert out[2]["degree"] == 2 and out[1]["degree"] == 1
+    assert out[1]["rank_q"] == 629_187_500_000
+    assert out[2]["rank_q"] == 1_741_625_000_000
+    assert out[3]["rank_q"] == 629_187_500_000
+    # determinism: a second run is bit-identical (no float summation)
+    again = {r["node"]: r["rank_q"] for r in pagerank(pairs, iterations=3).collect()}
+    assert again == {n: r["rank_q"] for n, r in out.items()}
