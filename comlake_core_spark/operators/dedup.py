@@ -1125,3 +1125,60 @@ def semantic_dedup(
         F.count_distinct("_rep").alias("n_survivors"),
         F.sum(F.when(F.col("_id") == F.col("_rep"), F.col("_id"))).cast("long").alias("survivor_id_sum"),
     )
+
+
+def bfs_depth(
+    pairs: DataFrame,
+    seed_pred,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first search over the undirected near-dup
+    edge list: minimum hop distance (0..iterations) from any seed node —
+    "how far is this document from a known-bad/known-contaminated page?"
+    Contamination-radius and spam-neighborhood policies in web-corpus
+    curation are exactly this query (flag everything within k hops of a
+    blocklisted page); it complements connected_components (which answers
+    reachable-at-all, not how-close).
+
+    `seed_pred` is a Column predicate over the node id selecting the seed
+    set. Returns (node, depth) for every node within `iterations` hops of
+    a seed — unreached nodes are absent (their distance is unknown, not
+    infinite: the graph is bounded by the LSH edge set).
+
+    Exactness: depths are small integers computed by min() — no floats
+    anywhere, bit-identical in any engine, unlike distance algorithms
+    with weighted relaxation. Determinism does not depend on iteration
+    order because min() is idempotent and commutative.
+
+    Plan per round: one equi-join frontier→edges (shuffle on node id) +
+    one map-combined min — the connected_components exchange shape. The
+    edge list is localCheckpoint'd ONCE (same rationale as pagerank:
+    without the cut every round re-runs the whole LSH cascade). Frontier
+    size is monotone non-increasing in useful work: a node's depth is
+    final the first time it is reached (min of earlier rounds wins), so
+    at scale pass only the NEWLY-reached frontier into the next join —
+    here the full known set is joined each round for plan simplicity at
+    fixed small `iterations`."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    d = nodes.filter(seed_pred(F.col("node"))).select(
+        "node", F.lit(0).cast("long").alias("depth")
+    )
+    for _ in range(iterations):
+        reached = (
+            sym.join(d, sym["src"] == d["node"])
+            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("_nd"))
+            .groupBy("node")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        # least() skips nulls, so this is min(existing, new) with either
+        # side possibly absent after the full outer join
+        d = d.join(reached, "node", "full_outer").select(
+            "node", F.least(F.col("depth"), F.col("_nd")).alias("depth")
+        )
+    return d.select("node", F.col("depth").cast("long").alias("depth"))

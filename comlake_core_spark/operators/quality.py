@@ -202,3 +202,70 @@ def mad_outliers(
             F.when(2 * F.col("_dev2") > F.lit(k) * F.col("_mad4"), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+def lr_quality_logit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    fasttext/logistic-regression document scorer every web-corpus
+    pipeline runs (CCNet's LM filter, GPT-3's WebText-vs-CommonCrawl
+    classifier, Gopher/RefinedWeb quality gates): score each document by
+    a dot product of token-feature weights, admit those above a
+    threshold. The reference has no model-based surface at all
+    (SURVEY.md §2.4); this is the Spark-shaped version of its missing
+    "quality filter" stage.
+
+    The model here is a FIXED weight table derived from the feature hash
+    itself (md5(bucket) → integer in [-weight_scale, +weight_scale]) —
+    the engine-side contract is identical to serving a trained model
+    (broadcast weight lookup, map-side dot product); swapping in real
+    trained weights changes one expression. Everything is INTEGER: the
+    logit is a sum of integer weights over tokens and the per-token mean
+    is integer-micro division (`div`), so Spark and the DuckDB oracle
+    agree bit-for-bit (no float sums, no sigmoid boundary — monotone in
+    the logit, so thresholding the logit IS thresholding the
+    probability).
+
+    Plan: tokenize → explode → bucket hash → weight lookup are all
+    map-side codegen'd expressions (md5/conv are JVM intrinsics; no UDF,
+    no join — the "weight table" is a pure hash function); ONE
+    map-combined hash aggregate on the doc id. Shuffle volume = one row
+    per document. At 100 TB this is the cheapest possible shape: a
+    single pass, no state, embarrassingly parallel."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_term"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_term")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(2 * weight_scale + 1)
+        - F.lit(weight_scale)
+    )
+    return (
+        exploded.select(F.col(id_col), weight.alias("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w").alias("logit_q"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logit_q",
+            F.expr("(logit_q * 1000000) div n_tokens").alias("avg_logit_micro"),
+            (F.col("logit_q") > 0).alias("admit"),
+        )
+    )

@@ -693,3 +693,73 @@ def ivfpq_adc_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "nbr_id", "adc_dist", "rn")
     )
+
+
+def mutual_knn_graph(
+    emb: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding column, filtered to
+    MUTUAL edges (a is in b's top-k AND b is in a's top-k) — the standard
+    graph-construction step before graph clustering / community detection
+    on embeddings (mutual-kNN prunes hub nodes' asymmetric edges, the
+    known failure mode of plain kNN graphs in high dimensions). SemDeDup-
+    style pipelines build exactly this graph between the coarse k-means
+    pass and the final prune.
+
+    Returns one row per undirected mutual edge: (id_a < id_b, cosine,
+    rank_ab = b's rank in a's list, rank_ba = a's rank in b's list).
+
+    Exactness: cosine is the deterministic sequential-fold `cosine()`
+    (same accumulation order as the oracle's list_dot_product), and rank
+    ties break on neighbor id — the ann_cosine_topk evidence carries
+    over unchanged.
+
+    Plan: ONE broadcast nested-loop join scores all pairs (the corpus
+    side is scanned once; the broadcast side is the same corpus
+    projected to (id, vec)), per-direction top-k rides WindowGroupLimit
+    (each task forwards ≤ k rows per source before the shuffle), and the
+    mutual filter is a self-join of two k·N-row edge lists — never a
+    materialized N² table. At 100 TB the broadcast side must become the
+    IVF-bucketed candidate set (ivf_topk's layout: score only within a
+    probe's buckets); the mutual-filter self-join is unchanged since the
+    kNN edge list is k·N rows regardless of how candidates were found."""
+    c = ensure_parallelism(emb).select(
+        F.col(id_col).alias("_src"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    q = emb.select(
+        F.col(id_col).alias("_dst"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_src") != F.col("_dst"))
+        .select(
+            "_src",
+            "_dst",
+            cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("_src").orderBy(F.desc("cosine"), F.asc("_dst"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    fwd = knn.select(
+        F.col("_src").alias("id_a"),
+        F.col("_dst").alias("id_b"),
+        "cosine",
+        F.col("rn").alias("rank_ab"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = knn.select(
+        F.col("_dst").alias("id_a"),
+        F.col("_src").alias("id_b"),
+        F.col("rn").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+    )

@@ -6627,9 +6627,11 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + 8 r4-green family sentinels + the 8 NEW r5
-#          workloads (never-seen by definition).  Closes 174/174: every
-#          registry workload driver-verified at least once.
+#          vocab string) + 5 r4-green family sentinels + the 16 NEW r5
+#          workloads (never-seen by definition; the late-r5 additions
+#          displaced 3 of the 8 r4-green sentinels, which keep their r4
+#          evidence).  Closes the registry: every workload
+#          driver-verified at least once after this round.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -6677,9 +6679,6 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup_embeddings",
     "leakage_safe_split_docs",
     "ann_recall_at_k",
-    "pipeline_pretrain_corpus",
-    "approx_quantiles_prices",
-    "salted_join_revenue",
     # -- new in r5 (must be in the window: never driver-seen by definition) --
     "events_ewma_decay",
     "quality_gopher_rules",
@@ -6689,6 +6688,9 @@ DRIVER_WINDOW: list[str] = [
     "mad_outlier_events",
     "weighted_sample_docs",
     "pagerank_dedup_graph",
+    "quality_lr_logit",
+    "dedup_graph_bfs_depth",
+    "embedding_knn_graph",
 ]
 
 
@@ -7613,3 +7615,171 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_q",
         F.round(F.col("rank_q") / F.lit(1e12), 6).alias("pagerank"),
     )
+
+
+@workload(
+    "quality_lr_logit",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), w AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' || CAST(
+                 CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 256
+               AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000 AS w
+      FROM tok2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS logit_q,
+           CAST((SUM(w) * 1000000) // COUNT(*) AS BIGINT) AS avg_logit_micro,
+           SUM(w) > 0 AS admit
+    FROM w GROUP BY doc_id
+    """,
+    "quality",
+    "text",
+    "model",
+)
+def quality_lr_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over hashed
+    token features scores every document (the CCNet / GPT-3-WebText
+    quality-gate shape), admitting those with positive logit.  Weights
+    are a fixed md5-derived table so the oracle can recompute them — the
+    plan shape (map-side hashed-feature dot product, one combine-enabled
+    agg per doc) is exactly what serving a trained linear model costs.
+    All-integer arithmetic; see operators/quality.lr_quality_logit."""
+    from comlake_core_spark.operators.quality import lr_quality_logit
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return lr_quality_logit(ensure_parallelism(docs))
+
+
+@workload(
+    "dedup_graph_bfs_depth",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS depth
+      FROM sym WHERE src % 5 = 0
+    ),
+    r1 AS (
+      SELECT sym.dst AS node, MIN(d0.depth) + 1 AS nd
+      FROM sym JOIN d0 ON sym.src = d0.node GROUP BY sym.dst
+    ),
+    d1 AS (
+      SELECT COALESCE(a.node, b.node) AS node,
+             CASE WHEN a.depth IS NULL THEN b.nd
+                  WHEN b.nd IS NULL THEN a.depth
+                  WHEN a.depth < b.nd THEN a.depth ELSE b.nd END AS depth
+      FROM d0 a FULL OUTER JOIN r1 b ON a.node = b.node
+    ),
+    r2 AS (
+      SELECT sym.dst AS node, MIN(d1.depth) + 1 AS nd
+      FROM sym JOIN d1 ON sym.src = d1.node GROUP BY sym.dst
+    ),
+    d2 AS (
+      SELECT COALESCE(a.node, b.node) AS node,
+             CASE WHEN a.depth IS NULL THEN b.nd
+                  WHEN b.nd IS NULL THEN a.depth
+                  WHEN a.depth < b.nd THEN a.depth ELSE b.nd END AS depth
+      FROM d1 a FULL OUTER JOIN r2 b ON a.node = b.node
+    ),
+    r3 AS (
+      SELECT sym.dst AS node, MIN(d2.depth) + 1 AS nd
+      FROM sym JOIN d2 ON sym.src = d2.node GROUP BY sym.dst
+    ),
+    d3 AS (
+      SELECT COALESCE(a.node, b.node) AS node,
+             CASE WHEN a.depth IS NULL THEN b.nd
+                  WHEN b.nd IS NULL THEN a.depth
+                  WHEN a.depth < b.nd THEN a.depth ELSE b.nd END AS depth
+      FROM d2 a FULL OUTER JOIN r3 b ON a.node = b.node
+    )
+    SELECT node AS doc_id, CAST(depth AS BIGINT) AS depth FROM d3
+    """,
+    "dedup",
+    "graph",
+    "iterative",
+)
+def dedup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-radius BFS: minimum hop distance (0..3) from seed
+    documents (doc_id % 50 == 0, the "blocklisted page" stand-in) over
+    the near-dup edge set — flag-everything-within-k-hops policies in
+    corpus curation are this exact query.  Spark builds the edge set via
+    banded MinHash LSH + exact-Jaccard verify; the oracle brute-forces
+    the same exact-Jaccard pairs and unrolls the 3 min-relaxation rounds
+    (operators/dedup.bfs_depth — integer depths, min() relaxation, one
+    keyed join + map-combined min per round over the checkpointed edge
+    list)."""
+    from comlake_core_spark.operators.dedup import bfs_depth, minhash_lsh_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
+    return bfs_depth(pairs, lambda node: node % 5 == 0, iterations=3).select(
+        F.col("node").alias("doc_id"), "depth"
+    )
+
+
+@workload(
+    "embedding_knn_graph",
+    r"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+      FROM scored
+    ), kk AS (SELECT * FROM knn WHERE rn <= 4)
+    SELECT id_a, id_b, cosine, rank_ab, rank_ba FROM
+      (SELECT src AS id_a, dst AS id_b, cosine, CAST(rn AS BIGINT) AS rank_ab
+       FROM kk WHERE src < dst) f
+      JOIN
+      (SELECT dst AS id_a, src AS id_b, CAST(rn AS BIGINT) AS rank_ba
+       FROM kk WHERE dst < src) r
+      USING (id_a, id_b)
+    """,
+    "similarity",
+    "graph",
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph construction over the embedding column — the
+    edge set graph-clustering / SemDeDup-style pipelines consume (mutual
+    filtering prunes hub nodes' asymmetric edges).  Exact brute-force at
+    test scale with the per-direction top-k riding WindowGroupLimit; the
+    100 TB path swaps the candidate generator for IVF buckets while the
+    k·N-row mutual-filter self-join is unchanged
+    (operators/similarity.mutual_knn_graph)."""
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_graph(emb, k=4)
