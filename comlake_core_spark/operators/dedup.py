@@ -1182,3 +1182,82 @@ def bfs_depth(
             "node", F.least(F.col("depth"), F.col("_nd")).alias("depth")
         )
     return d.select("node", F.col("depth").cast("long").alias("depth"))
+
+
+def common_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a span
+    of `span` consecutive tokens that appears in >= `min_docs` DISTINCT
+    documents is duplicated text; per document, report how many token
+    positions are covered by at least one duplicated span. This is the
+    sub-document signal that motivates span CUTTING rather than document
+    dropping — a news article quoting a press release is 20% duplicated,
+    not a duplicate.
+
+    Returns one row per document: (doc_id, n_tokens, n_dup_spans,
+    covered_tokens, mostly_dup = covered*2 >= n_tokens).
+
+    Exactness: coverage is the union length of fixed-length integer
+    intervals — computed as sum(min(span, pos - lag(pos))) over
+    positions sorted per doc, all integer arithmetic.
+
+    Plan: map-side sliding-window explode (transform over a sequence —
+    no UDF), ONE hash shuffle on the span text to count distinct owner
+    docs (map-combined), one join back to positions on the span key, a
+    per-doc window + aggregate sharing one doc_id exchange. Shuffle
+    volume is O(total token positions) — the suffix-array original is
+    O(n log n) single-machine; this banded form is the standard
+    distributed approximation (span granularity = the window stride).
+    At 100 TB, hash the span text to a 64-bit fingerprint before the
+    shuffle (xxhash64) so the exchange carries 8-byte keys, not strings
+    — kept as raw text here for the oracle's benefit."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.when(
+        n >= span, F.sequence(F.lit(0), n - span)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice(toks, i + 1, span), " ").alias("gram"),
+        )
+    )
+    base = df.select(F.col(id_col), n.cast("long").alias("n_tokens"), grams.alias("_g"))
+    pos = base.select(F.col(id_col), F.explode("_g").alias("_e")).select(
+        F.col(id_col), F.col("_e.pos").alias("pos"), F.col("_e.gram").alias("gram")
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = hits.withColumn(
+        "_inc",
+        F.when(F.lag("pos").over(w).isNull(), F.lit(span)).otherwise(
+            F.least(F.lit(span), F.col("pos") - F.lag("pos").over(w))
+        ),
+    )
+    agg = cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("_inc").alias("covered_tokens"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+            (F.coalesce(F.col("covered_tokens"), F.lit(0)) * 2 >= F.col("n_tokens")).alias("mostly_dup"),
+        )
+    )

@@ -352,3 +352,95 @@ def weighted_sample(
             F.round(F.col("_qk") / F.lit(1e9), 6).alias("es_key"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    top_n: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): score every document by how target-like its hashed
+    n-gram feature distribution is — the log importance ratio
+    Σ_tokens [ln p_target(h(tok)) - ln p_raw(h(tok))] under two smoothed
+    bag-of-buckets unigram models — then keep the highest-weighted docs.
+    This is the principled version of "train a quality classifier on a
+    trusted corpus": no labels, just a target sample (`target_pred`
+    selects it; here e.g. lang = 'en').
+
+    Returns (doc_id, n_tokens, weight_q, avg_weight_micro, sampled):
+    weight_q is the log-ratio sum in 1e-9 units; `sampled` marks the
+    global top-`top_n` by (weight_q DESC, doc_id).
+
+    Exactness bridge: each bucket's log-ratio is computed ONCE from
+    integer counts ((c_t+1)/(N_t+B) vs (c_r+1)/(N_r+B)) and immediately
+    quantized to an integer (×1e9), so per-document weights are exact
+    integer sums — summation order cannot matter, and the oracle
+    reproduces every value bit-for-bit.
+
+    Plan: two map-combined aggregates over the exploded tokens build the
+    two count tables (≤ `buckets` rows each); their join is the model —
+    a ≤1024-row broadcast. Scoring is then a broadcast hash join on the
+    bucket id plus one map-combined per-doc sum: one effective pass over
+    the corpus, no big shuffle. The global top-n window is a single-task
+    sort over one row per doc at test scale; at 100 TB replace it with a
+    weight-threshold selected via approx quantiles (same output
+    contract)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tok = df.select(
+        F.col(id_col),
+        target_pred(df).alias("_is_tgt"),
+        F.explode(toks).alias("_term"),
+    ).withColumn(
+        "_b",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_term")), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+    raw = tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt = tok.filter(F.col("_is_tgt")).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    n_raw = tok.groupBy().agg(F.count(F.lit(1)).alias("_nr"))
+    n_tgt = tok.filter(F.col("_is_tgt")).groupBy().agg(F.count(F.lit(1)).alias("_nt"))
+    model = (
+        raw.join(tgt, "_b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_nt") + buckets))
+                    - F.log((F.col("_cr") + 1) / (F.col("_nr") + buckets))
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("_lrq"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(model), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lrq").alias("weight_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("weight_q"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            "weight_q",
+            F.expr("(weight_q * 1000) div n_tokens").alias("avg_weight_micro"),
+            (F.col("_rk") <= top_n).alias("sampled"),
+        )
+    )

@@ -661,3 +661,81 @@ def normalize_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, r"://www\.", "://")
     u = F.regexp_replace(u, r"(utm_[a-z]+|ref)=[^&]*&?", "")
     return F.regexp_replace(u, r"[?&]+$", "")
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Distribution drift per group: Jensen-Shannon divergence between
+    each group's hashed-unigram token distribution and the whole
+    corpus's — the mixture-weighting / domain-shift diagnostic a corpus
+    curator reads before setting sampling ratios (a source whose JS is
+    near 0 adds nothing new; a high-JS source shifts the mix). JS (not
+    KL) because it is symmetric, bounded by ln 2, and defined even where
+    a group is missing tokens the corpus has.
+
+    Token distributions are over `buckets` hashed unigram buckets (the
+    DSIR feature space): the comparison is O(groups × buckets) whatever
+    the vocabulary size — the property that makes this computable at
+    100 TB, where a raw-vocab JS would join every group against a
+    billion-term dictionary.
+
+    Returns (group, n_tokens, js_q, js) with js_q the divergence in
+    1/`scale` units (nats).
+
+    Exactness bridge: each (group, bucket) contribution
+    0.5·[p·ln(p/m) + q·ln(q/m)] is computed from integer counts (the
+    doubles p, q, m are exact-rational-derived, identical in both
+    engines) and quantized to an integer immediately, so the per-group
+    sum is exact integer addition — order-free, oracle-reproducible.
+
+    Plan: one map-combined aggregate to (group, bucket) counts (≤
+    groups×buckets rows), one to bucket totals (≤ buckets rows,
+    broadcast), the group×bucket frame is built by joining the dense
+    bucket list (broadcast) so zero-count buckets contribute q·ln 2
+    correctly, then one map-combined sum per group. No corpus-sized
+    shuffle anywhere — the exchanges carry count tables only."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tok = df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_term")).withColumn(
+        "_b",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_term")), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+    gb = tok.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    bt = tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    gt = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_ng"))
+    n_all = tok.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    # dense (group × corpus-bucket) frame: absent cells have p = 0 but a
+    # real q — they still contribute 0.5·q·ln 2 to the divergence
+    frame = gt.crossJoin(F.broadcast(bt)).crossJoin(F.broadcast(n_all))
+    cells = frame.join(gb, ["_g", "_b"], "left").select(
+        "_g",
+        "_ng",
+        (F.coalesce(F.col("_c"), F.lit(0)) / F.col("_ng")).alias("_p"),
+        (F.col("_cb") / F.col("_n")).alias("_q"),
+    )
+    m = (F.col("_p") + F.col("_q")) / 2
+    contrib = (
+        F.when(F.col("_p") > 0, F.col("_p") * F.log(F.col("_p") / m)).otherwise(F.lit(0.0))
+        + F.col("_q") * F.log(F.col("_q") / m)
+    ) / 2
+    return (
+        cells.select("_g", "_ng", F.round(contrib * scale, 0).cast("long").alias("_jq"))
+        .groupBy("_g", "_ng")
+        .agg(F.sum("_jq").alias("js_q"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_ng").cast("long").alias("n_tokens"),
+            "js_q",
+            F.round(F.col("js_q") / F.lit(float(scale)), 9).alias("js"),
+        )
+    )

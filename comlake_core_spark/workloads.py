@@ -6627,7 +6627,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + 5 r4-green family sentinels + the 16 NEW r5
+#          vocab string) + 2 r4-green family sentinels + the 19 NEW r5
 #          workloads (never-seen by definition; the late-r5 additions
 #          displaced 3 of the 8 r4-green sentinels, which keep their r4
 #          evidence).  Closes the registry: every workload
@@ -6676,9 +6676,7 @@ DRIVER_WINDOW: list[str] = [
     # -- r4-green family sentinels filling the remaining slots --
     "catalog_find_real",
     "server_find_real",
-    "semantic_dedup_embeddings",
-    "leakage_safe_split_docs",
-    "ann_recall_at_k",
+
     # -- new in r5 (must be in the window: never driver-seen by definition) --
     "events_ewma_decay",
     "quality_gopher_rules",
@@ -6691,6 +6689,9 @@ DRIVER_WINDOW: list[str] = [
     "quality_lr_logit",
     "dedup_graph_bfs_depth",
     "embedding_knn_graph",
+    "dedup_common_spans",
+    "dsir_importance_resampling",
+    "source_token_js",
 ]
 
 
@@ -7783,3 +7784,165 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return mutual_knn_graph(emb, k=4)
+
+
+@workload(
+    "dedup_common_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens FROM toks
+    ), grams AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(t[CAST(u.i+1 AS BIGINT):CAST(u.i+10 AS BIGINT)], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(len(t) - 10 + 1)) AS i) u
+      WHERE len(t) >= 10
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ), cov AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL THEN 10
+                  ELSE least(10, pos - lag(pos) OVER w) END AS inc
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(inc) AS covered FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+           COALESCE(a.covered, 0) * 2 >= b.n_tokens AS mostly_dup
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup",
+    "text",
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span accounting (Lee et al. 2022):
+    per document, how many token positions sit inside a 10-token span
+    that also appears in another document — the sub-document duplication
+    signal that motivates span cutting over document dropping.  Interval-
+    union coverage is exact integer arithmetic over sorted span starts;
+    see operators/dedup.common_span_coverage for the plan shape (map-side
+    sliding-window explode, one distinct-owner shuffle on the span text,
+    one join back, per-doc window)."""
+    from comlake_core_spark.operators.dedup import common_span_coverage
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return common_span_coverage(ensure_parallelism(docs), span=10, min_docs=2)
+
+
+@workload(
+    "dsir_importance_resampling",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, is_tgt,
+             CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024 AS b
+      FROM tok WHERE term <> ''
+    ), raw AS (
+      SELECT b, COUNT(*) AS cr FROM tok2 GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*) AS ct FROM tok2 WHERE is_tgt GROUP BY b
+    ), nr AS (SELECT COUNT(*) AS n FROM tok2),
+    nt AS (SELECT COUNT(*) AS n FROM tok2 WHERE is_tgt),
+    model AS (
+      SELECT raw.b,
+             CAST(round((ln((COALESCE(tgt.ct, 0) + 1) / (nt.n + 1024))
+                         - ln((raw.cr + 1) / (nr.n + 1024))) * 1000000000.0, 0)
+                  AS BIGINT) AS lrq
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt
+    ), scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(lrq) AS wq
+      FROM tok2 JOIN model ON tok2.b = model.b GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(wq AS BIGINT) AS weight_q,
+           CAST((wq * 1000) // n_tokens AS BIGINT) AS avg_weight_micro,
+           row_number() OVER (ORDER BY wq DESC, doc_id) <= 100 AS sampled
+    FROM scored
+    """,
+    "sampling",
+    "text",
+    "model",
+)
+def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., NeurIPS 2023): rank every document by the log
+    importance ratio of two hashed-unigram LMs — target distribution =
+    the corpus's English documents, raw = everything — and mark the
+    global top-100 as the resampled set.  The standard label-free
+    data-selection stage of a pretraining pipeline.  Per-bucket log
+    ratios are quantized to integers once, so document weights are exact
+    integer sums (operators/sampling.dsir_weights: two count aggregates,
+    a ≤1024-row broadcast model join, one per-doc sum)."""
+    from comlake_core_spark.operators.sampling import dsir_weights
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        ensure_parallelism(docs), lambda d: d["lang"] == "en", top_n=100
+    )
+
+
+@workload(
+    "source_token_js",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT source,
+             CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024 AS b
+      FROM tok WHERE term <> ''
+    ), gb AS (
+      SELECT source, b, COUNT(*) AS c FROM tok2 GROUP BY source, b
+    ), bt AS (
+      SELECT b, COUNT(*) AS cb FROM tok2 GROUP BY b
+    ), gt AS (
+      SELECT source, COUNT(*) AS ng FROM tok2 GROUP BY source
+    ), na AS (SELECT COUNT(*) AS n FROM tok2),
+    cells AS (
+      SELECT gt.source, gt.ng,
+             COALESCE(gb.c, 0) / gt.ng AS p,
+             bt.cb / na.n AS q
+      FROM gt CROSS JOIN bt CROSS JOIN na
+      LEFT JOIN gb ON gb.source = gt.source AND gb.b = bt.b
+    ), jq AS (
+      SELECT source, ng,
+             CAST(round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                         + q * ln(q / ((p + q) / 2))) / 2 * 1000000000000.0, 0)
+                  AS BIGINT) AS jqv
+      FROM cells
+    )
+    SELECT source,
+           CAST(ng AS BIGINT) AS n_tokens,
+           CAST(SUM(jqv) AS BIGINT) AS js_q,
+           round(SUM(jqv) / 1000000000000.0, 9) AS js
+    FROM jq GROUP BY source, ng
+    """,
+    "text",
+    "stats",
+)
+def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: Jensen-Shannon divergence between
+    each source's hashed-unigram token distribution and the corpus's —
+    the domain-shift diagnostic that informs mixture weights.  O(sources
+    × 1024 buckets) regardless of vocabulary size; per-cell
+    contributions are quantized to integers before the per-source sum
+    (operators/text.js_divergence_by_group)."""
+    from comlake_core_spark.operators.text import js_divergence_by_group
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return js_divergence_by_group(ensure_parallelism(docs))
