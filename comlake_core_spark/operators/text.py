@@ -739,3 +739,85 @@ def js_divergence_by_group(
             F.round(F.col("js_q") / F.lit(float(scale)), 9).alias("js"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016, the
+    algorithm behind GPT/Llama vocabularies): learn the first `merges`
+    merge rules from the corpus — repeatedly count adjacent symbol pairs
+    over the word-frequency table and fuse the most frequent pair.
+    Returns one row per learned merge: (merge_rank, pair, new_symbol,
+    pair_count), the head of the merges.txt a real tokenizer ships.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: after
+    ONE corpus pass builds the word-frequency table, every merge round
+    runs over the DISTINCT-WORD dictionary (vocabulary-sized, millions
+    of rows, weighted by count), not the corpus. Rounds are: map-side
+    pair explode over the dictionary → one map-combined count shuffle →
+    a 1-row argmax broadcast → map-side string replace. The dictionary
+    is localCheckpoint'd so round k does not re-run rounds 1..k-1's
+    replaces from the corpus scan.
+
+    Determinism: counts are integers; the argmax tie-breaks on the pair
+    string (binary collation in both engines); the merge rewrite is
+    plain left-to-right non-overlapping replace() of the space-delimited
+    symbol sequence (' a b ' → ' ab ') — byte-identical semantics in
+    Spark and DuckDB, pinned by test. Greedy leftmost application on
+    repeats (e.g. 'b b b' → 'bb b') is exactly reference BPE's behavior."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # "t e s t </w>": one space-delimited symbol per character + end marker
+    seq0 = F.concat(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" " + end_marker),
+    )
+    cur = words.select(seq0.alias("seq"), "cnt").localCheckpoint(eager=False)
+    out = None
+    for rank in range(1, merges + 1):
+        arr = F.split(F.col("seq"), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat(
+                F.element_at(arr, i + 1), F.lit(" "), F.element_at(arr, i + 2)
+            ),
+        )
+        counted = (
+            cur.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = counted.orderBy(F.desc("total"), F.asc("pair")).limit(1)
+        row = best.select(
+            F.lit(rank).cast("long").alias("merge_rank"),
+            "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("new_symbol"),
+            F.col("total").cast("long").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+        if rank < merges:
+            cur = cur.crossJoin(F.broadcast(best)).select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                            F.lit(" "),
+                        ),
+                    )
+                ).alias("seq"),
+                "cnt",
+            ).localCheckpoint(eager=False)
+    return out

@@ -6627,7 +6627,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + 2 r4-green family sentinels + the 19 NEW r5
+#          vocab string) + the 21 NEW r5
 #          workloads (never-seen by definition; the late-r5 additions
 #          displaced 3 of the 8 r4-green sentinels, which keep their r4
 #          evidence).  Closes the registry: every workload
@@ -6673,9 +6673,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_graph_triangles",
     "analyze_orders_profile",
     "ols_trend_by_nation",
-    # -- r4-green family sentinels filling the remaining slots --
-    "catalog_find_real",
-    "server_find_real",
 
     # -- new in r5 (must be in the window: never driver-seen by definition) --
     "events_ewma_decay",
@@ -6692,6 +6689,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_common_spans",
     "dsir_importance_resampling",
     "source_token_js",
+    "bpe_train_merges",
+    "embedding_pca_power",
 ]
 
 
@@ -7946,3 +7945,130 @@ def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return js_divergence_by_group(ensure_parallelism(docs))
+
+
+@workload(
+    "bpe_train_merges",
+    r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS seq, cnt
+      FROM words
+    ),
+    p1 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w0),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
+    w1 AS (
+      SELECT trim(replace(' ' || seq || ' ', ' ' || b1.pair || ' ',
+                          ' ' || replace(b1.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w0 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w1),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT trim(replace(' ' || seq || ' ', ' ' || b2.pair || ' ',
+                          ' ' || replace(b2.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w1 CROSS JOIN b2
+    ),
+    p3 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w2),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS merge_rank, pair,
+           replace(pair, ' ', '') AS new_symbol, CAST(total AS BIGINT) AS pair_count
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), CAST(total AS BIGINT) FROM b2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), CAST(total AS BIGINT) FROM b3
+    """,
+    "text",
+    "tokenizer",
+    "iterative",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the lake: the first 3 BPE merge rules
+    learned from the documents corpus (Sennrich et al. 2016 — the
+    algorithm behind GPT/Llama vocabularies), as (merge_rank, pair,
+    new_symbol, pair_count) rows.  After one corpus pass builds the
+    word-frequency table, every round runs over the vocabulary-sized
+    dictionary: pair explode → map-combined count → 1-row argmax
+    broadcast → map-side replace (operators/text.bpe_merges; the
+    space-delimited replace semantics are pinned identical across
+    engines by test)."""
+    from comlake_core_spark.operators.text import bpe_merges
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_merges(ensure_parallelism(docs), merges=3)
+
+
+@workload(
+    "embedding_pca_power",
+    r"""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    vq AS (
+      SELECT vec_id AS id, CAST(u.i AS BIGINT) AS i,
+             CAST(round(CAST(embedding AS DOUBLE[])[CAST(u.i AS INT)] * 10000, 0) AS BIGINT) AS q
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    s AS (SELECT i, SUM(q) AS si FROM vq GROUP BY i),
+    c AS (
+      SELECT id, vq.i, (n.cnt * q - s.si) AS cv
+      FROM vq JOIN s USING (i) CROSS JOIN n
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(a.cv * b.cv) // 10000000000 AS BIGINT) AS gv
+      FROM c a JOIN c b USING (id) GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(1000000 AS BIGINT) AS v),
+    s1 AS (SELECT g.i, SUM(g.gv * v0.v) AS sv FROM g JOIN v0 ON g.j = v0.j GROUP BY g.i),
+    m1 AS (SELECT MAX(ABS(sv)) AS m FROM s1),
+    v1 AS (SELECT i AS j, CAST(sv // ((m1.m // 1000000) + 1) AS BIGINT) AS v
+           FROM s1 CROSS JOIN m1),
+    s2 AS (SELECT g.i, SUM(g.gv * v1.v) AS sv FROM g JOIN v1 ON g.j = v1.j GROUP BY g.i),
+    m2 AS (SELECT MAX(ABS(sv)) AS m FROM s2),
+    v2 AS (SELECT i AS j, CAST(sv // ((m2.m // 1000000) + 1) AS BIGINT) AS v
+           FROM s2 CROSS JOIN m2),
+    s3 AS (SELECT g.i, SUM(g.gv * v2.v) AS sv FROM g JOIN v2 ON g.j = v2.j GROUP BY g.i),
+    m3 AS (SELECT MAX(ABS(sv)) AS m FROM s3),
+    v3 AS (SELECT i AS j, CAST(sv // ((m3.m // 1000000) + 1) AS BIGINT) AS v
+           FROM s3 CROSS JOIN m3)
+    SELECT j AS dim, v AS v_q, round(v / 1000000.0, 6) AS loading FROM v3
+    """,
+    "similarity",
+    "linalg",
+    "iterative",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA under a full value-hash oracle: the dominant
+    principal component of the centered embedding matrix by 3 rounds of
+    integer fixed-point power iteration over an exact integer Gram
+    matrix — the pagerank discipline applied to linear algebra (float
+    PCA cannot be oracle-checked; this is bit-identical in both
+    engines).  One self-join builds the d×d Gram matrix; each round is
+    then a broadcast-sized matrix-vector product
+    (operators/similarity.pca_power_iteration)."""
+    from comlake_core_spark.operators.similarity import pca_power_iteration
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, iterations=3)
