@@ -763,12 +763,19 @@ def bpe_merges(
     is localCheckpoint'd so round k does not re-run rounds 1..k-1's
     replaces from the corpus scan.
 
+    Symbol sequences are DOUBLE-space delimited and the merge rewrite
+    matches ' s1  s2 ' (single boundary space each side): adjacent
+    occurrences then never share matched characters, so plain
+    left-to-right non-overlapping replace() merges EVERY eligible pair
+    in one pass, greedy-leftmost on self-overlapping runs ('b b b' →
+    'bb b') — exactly reference BPE. With single-space delimiters the
+    second of two adjacent matches loses its leading space to the first
+    match and is silently skipped (caught by test: 'ababab' must become
+    'ab ab ab', not 'ab a b ab').
+
     Determinism: counts are integers; the argmax tie-breaks on the pair
-    string (binary collation in both engines); the merge rewrite is
-    plain left-to-right non-overlapping replace() of the space-delimited
-    symbol sequence (' a b ' → ' ab ') — byte-identical semantics in
-    Spark and DuckDB, pinned by test. Greedy leftmost application on
-    repeats (e.g. 'b b b' → 'bb b') is exactly reference BPE's behavior."""
+    string (binary collation in both engines); replace() scan order is
+    byte-identical in Spark and DuckDB, pinned by test."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
@@ -777,15 +784,15 @@ def bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # "t e s t </w>": one space-delimited symbol per character + end marker
+    # "t  e  s  t  </w>": double-space-delimited symbols + end marker
     seq0 = F.concat(
-        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
-        F.lit(" " + end_marker),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+        F.lit("  " + end_marker),
     )
     cur = words.select(seq0.alias("seq"), "cnt").localCheckpoint(eager=False)
     out = None
     for rank in range(1, merges + 1):
-        arr = F.split(F.col("seq"), " ")
+        arr = F.split(F.col("seq"), "  ")
         pairs = F.transform(
             F.sequence(F.lit(0), F.size(arr) - 2),
             lambda i: F.concat(
@@ -806,11 +813,18 @@ def bpe_merges(
         )
         out = row if out is None else out.unionByName(row)
         if rank < merges:
+            # pattern ' s1  s2 ' → ' s1s2 ': boundary spaces are shared
+            # with neighbors' delimiters, interior double space is the
+            # pair's own — adjacent matches stay disjoint
             cur = cur.crossJoin(F.broadcast(best)).select(
                 F.trim(
                     F.replace(
                         F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
                         F.concat(
                             F.lit(" "),
                             F.replace(F.col("pair"), F.lit(" "), F.lit("")),

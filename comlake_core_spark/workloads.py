@@ -7957,36 +7957,36 @@ def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE word <> '' GROUP BY word
     ),
     w0 AS (
-      SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS seq, cnt
+      SELECT trim(regexp_replace(word, '(.)', '\1  ', 'g')) || '  </w>' AS seq, cnt
       FROM words
     ),
     p1 AS (
       SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
-      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w0),
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w0),
            LATERAL (SELECT unnest(range(1, len(s))) AS i) u
       GROUP BY 1
     ),
     b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
     w1 AS (
-      SELECT trim(replace(' ' || seq || ' ', ' ' || b1.pair || ' ',
+      SELECT trim(replace(' ' || seq || ' ', ' ' || replace(b1.pair, ' ', '  ') || ' ',
                           ' ' || replace(b1.pair, ' ', '') || ' ')) AS seq, cnt
       FROM w0 CROSS JOIN b1
     ),
     p2 AS (
       SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
-      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w1),
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w1),
            LATERAL (SELECT unnest(range(1, len(s))) AS i) u
       GROUP BY 1
     ),
     b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
     w2 AS (
-      SELECT trim(replace(' ' || seq || ' ', ' ' || b2.pair || ' ',
+      SELECT trim(replace(' ' || seq || ' ', ' ' || replace(b2.pair, ' ', '  ') || ' ',
                           ' ' || replace(b2.pair, ' ', '') || ' ')) AS seq, cnt
       FROM w1 CROSS JOIN b2
     ),
     p3 AS (
       SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
-      FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w2),
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w2),
            LATERAL (SELECT unnest(range(1, len(s))) AS i) u
       GROUP BY 1
     ),

@@ -1,0 +1,246 @@
+"""Behavioral tests for the late-r5 LLM-pipeline operators (LR quality
+logit, BFS contamination radius, mutual-kNN graph, ExactSubstr span
+coverage, DSIR, JS drift, BPE training, power-iteration PCA).
+
+The driver-contract mirror (test_driver_contract.py) proves Spark ≡
+DuckDB on the real tables; these tests pin the SEMANTICS on small
+planted inputs where the right answer is known by construction — the
+property the oracle alone can't state (both engines could agree on a
+wrong algorithm).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learns_most_frequent_pair_and_reuses_merged_symbol(spark):
+    from comlake_core_spark.operators.text import bpe_merges
+
+    # "ababab" x3 docs: pair (a, b) dominates; after merging 'a b'→'ab',
+    # the next round must count pairs over the MERGED symbols ('ab ab').
+    df = docs_df(spark, [(1, "ababab ababab"), (2, "ababab"), (3, "xy")])
+    out = {r["merge_rank"]: r for r in bpe_merges(df, merges=2).collect()}
+    assert out[1]["pair"] == "a b"
+    assert out[1]["new_symbol"] == "ab"
+    # 3 occurrences per "ababab" word-instance... counts are over the
+    # word-frequency table: word "ababab" has cnt 3, pairs (a,b) x3 per
+    # word = 9; (b,a) x2 per word = 6.
+    assert out[1]["pair_count"] == 9
+    assert out[2]["pair"] == "ab ab"  # learned from merged symbols
+    assert out[2]["new_symbol"] == "abab"
+
+
+def test_bpe_greedy_leftmost_on_repeats(spark):
+    from comlake_core_spark.operators.text import bpe_merges
+
+    # word "bbb": symbols b b b </w>; merging 'b b' greedy-LEFTMOST gives
+    # (bb, b), so round 2 counts {bb b: 5, b </w>: 5} — the tie-break
+    # (pair ASC) picks 'b </w>', and round 3 must then see 'bb b</w>'.
+    # A right-greedy merge would instead produce (b, bb) → round 2 would
+    # pick 'b bb' and round 3 would see 'bbb </w>'.
+    df = docs_df(spark, [(i, "bbb") for i in range(5)])
+    out = {r["merge_rank"]: r["pair"] for r in bpe_merges(df, merges=3).collect()}
+    assert out[1] == "b b"
+    assert out[2] == "b </w>"
+    assert out[3] == "bb b</w>"
+
+
+# ---------------------------------------------------------------------------
+# BFS depth
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_depth_min_hops_and_horizon(spark):
+    from comlake_core_spark.operators.dedup import bfs_depth
+
+    # path graph 0-1-2-3-4-5, seed = node 0: depths 0,1,2,3; nodes 4,5
+    # beyond the 3-hop horizon are absent.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(pairs, lambda n: n == 0, iterations=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_depth_multi_source_takes_min(spark):
+    from comlake_core_spark.operators.dedup import bfs_depth
+
+    # seeds 0 and 4 on the same path: node 2 is 2 hops from both, node 3
+    # is 1 hop from seed 4 (not 3 hops from seed 0).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(pairs, lambda n: n % 4 == 0, iterations=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# span coverage
+# ---------------------------------------------------------------------------
+
+
+def test_common_span_coverage_interval_union(spark):
+    from comlake_core_spark.operators.dedup import common_span_coverage
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    a = shared + " unique_a_tail_1 unique_a_tail_2"
+    b = "lead_b " + shared
+    df = docs_df(spark, [(1, a), (2, b), (3, "totally different words here")])
+    got = {r["doc_id"]: r for r in common_span_coverage(df, span=10).collect()}
+    # doc 1: dup 10-gram starts at positions 0,1,2 → union covers 12 tokens
+    assert got[1]["n_dup_spans"] == 3
+    assert got[1]["covered_tokens"] == 12
+    assert got[1]["n_tokens"] == 14
+    assert bool(got[1]["mostly_dup"]) is True
+    # doc 2: same 3 spans shifted by the lead token
+    assert got[2]["covered_tokens"] == 12
+    # doc 3: no 10-gram shared with any other doc
+    assert got[3]["n_dup_spans"] == 0
+    assert got[3]["covered_tokens"] == 0
+
+
+def test_common_span_short_docs_have_no_spans(spark):
+    from comlake_core_spark.operators.dedup import common_span_coverage
+
+    df = docs_df(spark, [(1, "a b c"), (2, "a b c")])
+    got = {r["doc_id"]: r for r in common_span_coverage(df, span=10).collect()}
+    assert got[1]["n_dup_spans"] == 0 and got[2]["n_dup_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# mutual kNN
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_knn_graph_prunes_asymmetric_edges(spark):
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    # two tight clusters of 3 + one far outlier; with k=2, edges stay
+    # intra-cluster and the outlier's asymmetric edges are pruned.
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.99, 0.1, 0.0]), (2, [0.98, 0.05, 0.05]),
+        (3, [0.0, 1.0, 0.0]), (4, [0.1, 0.99, 0.0]), (5, [0.05, 0.98, 0.05]),
+        (6, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    edges = mutual_knn_graph(emb, k=2).collect()
+    clusters = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    for e in edges:
+        assert e["id_a"] in clusters and e["id_b"] in clusters, "outlier kept an edge"
+        assert clusters[e["id_a"]] == clusters[e["id_b"]], "cross-cluster edge"
+        assert e["id_a"] < e["id_b"]
+        assert 1 <= e["rank_ab"] <= 2 and 1 <= e["rank_ba"] <= 2
+    assert len(edges) >= 4  # both triangles are mutually connected
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    from comlake_core_spark.operators.sampling import dsir_weights
+
+    tgt_text = "alpha beta gamma delta"
+    raw_text = "zig zag zug zeg"
+    rows = (
+        [(i, tgt_text, "en") for i in range(10)]
+        + [(100 + i, raw_text, "zz") for i in range(10)]
+        + [(200, "alpha beta zig zag", "zz")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_weights(df, lambda d: d["lang"] == "en", top_n=11).collect()
+    w = {r["doc_id"]: r["weight_q"] for r in out}
+    sampled = {r["doc_id"] for r in out if r["sampled"]}
+    # pure-target docs outrank the mixed doc, which outranks pure-raw docs
+    assert w[0] > w[200] > w[100]
+    assert sampled == set(range(10)) | {200}
+    # weights are integer sums: equal text ⇒ equal weight exactly
+    assert len({w[i] for i in range(10)}) == 1
+
+
+# ---------------------------------------------------------------------------
+# JS drift
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_bounds_and_ordering(spark):
+    from comlake_core_spark.operators.text import js_divergence_by_group
+
+    same = "the quick brown fox jumps over the lazy dog"
+    rows = (
+        [(i, same, "mirror") for i in range(20)]
+        + [(100 + i, same, "corpusish") for i in range(20)]
+        + [(200 + i, "完全 不同 的 词汇 分布 漂移", "shifted") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in js_divergence_by_group(df).collect()}
+    for r in out.values():
+        assert 0 <= r["js"] <= math.log(2) + 1e-9
+    # the shifted source diverges more than the two that share the
+    # majority distribution
+    assert out["shifted"]["js"] > out["mirror"]["js"]
+    assert out["shifted"]["js"] > out["corpusish"]["js"]
+
+
+# ---------------------------------------------------------------------------
+# LR quality logit
+# ---------------------------------------------------------------------------
+
+
+def test_lr_logit_integer_and_additive(spark):
+    from comlake_core_spark.operators.quality import lr_quality_logit
+
+    df = docs_df(spark, [(1, "alpha beta"), (2, "alpha beta alpha beta"), (3, "")])
+    got = {r["doc_id"]: r for r in lr_quality_logit(df).collect()}
+    # doubling the tokens exactly doubles the integer logit
+    assert got[2]["logit_q"] == 2 * got[1]["logit_q"]
+    assert got[2]["n_tokens"] == 4
+    assert bool(got[1]["admit"]) == (got[1]["logit_q"] > 0)
+    # empty text tokenizes to zero features → absent from the output
+    assert 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_matches_numpy_direction(spark):
+    np = pytest.importorskip("numpy")
+    from comlake_core_spark.operators.similarity import pca_power_iteration
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: dominant axis along (1, 1, 0, ..., 0)/sqrt(2)
+    base = rng.normal(0, 0.05, (200, 8))
+    t = rng.normal(0, 1.0, 200)
+    base[:, 0] += t
+    base[:, 1] += t
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_power_iteration(emb, iterations=8).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    v = v / np.linalg.norm(v)
+    x = base - base.mean(axis=0)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    top = vt[0]
+    assert abs(float(np.dot(v, top))) > 0.99
