@@ -1229,8 +1229,13 @@ def common_span_coverage(
         )
     )
     base = df.select(F.col(id_col), n.cast("long").alias("n_tokens"), grams.alias("_g"))
-    pos = base.select(F.col(id_col), F.explode("_g").alias("_e")).select(
-        F.col(id_col), F.col("_e.pos").alias("pos"), F.col("_e.gram").alias("gram")
+    # cut: positions feed both the distinct-owner count and the join back
+    # — without it the corpus-wide sliding-window explode runs twice
+    # (the jaccard persist-dependence lesson, VERDICT r4)
+    pos = (
+        base.select(F.col(id_col), F.explode("_g").alias("_e"))
+        .select(F.col(id_col), F.col("_e.pos").alias("pos"), F.col("_e.gram").alias("gram"))
+        .localCheckpoint(eager=False)
     )
     dup = (
         pos.groupBy("gram")

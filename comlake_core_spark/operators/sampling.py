@@ -403,27 +403,29 @@ def dsir_weights(
             F.lit(buckets),
         ),
     )
-    raw = tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-    tgt = tok.filter(F.col("_is_tgt")).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
-    n_raw = tok.groupBy().agg(F.count(F.lit(1)).alias("_nr"))
-    n_tgt = tok.filter(F.col("_is_tgt")).groupBy().agg(F.count(F.lit(1)).alias("_nt"))
-    model = (
-        raw.join(tgt, "_b", "left")
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
-        .select(
-            "_b",
-            F.round(
-                (
-                    F.log((F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_nt") + buckets))
-                    - F.log((F.col("_cr") + 1) / (F.col("_nr") + buckets))
-                )
-                * 1e9,
-                0,
+    # ONE counting pass: raw and target bucket counts as two aggregates of
+    # the same map-combined groupBy, totals derived from the <=1024-row
+    # count table — the corpus is scanned once for the model, once for
+    # scoring (a naive raw/tgt/totals split costs four corpus passes)
+    counts = tok.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            (
+                F.log((F.col("_ct") + 1) / (F.col("_nt") + buckets))
+                - F.log((F.col("_cr") + 1) / (F.col("_nr") + buckets))
             )
-            .cast("long")
-            .alias("_lrq"),
+            * 1e9,
+            0,
         )
+        .cast("long")
+        .alias("_lrq"),
     )
     scored = (
         tok.join(F.broadcast(model), "_b")

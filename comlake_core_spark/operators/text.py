@@ -710,10 +710,14 @@ def js_divergence_by_group(
             F.lit(buckets),
         ),
     )
-    gb = tok.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c"))
-    bt = tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
-    gt = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_ng"))
-    n_all = tok.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    # ONE corpus pass builds the (group, bucket) count table; bucket
+    # totals, group totals, and the grand total are all rollups of that
+    # groups×buckets-row table (a naive four-aggregate version scans the
+    # corpus four times)
+    gb = tok.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=False)
+    bt = gb.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    gt = gb.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    n_all = gb.groupBy().agg(F.sum("_c").alias("_n"))
     # dense (group × corpus-bucket) frame: absent cells have p = 0 but a
     # real q — they still contribute 0.5·q·ln 2 to the divergence
     frame = gt.crossJoin(F.broadcast(bt)).crossJoin(F.broadcast(n_all))

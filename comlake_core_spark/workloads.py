@@ -6627,11 +6627,11 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
 #   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + the 21 NEW r5
-#          workloads (never-seen by definition; the late-r5 additions
-#          displaced 3 of the 8 r4-green sentinels, which keep their r4
-#          evidence).  Closes the registry: every workload
-#          driver-verified at least once after this round.
+#          vocab string) + the 16 NEW r5 workloads (never-seen by
+#          definition; the 8 late-r5 additions displaced all 8 r4-green
+#          family sentinels, which keep their r4 evidence).  Closes the
+#          registry (182 workloads): every workload driver-verified at
+#          least once after this round.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
