@@ -797,12 +797,17 @@ def bpe_merges(
     out = None
     for rank in range(1, merges + 1):
         arr = F.split(F.col("seq"), "  ")
-        pairs = F.transform(
-            F.sequence(F.lit(0), F.size(arr) - 2),
-            lambda i: F.concat(
-                F.element_at(arr, i + 1), F.lit(" "), F.element_at(arr, i + 2)
+        # guard single-symbol sequences: sequence(0, -1) DESCENDS in Spark,
+        # which would index element_at(arr, 0) and throw
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.concat(
+                    F.element_at(arr, i + 1), F.lit(" "), F.element_at(arr, i + 2)
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         counted = (
             cur.select(F.explode(pairs).alias("pair"), "cnt")
             .groupBy("pair")

@@ -135,3 +135,182 @@ def test_mad_outliers_matches_python_reference(spark, va, vb):
         assert got[grp]["n_outliers"] == n_out
         assert got[grp]["med_value"] == pytest.approx(med2 / 2e6, abs=1e-6)
         assert got[grp]["mad_value"] == pytest.approx(mad4 / 4e6, abs=1e-6)
+
+
+# -- bfs_depth ---------------------------------------------------------------
+
+bfs_edge_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _ref_bfs(edges, seed_mod, iters):
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    depth = {n: 0 for n in adj if n % seed_mod == 0}
+    frontier = set(depth)
+    for d in range(1, iters + 1):
+        frontier = {m for n in frontier for m in adj[n] if m not in depth}
+        for m in frontier:
+            depth[m] = d
+    return depth
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(bfs_edge_strategy, st.sampled_from([2, 3]), st.sampled_from([1, 3]))
+def test_bfs_depth_matches_python_reference(spark, edges, seed_mod, iters):
+    from comlake_core_spark.operators.dedup import bfs_depth
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(pairs, lambda n: n % seed_mod == 0, iterations=iters).collect()
+    }
+    assert got == _ref_bfs(edges, seed_mod, iters)
+
+
+# -- common_span_coverage -----------------------------------------------------
+
+span_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS[:4]), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _ref_spans(docs, span):
+    import re
+
+    toks = {d: re.split(r"\s+", t.strip()) for d, t in docs}
+    grams = {
+        d: [(" ".join(ts[i : i + span]), i) for i in range(len(ts) - span + 1)]
+        if len(ts) >= span
+        else []
+        for d, ts in toks.items()
+    }
+    owners = defaultdict(set)
+    for d, gs in grams.items():
+        for g, _ in gs:
+            owners[g].add(d)
+    dup = {g for g, o in owners.items() if len(o) >= 2}
+    out = {}
+    for d, ts in toks.items():
+        hits = sorted(i for g, i in grams[d] if g in dup)
+        cov, prev = 0, None
+        for i in hits:
+            cov += span if prev is None else min(span, i - prev)
+            prev = i
+        out[d] = (len(ts), len(hits), cov, cov * 2 >= len(ts))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(span_corpus_strategy, st.sampled_from([2, 3]))
+def test_common_span_coverage_matches_python_reference(spark, texts, span):
+    from comlake_core_spark.operators.dedup import common_span_coverage
+
+    docs = list(enumerate(texts, start=1))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_dup_spans"], r["covered_tokens"], bool(r["mostly_dup"])
+        )
+        for r in common_span_coverage(df, span=span).collect()
+    }
+    assert got == _ref_spans(docs, span)
+
+
+# -- bpe_merges ---------------------------------------------------------------
+
+bpe_corpus_strategy = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=4), min_size=1, max_size=5
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _ref_bpe(texts, merges):
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                words[w] += 1
+    vocab = [[list(w) + ["</w>"], c] for w, c in words.items()]
+    out = []
+    for rank in range(1, merges + 1):
+        pc = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        for v in vocab:
+            syms, ns, i = v[0], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            v[0] = ns
+        out.append((rank, f"{a} {b}", a + b, cnt))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(bpe_corpus_strategy, st.sampled_from([1, 2, 3]))
+def test_bpe_merges_matches_python_reference(spark, texts, merges):
+    from comlake_core_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame(list(enumerate(texts, 1)), "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["pair"], r["new_symbol"], r["pair_count"])
+        for r in bpe_merges(df, merges=merges).orderBy("merge_rank").collect()
+    ]
+    assert got == _ref_bpe(texts, merges)
+
+
+# -- lr_quality_logit ----------------------------------------------------------
+
+
+def _ref_lr(texts, buckets=256, ws=1000):
+    import re
+
+    out = {}
+    for did, t in texts:
+        toks = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        if not toks:
+            continue
+        logit = 0
+        for w in toks:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % buckets
+            logit += int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % (2 * ws + 1) - ws
+        n = len(toks)
+        avg = abs(logit * 1_000_000) // n * (1 if logit >= 0 else -1)  # trunc toward 0
+        out[did] = (n, logit, avg, logit > 0)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_strategy, min_size=1, max_size=6))
+def test_lr_quality_logit_matches_python_reference(spark, texts):
+    from comlake_core_spark.operators.quality import lr_quality_logit
+
+    docs = list(enumerate(texts, start=1))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit_q"], r["avg_logit_micro"], bool(r["admit"]))
+        for r in lr_quality_logit(df).collect()
+    }
+    assert got == _ref_lr(docs)
