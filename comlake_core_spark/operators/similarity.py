@@ -700,6 +700,10 @@ def mutual_knn_graph(
     k: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidate: str = "exact",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed_hasher: str = "xxhash64",
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, filtered to
     MUTUAL edges (a is in b's top-k AND b is in a's top-k) — the standard
@@ -726,23 +730,99 @@ def mutual_knn_graph(
     IVF-bucketed candidate set (ivf_topk's layout: score only within a
     probe's buckets); the mutual-filter self-join is unchanged since the
     kNN edge list is k·N rows regardless of how candidates were found."""
-    c = ensure_parallelism(emb).select(
-        F.col(id_col).alias("_src"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
-    q = emb.select(
-        F.col(id_col).alias("_dst"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("_src") != F.col("_dst"))
-        .select(
-            "_src",
-            "_dst",
-            cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+    if candidate == "exact":
+        c = ensure_parallelism(emb).select(
+            F.col(id_col).alias("_src"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
         )
-    )
+        q = emb.select(
+            F.col(id_col).alias("_dst"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("_src") != F.col("_dst"))
+            .select(
+                "_src",
+                "_dst",
+                cosine(F.col("_cv"), F.col("_qv")).alias("cosine"),
+            )
+        )
+    elif candidate == "ivf":
+        # bucket-blocked candidate generation: src probes its n_probe
+        # nearest centroids; candidates are vectors whose HOME bucket is
+        # probed — Σ_b |home_b|·|probe_b| pairs instead of n², the shape
+        # that keeps the kNN graph linear at 100 TB (the exact variant's
+        # measured-quadratic curve is SCALING.md's one deliberate
+        # non-linear row). Codebook/assignment plumbing mirrors ivf_topk,
+        # including its self-relation alias mitigations (explode-wrapped
+        # bucket, checkpointed probe frame). With n_probe == n_centroids
+        # the candidate set is complete and the result EQUALS the exact
+        # variant — pinned by test.
+        cents_df = seeded_centroids(emb, n_centroids, vec_col, id_col, hasher=seed_hasher)
+
+        def _unit(v: list) -> list:
+            n = sum(x * x for x in v) ** 0.5 or 1.0
+            return [float(x) / n for x in v]
+
+        codebook = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+                )
+                for r in cents_df.collect()
+            ]
+        )
+
+        def _scored_vs_cents(vcol: str):
+            return F.transform(
+                codebook,
+                lambda s: F.struct(
+                    dot(F.col(vcol), s["cvec"]).alias("sim"),
+                    (-s["cid"]).alias("ncid"),
+                ),
+            )
+
+        c = ensure_parallelism(emb).select(
+            F.col(id_col).alias("_dst"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ).alias("_knn_c")
+        home = c.select(
+            "_dst",
+            "_cv",
+            F.explode(
+                F.array((-F.array_max(_scored_vs_cents("_cv"))["ncid"]).cast("int"))
+            ).alias("bucket"),
+        )
+        probe = (
+            emb.select(
+                F.col(id_col).alias("_src"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            )
+            .alias("_knn_q")
+            .select(
+                "_src",
+                "_qv",
+                F.explode(
+                    F.slice(F.reverse(F.array_sort(_scored_vs_cents("_qv"))), 1, n_probe)
+                ).alias("_s"),
+            )
+            .select("_src", "_qv", (-F.col("_s.ncid")).cast("int").alias("bucket"))
+            .localCheckpoint(eager=True)
+        )
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        # pin the fan-out stage's width: the bucket join MULTIPLIES rows,
+        # so byte-based AQE coalescing of its (small) input must not
+        # serialize the candidate scoring (the semantic_dedup lesson)
+        scored = (
+            home.repartition(par, "bucket")
+            .join(probe, "bucket")
+            .filter(F.col("_src") != F.col("_dst"))
+            .select("_src", "_dst", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+        )
+    else:
+        raise ValueError(f"unknown candidate strategy {candidate!r}")
     w = Window.partitionBy("_src").orderBy(F.desc("cosine"), F.asc("_dst"))
     knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     fwd = knn.select(

@@ -6625,20 +6625,20 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          udaf/udtf, the five `_real` integration entries, the r3
 #          capstones (semantic dedup, leakage split, ANN recall, pretrain
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
-#   r5:    FINAL rotation — 5 core sentinels + the 28 never-seen remainder
+#   r5:    FINAL rotation — 4 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + the 16 NEW r5 workloads (never-seen by
-#          definition; the 8 late-r5 additions displaced all 8 r4-green
-#          family sentinels, which keep their r4 evidence).  Closes the
-#          registry (182 workloads): every workload driver-verified at
-#          least once after this round.
+#          vocab string) + the 17 NEW r5 workloads (never-seen by
+#          definition; the 9 late-r5 additions displaced all 8 r4-green
+#          family sentinels plus the join_revenue_by_nation core pin —
+#          all keep their earlier driver evidence).  Closes the registry
+#          (183 workloads): every workload driver-verified at least once
+#          after this round.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
     # -- sentinels: one driver-green pin per major family (r1-r4 verified) --
     "qast_eq_filter",          # qast predicate compiler
     "catalog_find",            # catalog scan + broadcast join
-    "join_revenue_by_nation",  # multi-join agg
     "dedup_minhash_lsh",       # dedup family
     "streaming_hourly_events", # streaming≡batch
     # -- array_functions re-run: r4 red row was the driver canonicalizer
@@ -6691,6 +6691,7 @@ DRIVER_WINDOW: list[str] = [
     "source_token_js",
     "bpe_train_merges",
     "embedding_pca_power",
+    "embedding_knn_graph_ivf",
 ]
 
 
@@ -8072,3 +8073,68 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pca_power_iteration(emb, iterations=3)
+
+
+@workload(
+    "embedding_knn_graph_ivf",
+    r"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+      FROM (SELECT * FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ), centu AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec
+      FROM cent
+    ), home AS (
+      SELECT vec_id AS dst, cv, cid AS bucket FROM (
+        SELECT c.vec_id, c.cv, cid, row_number() OVER (
+          PARTITION BY c.vec_id
+          ORDER BY list_dot_product(c.cv, cvec) DESC, cid ASC) AS rn
+        FROM c CROSS JOIN centu
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS src, cv AS qv, cid AS bucket FROM (
+        SELECT c.vec_id, c.cv, cid, row_number() OVER (
+          PARTITION BY c.vec_id
+          ORDER BY list_dot_product(c.cv, cvec) DESC, cid ASC) AS rn
+        FROM c CROSS JOIN centu
+      ) WHERE rn <= 8
+    ), scored AS (
+      SELECT src, dst,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM home JOIN probe USING (bucket) WHERE src <> dst
+    ), knn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+      FROM scored
+    ), kk AS (SELECT * FROM knn WHERE rn <= 4)
+    SELECT id_a, id_b, cosine, rank_ab, rank_ba FROM
+      (SELECT src AS id_a, dst AS id_b, cosine, CAST(rn AS BIGINT) AS rank_ab
+       FROM kk WHERE src < dst) f
+      JOIN
+      (SELECT dst AS id_a, src AS id_b, CAST(rn AS BIGINT) AS rank_ba
+       FROM kk WHERE dst < src) r
+      USING (id_a, id_b)
+    """,
+    "similarity",
+    "graph",
+    "ann",
+)
+def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph's 100 TB path made concrete: mutual-kNN edges from
+    IVF-bucketed candidates (each vector probes its 8 nearest of 16
+    seeded centroids; candidates are vectors home-assigned to a probed
+    bucket) — Σ_b |home_b|·|probe_b| candidate pairs instead of n².
+    The approximation is DETERMINISTIC and the oracle replicates it
+    exactly (md5-seeded centroids, same tie-breaks), so this is a full
+    value-hash row, not a weaker recall bound; with n_probe=n_centroids
+    the result equals embedding_knn_graph bit-for-bit (pinned by test).
+    See operators/similarity.mutual_knn_graph(candidate='ivf')."""
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_graph(
+        emb, k=4, candidate="ivf", n_centroids=16, n_probe=8, seed_hasher="md5"
+    )

@@ -138,11 +138,30 @@ def _ivfpq_refined(spark, sf_dir):
     )
 
 
+def _knn_ivf_scaled_buckets(spark, sf_dir):
+    # the IVF kNN graph's true scale regime: centroid count grows with the
+    # corpus (constant bucket size), probe count stays fixed — candidates
+    # per node are then constant and the graph build is linear.  A FIXED
+    # centroid count only divides the n² candidate set by
+    # n_centroids/n_probe (the registered workload's test-scale shape).
+    import re
+
+    m = re.search(r"x(\d+)/?$", sf_dir)
+    factor = int(m.group(1)) if m else 1
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    return mutual_knn_graph(
+        emb, k=4, candidate="ivf", n_centroids=16 * factor, n_probe=8
+    )
+
+
 CUSTOM_OPS = {
     "jaccard_topk_shuffle_strategy": _jaccard_variant(False),
     "jaccard_topk_auto_strategy": _jaccard_variant("auto"),
     "semantic_dedup_forced_recluster": _semantic_dedup_reclustered,
     "ann_ivfpq_refined_codebook": _ivfpq_refined,
+    "knn_graph_ivf_scaled_buckets": _knn_ivf_scaled_buckets,
 }
 
 

@@ -244,3 +244,51 @@ def test_pca_power_matches_numpy_direction(spark):
     _, _, vt = np.linalg.svd(x, full_matrices=False)
     top = vt[0]
     assert abs(float(np.dot(v, top))) > 0.99
+
+
+def test_mutual_knn_ivf_full_probe_equals_exact(spark):
+    import random
+
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = sorted(tuple(r) for r in mutual_knn_graph(emb, k=3).collect())
+    full = sorted(
+        tuple(r)
+        for r in mutual_knn_graph(
+            emb, k=3, candidate="ivf", n_centroids=8, n_probe=8, seed_hasher="md5"
+        ).collect()
+    )
+    # probing every bucket makes the candidate set complete: the
+    # approximate path must reproduce the exact graph bit-for-bit
+    assert exact == full
+
+
+def test_mutual_knn_ivf_partial_probe_is_exact_subset_with_exact_scores(spark):
+    import random
+
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in mutual_knn_graph(emb, k=3).collect()
+    }
+    ivf = mutual_knn_graph(
+        emb, k=3, candidate="ivf", n_centroids=8, n_probe=4, seed_hasher="md5"
+    ).collect()
+    assert len(ivf) > 0
+    hits = 0
+    for e in ivf:
+        key = (e["id_a"], e["id_b"])
+        if key in exact:
+            hits += 1
+            # an edge both graphs keep carries the identical cosine
+            assert e["cosine"] == exact[key]
+    # pruning can promote non-exact-kNN edges into the top-k, but the
+    # majority of kept edges should be true exact-graph edges
+    assert hits / len(ivf) > 0.5
