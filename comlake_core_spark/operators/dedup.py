@@ -1190,6 +1190,7 @@ def common_span_coverage(
     id_col: str = "doc_id",
     span: int = 10,
     min_docs: int = 2,
+    key: str = "text",
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span accounting (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): a span
@@ -1214,18 +1215,29 @@ def common_span_coverage(
     volume is O(total token positions) — the suffix-array original is
     O(n log n) single-machine; this banded form is the standard
     distributed approximation (span granularity = the window stride).
-    At 100 TB, hash the span text to a 64-bit fingerprint before the
-    shuffle (xxhash64) so the exchange carries 8-byte keys, not strings
-    — kept as raw text here for the oracle's benefit."""
+    At 100 TB pass key='xxhash64': the span text is hashed to a 64-bit
+    fingerprint BEFORE the exchange, so the shuffle carries 8-byte keys
+    instead of ~60-byte strings (same candidate semantics up to hash
+    collisions, ~n²/2⁶⁴ expected false dup positions — negligible
+    against the span threshold). key='text' keeps raw span text so the
+    DuckDB oracle can replicate the computation exactly; both modes are
+    pinned result-identical on the test corpora."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     starts = F.when(
         n >= span, F.sequence(F.lit(0), n - span)
     ).otherwise(F.array().cast("array<int>"))
+    gram_text = lambda i: F.array_join(F.slice(toks, i + 1, span), " ")  # noqa: E731
+    if key == "text":
+        gram_key = gram_text
+    elif key == "xxhash64":
+        gram_key = lambda i: F.xxhash64(gram_text(i))  # noqa: E731
+    else:
+        raise ValueError(f"unknown span key mode {key!r}")
     grams = F.transform(
         starts, lambda i: F.struct(
             i.cast("long").alias("pos"),
-            F.array_join(F.slice(toks, i + 1, span), " ").alias("gram"),
+            gram_key(i).alias("gram"),
         )
     )
     base = df.select(F.col(id_col), n.cast("long").alias("n_tokens"), grams.alias("_g"))

@@ -292,3 +292,18 @@ def test_mutual_knn_ivf_partial_probe_is_exact_subset_with_exact_scores(spark):
     # pruning can promote non-exact-kNN edges into the top-k, but the
     # majority of kept edges should be true exact-graph edges
     assert hits / len(ivf) > 0.5
+
+
+def test_common_span_fingerprint_mode_matches_text_mode(spark, t):
+    from comlake_core_spark.operators.dedup import common_span_coverage
+
+    docs = t["documents"]
+    text_mode = sorted(
+        tuple(r) for r in common_span_coverage(docs, span=10, key="text").collect()
+    )
+    hash_mode = sorted(
+        tuple(r) for r in common_span_coverage(docs, span=10, key="xxhash64").collect()
+    )
+    # the 8-byte-key shuffle (the 100 TB path) must reproduce the
+    # raw-text result exactly on real corpora
+    assert text_mode == hash_mode
