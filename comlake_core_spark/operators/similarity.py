@@ -704,6 +704,7 @@ def mutual_knn_graph(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed_hasher: str = "xxhash64",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, filtered to
     MUTUAL edges (a is in b's top-k AND b is in a's top-k) — the standard
@@ -759,7 +760,17 @@ def mutual_knn_graph(
         # bucket, checkpointed probe frame). With n_probe == n_centroids
         # the candidate set is complete and the result EQUALS the exact
         # variant — pinned by test.
-        cents_df = seeded_centroids(emb, n_centroids, vec_col, id_col, hasher=seed_hasher)
+        # refine_iters > 0 runs spherical k-means Lloyd passes first
+        # (kmeans_refine) — better-centered buckets raise edge recall at
+        # the same probe budget, identical downstream plan
+        if refine_iters > 0:
+            cents_df = kmeans_refine(
+                emb, n_centroids, refine_iters, vec_col, id_col, seed_hasher=seed_hasher
+            )
+        else:
+            cents_df = seeded_centroids(
+                emb, n_centroids, vec_col, id_col, hasher=seed_hasher
+            )
 
         def _unit(v: list) -> list:
             n = sum(x * x for x in v) ** 0.5 or 1.0
