@@ -558,3 +558,73 @@ def test_ewma_decay_single_user_shuffle(spark):
     # once, never twice
     df = run(spark, "events_ewma_decay")
     assert P.count_shuffles(df) == 1
+
+
+# -- late-r5 operators -------------------------------------------------------
+
+
+def test_lr_logit_single_partial_agg_no_join(spark):
+    # the "weight table" is a pure hash expression: no join anywhere, one
+    # map-combined aggregate on the doc id
+    df = run(spark, "quality_lr_logit")
+    assert P.has_partial_aggregate(df)
+    plan = P.executed_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_model_is_broadcast_scoring_join(spark):
+    # the <=1024-row model joins the exploded tokens by broadcast — the
+    # corpus is never shuffled on the bucket key
+    df = run(spark, "dsir_importance_resampling")
+    assert P.has_broadcast_join(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_knn_graph_topk_rides_window_group_limit(spark):
+    # per-direction top-k must prune before the shuffle; the all-pairs
+    # scoring is a broadcast nested-loop, never a cartesian materialization
+    df = run(spark, "embedding_knn_graph")
+    assert P.has_window_group_limit(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_knn_graph_ivf_no_nested_loop(spark):
+    # bucket-blocked candidates: the scoring join is an equi-join on the
+    # bucket key (hash-partitioned), not a nested loop over all pairs
+    df = run(spark, "embedding_knn_graph_ivf")
+    plan = P.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert P.has_window_group_limit(df)
+
+
+def test_common_spans_single_owner_shuffle_partial_agg(spark):
+    # distinct-owner counting is map-combined on the span key; coverage
+    # window + final agg share the doc id exchange
+    df = run(spark, "dedup_common_spans")
+    assert P.has_partial_aggregate(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_pca_gram_join_then_broadcast_iterations(spark):
+    # the Gram build is the only corpus-sized join (equi on the row id);
+    # every iteration round joins broadcast-sized frames
+    df = run(spark, "embedding_pca_power")
+    plan = P.executed_plan(df)
+    assert P.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_map_combined_argmax_take_ordered(spark):
+    # pair counting is map-combined over the dictionary and the per-round
+    # argmax fuses to TakeOrderedAndProject (top-1, no global sort).  The
+    # 1-row broadcast that attaches each round's best pair sits inside the
+    # per-round dictionary checkpoint, so the output plan shows the three
+    # count/argmax stages over ExistingRDD scans.
+    df = run(spark, "bpe_train_merges")
+    assert P.has_partial_aggregate(df)
+    assert P.has_take_ordered(df)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
