@@ -780,6 +780,14 @@ def bpe_merges(
     Determinism: counts are integers; the argmax tie-breaks on the pair
     string (binary collation in both engines); replace() scan order is
     byte-identical in Spark and DuckDB, pinned by test."""
+    out, _cur = _bpe_chain(df, text_col, merges, end_marker)
+    return out
+
+
+def _bpe_chain(df, text_col, merges, end_marker):
+    """Shared BPE merge loop: returns (merge-rule rows, the final
+    word→symbol-sequence dictionary) so training (bpe_merges) and
+    application (bpe_fertility) run the identical chain."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
@@ -793,7 +801,7 @@ def bpe_merges(
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
         F.lit("  " + end_marker),
     )
-    cur = words.select(seq0.alias("seq"), "cnt").localCheckpoint(eager=False)
+    cur = words.select("word", seq0.alias("seq"), "cnt").localCheckpoint(eager=False)
     out = None
     for rank in range(1, merges + 1):
         arr = F.split(F.col("seq"), "  ")
@@ -821,11 +829,12 @@ def bpe_merges(
             F.col("total").cast("long").alias("pair_count"),
         )
         out = row if out is None else out.unionByName(row)
-        if rank < merges:
+        if rank <= merges:
             # pattern ' s1  s2 ' → ' s1s2 ': boundary spaces are shared
             # with neighbors' delimiters, interior double space is the
             # pair's own — adjacent matches stay disjoint
             cur = cur.crossJoin(F.broadcast(best)).select(
+                "word",
                 F.trim(
                     F.replace(
                         F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
@@ -843,4 +852,55 @@ def bpe_merges(
                 ).alias("seq"),
                 "cnt",
             ).localCheckpoint(eager=False)
-    return out
+    return out, cur
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    merges: int = 3,
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Tokenizer train→APPLY loop: learn `merges` BPE rules on the whole
+    corpus (the identical chain as bpe_merges), encode every word with
+    them, and report per-group FERTILITY — subword tokens per word, the
+    standard metric for how well a shared vocabulary serves each
+    language (high fertility = the language pays more sequence length
+    per word; the number tokenizer papers tabulate per language).
+
+    Returns (group, n_words, n_subword_tokens, fertility_micro) with
+    fertility_micro = tokens·1e6 div words (exact integer).
+
+    Plan: the merge chain runs over the global word dictionary (see
+    bpe_merges); application is a hash join of the per-group word counts
+    against that dictionary (vocabulary-sized, shuffle on the word key —
+    broadcastable when the dict fits) followed by one map-combined
+    aggregate per group. The corpus is scanned twice total: once for the
+    global dictionary, once for the per-group counts."""
+    _rules, final_dict = _bpe_chain(df, text_col, merges, end_marker)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    grp_words = (
+        df.select(F.col(group_col).alias("_grp"), F.explode(toks).alias("word"))
+        .groupBy("_grp", "word")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+    )
+    encoded = final_dict.select(
+        "word", F.size(F.split(F.col("seq"), "  ")).cast("long").alias("_ntok")
+    )
+    return (
+        grp_words.join(encoded, "word")
+        .groupBy("_grp")
+        .agg(
+            F.sum("_gc").alias("n_words"),
+            F.sum(F.col("_gc") * F.col("_ntok")).alias("n_subword_tokens"),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_words",
+            "n_subword_tokens",
+            F.expr("(n_subword_tokens * 1000000) div n_words").alias("fertility_micro"),
+        )
+    )

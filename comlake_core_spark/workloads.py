@@ -6625,21 +6625,21 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          udaf/udtf, the five `_real` integration entries, the r3
 #          capstones (semantic dedup, leakage split, ANN recall, pretrain
 #          pipeline, GK quantiles), joins/agg extras, funnel/retention.
-#   r5:    FINAL rotation — 4 core sentinels + the 28 never-seen remainder
+#   r5:    FINAL rotation — 3 core sentinels + the 28 never-seen remainder
 #          + array_functions (r4's one red row, output reshaped to scalar
-#          vocab string) + the 17 NEW r5 workloads (never-seen by
-#          definition; the 9 late-r5 additions displaced all 8 r4-green
-#          family sentinels plus the join_revenue_by_nation core pin —
-#          all keep their earlier driver evidence).  Closes the registry
-#          (183 workloads): every workload driver-verified at least once
-#          after this round.
+#          vocab string) + the 18 NEW r5 workloads (never-seen by
+#          definition; the 10 late-r5 additions displaced all 8 r4-green
+#          family sentinels plus the join_revenue_by_nation and
+#          dedup_minhash_lsh core pins — all keep earlier driver
+#          evidence, and both families keep other window reps).  Closes
+#          the registry (184 workloads): every workload driver-verified
+#          at least once after this round.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
     # -- sentinels: one driver-green pin per major family (r1-r4 verified) --
     "qast_eq_filter",          # qast predicate compiler
     "catalog_find",            # catalog scan + broadcast join
-    "dedup_minhash_lsh",       # dedup family
     "streaming_hourly_events", # streaming≡batch
     # -- array_functions re-run: r4 red row was the driver canonicalizer
     #    choking on a raw ARRAY<STRING> column; vocab is now a joined string --
@@ -6692,6 +6692,7 @@ DRIVER_WINDOW: list[str] = [
     "bpe_train_merges",
     "embedding_pca_power",
     "embedding_knn_graph_ivf",
+    "bpe_apply_fertility",
 ]
 
 
@@ -8138,3 +8139,86 @@ def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_knn_graph(
         emb, k=4, candidate="ivf", n_centroids=16, n_probe=8, seed_hasher="md5"
     )
+
+
+@workload(
+    "bpe_apply_fertility",
+    r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT word, trim(regexp_replace(word, '(.)', '\1  ', 'g')) || '  </w>' AS seq, cnt
+      FROM words
+    ),
+    p1 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w0),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
+    w1 AS (
+      SELECT word, trim(replace(' ' || seq || ' ', ' ' || replace(b1.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b1.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w0 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w1),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT word, trim(replace(' ' || seq || ' ', ' ' || replace(b2.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b2.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w1 CROSS JOIN b2
+    ),
+    p3 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w2),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1),
+    w3 AS (
+      SELECT word, trim(replace(' ' || seq || ' ', ' ' || replace(b3.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b3.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w2 CROSS JOIN b3
+    ),
+    enc AS (SELECT word, len(string_split(seq, '  ')) AS ntok FROM w3),
+    gw AS (
+      SELECT lang, word, COUNT(*) AS gc FROM (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(SUM(gc) AS BIGINT) AS n_words,
+           CAST(SUM(gc * ntok) AS BIGINT) AS n_subword_tokens,
+           CAST((SUM(gc * ntok) * 1000000) // SUM(gc) AS BIGINT) AS fertility_micro
+    FROM gw JOIN enc USING (word) GROUP BY lang
+    """,
+    "text",
+    "tokenizer",
+    "iterative",
+)
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer train→apply loop closed: learn 3 BPE merges on the
+    whole corpus (the identical chain as bpe_train_merges), encode every
+    word, and report per-language FERTILITY — subword tokens per word,
+    the number tokenizer papers tabulate to show how a shared vocabulary
+    taxes each language.  Application is a vocabulary-sized hash join of
+    per-language word counts against the merged dictionary + one
+    map-combined aggregate; fertility is exact integer micro-division
+    (operators/text.bpe_fertility)."""
+    from comlake_core_spark.operators.text import bpe_fertility
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_fertility(ensure_parallelism(docs), merges=3)

@@ -337,3 +337,26 @@ def test_mutual_knn_ivf_kmeans_refined_buckets_raise_recall(spark, t):
     # these unstructured embeddings
     assert r2 >= r0
     assert r2 > 0.3
+
+
+def test_bpe_fertility_counts_on_planted_corpus(spark):
+    from comlake_core_spark.operators.text import bpe_fertility
+
+    # en words fully merge ("aa" -> one symbol after merges), zz words
+    # don't share pairs as often — fertility must reflect the learned
+    # dictionary, weighted by per-group word occurrences.
+    rows = (
+        [(i, "aa aa aa", "en") for i in range(4)]
+        + [(100 + i, "xyz", "zz") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in bpe_fertility(df, merges=3).collect()}
+    # merges learned: 'a a' (24), then 'aa </w>' ties vs... regardless,
+    # en's only word is 2 chars + marker = 3 symbols, 3 merges available
+    # and 'aa' dominates every count — it must compress below 3
+    assert got["en"]["n_words"] == 12
+    assert got["zz"]["n_words"] == 2
+    en_fert = got["en"]["fertility_micro"] / 1e6
+    zz_fert = got["zz"]["fertility_micro"] / 1e6
+    assert en_fert < zz_fert  # the dominant language compresses better
+    assert got["en"]["n_subword_tokens"] == en_fert * 12
