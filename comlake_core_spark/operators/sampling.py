@@ -361,6 +361,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     buckets: int = 1024,
     top_n: int = 100,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.,
     NeurIPS 2023): score every document by how target-like its hashed
@@ -392,10 +393,26 @@ def dsir_weights(
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
+    # hashed n-gram features per the paper (Xie et al. use unigrams AND
+    # bigrams): ngram_max=2 appends "t_i t_{i+1}" features to the bag —
+    # same bucket space, still map-only
+    if ngram_max >= 2:
+        n_ = F.size(toks)
+        bigrams = F.when(
+            n_ >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n_ - 1),
+                F.slice(toks, 2, n_ - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(toks, bigrams)
+    else:
+        feats = toks
     tok = df.select(
         F.col(id_col),
         target_pred(df).alias("_is_tgt"),
-        F.explode(toks).alias("_term"),
+        F.explode(feats).alias("_term"),
     ).withColumn(
         "_b",
         F.pmod(

@@ -314,3 +314,46 @@ def test_lr_quality_logit_matches_python_reference(spark, texts):
         for r in lr_quality_logit(df).collect()
     }
     assert got == _ref_lr(docs)
+
+
+# -- pca_power_iteration ------------------------------------------------------
+
+pca_matrix_strategy = st.lists(
+    st.lists(st.integers(-40, 40).map(lambda m: m / 8.0), min_size=4, max_size=4),
+    min_size=3,
+    max_size=12,
+)
+
+
+def _ref_pca(vecs, iters, quant=10_000, shrink=10_000_000_000):
+    # all values are exact multiples of 1/8, so x*quant is an exact
+    # integer — no rounding-mode ambiguity anywhere
+    n, d = len(vecs), len(vecs[0])
+    q = [[round(x * quant) for x in v] for v in vecs]
+    s = [sum(q[r][j] for r in range(n)) for j in range(d)]
+    c = [[n * q[r][j] - s[j] for j in range(d)] for r in range(n)]
+    tz = lambda a, b: (abs(a) // b) * (1 if a >= 0 else -1)  # noqa: E731
+    g = [
+        [tz(sum(c[r][i] * c[r][j] for r in range(n)), shrink) for j in range(d)]
+        for i in range(d)
+    ]
+    v = [10**6] * d
+    for _ in range(iters):
+        sv = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        k = max(abs(x) for x in sv) // 10**6 + 1
+        v = [tz(x, k) for x in sv]
+    return {j + 1: v[j] for j in range(d)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pca_matrix_strategy, st.sampled_from([1, 3]))
+def test_pca_power_matches_integer_reference(spark, vecs, iters):
+    from comlake_core_spark.operators.similarity import pca_power_iteration
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["dim"]: r["v_q"]
+        for r in pca_power_iteration(emb, iterations=iters).collect()
+    }
+    assert got == _ref_pca(vecs, iters)

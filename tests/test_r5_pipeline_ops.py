@@ -360,3 +360,27 @@ def test_bpe_fertility_counts_on_planted_corpus(spark):
     zz_fert = got["zz"]["fertility_micro"] / 1e6
     assert en_fert < zz_fert  # the dominant language compresses better
     assert got["en"]["n_subword_tokens"] == en_fert * 12
+
+
+def test_dsir_bigram_features_separate_unigram_ties(spark):
+    from comlake_core_spark.operators.sampling import dsir_weights
+
+    # docs A and B have IDENTICAL unigram multisets; only word ORDER
+    # differs.  The target corpus uses A's ordering, so bigram features
+    # must rank A above B while unigram features cannot tell them apart.
+    a, b = "red blue green yellow", "yellow green blue red"
+    rows = (
+        [(i, a, "en") for i in range(8)]
+        + [(100, a, "zz"), (200, b, "zz")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    uni = {
+        r["doc_id"]: r["weight_q"]
+        for r in dsir_weights(df, lambda d: d["lang"] == "en", ngram_max=1).collect()
+    }
+    bi = {
+        r["doc_id"]: r["weight_q"]
+        for r in dsir_weights(df, lambda d: d["lang"] == "en", ngram_max=2).collect()
+    }
+    assert uni[100] == uni[200]  # unigram model: indistinguishable
+    assert bi[100] > bi[200]    # bigram model: target ordering wins
