@@ -90,9 +90,10 @@ def pagerank(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    iterations: int = 3,
+    iterations: int | None = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    max_iter: int = 40,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list — node
     importance inside the near-dup graph (which copy of a duplicated
@@ -131,18 +132,52 @@ def pagerank(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
     base = scale * (100 - damping_pct) // 100
     r = deg.select("node", "d", F.lit(scale).cast("long").alias("r"))
-    for _ in range(iterations):
+
+    def step(cur):
         contrib = (
-            sym.join(r, sym["src"] == r["node"])
+            sym.join(cur, sym["src"] == cur["node"])
             .select(F.col("dst").alias("node"), F.expr("r div d").alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_c"))
         )
-        r = deg.join(contrib, "node").select(
+        return deg.join(contrib, "node").select(
             "node",
             "d",
             F.expr(f"cast({base} + ({damping_pct} * _c) div 100 as bigint)").alias("r"),
         )
+
+    if iterations is not None:
+        # fixed-round form: finite plan, exactly reproducible by an
+        # unrolled SQL oracle (the registered workload's shape)
+        for _ in range(iterations):
+            r = step(r)
+        return r.select("node", F.col("d").alias("degree"), F.col("r").alias("rank_q"))
+    # convergence form (iterations=None): run until the integer ranks
+    # reach their fixpoint — integer arithmetic makes "unchanged" exact,
+    # no epsilon. Each round localCheckpoints (plan stays one round deep)
+    # and convergence is detected with a cheap sum aggregate first, then
+    # confirmed with an exact anti-join count only when the sum is stable
+    # (two different rank vectors can share a sum; a changed sum can't be
+    # a fixpoint). The production knob for rank-quality use; the
+    # fixed-round form remains the oracle-able one.
+    r = r.localCheckpoint()
+    prev_sum = r.agg(F.sum("r")).first()[0]
+    for _ in range(max_iter):
+        r_new = step(r).localCheckpoint()
+        cur_sum = r_new.agg(F.sum("r")).first()[0]
+        if cur_sum == prev_sum:
+            changed = (
+                r_new.alias("a")
+                .join(r.alias("b"), "node")
+                .filter(F.col("a.r") != F.col("b.r"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                r = r_new
+                break
+        prev_sum = cur_sum
+        r = r_new
     return r.select("node", F.col("d").alias("degree"), F.col("r").alias("rank_q"))
 
 

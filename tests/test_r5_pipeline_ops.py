@@ -384,3 +384,24 @@ def test_dsir_bigram_features_separate_unigram_ties(spark):
     }
     assert uni[100] == uni[200]  # unigram model: indistinguishable
     assert bi[100] > bi[200]    # bigram model: target ordering wins
+
+
+def test_pagerank_convergence_mode_reaches_fixpoint(spark):
+    from comlake_core_spark.operators.dedup import pagerank
+
+    # two triangles joined by a bridge edge — small enough to converge
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "id_a long, id_b long",
+    )
+    converged = {r["node"]: r["rank_q"] for r in pagerank(pairs, iterations=None).collect()}
+    # a fixpoint is invariant under one more fixed round
+    once_more = {
+        r["node"]: r["rank_q"] for r in pagerank(pairs, iterations=25).collect()
+    }
+    # 25 fixed rounds is comfortably past convergence on this graph, so
+    # both forms must land on the identical integer fixpoint
+    assert converged == once_more
+    # symmetric positions get identical ranks
+    assert converged[0] == converged[5] and converged[1] == converged[4]
+    assert converged[2] == converged[3]
