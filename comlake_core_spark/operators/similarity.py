@@ -705,6 +705,7 @@ def mutual_knn_graph(
     n_probe: int = 4,
     seed_hasher: str = "xxhash64",
     refine_iters: int = 0,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, filtered to
     MUTUAL edges (a is in b's top-k AND b is in a's top-k) — the standard
@@ -760,6 +761,15 @@ def mutual_knn_graph(
         # bucket, checkpointed probe frame). With n_probe == n_centroids
         # the candidate set is complete and the result EQUALS the exact
         # variant — pinned by test.
+        # target_bucket_size sizes the codebook FROM the corpus
+        # (n_centroids = ceil(n / target)): constant bucket size ⇒
+        # constant candidates per node ⇒ linear graph build — the scaled-
+        # codebook regime SCALING.md measures (36 s vs 406 s at 8× for a
+        # fixed codebook). Costs one count() pass; at 100 TB feed the
+        # table's known row count instead.
+        if target_bucket_size is not None:
+            n_rows = emb.count()
+            n_centroids = max((n_rows + target_bucket_size - 1) // target_bucket_size, n_probe)
         # refine_iters > 0 runs spherical k-means Lloyd passes first
         # (kmeans_refine) — better-centered buckets raise edge recall at
         # the same probe budget, identical downstream plan

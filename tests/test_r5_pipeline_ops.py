@@ -405,3 +405,27 @@ def test_pagerank_convergence_mode_reaches_fixpoint(spark):
     # symmetric positions get identical ranks
     assert converged[0] == converged[5] and converged[1] == converged[4]
     assert converged[2] == converged[3]
+
+
+def test_mutual_knn_ivf_auto_codebook_sizing(spark, t):
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    emb = t["embeddings"]  # 500 vectors at sf0.001
+    # target 25/bucket → 20 centroids; probing all 20 would be exact, so
+    # probe 5 — the auto-sized run must produce a valid mutual graph and
+    # match an explicit n_centroids=20 run exactly (same codebook seed)
+    auto = sorted(
+        tuple(r)
+        for r in mutual_knn_graph(
+            emb, k=4, candidate="ivf", target_bucket_size=25, n_probe=5,
+            seed_hasher="md5",
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in mutual_knn_graph(
+            emb, k=4, candidate="ivf", n_centroids=20, n_probe=5,
+            seed_hasher="md5",
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 0
