@@ -210,6 +210,7 @@ def lr_quality_logit(
     id_col: str = "doc_id",
     buckets: int = 256,
     weight_scale: int = 1000,
+    weights: dict[int, int] | None = None,
 ) -> DataFrame:
     """Linear quality classifier over hashed token features — the
     fasttext/logistic-regression document scorer every web-corpus
@@ -245,15 +246,25 @@ def lr_quality_logit(
         F.conv(F.substring(F.md5(F.col("_term")), 1, 8), 16, 10).cast("long"),
         F.lit(buckets),
     )
-    weight = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(2 * weight_scale + 1)
-        - F.lit(weight_scale)
-    )
+    if weights is not None:
+        # a REAL trained model: integer weights per bucket, baked into the
+        # plan as a literal array indexed by the bucket id (O(buckets)
+        # literals — broadcast-sized by construction); absent buckets
+        # weigh 0. Same map-only plan as the hash-derived table.
+        table = F.array(
+            *[F.lit(int(weights.get(b, 0))) for b in range(buckets)]
+        )
+        weight = F.element_at(table, (bucket + 1).cast("int")).cast("long")
+    else:
+        weight = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(2 * weight_scale + 1)
+            - F.lit(weight_scale)
+        )
     return (
         exploded.select(F.col(id_col), weight.alias("_w"))
         .groupBy(id_col)

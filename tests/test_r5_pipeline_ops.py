@@ -429,3 +429,21 @@ def test_mutual_knn_ivf_auto_codebook_sizing(spark, t):
         ).collect()
     )
     assert auto == explicit and len(auto) > 0
+
+
+def test_lr_logit_trained_weight_table(spark):
+    import hashlib
+
+    from comlake_core_spark.operators.quality import lr_quality_logit
+
+    # serve an explicit (trained) weight table: docs containing "good"
+    # score positive, "bad" negative, everything else zero
+    b = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 256  # noqa: E731
+    weights = {b("good"): 7, b("bad"): -9}
+    df = docs_df(spark, [(1, "good good filler"), (2, "bad filler"), (3, "filler only")])
+    got = {r["doc_id"]: r for r in lr_quality_logit(df, weights=weights).collect()}
+    filler = 7 * 0  # filler buckets weigh 0 unless they collide
+    assert got[1]["logit_q"] >= 14 + filler - 9  # two "good" hits dominate
+    assert bool(got[1]["admit"]) is True
+    assert got[2]["logit_q"] <= -9 + 7  # "bad" dominates unless collision
+    assert got[3]["logit_q"] in (0, 7, -9)  # only collisions move it
