@@ -1168,6 +1168,7 @@ def bfs_depth(
     id_a: str = "id_a",
     id_b: str = "id_b",
     iterations: int = 3,
+    attribute_seed: bool = False,
 ) -> DataFrame:
     """Multi-source breadth-first search over the undirected near-dup
     edge list: minimum hop distance (0..iterations) from any seed node —
@@ -1201,22 +1202,40 @@ def bfs_depth(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    # relax over a (depth, seed) struct: struct min is lexicographic, so
+    # min() still relaxes on depth first and tie-breaks deterministically
+    # on the smaller seed id — attribution rides the same exchanges for
+    # free (plain mode simply projects the seed away)
     d = nodes.filter(seed_pred(F.col("node"))).select(
-        "node", F.lit(0).cast("long").alias("depth")
+        "node",
+        F.struct(
+            F.lit(0).cast("long").alias("depth"), F.col("node").alias("seed")
+        ).alias("_st"),
     )
     for _ in range(iterations):
         reached = (
             sym.join(d, sym["src"] == d["node"])
-            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("_nd"))
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    (F.col("_st.depth") + 1).alias("depth"),
+                    F.col("_st.seed").alias("seed"),
+                ).alias("_nst"),
+            )
             .groupBy("node")
-            .agg(F.min("_nd").alias("_nd"))
+            .agg(F.min("_nst").alias("_nst"))
         )
         # least() skips nulls, so this is min(existing, new) with either
         # side possibly absent after the full outer join
         d = d.join(reached, "node", "full_outer").select(
-            "node", F.least(F.col("depth"), F.col("_nd")).alias("depth")
+            "node", F.least(F.col("_st"), F.col("_nst")).alias("_st")
         )
-    return d.select("node", F.col("depth").cast("long").alias("depth"))
+    out = d.select(
+        "node",
+        F.col("_st.depth").cast("long").alias("depth"),
+        F.col("_st.seed").cast("long").alias("nearest_seed"),
+    )
+    return out if attribute_seed else out.drop("nearest_seed")
 
 
 def common_span_coverage(

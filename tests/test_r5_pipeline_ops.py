@@ -447,3 +447,24 @@ def test_lr_logit_trained_weight_table(spark):
     assert bool(got[1]["admit"]) is True
     assert got[2]["logit_q"] <= -9 + 7  # "bad" dominates unless collision
     assert got[3]["logit_q"] in (0, 7, -9)  # only collisions move it
+
+
+def test_bfs_depth_attributes_nearest_seed(spark):
+    from comlake_core_spark.operators.dedup import bfs_depth
+
+    # path 0-1-2-3-4-5-6-7-8 with seeds 0 and 8: nodes attribute to the
+    # closer seed; node 4 ties at depth 4 > horizon... use iterations=4:
+    # node 4 is 4 hops from both seeds → tie-break = smaller seed (0)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: (r["depth"], r["nearest_seed"])
+        for r in bfs_depth(
+            pairs, lambda n: n % 8 == 0, iterations=4, attribute_seed=True
+        ).collect()
+    }
+    assert got[1] == (1, 0) and got[2] == (2, 0) and got[3] == (3, 0)
+    assert got[7] == (1, 8) and got[6] == (2, 8) and got[5] == (3, 8)
+    assert got[4] == (4, 0)  # equidistant → deterministic smaller seed
+    assert got[0] == (0, 0) and got[8] == (0, 8)
