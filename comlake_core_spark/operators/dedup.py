@@ -1332,3 +1332,244 @@ def common_span_coverage(
             (F.coalesce(F.col("covered_tokens"), F.lit(0)) * 2 >= F.col("n_tokens")).alias("mostly_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# source-level boilerplate stripping (CCNet / C4-style)
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    words_per_line: int = 2,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-source boilerplate removal: a line occurring in >= `min_docs`
+    DISTINCT documents of the same source is boilerplate (nav bars,
+    cookie banners, license headers — content that repeats across a
+    site's pages) and is stripped from EVERY document of that source.
+    Contrast with :func:`dedup_lines`, which keeps a duplicated line's
+    first occurrence corpus-wide; boilerplate keeps none, and the df
+    threshold is scoped per source so one site's banner never suppresses
+    another site's legitimate prose. This is the CCNet/C4 cleanup stage
+    that runs BEFORE document-level dedup.
+
+    The corpus here has no newlines, so a "line" is a fixed span of
+    `words_per_line` whitespace tokens (same convention as dedup_lines).
+
+    Returns one row per document: (doc_id, n_lines, n_kept,
+    kept_text_md5) — md5 of the surviving text in original line order so
+    a SQL oracle can recompute it bit-for-bit.
+
+    Shape at 100 TB: map-only explode (fanout = #lines), one map-combined
+    aggregate on (source, line, doc) collapsed to (source, line) df
+    counts, one join of the per-line df back onto the exploded lines on
+    the same (source, line) key (the aggregate's exchange is reused), and
+    one keyed shuffle back to doc_id for reassembly. Never all-pairs; the
+    df table is lines-with-duplicates only, a vanishing fraction of the
+    corpus."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(words_per_line))), F.lit(1)
+    ).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * words_per_line + F.lit(1), words_per_line), " "
+        ),
+    )
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.col(source_col), F.posexplode(lines).alias("line_idx", "line")
+    )
+    # distinct (source, line, doc) before the count so a line repeated
+    # WITHIN one doc votes once; map-side combine collapses the repeats
+    line_df = (
+        exploded.select(source_col, "line", id_col)
+        .distinct()
+        .groupBy(source_col, "line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+    )
+    flagged = exploded.join(
+        line_df.select(source_col, "line", F.lit(True).alias("_boiler")),
+        [source_col, "line"],
+        "left",
+    ).withColumn("keep", F.col("_boiler").isNull())
+    kept_struct = F.when(F.col("keep"), F.struct(F.col("line_idx"), F.col("line")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                " ",
+            )
+        ).alias("kept_text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the O(m)-bits broadcast alternative to
+# shipping the eval n-gram set)
+# ---------------------------------------------------------------------------
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Decontamination via a Bloom filter over the eval set's word
+    n-grams, with the filter's answers audited against the exact
+    broadcast-join check: per train document, how many of its distinct
+    n-grams HIT the bloom filter, how many are TRUE eval grams, and the
+    difference (the filter's false positives — deterministic, since the
+    bloom is a pure function of the eval grams and md5).
+
+    Why a bloom when :func:`decontaminate_ngrams` already broadcasts the
+    gram set: the broadcast is O(|eval grams| x bytes-per-gram); a giant
+    eval suite (every benchmark ever published, 10^8+ grams) stops
+    fitting, while the bloom is O(m) BITS regardless — `m_bits` bounds
+    both the broadcast and the driver memory by construction, because
+    only DISTINCT bit positions (<= m) are ever collected. The false-
+    positive columns are the accuracy audit you run at small scale to
+    size m before trusting the filter at 100 TB (k=3, m/n≈13 here →
+    FP≈1.8% per gram).
+
+    Hash family: position_j(g) = int(md5(j ':' g)[:12], 16) mod m — md5
+    so a SQL oracle reproduces every bit exactly ([[oracle-discipline]]:
+    md5 is the one hash with a bit-identical DuckDB twin).
+
+    Returns (doc_id, n_grams, n_bloom_hits, n_true_hits, n_false_pos)
+    for every train doc with >= 1 gram."""
+    lowered = lambda c: F.lower(F.trim(F.col(c)))  # noqa: E731
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(lowered(text_col))
+        sz = F.size(toks)
+        idx = F.sequence(F.lit(1), sz - (n - 1))
+        g = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return df.filter(sz >= n).select(
+            F.col(id_col), F.explode(F.array_distinct(g)).alias("_g")
+        )
+
+    def positions(gram: Column) -> Column:
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)), 1, 12), 16, 10
+                ).cast("long")
+                % m_bits
+                for j in range(k_hashes)
+            ]
+        )
+
+    eval_grams = grams(eval_df).select("_g").distinct()
+    # DISTINCT positions only: the collect is bounded by m_bits rows no
+    # matter how large the eval suite is — that bound is the operator's
+    # entire point (documented O(m) driver pass, not O(|eval|)).
+    set_bits = sorted(
+        r[0]
+        for r in eval_grams.select(F.explode(positions(F.col("_g"))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for p in set_bits:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed longs for the plan literal
+    bitmap = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words])
+
+    tg = grams(train)
+    pos = positions(F.col("_g"))
+    bit_set = lambda p: (  # noqa: E731
+        F.bit_get(
+            F.element_at(bitmap, (p / F.lit(64)).cast("int") + 1), (p % 64).cast("int")
+        )
+        == 1
+    )
+    hit = F.forall(pos, bit_set)
+    flagged = tg.join(
+        F.broadcast(eval_grams.select(F.col("_g"), F.lit(True).alias("_true"))),
+        "_g",
+        "left",
+    ).select(
+        id_col,
+        hit.cast("int").alias("_bloom"),
+        F.coalesce(F.col("_true"), F.lit(False)).cast("int").alias("_exact"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_bloom").cast("bigint").alias("n_bloom_hits"),
+        F.sum("_exact").cast("bigint").alias("n_true_hits"),
+        (F.sum("_bloom") - F.sum("_exact")).cast("bigint").alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH candidates -> exact edit-distance verify
+# ---------------------------------------------------------------------------
+
+
+def lsh_edit_verify(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    prefix: int = 120,
+) -> DataFrame:
+    """Candidate-generation + exact-verify, the production near-dup
+    pattern stated explicitly: MinHash/LSH proposes candidate pairs
+    (set-similarity, order-blind), then an EDIT-DISTANCE verify pass
+    scores each surviving pair with Levenshtein over a `prefix`-char
+    lowercase prefix — the order-sensitive signal that separates true
+    re-crawls/revisions from bag-of-words coincidences that Jaccard
+    alone cannot tell apart.
+
+    Returns (id_a, id_b, jaccard, lev_prefix, edit_sim) where edit_sim =
+    1 - lev/max(len_a, len_b) on the compared prefixes, rounded to 6
+    decimals (one double division — bit-identical in both engines, as is
+    levenshtein itself: verified integer-equal against DuckDB).
+
+    Shape at 100 TB: the O(n²) risk lives entirely in candidate
+    generation, already banded/bucketed by minhash_lsh_pairs; the verify
+    adds two id-keyed joins to fetch the prefixes (co-partitioned hash
+    joins on the doc id) and an O(prefix²) per-pair Levenshtein — cost
+    ∝ |candidates|, never corpus². `prefix` caps the quadratic DP so a
+    pathological 10 MB document cannot stall a task."""
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands,
+    )
+    pfx = df.select(
+        F.col(id_col).alias("_pid"),
+        F.substring(F.lower(F.trim(F.col(text_col))), 1, prefix).alias("_ptxt"),
+    )
+    a = pfx.select(F.col("_pid").alias("id_a"), F.col("_ptxt").alias("_ta"))
+    b = pfx.select(F.col("_pid").alias("id_b"), F.col("_ptxt").alias("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            lev.cast("bigint").alias("lev_prefix"),
+            F.round(
+                F.lit(1.0)
+                - lev / F.greatest(F.length("_ta"), F.length("_tb")),
+                6,
+            ).alias("edit_sim"),
+        )
+    )

@@ -8222,3 +8222,164 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return bpe_fertility(ensure_parallelism(docs), merges=3)
+
+
+# ---------------------------------------------------------------------------
+# r5 post-window additions (never driver-seen; rotate into the r6 window)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "boilerplate_strip_source",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, source, CAST(u.i AS INT) AS line_idx,
+             array_to_string(t[CAST(u.i*2+1 AS BIGINT):CAST(u.i*2+2 AS BIGINT)], ' ') AS line
+      FROM toks,
+           LATERAL (SELECT unnest(range(greatest(CAST(ceil(len(t)/2.0) AS BIGINT), 1))) AS i) u
+    ), ldf AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS df
+      FROM lines GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 5
+    ), flagged AS (
+      SELECT l.doc_id, l.line_idx, l.line, ldf.df IS NULL AS keep
+      FROM lines l LEFT JOIN ldf ON l.source = ldf.source AND l.line = ldf.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_idx), '')) AS kept_text_md5
+    FROM flagged GROUP BY doc_id
+    """,
+    "dedup",
+    "text",
+    "quality",
+)
+def boilerplate_strip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style per-source boilerplate stripping: a 2-word line
+    occurring in >= 5 distinct documents of the SAME source (a site's
+    nav bar / cookie banner / license header) is removed from every
+    document of that source — the cleanup stage that runs before
+    document-level dedup and that keep-first line dedup
+    (dedup_lines_corpus) deliberately does not model (boilerplate keeps
+    NO occurrence, and the threshold is scoped per source).  Output is
+    one row per doc with kept-line counts and an md5 fingerprint of the
+    surviving text in original order.  Plan: map-only explode, one
+    map-combined (source, line) df aggregate joined back on its own
+    exchange, one keyed shuffle to doc_id — shuffle volume O(#lines);
+    see operators/dedup.strip_boilerplate."""
+    from comlake_core_spark.operators.dedup import strip_boilerplate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, words_per_line=2, min_docs=5)
+
+
+@workload(
+    "decontaminate_bloom",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+      WHERE len(t) >= 5
+    ), pos AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(j.j || ':' || g), 1, 12) AS BIGINT) % 65536 AS p
+      FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0) e,
+           (SELECT unnest(range(3)) AS j) j
+    ), train AS (
+      SELECT doc_id, g,
+             (CAST('0x' || substr(md5('0:' || g), 1, 12) AS BIGINT) % 65536 IN (SELECT p FROM pos))
+         AND (CAST('0x' || substr(md5('1:' || g), 1, 12) AS BIGINT) % 65536 IN (SELECT p FROM pos))
+         AND (CAST('0x' || substr(md5('2:' || g), 1, 12) AS BIGINT) % 65536 IN (SELECT p FROM pos)) AS bloom_hit,
+             g IN (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0) AS true_hit
+      FROM grams WHERE doc_id % 50 <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM train GROUP BY doc_id
+    """,
+    "dedup",
+    "decontamination",
+    "sketch",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a 65536-bit / 3-hash Bloom filter of the
+    eval slice's word 5-grams, AUDITED against the exact broadcast-join
+    check: per train doc, bloom hits vs true hits vs deterministic false
+    positives (md5-derived bit positions, so the oracle reproduces every
+    bit).  The scale rationale over decontaminate_train_eval's gram-set
+    broadcast: the bitmap is O(m) BITS however large the eval suite
+    grows, and the driver collect is bounded by DISTINCT bit positions
+    (<= m) by construction — this workload is the small-scale audit that
+    sizes m before trusting the filter at 100 TB.  See
+    operators/dedup.bloom_decontaminate."""
+    from comlake_core_spark.operators.dedup import bloom_decontaminate
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_decontaminate(train, eval_df, n=5)
+
+
+@workload(
+    "dedup_lsh_edit_verify",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      FROM sized a JOIN sized b
+        ON a.id < b.id
+       AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+       AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    ), pfx AS (
+      SELECT doc_id, substr(lower(trim(text)), 1, 120) AS ptxt FROM documents
+    )
+    SELECT id_a, id_b, jaccard,
+           CAST(levenshtein(a.ptxt, b.ptxt) AS BIGINT) AS lev_prefix,
+           ROUND(1.0 - levenshtein(a.ptxt, b.ptxt)
+                       / greatest(length(a.ptxt), length(b.ptxt)), 6) AS edit_sim
+    FROM pairs JOIN pfx a ON pairs.id_a = a.doc_id
+               JOIN pfx b ON pairs.id_b = b.doc_id
+    """,
+    "dedup",
+    "minhash",
+    "verify",
+)
+def dedup_lsh_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation + exact-verify made explicit: the
+    dedup_minhash_lsh candidate pairs re-scored with Levenshtein over a
+    120-char lowercase prefix — the order-sensitive verify that
+    separates true re-crawls from bag-of-words Jaccard coincidences.
+    The oracle brute-forces exact Jaccard over all pairs (the
+    dedup_minhash_lsh recall evidence carries over unchanged: banding
+    recalls every >= 0.8 pair here) and recomputes the identical
+    levenshtein — integer-equal across engines, division rounded once.
+    Cost at scale ∝ |candidates| x prefix² — the prefix caps the DP so a
+    10 MB document cannot stall a task; see
+    operators/dedup.lsh_edit_verify."""
+    from comlake_core_spark.operators.dedup import lsh_edit_verify
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return lsh_edit_verify(docs, threshold=0.8, num_hashes=64, bands=16, prefix=120)

@@ -1,0 +1,122 @@
+"""Behavioral tests for the r5 post-window LLM-pipeline operators
+(per-source boilerplate stripping, Bloom decontamination, LSH +
+Levenshtein verify, vocabulary OOV rate, stupid-backoff bigram LM,
+hard-negative mining, balanced shard assignment, matryoshka retrieval).
+
+The driver-contract mirror (test_driver_contract.py) proves Spark ≡
+DuckDB on the real tables; these tests pin the SEMANTICS on small
+planted inputs where the right answer is known by construction — the
+property the oracle alone can't state (both engines could agree on a
+wrong algorithm).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping
+# ---------------------------------------------------------------------------
+
+
+def test_strip_boilerplate_removes_high_df_lines_per_source(spark):
+    from comlake_core_spark.operators.dedup import strip_boilerplate
+
+    # source A: 3 docs sharing the banner line "cookie banner"; source B:
+    # one doc with the SAME line — must survive there (per-source scope).
+    rows = [
+        (1, "cookie banner alpha beta", "A"),
+        (2, "cookie banner gamma delta", "A"),
+        (3, "cookie banner epsilon zeta", "A"),
+        (4, "cookie banner eta theta", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(df, words_per_line=2, min_docs=3).collect()
+    }
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[4]["n_kept"] == 2  # same line, different source: kept
+    # the surviving text of doc 1 is exactly its second line
+    assert out[1]["kept_text_md5"] == hashlib.md5(b"alpha beta").hexdigest()
+    assert out[4]["kept_text_md5"] == hashlib.md5(b"cookie banner eta theta").hexdigest()
+
+
+def test_strip_boilerplate_in_doc_repeat_votes_once(spark):
+    from comlake_core_spark.operators.dedup import strip_boilerplate
+
+    # one doc repeats the line 5 times — df is DISTINCT docs, so with
+    # min_docs=2 a single doc can never turn its own refrain into
+    # boilerplate
+    df = spark.createDataFrame(
+        [(1, " ".join(["x y"] * 5), "A")], "doc_id long, text string, source string"
+    )
+    (row,) = strip_boilerplate(df, words_per_line=2, min_docs=2).collect()
+    assert row["n_kept"] == row["n_lines"] == 5
+
+
+# ---------------------------------------------------------------------------
+# bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_counts_and_fp_audit(spark):
+    from comlake_core_spark.operators.dedup import bloom_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),  # grams 1&2; gram 1 is eval's
+            (2, "совершенно unrelated words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bloom_decontaminate(train, eval_df, n=5).collect()}
+    assert out[1]["n_grams"] == 2
+    assert out[1]["n_true_hits"] == 1
+    # bloom must contain every true hit (no false negatives, ever)
+    assert out[1]["n_bloom_hits"] >= out[1]["n_true_hits"]
+    assert out[1]["n_false_pos"] == out[1]["n_bloom_hits"] - out[1]["n_true_hits"]
+    assert out[2]["n_true_hits"] == 0
+
+
+def test_bloom_no_false_negatives_many_grams(spark):
+    from comlake_core_spark.operators.dedup import bloom_decontaminate
+
+    # train doc 0 IS the eval doc (verbatim leak): every gram must hit
+    text = " ".join(f"w{i}" for i in range(40))
+    eval_df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    train = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (row,) = bloom_decontaminate(train, eval_df, n=5).collect()
+    assert row["n_grams"] == 36
+    assert row["n_true_hits"] == 36
+    assert row["n_bloom_hits"] == 36 and row["n_false_pos"] == 0
+
+
+# ---------------------------------------------------------------------------
+# LSH + levenshtein verify
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_edit_verify_scores_candidates(spark):
+    from comlake_core_spark.operators.dedup import lsh_edit_verify
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")  # one-token revision
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    rows = lsh_edit_verify(df, threshold=0.5, prefix=500).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    (r,) = rows
+    assert r["lev_prefix"] == 1  # '7' -> 'x' in the lowercased prefix
+    assert r["edit_sim"] == pytest.approx(1 - 1 / len(base), abs=1e-6)
+    assert 0.5 <= r["jaccard"] < 1.0
