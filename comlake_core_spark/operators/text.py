@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from comlake_core_spark.session import ensure_parallelism
+
 # Tiny deterministic stopword list per language bucket; enough for a
 # ratio-based heuristic without shipping a model.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -902,5 +904,187 @@ def bpe_fertility(
             "n_words",
             "n_subword_tokens",
             F.expr("(n_subword_tokens * 1000000) div n_words").alias("fertility_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary OOV rate
+# ---------------------------------------------------------------------------
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 20,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against a frequency-pruned
+    vocabulary: build the top-`vocab_size` tokens by global count
+    (deterministic tie-break on the token string), then measure what
+    fraction of each source's token stream falls outside it — the number
+    a tokenizer/vocab decision is validated with before committing a
+    vocabulary for a 100 TB corpus (a source with a high OOV rate will
+    fragment into subwords or <unk>s).
+
+    Returns (source, n_tokens, n_oov, n_distinct_oov, oov_rate) with
+    oov_rate = n_oov/n_tokens rounded to 6 decimals (single double
+    division — engine-identical).
+
+    Plan: ONE explode pass feeds the global count agg; top-V is a
+    TakeOrdered over the aggregated vocab (O(vocab) rows, never corpus
+    rows) broadcast back against the token stream; the per-source
+    rollup is map-combined. Two shuffles total (term agg, source agg) —
+    both on low-cardinality keys at any corpus size."""
+    toks = ensure_parallelism(df).select(
+        F.col(source_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+    ).filter(F.col("_t") != "")
+    top = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .limit(vocab_size)
+        .select("_t", F.lit(True).alias("_iv"))
+    )
+    return (
+        toks.join(F.broadcast(top), "_t", "left")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.count_distinct(F.when(F.col("_iv").isNull(), F.col("_t"))).alias(
+                "n_distinct_oov"
+            ),
+        )
+        .select(
+            source_col,
+            "n_tokens",
+            "n_oov",
+            "n_distinct_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff bigram language model
+# ---------------------------------------------------------------------------
+
+
+def bigram_backoff_logprob(
+    score_df: DataFrame,
+    lm_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    quantize: int = 9,
+) -> DataFrame:
+    """Per-document average log-score under a stupid-backoff bigram LM
+    (Brants et al., EMNLP 2007 — "Large Language Models in Machine
+    Translation") trained on `lm_df` and applied to `score_df` — the
+    CCNet recipe: an LM over a curated slice scores candidate documents,
+    and the score buckets drive keep/drop/re-weight decisions.  A bigram
+    model separates word-salad from prose far better than the unigram
+    fluency score (unigram_logprob), and stupid backoff needs no
+    discounting state — exactly why it won at web scale.
+
+        S(w|v) = c(vw)/c(v)            if c(vw) > 0
+               = alpha * P1(w)         otherwise
+        P1(w)  = (c(w)+1)/(N+V+1)      (add-one over the LM vocab; handles OOV)
+
+    First tokens score ln(P1) with no penalty.  Every ln lands on a
+    `quantize`-decimal grid and the per-doc sum is exact decimal
+    (unigram_logprob's discipline), so the result hash-matches a SQL
+    oracle.
+
+    Returns (doc_id, n_tokens, n_backoff, avg_logprob) where n_backoff
+    counts scored tokens that fell through to the unigram path.
+
+    Plan: token/bigram count aggs over the LM slice (map-combined, keyed
+    on the term — web-scale vocab shuffles, it does not broadcast); the
+    scoring side is a MAP-ONLY (pos, term, prev) explode (prev comes
+    from the token array itself, no lag window) + three keyed joins onto
+    the count tables; totals ride a 1-row broadcast."""
+    lowered = F.lower(F.col(text_col))
+    toks_arr = F.filter(tokens(lowered), lambda x: x != "")
+
+    lm_toks = ensure_parallelism(lm_df).select(F.explode(toks_arr).alias("_w"))
+    uni = lm_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).persist()
+    totals = uni.agg(
+        F.sum("_c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    lm_pairs = (
+        lm_df.select(toks_arr.alias("_ts"))
+        .filter(F.size("_ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_ts", i).alias("_prev"),
+                        F.element_at("_ts", i + 1).alias("_w"),
+                    ),
+                )
+            ).alias("_bg")
+        )
+        .select("_bg._prev", "_bg._w")
+    )
+    bi = lm_pairs.groupBy("_prev", "_w").agg(F.count(F.lit(1)).alias("_cb"))
+
+    scored_toks = (
+        score_df.select(F.col(id_col), toks_arr.alias("_ts"))
+        .filter(F.size("_ts") >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ts")),
+                    lambda i: F.struct(
+                        (i - 1).alias("_pos"),
+                        F.element_at("_ts", i).alias("_w"),
+                        F.when(i > 1, F.element_at("_ts", i - 1)).alias("_prev"),
+                    ),
+                )
+            ).alias("_tk"),
+        )
+        .select(id_col, "_tk._pos", "_tk._w", "_tk._prev")
+    )
+    up = uni.select(F.col("_w").alias("_prev"), F.col("_c").alias("_cp"))
+    joined = (
+        scored_toks.join(uni, "_w", "left")
+        .join(up, "_prev", "left")
+        .join(bi, ["_prev", "_w"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p1 = (F.coalesce(F.col("_c"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("_n") + F.col("_v") + 1.0
+    )
+    contrib = F.round(
+        F.when(F.col("_pos") == 0, F.log(p1))
+        .when(
+            F.col("_cb").isNotNull(),
+            F.log(F.col("_cb").cast("double") / F.col("_cp").cast("double")),
+        )
+        .otherwise(F.log(F.lit(alpha) * p1)),
+        quantize,
+    ).cast(f"decimal(20,{quantize})")
+    backoff = F.when(
+        (F.col("_pos") > 0) & F.col("_cb").isNull(), 1
+    ).otherwise(0)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(backoff).cast("bigint").alias("n_backoff"),
+            F.sum(contrib).alias("_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_backoff",
+            (F.col("_lp").cast("double") / F.col("n_tokens")).alias("avg_logprob"),
         )
     )

@@ -8383,3 +8383,111 @@ def dedup_lsh_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return lsh_edit_verify(docs, threshold=0.8, num_hashes=64, bands=16, prefix=120)
+
+
+@workload(
+    "vocab_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ), tok2 AS (SELECT source, t FROM tok WHERE t <> ''),
+    top AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
+        ORDER BY c DESC, t ASC LIMIT 20
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN top.t IS NULL THEN tok2.t END) AS BIGINT) AS n_distinct_oov,
+           ROUND(SUM(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
+    FROM tok2 LEFT JOIN top ON tok2.t = top.t
+    GROUP BY source
+    """,
+    "text",
+    "tokenizer",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a frequency-pruned
+    top-20 vocabulary — the sanity number a vocabulary decision is
+    validated with before committing a tokenizer for a 100 TB corpus
+    (high-OOV sources fragment into subwords or <unk>s and deserve
+    either vocab slots or down-weighting).  Top-V selection is a
+    TakeOrdered over the aggregated vocab with a deterministic
+    (count desc, token asc) tie-break; the rate is one double division
+    rounded once.  See operators/text.oov_rate for the two-shuffle
+    plan."""
+    from comlake_core_spark.operators.text import oov_rate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=20)
+
+
+@workload(
+    "text_bigram_backoff_logprob",
+    r"""
+    WITH lmtok AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+      FROM documents WHERE doc_id % 2 = 0
+    ), uni AS (
+      SELECT u.w AS w, COUNT(*) AS c FROM lmtok, UNNEST(ts) AS u(w) GROUP BY u.w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ), bi AS (
+      SELECT ts[i] AS prev, ts[i+1] AS w, COUNT(*) AS cb
+      FROM lmtok, UNNEST(range(1, len(ts))) AS r(i)
+      WHERE len(ts) >= 2 GROUP BY ts[i], ts[i+1]
+    ), sc AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+      FROM documents WHERE doc_id % 2 <> 0
+    ), sctok AS (
+      SELECT doc_id, CAST(r.i - 1 AS INT) AS pos, ts[i] AS w,
+             CASE WHEN r.i > 1 THEN ts[i-1] END AS prev
+      FROM sc, UNNEST(range(1, len(ts) + 1)) AS r(i)
+      WHERE len(ts) >= 1
+    ), scored AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > 0 AND bi.cb IS NULL THEN 1 ELSE 0 END AS backoff,
+             CAST(ROUND(CASE
+               WHEN pos = 0 THEN ln((COALESCE(uw.c, 0) + 1.0) / (tot.n + tot.v + 1.0))
+               WHEN bi.cb IS NOT NULL THEN ln(CAST(bi.cb AS DOUBLE) / CAST(up.c AS DOUBLE))
+               ELSE ln(0.4 * (COALESCE(uw.c, 0) + 1.0) / (tot.n + tot.v + 1.0))
+             END, 9) AS DECIMAL(20,9)) AS contrib
+      FROM sctok
+      LEFT JOIN uni uw ON sctok.w = uw.w
+      LEFT JOIN uni up ON sctok.prev = up.w
+      LEFT JOIN bi ON sctok.prev = bi.prev AND sctok.w = bi.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(contrib) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    "text",
+    "quality",
+    "lm",
+)
+def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al., EMNLP 2007): an
+    LM counted over the even-doc_id half (the stand-in curated slice)
+    scores the odd half — the CCNet perplexity-filter shape, one model
+    class up from unigram_logprob (a bigram separates word-salad from
+    prose; backoff handles unseen transitions with alpha=0.4, add-one
+    over the LM vocab handles OOV).  Every ln lands on the 9-decimal
+    grid with exact decimal sums (the proven unigram discipline), so the
+    average is hash-identical across engines.  Plan: count aggs over the
+    LM slice, MAP-ONLY (pos, term, prev) explode on the scoring side (no
+    lag window — prev comes from the token array), three keyed joins,
+    1-row broadcast totals; see operators/text.bigram_backoff_logprob."""
+    from comlake_core_spark.operators.text import bigram_backoff_logprob
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 != 0)
+    return bigram_backoff_logprob(score, lm)

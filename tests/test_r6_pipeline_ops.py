@@ -120,3 +120,69 @@ def test_lsh_edit_verify_scores_candidates(spark):
     assert r["lev_prefix"] == 1  # '7' -> 'x' in the lowercased prefix
     assert r["edit_sim"] == pytest.approx(1 - 1 / len(base), abs=1e-6)
     assert 0.5 <= r["jaccard"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# OOV rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_against_pruned_vocab(spark):
+    from comlake_core_spark.operators.text import oov_rate
+
+    rows = [
+        (1, "a a a b b c", "s1"),   # freq: a=3(+2 below)=5? counts are global
+        (2, "a a rare1 rare2", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # global counts: a=5, b=2, c=1, rare1=1, rare2=1 -> top2 = {a, b}
+    out = {r["source"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert out["s1"]["n_tokens"] == 6 and out["s1"]["n_oov"] == 1  # 'c'
+    assert out["s1"]["n_distinct_oov"] == 1
+    assert out["s2"]["n_oov"] == 2 and out["s2"]["n_distinct_oov"] == 2
+    assert out["s2"]["oov_rate"] == pytest.approx(0.5)
+
+
+def test_oov_rate_tie_breaks_on_token(spark):
+    from comlake_core_spark.operators.text import oov_rate
+
+    # b and c tie at 2; vocab_size=2 must pick {a, b} (token asc)
+    df = spark.createDataFrame(
+        [(1, "a a a b b c c", "s")], "doc_id long, text string, source string"
+    )
+    (row,) = oov_rate(df, vocab_size=2).collect()
+    assert row["n_oov"] == 2  # the two c's
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_backoff_paths(spark):
+    from comlake_core_spark.operators.text import bigram_backoff_logprob
+
+    lm = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    # LM: uni x=2 y=2 N=4 V=2; bigrams: (x,y)=2, (y,x)=1
+    score = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    (row,) = bigram_backoff_logprob(score, lm).collect()
+    assert row["n_tokens"] == 3
+    # token 1 'x': first -> ln(P1(x)) = ln(3/7)
+    # token 2 'y' after x: bigram hit -> ln(2/2) = 0
+    # token 3 'z' after y: no bigram (y,z) -> backoff ln(0.4 * P1(z)) = ln(0.4 * 1/7)
+    assert row["n_backoff"] == 1
+    expected = (
+        round(math.log(3 / 7), 9) + 0.0 + round(math.log(0.4 * 1 / 7), 9)
+    ) / 3
+    assert row["avg_logprob"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_bigram_backoff_self_scoring_never_backs_off(spark):
+    from comlake_core_spark.operators.text import bigram_backoff_logprob
+
+    df = spark.createDataFrame(
+        [(0, "p q r p q"), (1, "q r p")], "doc_id long, text string"
+    )
+    rows = bigram_backoff_logprob(df, df).collect()
+    # scoring the LM's own corpus: every adjacent pair was counted
+    assert all(r["n_backoff"] == 0 for r in rows)
