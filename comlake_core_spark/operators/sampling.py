@@ -463,3 +463,113 @@ def dsir_weights(
             (F.col("_rk") <= top_n).alias("sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed global ranking + balanced shard assignment
+# ---------------------------------------------------------------------------
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row number in the total order given by `order_by`
+    — WITHOUT the single-partition window that the naive
+    ``row_number().over(Window.orderBy(...))`` degenerates to (Spark
+    warns "No Partition Defined" and funnels 100 TB through one task).
+
+    Mechanics: range-repartition + in-partition sort on the keys (the
+    same machinery as a global ORDER BY), assign
+    ``monotonically_increasing_id`` — whose layout is (partition_index
+    << 33) + local_offset, i.e. it encodes exactly the two coordinates a
+    global rank needs — then one O(#partitions) count job builds the
+    per-partition offset table, broadcast back as a plan literal, and
+    the final rank is MAP-ONLY: offset[pid] + local_offset + 1.  Range
+    partitions are ordered by key, so offsets in partition order are the
+    global prefix sums.
+
+    The frame is persisted so the count pass and the rank pass see the
+    identical layout (the id is deterministic only for a pinned
+    partitioning).  The caller must make the order total (include a
+    unique id as tie-break) for the rank to be reproducible — the same
+    contract a SQL row_number carries.
+
+    Cost at 100 TB: one range shuffle (unavoidable — it IS the global
+    sort), one O(P)-row count job, zero additional shuffles."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    d = (
+        df.repartitionByRange(p, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftright("_mid", 33)
+    counts = {
+        r["_pid"]: r["count"]
+        for r in d.groupBy(pid.alias("_pid")).count().collect()
+    }
+    offsets, acc = [], 0
+    for i in range(p):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+    offset_lit = F.array(*[F.lit(o) for o in offsets])
+    rank = (
+        F.element_at(offset_lit, pid.cast("int") + 1)
+        + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        + 1
+    )
+    return d.withColumn(out, rank.cast("long")).drop("_mid")
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic size-balanced output sharding: rank documents by
+    (size desc, id asc) and deal them round-robin — shard = (rank-1) mod
+    n_shards — the classic LPT-flavored heuristic that keeps every
+    output shard within one document of the same cardinality and tightly
+    balanced on total tokens (big docs spread evenly because neighbors
+    in the sorted order land on different shards).  This is the
+    WRITE-side step of a training pipeline: balanced shards mean
+    balanced data-loader workers and no straggler file.
+
+    Returns one summary row per shard: (shard, n_docs, total_tokens,
+    max_tokens, docs_md5) where docs_md5 fingerprints the exact
+    membership (md5 of the comma-joined sorted ids — oracle-checkable).
+
+    Plan: global_row_number's range sort + map-only rank, then one
+    map-combined agg on the shard id (n_shards keys).  The membership
+    fingerprint keeps the workload's output O(n_shards) rows however
+    large the corpus."""
+    ranked = global_row_number(
+        df.select(F.col(id_col), F.col(size_col)),
+        [F.col(size_col).desc(), F.col(id_col).asc()],
+        out="_rank",
+        num_partitions=max(2, n_shards),
+    )
+    shard = ((F.col("_rank") - 1) % n_shards).cast("int")
+    return (
+        ranked.select(shard.alias("shard"), id_col, size_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).cast("bigint").alias("total_tokens"),
+            F.max(size_col).cast("bigint").alias("max_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col(id_col))),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("docs_md5"),
+        )
+    )

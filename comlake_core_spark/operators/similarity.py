@@ -950,3 +950,111 @@ def pca_power_iteration(
         F.col("_v").alias("v_q"),
         F.round(F.col("_v") / F.lit(1e6), 6).alias("loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka (truncated-dimension) retrieval
+# ---------------------------------------------------------------------------
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k retrieval over the FIRST `dims` dimensions of the embedding
+    (Matryoshka Representation Learning, Kusupati et al. 2022): MRL-style
+    models pack coarse meaning into the leading coordinates, so a
+    truncated prefix retrieves at a fraction of the scan bandwidth —
+    dims/D of the bytes per vector, the other knob besides PQ for
+    shrinking a 100 TB ANN scan.  Each truncated hit is annotated with
+    whether it also appears in the FULL-dimension exact top-k, so
+    aggregating `in_full_topk` per query IS the recall measurement that
+    decides how small `dims` may go (the same audit discipline as
+    ann_recall_at_k).
+
+    Cosine over the slice normalizes by the truncated norms — equivalent
+    to renormalizing the truncated vectors.  Returns (query_id, nbr_id,
+    trunc_cosine, rn, in_full_topk).
+
+    Plan: ONE corpus scan serves both rankings (truncated and full
+    cosine are computed side by side on the same broadcast
+    nested-loop-join row); both top-k's ride WindowGroupLimit on the
+    same query_id partitioning, and the final flag is a self-equi-join
+    of two k·|Q|-row lists."""
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "nbr_id",
+        cosine(F.slice("_qv", 1, dims), F.slice("_cv", 1, dims)).alias("trunc_cosine"),
+        cosine(F.col("_qv"), F.col("_cv")).alias("_full_cosine"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("trunc_cosine"), F.asc("nbr_id"))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("_full_cosine"), F.asc("nbr_id"))
+    trunc = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "trunc_cosine", "rn")
+    )
+    full = (
+        scored.withColumn("_rf", F.row_number().over(wf))
+        .filter(F.col("_rf") <= k)
+        .select("query_id", "nbr_id", F.lit(True).alias("_hit"))
+    )
+    return trunc.join(full, ["query_id", "nbr_id"], "left").select(
+        "query_id",
+        "nbr_id",
+        "trunc_cosine",
+        "rn",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("in_full_topk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 4,
+    dup_threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive-training hard negatives: pairs that are mutual
+    k-nearest neighbors (semantically close — the hardest negatives)
+    but NOT near-duplicates (cosine < `dup_threshold`, so they are not
+    secretly the same document, which as a "negative" would poison the
+    contrastive loss).  This is the standard mining step for embedding-
+    model training data (e.g. DPR/SimCSE-style pipelines): positives
+    come from duplication/augmentation, hard negatives from the kNN
+    graph minus the duplicate set.
+
+    Returns the mutual_knn_graph edge schema (id_a < id_b, cosine,
+    rank_ab, rank_ba) restricted to non-duplicate pairs.
+
+    Plan: the kNN edge list is k·N rows and the near-dup edge list is
+    bucket-bounded (embedding_dedup_pairs' LSH); the subtraction is a
+    LEFT ANTI hash join of the two edge lists on (id_a, id_b) — cost is
+    edges, never corpus².  The cosine threshold alone can't replace the
+    anti-join at scale: dedup pairs carry cluster structure (planted
+    re-crawls), the threshold is just its local definition."""
+    from comlake_core_spark.operators.dedup import embedding_dedup_pairs
+
+    knn = mutual_knn_graph(emb, k=k, vec_col=vec_col, id_col=id_col)
+    dups = embedding_dedup_pairs(
+        emb, threshold=dup_threshold, vec_col=vec_col, id_col=id_col
+    ).select("id_a", "id_b")
+    return knn.join(dups, ["id_a", "id_b"], "left_anti")

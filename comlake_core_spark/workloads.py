@@ -8491,3 +8491,165 @@ def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = docs.filter(F.col("doc_id") % 2 == 0)
     score = docs.filter(F.col("doc_id") % 2 != 0)
     return bigram_backoff_logprob(score, lm)
+
+
+@workload(
+    "embedding_matryoshka_topk",
+    r"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.nbr_id,
+             list_dot_product(q.qv[1:16], c.cv[1:16])
+               / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                  * sqrt(list_dot_product(c.cv[1:16], c.cv[1:16]))) AS trunc_cosine,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS full_cosine
+      FROM c CROSS JOIN q
+    ), trunc AS (
+      SELECT query_id, nbr_id, trunc_cosine, rn FROM (
+        SELECT query_id, nbr_id, trunc_cosine, row_number() OVER (
+          PARTITION BY query_id ORDER BY trunc_cosine DESC, nbr_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), fullk AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT query_id, nbr_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY full_cosine DESC, nbr_id ASC) AS rf
+        FROM scored
+      ) WHERE rf <= 5
+    )
+    SELECT t.query_id, t.nbr_id, t.trunc_cosine, t.rn,
+           f.nbr_id IS NOT NULL AS in_full_topk
+    FROM trunc t LEFT JOIN fullk f
+      ON t.query_id = f.query_id AND t.nbr_id = f.nbr_id
+    """,
+    "similarity",
+    "ann",
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval (Kusupati et al. 2022): top-5 by cosine over
+    the FIRST 16 of 64 dimensions — 1/4 the scan bandwidth — with each
+    hit flagged against the full-dimension exact top-5, so the
+    `in_full_topk` column aggregates directly into the truncation-recall
+    number that decides how small the prefix may go (the ann_recall_at_k
+    audit discipline applied to the MRL knob).  One corpus scan serves
+    both rankings; both top-k's ride WindowGroupLimit; double-fold
+    cosine agrees with DuckDB's list_dot_product bit-for-bit (the
+    ann_cosine_topk evidence).  See operators/similarity.matryoshka_topk."""
+    from comlake_core_spark.operators.similarity import matryoshka_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return matryoshka_topk(emb, queries, k=5, dims=16)
+
+
+@workload(
+    "embedding_hard_negatives",
+    r"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM aug
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+      FROM scored
+    ), kk AS (SELECT * FROM knn WHERE rn <= 4),
+    mutual AS (
+      SELECT id_a, id_b, cosine, rank_ab, rank_ba FROM
+        (SELECT src AS id_a, dst AS id_b, cosine, CAST(rn AS BIGINT) AS rank_ab
+         FROM kk WHERE src < dst) f
+        JOIN
+        (SELECT dst AS id_a, src AS id_b, CAST(rn AS BIGINT) AS rank_ba
+         FROM kk WHERE dst < src) r
+        USING (id_a, id_b)
+    ), dup AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    )
+    SELECT m.id_a, m.id_b, m.cosine, m.rank_ab, m.rank_ba
+    FROM mutual m LEFT JOIN dup d ON m.id_a = d.id_a AND m.id_b = d.id_b
+    WHERE d.id_a IS NULL
+    """,
+    "similarity",
+    "graph",
+    "sampling",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: mutual-kNN edges (semantically
+    close — the hardest negatives) MINUS the near-duplicate edge set
+    (cosine >= 0.9 — secretly-the-same pairs that would poison a
+    contrastive loss as false negatives).  The corpus is augmented with
+    the dedup_embedding planted re-crawls (every 10th vector under
+    id+1e6) so the subtraction is exercised: each planted pair is a
+    mutual rank-1 edge AND a near-dup, so it must vanish from the
+    output, while natural mutual edges (max natural cosine ~0.51)
+    survive.  The subtraction is a LEFT ANTI hash join of two edge
+    lists — O(edges), never corpus².  See
+    operators/similarity.hard_negatives."""
+    from comlake_core_spark.operators.similarity import hard_negatives
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return hard_negatives(base.unionByName(planted), k=4, dup_threshold=0.9)
+
+
+@workload(
+    "shard_assign_balanced",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+      FROM sized
+    )
+    SELECT CAST((rnk - 1) % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_md5
+    FROM ranked GROUP BY (rnk - 1) % 8
+    """,
+    "sampling",
+    "layout",
+)
+def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output sharding: rank by (token count desc, doc_id)
+    and deal round-robin into 8 shards — the write-side step that keeps
+    training-data shards (and therefore data-loader workers) balanced.
+    The Spark side proves the DISTRIBUTED global rank: range-repartition
+    + in-partition sort, monotonically_increasing_id decomposed into
+    (partition, offset), an O(P) offset table broadcast back, rank
+    assigned MAP-ONLY — no single-partition window anywhere (the naive
+    Window.orderBy funnels the corpus through one task; the oracle's
+    row_number states the same total order declaratively).  Output is
+    O(n_shards) summary rows with an exact membership fingerprint.  See
+    operators/sampling.global_row_number / assign_shards."""
+    from comlake_core_spark.operators.sampling import assign_shards
+    from comlake_core_spark.operators.text import token_count
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = ensure_parallelism(docs).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return assign_shards(sized, n_shards=8, size_col="n_tokens", id_col="doc_id")

@@ -186,3 +186,102 @@ def test_bigram_backoff_self_scoring_never_backs_off(spark):
     rows = bigram_backoff_logprob(df, df).collect()
     # scoring the LM's own corpus: every adjacent pair was counted
     assert all(r["n_backoff"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_truncation_changes_ranking_and_flags_recall(spark):
+    from comlake_core_spark.operators.similarity import matryoshka_topk
+
+    # 4-dim vectors, truncate to first 2: a's truncated prefix matches q
+    # exactly; b only wins on the full vector
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (1, [1.0, 0.0, 5.0, 0.0]),        # prefix-aligned, full cosine low
+        (2, [0.9, 0.1, 0.0, 0.0]),        # close in both
+        (3, [0.0, 1.0, 0.0, 0.0]),        # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {r["nbr_id"]: r for r in matryoshka_topk(emb, q, k=2, dims=2).collect()}
+    # truncated: self (vec 0) and vec 1's prefix [1,0] both at cosine 1.0;
+    # tie-break on nbr_id -> self rank 1, vec 1 rank 2
+    assert out[0]["rn"] == 1
+    assert out[1]["rn"] == 2 and out[1]["trunc_cosine"] == pytest.approx(1.0)
+    # full-dim top-2 is {0 (self), 2}: vec 1's third component drags its
+    # full cosine down — the flag records exactly that disagreement
+    assert out[0]["in_full_topk"] is True
+    assert out[1]["in_full_topk"] is False
+
+
+# ---------------------------------------------------------------------------
+# hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_near_duplicates(spark):
+    from comlake_core_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),      # exact duplicate of 1
+        (3, [0.8, 0.6, 0.0]),      # close to 1/2 but below 0.9? cos=0.8
+        (4, [0.0, 0.0, 1.0]),      # far from everything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in hard_negatives(emb, k=2, dup_threshold=0.9).collect()}
+    assert (1, 2) not in got           # duplicate pair removed
+    assert (1, 3) in got and (2, 3) in got  # hard negatives survive
+
+
+# ---------------------------------------------------------------------------
+# global row number / shard assignment
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_matches_total_order(spark):
+    from comlake_core_spark.operators.sampling import global_row_number
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    ranked = global_row_number(
+        df, [F.col("w").desc(), F.col("id").asc()], out="rank", num_partitions=7
+    )
+    got = {r["id"]: r["rank"] for r in ranked.collect()}
+    expect = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (-t[1], t[0])))
+    }
+    assert got == expect
+
+
+def test_global_row_number_has_no_single_partition_window(spark):
+    from comlake_core_spark.operators.sampling import global_row_number
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 7 % 13).alias("w"))
+    ranked = global_row_number(df, [F.col("w").desc(), F.col("id").asc()])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "rank must be map-side, not a global window"
+
+
+def test_assign_shards_balances_and_partitions_fully(spark):
+    from comlake_core_spark.operators.sampling import assign_shards
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = assign_shards(df, n_shards=8).collect()
+    assert len(out) == 8
+    assert sum(r["n_docs"] for r in out) == 160
+    assert all(r["n_docs"] == 20 for r in out)
+    totals = [r["total_tokens"] for r in out]
+    # round-robin over the size-sorted order keeps shards tight: the
+    # spread is bounded by the largest doc size
+    assert max(totals) - min(totals) <= 100
