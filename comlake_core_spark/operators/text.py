@@ -1088,3 +1088,54 @@ def bigram_backoff_logprob(
             (F.col("_lp").cast("double") / F.col("n_tokens")).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# consistent pseudonymization
+# ---------------------------------------------------------------------------
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: dict[str, str],
+    secret: str = "rotate-me",
+    token_len: int = 12,
+) -> DataFrame:
+    """Consistent (deterministic) pseudonymization: replace each column in
+    `cols` with a stable keyed token —
+
+        token = md5(secret ':' domain ':' value)[:token_len]
+
+    Same value → same token, so joins, group-bys, and frequency analyses
+    still work on the pseudonymized tables; different `domain` strings
+    keep columns un-linkable to each other (the same raw value in two
+    domains yields different tokens); rotating `secret` re-keys the whole
+    corpus.  This is the GDPR-article-4(5) 'pseudonymisation' shape —
+    redaction (pii_redact) destroys analytic utility, pseudonymization
+    preserves it while the secret stays out of band.  md5 keyed by
+    concatenation is linkability protection against outsiders without the
+    secret, not a MAC against adversaries who can query the oracle; for
+    the latter swap in HMAC-SHA256 via `sha2` — the plan shape is
+    identical.
+
+    `cols` maps column name → domain string (use the same domain for the
+    two SIDES of a foreign key — e.g. both customer.c_custkey and
+    orders.o_custkey under domain 'custkey' — so referential integrity
+    survives).
+
+    Map-only (codegen'd md5 over one scan); a join on the token hashes a
+    high-entropy uniformly-distributed key, so the pseudonymized join is
+    if anything BETTER-behaved under skew than the original."""
+    out = df
+    for c, domain in cols.items():
+        out = out.withColumn(
+            c,
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(secret), F.lit(domain), F.col(c).cast("string"))
+                ),
+                1,
+                token_len,
+            ),
+        )
+    return out

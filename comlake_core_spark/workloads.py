@@ -8653,3 +8653,62 @@ def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tokens")
     )
     return assign_shards(sized, n_shards=8, size_col="n_tokens", id_col="doc_id")
+
+
+@workload(
+    "pii_pseudonymize_consistent",
+    r"""
+    WITH pc AS (
+      SELECT substr(md5('rotate-me:custkey:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS cust_token,
+             substr(md5('rotate-me:name:' || c_name), 1, 12) AS name_token,
+             c_mktsegment
+      FROM customer
+    ), po AS (
+      SELECT substr(md5('rotate-me:custkey:' || CAST(o_custkey AS VARCHAR)), 1, 12) AS cust_token,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    )
+    SELECT pc.cust_token, pc.name_token, pc.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_spend
+    FROM pc JOIN po USING (cust_token)
+    GROUP BY pc.cust_token, pc.name_token, pc.c_mktsegment
+    """,
+    "text",
+    "pii",
+    "join",
+)
+def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization with referential integrity proven by
+    USE: customer and orders are pseudonymized INDEPENDENTLY (c_custkey
+    and o_custkey under the shared 'custkey' domain, the name under its
+    own domain so columns stay un-linkable), then joined ON THE TOKENS
+    and aggregated — the GDPR-pseudonymisation counterpart to
+    pii_redact_customers, which destroys analytic utility where this
+    preserves it (same spend-per-customer numbers, no raw keys
+    anywhere in the output).  Map-only md5 tokenization over each scan;
+    the token join hashes a uniform high-entropy key, so skew behavior
+    is no worse than the raw-key join.  See operators/text.pseudonymize."""
+    from comlake_core_spark.operators.text import pseudonymize
+
+    cust, od = _t(spark, sf_dir, "customer", "orders")
+    pc = pseudonymize(
+        cust.select("c_custkey", "c_name", "c_mktsegment"),
+        {"c_custkey": "custkey", "c_name": "name"},
+        secret="rotate-me",
+    ).select(
+        F.col("c_custkey").alias("cust_token"),
+        F.col("c_name").alias("name_token"),
+        "c_mktsegment",
+    )
+    po = pseudonymize(
+        od.select("o_custkey", "o_totalprice"), {"o_custkey": "custkey"}, secret="rotate-me"
+    ).select(F.col("o_custkey").alias("cust_token"), dec("o_totalprice").alias("_p"))
+    return (
+        pc.join(po, "cust_token")
+        .groupBy("cust_token", "name_token", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_p").cast("double").alias("total_spend"),
+        )
+    )

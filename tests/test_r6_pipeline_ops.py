@@ -285,3 +285,40 @@ def test_assign_shards_balances_and_partitions_fully(spark):
     # round-robin over the size-sorted order keeps shards tight: the
     # spread is bounded by the largest doc size
     assert max(totals) - min(totals) <= 100
+
+
+# ---------------------------------------------------------------------------
+# consistent pseudonymization
+# ---------------------------------------------------------------------------
+
+
+def test_pseudonymize_stable_and_domain_separated(spark):
+    from comlake_core_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, "bob")], "k long, name string"
+    )
+    out = pseudonymize(df, {"name": "name"}, secret="s").collect()
+    toks = {r["k"]: r["name"] for r in out}
+    assert toks[1] == toks[2] != toks[3]          # consistent
+    assert "alice" not in toks[1] and len(toks[1]) == 12
+    # same value under a different domain yields a different token
+    other = pseudonymize(df, {"name": "other"}, secret="s").collect()[0]["name"]
+    assert other != toks[1]
+    # rotating the secret re-keys everything
+    rot = pseudonymize(df, {"name": "name"}, secret="s2").collect()[0]["name"]
+    assert rot != toks[1]
+
+
+def test_pseudonymize_preserves_joins(spark):
+    from comlake_core_spark.operators.text import pseudonymize
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], "ck long, v string")
+    right = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "ck long, amt long")
+    pl = pseudonymize(left, {"ck": "custkey"})
+    pr = pseudonymize(right, {"ck": "custkey"})
+    got = {
+        r["v"]: r["s"]
+        for r in pl.join(pr, "ck").groupBy("v").agg(F.sum("amt").alias("s")).collect()
+    }
+    assert got == {"x": 30, "y": 5}
