@@ -1233,7 +1233,9 @@ def bfs_depth(
     out = d.select(
         "node",
         F.col("_st.depth").cast("long").alias("depth"),
-        F.col("_st.seed").cast("long").alias("nearest_seed"),
+        # no cast: the seed IS a node value, so it inherits the caller's id
+        # type — casting to long silently nulled string ids
+        F.col("_st.seed").alias("nearest_seed"),
     )
     return out if attribute_seed else out.drop("nearest_seed")
 
@@ -1364,13 +1366,18 @@ def strip_boilerplate(
     kept_text_md5) — md5 of the surviving text in original line order so
     a SQL oracle can recompute it bit-for-bit.
 
-    Shape at 100 TB: map-only explode (fanout = #lines), one map-combined
-    aggregate on (source, line, doc) collapsed to (source, line) df
-    counts, one join of the per-line df back onto the exploded lines on
-    the same (source, line) key (the aggregate's exchange is reused), and
-    one keyed shuffle back to doc_id for reassembly. Never all-pairs; the
-    df table is lines-with-duplicates only, a vanishing fraction of the
-    corpus."""
+    Shape at 100 TB: map-only explode (fanout = #lines), then the
+    per-line df comes from ONE windowed pass over (source, line) — the
+    count-distinct-via-window idiom, max(dense_rank ordered by doc) over
+    the same partition keys, so both windows share a single
+    sort-exchange and a line repeated WITHIN one doc still votes once —
+    and one keyed shuffle back to doc_id for reassembly.  Never
+    all-pairs, and the corpus is exploded exactly once (the first draft
+    aggregated and joined the exploded frame against itself, which
+    re-scanned and re-exploded every document).  Caveat shared with
+    dedup_lines: a viral line concentrates its occurrences on one task;
+    if that bounds throughput, fall back to the agg + join-back shape
+    over a PERSISTED exploded frame."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_lines = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(words_per_line))), F.lit(1)
@@ -1384,20 +1391,13 @@ def strip_boilerplate(
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.col(source_col), F.posexplode(lines).alias("line_idx", "line")
     )
-    # distinct (source, line, doc) before the count so a line repeated
-    # WITHIN one doc votes once; map-side combine collapses the repeats
-    line_df = (
-        exploded.select(source_col, "line", id_col)
-        .distinct()
-        .groupBy(source_col, "line")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
+    w_ord = Window.partitionBy(source_col, "line").orderBy(F.col(id_col).asc())
+    w_all = Window.partitionBy(source_col, "line")
+    flagged = (
+        exploded.withColumn("_dr", F.dense_rank().over(w_ord))
+        .withColumn("_df", F.max("_dr").over(w_all))
+        .withColumn("keep", F.col("_df") < min_docs)
     )
-    flagged = exploded.join(
-        line_df.select(source_col, "line", F.lit(True).alias("_boiler")),
-        [source_col, "line"],
-        "left",
-    ).withColumn("keep", F.col("_boiler").isNull())
     kept_struct = F.when(F.col("keep"), F.struct(F.col("line_idx"), F.col("line")))
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_lines"),

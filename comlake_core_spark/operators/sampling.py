@@ -491,11 +491,20 @@ def global_row_number(
     partitions are ordered by key, so offsets in partition order are the
     global prefix sums.
 
-    The frame is persisted so the count pass and the rank pass see the
-    identical layout (the id is deterministic only for a pinned
-    partitioning).  The caller must make the order total (include a
-    unique id as tie-break) for the rank to be reproducible — the same
-    contract a SQL row_number carries.
+    The frame is pinned with an EAGER localCheckpoint, not persist():
+    the count pass and the rank pass must see the identical layout (the
+    id is deterministic only for a pinned partitioning), and a
+    checkpoint cuts the lineage, so a lost block fails LOUDLY instead of
+    silently recomputing ids under a fresh layout — while persist()
+    under storage pressure does exactly that silent recompute, which is
+    the one failure mode this operator cannot tolerate.  The blocks are
+    released by the ContextCleaner when the returned frame goes
+    unreachable (persist() here additionally leaked a corpus-sized cache
+    entry per call until then, with no unpersist path — the returned
+    frame still needs the data, so there is no safe place to drop it
+    explicitly).  The caller must make the order total (include a unique
+    id as tie-break) for the rank to be reproducible — the same contract
+    a SQL row_number carries.
 
     Cost at 100 TB: one range shuffle (unavoidable — it IS the global
     sort), one O(P)-row count job, zero additional shuffles."""
@@ -505,7 +514,7 @@ def global_row_number(
         df.repartitionByRange(p, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pid = F.shiftright("_mid", 33)
     counts = {

@@ -978,7 +978,13 @@ def matryoshka_topk(
     ann_recall_at_k).
 
     Cosine over the slice normalizes by the truncated norms — equivalent
-    to renormalizing the truncated vectors.  Returns (query_id, nbr_id,
+    to renormalizing the truncated vectors.  A zero-norm side (a vector
+    whose leading `dims` coordinates are all zero — collapsed encoder
+    output, leading-padded embeddings) scores the sentinel -2.0 instead
+    of the NaN an unguarded division produces: Spark orders NaN LARGEST,
+    so one degenerate row would otherwise seize rank 1 in every query's
+    truncated top-k; -2.0 sits below any real cosine, ranking degenerate
+    rows deterministically last.  Returns (query_id, nbr_id,
     trunc_cosine, rn, in_full_topk).
 
     Plan: ONE corpus scan serves both rankings (truncated and full
@@ -994,11 +1000,21 @@ def matryoshka_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
+    def guarded(a: Column, b: Column) -> Column:
+        # bind the denominator ONCE via the expression-level let
+        # (transform(array(x), f)[0] — winnow_fingerprints' trick):
+        # Catalyst does no CSE across when-branches, so inlining would
+        # re-run both norm folds for the condition and the division
+        return F.transform(
+            F.array(norm(a) * norm(b)),
+            lambda den: F.when(den != 0, dot(a, b) / den).otherwise(F.lit(-2.0)),
+        )[0]
+
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "nbr_id",
-        cosine(F.slice("_qv", 1, dims), F.slice("_cv", 1, dims)).alias("trunc_cosine"),
-        cosine(F.col("_qv"), F.col("_cv")).alias("_full_cosine"),
+        guarded(F.slice("_qv", 1, dims), F.slice("_cv", 1, dims)).alias("trunc_cosine"),
+        guarded(F.col("_qv"), F.col("_cv")).alias("_full_cosine"),
     )
     wt = Window.partitionBy("query_id").orderBy(F.desc("trunc_cosine"), F.asc("nbr_id"))
     wf = Window.partitionBy("query_id").orderBy(F.desc("_full_cosine"), F.asc("nbr_id"))
@@ -1045,16 +1061,19 @@ def hard_negatives(
     Returns the mutual_knn_graph edge schema (id_a < id_b, cosine,
     rank_ab, rank_ba) restricted to non-duplicate pairs.
 
-    Plan: the kNN edge list is k·N rows and the near-dup edge list is
-    bucket-bounded (embedding_dedup_pairs' LSH); the subtraction is a
-    LEFT ANTI hash join of the two edge lists on (id_a, id_b) — cost is
-    edges, never corpus².  The cosine threshold alone can't replace the
-    anti-join at scale: dedup pairs carry cluster structure (planted
-    re-crawls), the threshold is just its local definition."""
-    from comlake_core_spark.operators.dedup import embedding_dedup_pairs
+    The exclusion filters on the edge's OWN exact cosine — every
+    candidate pair here is a kNN edge and therefore already carries its
+    exact similarity, so the near-dup test needs no second pipeline.
+    Anti-joining an LSH-derived dup set instead (the first draft) is
+    strictly weaker: hyperplane LSH recalls a cosine-0.93 pair only
+    ~17% of the time at 12 planes, so any non-identical >=threshold
+    pair the banding misses would sail through as a "hard negative" —
+    exactly the contamination the operator exists to prevent (found by
+    a constructed 0.931 pair landing in different buckets).
+    embedding_dedup_pairs' verify step guarantees its output all sits
+    at cosine >= threshold, so the filter subsumes that set entirely.
 
+    Plan: the kNN edge list is k·N rows and the filter is map-side on
+    it — cost is the graph build itself, never corpus² beyond it."""
     knn = mutual_knn_graph(emb, k=k, vec_col=vec_col, id_col=id_col)
-    dups = embedding_dedup_pairs(
-        emb, threshold=dup_threshold, vec_col=vec_col, id_col=id_col
-    ).select("id_a", "id_b")
-    return knn.join(dups, ["id_a", "id_b"], "left_anti")
+    return knn.filter(F.col("cosine") < dup_threshold)

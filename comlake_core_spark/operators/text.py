@@ -931,32 +931,41 @@ def oov_rate(
     oov_rate = n_oov/n_tokens rounded to 6 decimals (single double
     division — engine-identical).
 
-    Plan: ONE explode pass feeds the global count agg; top-V is a
-    TakeOrdered over the aggregated vocab (O(vocab) rows, never corpus
-    rows) broadcast back against the token stream; the per-source
-    rollup is map-combined. Two shuffles total (term agg, source agg) —
-    both on low-cardinality keys at any corpus size."""
-    toks = ensure_parallelism(df).select(
-        F.col(source_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
-    ).filter(F.col("_t") != "")
-    top = (
-        toks.groupBy("_t")
+    Plan: the corpus is exploded ONCE, map-combined straight into
+    (source, term) counts and persisted — that table is O(vocab ×
+    sources) rows, a vanishing fraction of the token stream, and
+    EVERYTHING downstream works off it: the global vocab counts are its
+    rollup, top-V is a TakeOrdered over that rollup broadcast back, and
+    the per-source metrics re-aggregate the same small table (n_oov sums
+    the counts, n_distinct_oov counts its rows — one row per (source,
+    term) by construction, no distinct-agg state).  One corpus-sized
+    shuffle total; re-deriving the metrics from the raw token stream
+    (the first draft) scanned and exploded the corpus twice."""
+    per = (
+        ensure_parallelism(df)
+        .select(
+            F.col(source_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("_t")
+        )
+        .filter(F.col("_t") != "")
+        .groupBy(source_col, "_t")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .persist()
+    )
+    top = (
+        per.groupBy("_t")
+        .agg(F.sum("_c").alias("_gc"))
+        .orderBy(F.col("_gc").desc(), F.col("_t").asc())
         .limit(vocab_size)
         .select("_t", F.lit(True).alias("_iv"))
     )
+    oov = F.col("_iv").isNull()
     return (
-        toks.join(F.broadcast(top), "_t", "left")
+        per.join(F.broadcast(top), "_t", "left")
         .groupBy(source_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_oov"),
-            F.count_distinct(F.when(F.col("_iv").isNull(), F.col("_t"))).alias(
-                "n_distinct_oov"
-            ),
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(oov, F.col("_c")).otherwise(0)).cast("bigint").alias("n_oov"),
+            F.sum(F.when(oov, 1).otherwise(0)).cast("bigint").alias("n_distinct_oov"),
         )
         .select(
             source_col,
@@ -1123,6 +1132,13 @@ def pseudonymize(
     orders.o_custkey under domain 'custkey' — so referential integrity
     survives).
 
+    NULL stays NULL — tokenizing it would (a) give every missing value
+    ONE shared stable token, turning "was NULL" into a linkable
+    equivalence class, and (b) make pseudonymized equi-joins MATCH on
+    NULL keys where the raw join never did (concat_ws silently skips
+    NULLs; the isNotNull guard restores SQL's NULL-propagating `||`
+    semantics, which is also what the workload oracle computes).
+
     Map-only (codegen'd md5 over one scan); a join on the token hashes a
     high-entropy uniformly-distributed key, so the pseudonymized join is
     if anything BETTER-behaved under skew than the original."""
@@ -1130,12 +1146,17 @@ def pseudonymize(
     for c, domain in cols.items():
         out = out.withColumn(
             c,
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", F.lit(secret), F.lit(domain), F.col(c).cast("string"))
+            F.when(
+                F.col(c).isNotNull(),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(secret), F.lit(domain), F.col(c).cast("string")
+                        )
+                    ),
+                    1,
+                    token_len,
                 ),
-                1,
-                token_len,
             ),
         )
     return out

@@ -8512,11 +8512,16 @@ def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
     ), scored AS (
       SELECT q.query_id, c.nbr_id,
-             list_dot_product(q.qv[1:16], c.cv[1:16])
-               / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
-                  * sqrt(list_dot_product(c.cv[1:16], c.cv[1:16]))) AS trunc_cosine,
-             list_dot_product(q.qv, c.cv)
-               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS full_cosine
+             CASE WHEN sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                       * sqrt(list_dot_product(c.cv[1:16], c.cv[1:16])) = 0 THEN -2.0
+                  ELSE list_dot_product(q.qv[1:16], c.cv[1:16])
+                       / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                          * sqrt(list_dot_product(c.cv[1:16], c.cv[1:16]))) END AS trunc_cosine,
+             CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN -2.0
+                  ELSE list_dot_product(q.qv, c.cv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.cv, c.cv))) END AS full_cosine
       FROM c CROSS JOIN q
     ), trunc AS (
       SELECT query_id, nbr_id, trunc_cosine, rn FROM (
@@ -8585,14 +8590,9 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT dst AS id_a, src AS id_b, CAST(rn AS BIGINT) AS rank_ba
          FROM kk WHERE dst < src) r
         USING (id_a, id_b)
-    ), dup AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     )
-    SELECT m.id_a, m.id_b, m.cosine, m.rank_ab, m.rank_ba
-    FROM mutual m LEFT JOIN dup d ON m.id_a = d.id_a AND m.id_b = d.id_b
-    WHERE d.id_a IS NULL
+    SELECT id_a, id_b, cosine, rank_ab, rank_ba
+    FROM mutual WHERE cosine < 0.9
     """,
     "similarity",
     "graph",
@@ -8600,16 +8600,17 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: mutual-kNN edges (semantically
-    close — the hardest negatives) MINUS the near-duplicate edge set
-    (cosine >= 0.9 — secretly-the-same pairs that would poison a
-    contrastive loss as false negatives).  The corpus is augmented with
-    the dedup_embedding planted re-crawls (every 10th vector under
-    id+1e6) so the subtraction is exercised: each planted pair is a
-    mutual rank-1 edge AND a near-dup, so it must vanish from the
-    output, while natural mutual edges (max natural cosine ~0.51)
-    survive.  The subtraction is a LEFT ANTI hash join of two edge
-    lists — O(edges), never corpus².  See
-    operators/similarity.hard_negatives."""
+    close — the hardest negatives) MINUS near-duplicates (cosine >= 0.9
+    — secretly-the-same pairs that would poison a contrastive loss as
+    false negatives).  The exclusion filters each edge's OWN exact
+    cosine — an LSH dup-set anti-join (the first draft) silently passed
+    any >=0.9 pair the banding missed (reproduced with a 0.931 pair in
+    different buckets; see operators/similarity.hard_negatives).  The
+    corpus is augmented with the dedup_embedding planted re-crawls
+    (every 10th vector under id+1e6) so the exclusion is exercised:
+    each planted pair is a mutual rank-1 edge at cosine ~1, so it must
+    vanish from the output, while natural mutual edges (max natural
+    cosine ~0.51) survive."""
     from comlake_core_spark.operators.similarity import hard_negatives
 
     (emb,) = _t(spark, sf_dir, "embeddings")

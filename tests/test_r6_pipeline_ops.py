@@ -322,3 +322,92 @@ def test_pseudonymize_preserves_joins(spark):
         for r in pl.join(pr, "ck").groupBy("v").agg(F.sum("amt").alias("s")).collect()
     }
     assert got == {"x": 30, "y": 5}
+
+
+# ---------------------------------------------------------------------------
+# review regressions (r5 post-window code review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_dups_lsh_would_miss(spark):
+    """A cosine-0.931 pair that hyperplane LSH buckets apart must still
+    be excluded: the operator filters the edge's own exact cosine, not
+    an LSH-recalled dup set (review finding #1)."""
+    from comlake_core_spark.operators.similarity import hard_negatives
+
+    a = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    b = [0.93, 0.3676955262170047, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # cos(a,b)=0.93
+    far = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, a), (2, b), (3, far)], "vec_id long, embedding array<double>"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in hard_negatives(emb, k=2, dup_threshold=0.9).collect()}
+    assert (1, 2) not in got
+
+
+def test_pseudonymize_null_stays_null(spark):
+    from comlake_core_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "k long, v string"
+    )
+    toks = {r["k"]: r["v"] for r in pseudonymize(df, {"v": "d"}).collect()}
+    assert toks[2] is None and toks[3] is None  # no shared NULL token
+    assert toks[1] is not None
+    # and a join on the pseudonymized column must NOT match NULL keys
+    left = pseudonymize(df, {"v": "d"})
+    assert left.join(left.withColumnRenamed("k", "k2"), "v").filter(
+        F.col("k") != F.col("k2")
+    ).count() == 0
+
+
+def test_matryoshka_zero_prefix_ranks_last(spark):
+    from comlake_core_spark.operators.similarity import matryoshka_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 7.0, 7.0]),  # zero 2-dim prefix: NaN without the guard
+        (2, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {r["nbr_id"]: r for r in matryoshka_topk(emb, q, k=3, dims=2).collect()}
+    assert out[1]["trunc_cosine"] == -2.0      # sentinel, not NaN
+    assert out[1]["rn"] == 3                   # degenerate row ranks LAST
+    assert out[0]["rn"] == 1 and out[2]["rn"] == 2
+
+
+def test_bfs_depth_attribution_preserves_string_ids(spark):
+    from comlake_core_spark.operators.dedup import bfs_depth
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = {
+        r["node"]: r["nearest_seed"]
+        for r in bfs_depth(
+            pairs, lambda n: n == F.lit("a"), iterations=2, attribute_seed=True
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}  # not silently NULL
+
+
+def test_strip_boilerplate_and_oov_explode_corpus_once(spark):
+    """Review findings #5/#6: the corpus must be scanned+exploded exactly
+    once — the df side must not re-derive the token/line stream."""
+    from comlake_core_spark.operators.dedup import strip_boilerplate
+    from comlake_core_spark.operators.text import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a b x y", "s")],
+        "doc_id long, text string, source string",
+    )
+    plan = strip_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    # oov_rate: the explode lives only inside the persisted (source, term)
+    # count relation — materialized once, read twice via InMemoryTableScan
+    plan2 = oov_rate(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("InMemoryTableScan") == 2
+    assert plan2.count("Generate") == plan2.count("InMemoryRelation")
