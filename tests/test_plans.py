@@ -628,3 +628,98 @@ def test_bpe_pair_counts_map_combined_argmax_take_ordered(spark):
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r5 post-window wave
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strip_single_explode_shared_window_exchange(spark):
+    # ONE corpus explode; the df-via-window (max(dense_rank)) and the
+    # keep decision ride a single (source, line) sort-exchange; no join
+    df = run(spark, "boilerplate_strip_source")
+    plan = P.executed_plan(df)
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+    assert P.count_shuffles(df) <= 2  # (source,line) window + doc_id re-agg
+
+
+def test_bloom_decontaminate_bitmap_is_map_side(spark):
+    # the 1024-long bitmap is a plan literal: membership is map-side, the
+    # only joins are the broadcast exact-audit probe; no shuffle joins
+    df = run(spark, "decontaminate_bloom")
+    plan = P.executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_lsh_edit_verify_cost_rides_candidates(spark):
+    # the Levenshtein verify joins prefixes onto the LSH candidate pairs —
+    # never a cartesian; the banding self-join stays an equi-join
+    df = run(spark, "dedup_lsh_edit_verify")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_rate_top_vocab_broadcast_take_ordered(spark):
+    # top-V fuses to TakeOrderedAndProject over the aggregated vocab and
+    # comes back as a broadcast; per-source rollup is map-combined
+    df = run(spark, "vocab_oov_rate")
+    assert P.has_take_ordered(df)
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    assert "SortMergeJoin" not in P.executed_plan(df)
+
+
+def test_bigram_backoff_map_only_scoring_explode(spark):
+    # the scoring side explodes (pos, term, prev) from the token array —
+    # no lag window anywhere; count tables join in, totals broadcast
+    df = run(spark, "text_bigram_backoff_logprob")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_matryoshka_single_scan_two_group_limits(spark):
+    # one corpus scan scores both rankings; each top-k rides
+    # WindowGroupLimit; the recall flag is an equi-join of two k·|Q| lists
+    df = run(spark, "embedding_matryoshka_topk")
+    assert P.has_window_group_limit(df)
+    assert P.executed_plan(df).count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_hard_negatives_filter_on_edge_cosine_no_second_pipeline(spark):
+    # the near-dup exclusion is a map-side filter on the kNN edge's own
+    # exact cosine — no LSH dup pipeline, no anti-join
+    df = run(spark, "embedding_hard_negatives")
+    plan = P.executed_plan(df)
+    assert "LeftAnti" not in plan
+    assert P.has_window_group_limit(df)
+
+
+def test_shard_assign_no_global_window_rank_is_map_side(spark):
+    # the global rank must NOT be a single-partition window: range
+    # repartition + monotonic-id decomposition + literal offset table
+    df = run(spark, "shard_assign_balanced")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    # the checkpoint cuts the plan at ExistingRDD; the final plan must show
+    # the MAP-SIDE rank decomposition (offset literal + shiftright on the
+    # monotonic id), not any sort/window
+    assert "shiftright(_mid" in plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_pseudonymize_join_stays_equi_hash(spark):
+    # tokenization is map-only; the token join is a hash equi-join with
+    # map-combined aggregation after it
+    df = run(spark, "pii_pseudonymize_consistent")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregate(df)
