@@ -194,20 +194,21 @@ def main() -> None:
             separators=(",", ":"),
         )
 
-    line = emit(timings, {})
-    if len(line) > 1990:
-        # degrade gracefully instead of losing the whole per-query dict:
-        # first drop to 1-decimal timings, then shed the FASTEST queries
-        # (overhead-dominated, least informative; full precision for all
-        # of them stays in BENCH_DETAIL.json) until the line fits.
-        coarse = {k: round(v, 1) for k, v in timings.items()}
-        line = emit(coarse, {})
-        by_speed = sorted(coarse, key=lambda k: (coarse[k], k))
-        omitted = 0
-        while len(line) > 1990 and by_speed:
-            coarse.pop(by_speed.pop(0))
-            omitted += 1
-            line = emit(coarse, {"queries_omitted": omitted})
+    # Degrade gracefully instead of losing the whole per-query dict: shed
+    # the FASTEST queries first (overhead-dominated, least informative —
+    # full precision for every query stays in the committed
+    # BENCH_DETAIL.json) so the slow, comparison-relevant medians keep
+    # their 2-decimal precision; coarsening everything to 1 decimal (the
+    # first draft) hid 0.0x-second drifts on EVERY query to save the few
+    # fastest entries.
+    kept = dict(timings)
+    by_speed = sorted(kept, key=lambda k: (kept[k], k))
+    omitted = 0
+    line = emit(kept, {})
+    while len(line) > 1990 and by_speed:
+        kept.pop(by_speed.pop(0))
+        omitted += 1
+        line = emit(kept, {"queries_omitted": omitted})
     print(line)
     spark.stop()
 
