@@ -169,14 +169,18 @@ def mixture_resample(
     target_docs: int,
     token_count: Column | str = "n_tokens",
     id_col: str = "doc_id",
+    alpha: float = 0.5,
 ) -> DataFrame:
     """Training-mixture re-weighting: allocate a document budget across
-    domains proportional to the SQUARE ROOT of each domain's token mass
-    (α=0.5 temperature flattening — the standard down-weighting of
-    dominant domains / up-weighting of rare ones a pretraining mixture
-    applies; DoReMi-style learned weights drop into the same quota slot),
-    then select each domain's quota deterministically by content-hash
-    rank, so re-ingesting or re-partitioning never changes the mixture.
+    domains proportional to each domain's token mass raised to the
+    TEMPERATURE `alpha` (exponentiated sampling, the multilingual-mixture
+    knob: α=1 is proportional, α=0 uniform; mBERT used α≈0.7 and XLM-R
+    α=0.3 — Conneau et al. 2020 §3.1 — to keep head languages from
+    drowning the tail; the default 0.5 is the classic square-root
+    flattening, and DoReMi-style learned weights drop into the same
+    quota slot), then select each domain's quota deterministically by
+    content-hash rank, so re-ingesting or re-partitioning never changes
+    the mixture.
 
     Quotas use LARGEST-REMAINDER apportionment (ADVICE r2 #2): each
     domain gets floor(target·wᵢ/Σw), and the leftover seats go to the
@@ -185,13 +189,15 @@ def mixture_resample(
     drift by ±n_domains/2.  (A domain whose quota exceeds its document
     count still undershoots n_kept; the budget claim is about quotas.)
 
-    Exactness discipline: token masses are exact ints; sqrt is IEEE-exact
-    in every engine; each domain weight lands on a 9-decimal grid and the
-    total is an exact decimal sum; the remainders are identical doubles of
-    identical inputs in both engines, so quotas are integer-identical
-    across engines. Returns per-domain accounting INCLUDING an id-sum
-    checksum of the selected set — the hash gate pins the exact
-    membership, not just the counts.
+    Exactness discipline: token masses are exact ints; sqrt (the α=0.5
+    special case) is IEEE-exact in every engine, and general tokens^α
+    goes through libm pow, so EITHER way each domain weight lands on a
+    9-decimal grid before the exact decimal total (the same quantize
+    bridge as every ln in this codebase); the remainders are identical
+    doubles of identical inputs in both engines, so quotas are
+    integer-identical across engines. Returns per-domain accounting
+    INCLUDING an id-sum checksum of the selected set — the hash gate
+    pins the exact membership, not just the counts.
 
     Scale: one shuffle groups tokens per domain (tiny frame); the
     per-domain rank rides one shuffle on the group key; weights are a
@@ -203,7 +209,9 @@ def mixture_resample(
     dom = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs_total"), F.sum("_tok").alias("domain_tokens")
     )
-    w9 = F.round(F.sqrt(F.col("domain_tokens").cast("double")), 9).cast("decimal(20,9)")
+    mass = F.col("domain_tokens").cast("double")
+    raw_w = F.sqrt(mass) if alpha == 0.5 else F.pow(mass, F.lit(float(alpha)))
+    w9 = F.round(raw_w, 9).cast("decimal(20,9)")
     dom = dom.withColumn("_w", w9)
     tot = dom.agg(F.sum("_w").alias("_tot"))
     raw = F.lit(float(target_docs)) * (F.col("_w").cast("double") / F.col("_tot").cast("double"))

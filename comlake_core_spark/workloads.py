@@ -8722,3 +8722,74 @@ def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_p").cast("double").alias("total_spend"),
         )
     )
+
+
+@workload(
+    "temperature_mixture_langs",
+    r"""
+    WITH base AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> '')) AS tok
+      FROM documents
+    ), dom AS (
+      SELECT lang, COUNT(*) AS n_docs_total,
+             CAST(SUM(tok) AS BIGINT) AS domain_tokens,
+             CAST(ROUND(pow(CAST(SUM(tok) AS DOUBLE), 0.3), 9) AS DECIMAL(20,9)) AS w
+      FROM base GROUP BY lang
+    ), tot AS (SELECT SUM(w) AS t FROM dom),
+    domq0 AS (
+      SELECT lang, n_docs_total, domain_tokens,
+             300.0 * (CAST(w AS DOUBLE) / CAST(t AS DOUBLE)) AS raw
+      FROM dom CROSS JOIN tot
+    ),
+    domq AS (
+      SELECT lang, n_docs_total, domain_tokens,
+             CAST(FLOOR(raw) AS BIGINT)
+               + CASE WHEN row_number() OVER (ORDER BY raw - FLOOR(raw) DESC,
+                                              lang ASC)
+                        <= 300 - (SELECT SUM(CAST(FLOOR(raw) AS BIGINT)) FROM domq0)
+                      THEN 1 ELSE 0 END AS quota
+      FROM domq0
+    ), ranked AS (
+      SELECT b.lang, b.doc_id, b.tok,
+             row_number() OVER (PARTITION BY b.lang
+                                ORDER BY md5(CAST(b.doc_id AS VARCHAR)) ASC,
+                                         b.doc_id ASC) AS rn
+      FROM base b
+    ), kept AS (
+      SELECT r.lang, COUNT(*) AS n_kept,
+             CAST(SUM(r.tok) AS BIGINT) AS kept_tokens,
+             CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
+      FROM ranked r JOIN domq d ON r.lang = d.lang
+      WHERE r.rn <= d.quota
+      GROUP BY r.lang
+    )
+    SELECT d.lang, d.n_docs_total, d.domain_tokens, d.quota,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.kept_id_sum, 0) AS kept_id_sum
+    FROM domq d LEFT JOIN kept k ON d.lang = k.lang
+    """,
+    "sampling",
+    "training-data",
+    "mixture",
+)
+def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentiated (temperature) language sampling at α=0.3 — the
+    XLM-R recipe verbatim (Conneau et al. 2020 §3.1): per-LANGUAGE token
+    masses raised to 0.3 flatten the head languages hard enough that the
+    tail survives a shared vocabulary and training budget; contrast with
+    mixture_resample_corpus's α=0.5 over (lang, source).  tokens^0.3
+    goes through libm pow, so the weight lands on the 9-decimal quantize
+    grid before the exact decimal normalization (the ln discipline);
+    quotas then use the same largest-remainder apportionment and
+    content-hash selection, and kept_id_sum pins the exact membership.
+    See operators/sampling.mixture_resample (alpha parameter)."""
+    from comlake_core_spark.operators.sampling import mixture_resample
+    from comlake_core_spark.operators.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
+    base = docs.select("lang", "doc_id", n_tok.alias("n_tokens"))
+    return mixture_resample(base, ["lang"], target_docs=300, alpha=0.3)

@@ -411,3 +411,32 @@ def test_strip_boilerplate_and_oov_explode_corpus_once(spark):
     plan2 = oov_rate(df)._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("InMemoryTableScan") == 2
     assert plan2.count("Generate") == plan2.count("InMemoryRelation")
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_alpha_flattens_quotas(spark):
+    from comlake_core_spark.operators.sampling import mixture_resample
+
+    # head domain has 9x the tokens of the tail; quotas out of 100:
+    # alpha=1 -> proportional (90/10); alpha=0 -> uniform (50/50);
+    # alpha=0.3 sits between, far flatter than proportional
+    rows = [("head", i, 90) for i in range(100)] + [("tail", 1000 + i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+
+    def quotas(alpha):
+        out = mixture_resample(df, ["lang"], target_docs=100, alpha=alpha)
+        return {r["lang"]: r["quota"] for r in out.collect()}
+
+    q1 = quotas(1.0)
+    assert q1 == {"head": 90, "tail": 10}
+    q0 = quotas(0.0)
+    assert q0 == {"head": 50, "tail": 50}
+    q03 = quotas(0.3)
+    assert 50 < q03["head"] < 90 and q03["head"] + q03["tail"] == 100
+    # default stays the sqrt special case: 3:1 weight ratio -> 75/25
+    q05 = quotas(0.5)
+    assert q05 == {"head": 75, "tail": 25}
