@@ -280,3 +280,116 @@ def lr_quality_logit(
             (F.col("logit_q") > 0).alias("admit"),
         )
     )
+
+
+def winsorize_groups(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: float = 0.05,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Per-group winsorization at the [p, 1-p] nearest-rank quantiles:
+    clip values beyond the bounds instead of dropping the rows — the
+    robust-preprocessing companion to mad_outliers (detection) for
+    features feeding a model where every row must survive but a fat tail
+    would dominate the loss.  Returns one summary row per group:
+    (group, n, lo_value, hi_value, n_clipped_low, n_clipped_high,
+    winsorized_mean).
+
+    Exactness bridge: values quantize to integers, and the bounds use
+    NEAREST-RANK (type-1) quantiles — the value at row_number
+    ceil(p*n) in sorted order — so there is NO interpolation anywhere:
+    interpolated quantiles at general p mix lo + frac*(hi-lo) in
+    floating point where the two engines' formula orderings can differ
+    by an ulp and flip clip-boundary rows; rank selection is pure
+    integer arithmetic, and the oracle states the identical row_number
+    formula rather than trusting quantile_disc's convention.  The
+    winsorized mean sums exact clipped integers and divides once.
+
+    Plan: ONE hash shuffle on the group key; the rank window, the two
+    bound windows (max-of-case over the same partition), and the final
+    aggregate all reuse that partitioning.  Same large-group caveat as
+    mad_outliers: exact ranks sort the group in one task — at 100 TB
+    swap the bounds to percentile_approx and keep this as its oracle."""
+    w_ord = Window.partitionBy(group_col).orderBy(F.col("_vq").asc())
+    w_all = Window.partitionBy(group_col)
+    base = (
+        df.select(
+            F.col(group_col),
+            F.round(F.col(value_col) * quantize, 0).cast("long").alias("_vq"),
+        )
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    )
+    k_lo = F.greatest(F.ceil(F.lit(p) * F.col("_n")), F.lit(1))
+    k_hi = F.ceil(F.lit(1.0 - p) * F.col("_n"))
+    bounded = base.withColumn(
+        "_lo", F.max(F.when(F.col("_rn") == k_lo, F.col("_vq"))).over(w_all)
+    ).withColumn(
+        "_hi", F.max(F.when(F.col("_rn") == k_hi, F.col("_vq"))).over(w_all)
+    )
+    clipped = F.greatest(F.least(F.col("_vq"), F.col("_hi")), F.col("_lo"))
+    return bounded.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("_lo") / F.lit(float(quantize)), 6).alias("lo_value"),
+        F.round(F.max("_hi") / F.lit(float(quantize)), 6).alias("hi_value"),
+        F.sum(F.when(F.col("_vq") < F.col("_lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("_vq") > F.col("_hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(
+            F.sum(clipped).cast("double") / F.count(F.lit(1)) / F.lit(float(quantize)),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    levels: dict[str, list[str]],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) across GENERALIZATION levels:
+    for each named combination of quasi-identifier columns, how many
+    equivalence classes fall below `k` members and how many rows sit in
+    them — the privacy check that decides whether a pseudonymized
+    release is safe, and the evidence for the standard remedy (climb
+    the generalization hierarchy — e.g. nation → region — until every
+    class reaches k).  Tokenized direct identifiers (pseudonymize) do
+    NOT change this audit: equivalence classes are defined by the
+    quasi-identifiers that survive tokenization, which is exactly why
+    the audit must run alongside pseudonymization rather than being
+    replaced by it.
+
+    `levels` maps a level name → list of quasi-identifier columns.
+    Returns one row per level: (level, n_classes, n_below_k,
+    rows_at_risk, min_class_size) — rows_at_risk is the re-identifiable
+    population at that generalization level.
+
+    Plan per level: one map-combined agg on the QI tuple, then an
+    O(classes) rollup; levels union O(levels) summary rows."""
+    outs = []
+    for name, cols in levels.items():
+        classes = df.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        outs.append(
+            classes.agg(
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).alias("n_classes"),
+                F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_below_k"),
+                F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_at_risk"),
+                F.min("_n").alias("min_class_size"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -590,3 +590,36 @@ def assign_shards(
             ).alias("docs_md5"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Length-based curriculum ordering: documents grouped into token-
+    count buckets, buckets served SHORT→LONG, order within a bucket
+    deterministically shuffled by content hash — the Shortformer recipe
+    (Press et al. 2021: short-sequence warmup measurably speeds LM
+    convergence) made reproducible: re-running the pipeline yields the
+    byte-identical training order, which is what makes a loss curve
+    comparable across data refreshes.
+
+    Returns (doc_id, bucket, position) with position the GLOBAL 1-based
+    training position — assigned by global_row_number, so there is no
+    single-partition window: one range shuffle + map-side rank at any
+    corpus size (the second consumer of that primitive after
+    assign_shards; the md5 tie-break inside a bucket is the same
+    stable-shuffle idiom as mixture_resample's content-hash rank)."""
+    base = df.select(
+        F.col(id_col),
+        (F.col(size_col).cast("long") / F.lit(bucket_width)).cast("long").alias("bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    ranked = global_row_number(
+        base,
+        [F.col("bucket").asc(), F.col("_h").asc(), F.col(id_col).asc()],
+        out="position",
+    )
+    return ranked.select(id_col, "bucket", "position")

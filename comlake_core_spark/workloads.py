@@ -8794,3 +8794,144 @@ def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
     base = docs.select("lang", "doc_id", n_tok.alias("n_tokens"))
     return mixture_resample(base, ["lang"], target_docs=300, alpha=0.3)
+
+
+@workload(
+    "winsorize_events",
+    r"""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS vq FROM events
+    ), r AS (
+      SELECT event_type, vq,
+             row_number() OVER (PARTITION BY event_type ORDER BY vq ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ), b AS (
+      SELECT event_type, vq, n,
+             MAX(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                      THEN vq END) OVER (PARTITION BY event_type) AS lo,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN vq END) OVER (PARTITION BY event_type) AS hi
+      FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(lo) / 1000000.0, 6) AS lo_value,
+           ROUND(MAX(hi) / 1000000.0, 6) AS hi_value,
+           CAST(SUM(CASE WHEN vq < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN vq > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           ROUND(SUM(greatest(least(vq, hi), lo)) / COUNT(*) / 1000000.0, 6) AS winsorized_mean
+    FROM b GROUP BY event_type
+    """,
+    "quality",
+    "stats",
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values at the [5%, 95%]
+    nearest-rank quantiles — clip, don't drop: the robust-preprocessing
+    companion to mad_outlier_events for features feeding a model where
+    every row must survive but a fat tail would dominate the loss.
+    NEAREST-RANK (type-1) bounds keep the whole computation in integer
+    arithmetic — interpolated quantiles at general p mix lo+frac*(hi-lo)
+    in floating point where engine formula orderings can ulp-flip
+    clip-boundary rows; the oracle states the identical row_number
+    selection, trusting no quantile convention.  One shuffle on
+    event_type serves the rank window, both bound windows, and the final
+    agg.  See operators/quality.winsorize_groups."""
+    from comlake_core_spark.operators.quality import winsorize_groups
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return winsorize_groups(ev, "value", "event_type", p=0.05)
+
+
+@workload(
+    "k_anonymity_customers",
+    r"""
+    WITH g1 AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), g2 AS (
+      SELECT c_mktsegment, r_regionkey, COUNT(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY c_mktsegment, r_regionkey
+    )
+    SELECT 'segment_nation' AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_class_size
+    FROM g1
+    UNION ALL
+    SELECT 'segment_region' AS level,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT), CAST(MIN(n) AS BIGINT)
+    FROM g2
+    """,
+    "quality",
+    "pii",
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, k=5) of the customer table's
+    quasi-identifiers at TWO generalization levels — (segment, nation)
+    and the coarser (segment, region) — quantifying the standard remedy:
+    climb the generalization hierarchy until every equivalence class
+    reaches k.  This is the release gate that must accompany
+    pii_pseudonymize_consistent: tokenizing direct identifiers does not
+    shrink quasi-identifier classes, so rows_at_risk is unchanged by
+    pseudonymization and must be audited separately.  One map-combined
+    agg per level + O(classes) rollups.  See
+    operators/quality.k_anonymity_audit."""
+    from comlake_core_spark.operators.quality import k_anonymity_audit
+
+    cust, nat, reg = _t(spark, sf_dir, "customer", "nation", "region")
+    enriched = cust.join(
+        nat.select(F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"),
+        "c_nationkey",
+    ).join(reg.select(F.col("r_regionkey").alias("n_regionkey"), "r_regionkey"), "n_regionkey")
+    return k_anonymity_audit(
+        enriched,
+        {
+            "segment_nation": ["c_mktsegment", "c_nationkey"],
+            "segment_region": ["c_mktsegment", "r_regionkey"],
+        },
+        k=5,
+    )
+
+
+@workload(
+    "curriculum_order_docs",
+    r"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) // 50 AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(row_number() OVER (ORDER BY bucket ASC, h ASC, doc_id ASC) AS BIGINT) AS position
+    FROM sized
+    """,
+    "sampling",
+    "training-data",
+)
+def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering (Shortformer, Press et al. 2021):
+    token-count buckets served short→long, content-hash shuffled within a
+    bucket — a reproducible training order (re-runs are byte-identical,
+    so loss curves stay comparable across data refreshes).  The Spark
+    side assigns the GLOBAL position with the distributed
+    global_row_number (range shuffle + map-side rank — no
+    single-partition window; second consumer after shard_assign_balanced)
+    while the oracle states the same total order declaratively.  See
+    operators/sampling.curriculum_order."""
+    from comlake_core_spark.operators.sampling import curriculum_order
+    from comlake_core_spark.operators.text import token_count
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = ensure_parallelism(docs).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return curriculum_order(sized, bucket_width=50)

@@ -440,3 +440,86 @@ def test_temperature_alpha_flattens_quotas(spark):
     # default stays the sqrt special case: 3:1 weight ratio -> 75/25
     q05 = quotas(0.5)
     assert q05 == {"head": 75, "tail": 25}
+
+
+# ---------------------------------------------------------------------------
+# winsorization
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_clips_tails_only(spark):
+    from comlake_core_spark.operators.quality import winsorize_groups
+
+    # 20 values 1..19 plus one huge outlier; p=0.05 -> k_lo=1, k_hi=19:
+    # lo = min, hi = 19th smallest (=19), the outlier clips to 19
+    rows = [("g", float(v)) for v in range(1, 20)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    (r,) = winsorize_groups(df, "value", "grp", p=0.05).collect()
+    assert r["n"] == 20
+    assert r["lo_value"] == 1.0 and r["hi_value"] == 19.0
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    # winsorized mean: (sum(1..19) + 19) / 20 = (190 + 19) / 20 = 10.45
+    assert r["winsorized_mean"] == pytest.approx(10.45)
+
+
+def test_winsorize_nearest_rank_no_interpolation(spark):
+    from comlake_core_spark.operators.quality import winsorize_groups
+
+    # 10 values: ceil(0.05*10)=1 -> lo = min; ceil(0.95*10)=10 -> hi = max
+    # (nearest-rank semantics: nothing clips for n=10 at p=0.05)
+    rows = [("g", float(v)) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    (r,) = winsorize_groups(df, "value", "grp", p=0.05).collect()
+    assert r["lo_value"] == 1.0 and r["hi_value"] == 10.0
+    assert r["n_clipped_low"] == r["n_clipped_high"] == 0
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_generalization_reduces_risk(spark):
+    from comlake_core_spark.operators.quality import k_anonymity_audit
+
+    # fine level: (seg, city) has two singleton classes; coarse level
+    # (seg only) merges them into classes of >= k
+    rows = (
+        [("A", "x", i) for i in range(4)]
+        + [("A", "y", 100)]            # singleton at fine level
+        + [("B", "z", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "seg string, city string, uid long")
+    out = {
+        r["level"]: r
+        for r in k_anonymity_audit(
+            df, {"fine": ["seg", "city"], "coarse": ["seg"]}, k=5
+        ).collect()
+    }
+    assert out["fine"]["n_classes"] == 3
+    assert out["fine"]["n_below_k"] == 2          # (A,x)=4 and (A,y)=1
+    assert out["fine"]["rows_at_risk"] == 5
+    assert out["fine"]["min_class_size"] == 1
+    assert out["coarse"]["n_below_k"] == 0        # A=5, B=5 both reach k
+    assert out["coarse"]["rows_at_risk"] == 0
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_orders_buckets_short_to_long(spark):
+    from comlake_core_spark.operators.sampling import curriculum_order
+
+    rows = [(1, 10), (2, 260), (3, 40), (4, 120), (5, 70)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sorted(curriculum_order(df, bucket_width=50).collect(), key=lambda r: r["position"])
+    # buckets: 10//50=0, 40//50=0, 70//50=1, 120//50=2, 260//50=5
+    assert [r["bucket"] for r in out] == [0, 0, 1, 2, 5]
+    assert [r["position"] for r in out] == [1, 2, 3, 4, 5]
+    # short bucket first regardless of hash, long doc strictly last
+    assert out[-1]["doc_id"] == 2
+    # rerun is byte-identical (deterministic shuffle)
+    again = sorted(curriculum_order(df, bucket_width=50).collect(), key=lambda r: r["position"])
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
