@@ -6634,15 +6634,16 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   10 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   13 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
 #          text_bigram_backoff_logprob, embedding_matryoshka_topk,
 #          embedding_hard_negatives, shard_assign_balanced,
-#          pii_pseudonymize_consistent, temperature_mixture_langs.
-#          r6 window = a few sentinels + these 10 + re-greens as needed;
-#          all 10 pass the oracle mirror at sf0.001 AND the driver's
+#          pii_pseudonymize_consistent, temperature_mixture_langs,
+#          winsorize_events, k_anonymity_customers, curriculum_order_docs.
+#          r6 window = a few sentinels + these 13 + re-greens as needed;
+#          all 13 pass the oracle mirror at sf0.001 AND the driver's
 #          sf0.01 locally.
 # ---------------------------------------------------------------------------
 
