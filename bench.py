@@ -107,6 +107,10 @@ HEADLINE = [
     "embedding_matryoshka_topk",
     "shard_assign_balanced",
     "pii_pseudonymize_consistent",
+    "temperature_mixture_langs",
+    "winsorize_events",
+    "k_anonymity_customers",
+    "curriculum_order_docs",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_knn_graph_ivf, embedding_hard_negatives,

@@ -723,3 +723,28 @@ def test_pseudonymize_join_stays_equi_hash(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert P.has_partial_aggregate(df)
+
+
+def test_winsorize_single_group_exchange(spark):
+    # rank window, both bound windows, and the final agg all reuse ONE
+    # hash exchange on the group key
+    df = run(spark, "winsorize_events")
+    assert P.count_shuffles(df) <= 2
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_k_anonymity_broadcast_dims_partial_agg(spark):
+    # nation/region dims broadcast; each level is one map-combined agg
+    df = run(spark, "k_anonymity_customers")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+    assert "SortMergeJoin" not in P.executed_plan(df)
+
+
+def test_curriculum_order_no_global_window(spark):
+    # same contract as shard_assign: the global position is range sort +
+    # map-side monotonic-id decomposition, never a single-partition window
+    df = run(spark, "curriculum_order_docs")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "shiftright(_mid" in plan
