@@ -623,3 +623,84 @@ def curriculum_order(
         out="position",
     )
     return ranked.select(id_col, "bucket", "position")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out: str = "running_sum",
+    rank_out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global prefix sum of ``value_col`` (and optionally the global rank)
+    in the total order ``order_by`` — WITHOUT the single-partition window
+    that ``sum().over(Window.orderBy(...))`` degenerates to.
+
+    Mechanics (sibling of global_row_number, same layout-pinning rules):
+    range-repartition + in-partition sort on the keys, pin the layout with
+    an EAGER localCheckpoint, then ONE O(P)-row job collects each
+    partition's (row count, value total); their prefix sums come back as a
+    Python dict baked into a mapInPandas closure, and the final pass is
+    MAP-ONLY: each partition streams its Arrow batches in sorted order,
+    adding offset[pid] to a local cumulative sum.  Range partitions are
+    ordered by key, so per-partition offsets in partition order ARE the
+    global prefix sums.
+
+    The cumulative sum is computed in the column's own dtype — integer
+    inputs accumulate exactly (no FP reassociation), which is what lets a
+    coverage/cdf consumer hash-match a SQL window oracle.
+
+    The caller must make the order total (unique tie-break key), same
+    contract as global_row_number.  Cost at 100 TB: one range shuffle
+    (it IS the global sort), one O(P) job, one Arrow-batched map pass.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    d = (
+        df.repartitionByRange(p, *order_by)
+        .sortWithinPartitions(*order_by)
+        .localCheckpoint(eager=True)
+    )
+    stats = {
+        r["_pid"]: (r["_n"], r["_s"])
+        for r in d.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s"))
+        .collect()
+    }
+    count_off: dict[int, int] = {}
+    sum_off: dict[int, float | int] = {}
+    acc_n, acc_s = 0, 0
+    for i in range(p):
+        count_off[i], sum_off[i] = acc_n, acc_s
+        n_i, s_i = stats.get(i, (0, 0))
+        acc_n += n_i
+        acc_s += s_i or 0
+
+    value_field = d.schema[value_col]
+    fields = list(d.schema.fields) + [T.StructField(out, value_field.dataType, True)]
+    if rank_out:
+        fields.append(T.StructField(rank_out, T.LongType(), False))
+    out_schema = T.StructType(fields)
+
+    def _cum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run_s = sum_off.get(pid, 0)
+        run_n = count_off.get(pid, 0)
+        for pdf in batches:
+            c = pdf[value_col].cumsum() + run_s
+            res = pdf.copy()
+            res[out] = c
+            if rank_out:
+                res[rank_out] = range(run_n + 1, run_n + 1 + len(pdf))
+                run_n += len(pdf)
+            if len(pdf):
+                run_s = c.iloc[-1]
+            yield res
+
+    return d.mapInPandas(_cum, out_schema)

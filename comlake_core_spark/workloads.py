@@ -3917,7 +3917,7 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE))
     FROM orders
     UNION ALL
-    SELECT 'unique_o_orderkey', COALESCE(SUM(cnt - 1), 0)
+    SELECT 'unique_o_orderkey', CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
     FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
     UNION ALL
     SELECT 'fk_o_custkey', COUNT(*)
@@ -4590,7 +4590,7 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           count_if(value > 100) AS n_high,
+           CAST(count_if(value > 100) AS BIGINT) AS n_high,
            bool_or(value > 300) AS any_extreme,
            bool_and(value >= 0) AS all_nonneg
     FROM events GROUP BY event_type
@@ -6634,17 +6634,20 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   13 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   17 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
 #          text_bigram_backoff_logprob, embedding_matryoshka_topk,
 #          embedding_hard_negatives, shard_assign_balanced,
 #          pii_pseudonymize_consistent, temperature_mixture_langs,
-#          winsorize_events, k_anonymity_customers, curriculum_order_docs.
-#          r6 window = a few sentinels + these 13 + re-greens as needed;
-#          all 13 pass the oracle mirror at sf0.001 AND the driver's
-#          sf0.01 locally.
+#          winsorize_events, k_anonymity_customers, curriculum_order_docs —
+#          and the corpus-statistics wave — ngram_diversity_by_source,
+#          zipf_slope_by_source, vocab_coverage_thresholds,
+#          text_mattr_by_source.
+#          r6 window = a few sentinels + these + re-greens as needed;
+#          all pass the oracle mirror at sf0.001 AND the driver-style
+#          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -8936,3 +8939,188 @@ def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tokens")
     )
     return curriculum_order(sized, bucket_width=50)
+
+
+# ---------------------------------------------------------------------------
+# r5 corpus-statistics wave: the fingerprint numbers a pretraining-data
+# report leads with (diversity, Zipf shape, tokenizer coverage, lexical
+# richness).  All tokenize with the unigram_logprob convention
+# (lower → whitespace split → drop empties).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "ngram_diversity_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT source, n,
+             unnest(list_transform(range(1, len(t) - n + 2),
+                                   i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+      FROM toks CROSS JOIN (VALUES (1), (2), (3)) ns(n)
+      WHERE len(t) >= n
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           COUNT(*) AS total_grams,
+           ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 9) AS diversity
+    FROM g GROUP BY source, n
+    """,
+    "text",
+    "diversity",
+    "corpus-stats",
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source (distinct n-grams over total
+    n-grams) — the corpus self-repetition fingerprint that flags
+    template/boilerplate-heavy sources before pretraining.  One scan
+    builds all three gram lists row-locally (sequence+transform, no UDF),
+    one explode feeds one map-combined count.  See
+    operators/text.ngram_diversity."""
+    from comlake_core_spark.operators.text import ngram_diversity
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_diversity(ensure_parallelism(docs))
+
+
+@workload(
+    "zipf_slope_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT source, term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT source, term, COUNT(*) AS c FROM tok2 GROUP BY source, term
+    ), ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, term ASC) AS r
+      FROM vocab
+    ), top AS (
+      SELECT source,
+             ROUND(ln(CAST(r AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked WHERE r <= 500
+    ), s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(22,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(22,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sxx
+      FROM top GROUP BY source
+    )
+    SELECT source, n AS n_ranked,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS zipf_intercept
+    FROM s
+    """,
+    "text",
+    "corpus-stats",
+    "regression",
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq on ln rank, top-500 tokens) per source:
+    natural prose sits near slope −1; flat slopes flag ID/key-smash
+    sources, steep ones tiny-vocabulary boilerplate.  Rank window is
+    per-source with a map-side top-500 cut; ln on a 9-decimal grid +
+    exact decimal OLS sums make slope/intercept hash-checkable (the
+    unigram_logprob discipline).  See operators/text.zipf_fit."""
+    from comlake_core_spark.operators.text import zipf_fit
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return zipf_fit(ensure_parallelism(docs))
+
+
+@workload(
+    "vocab_coverage_thresholds",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT term, COUNT(*) AS c FROM tok2 GROUP BY term
+    ), curve AS (
+      SELECT row_number() OVER (ORDER BY c DESC, term ASC) AS rank,
+             CAST(SUM(c) OVER (ORDER BY c DESC, term ASC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / (SELECT CAST(SUM(c) AS DOUBLE) FROM vocab) AS share
+      FROM vocab
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(MIN(CASE WHEN share >= threshold THEN rank END) AS BIGINT)
+             AS vocab_needed,
+           MIN(CASE WHEN share >= threshold THEN share END) AS coverage
+    FROM curve CROSS JOIN (VALUES (0.5), (0.9), (0.95), (0.99)) t(threshold)
+    GROUP BY threshold
+    """,
+    "text",
+    "tokenizer",
+    "corpus-stats",
+)
+def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: the frequency-ranked vocabulary size needed
+    to cover 50/90/95/99% of running tokens, with the coverage attained
+    at the crossing.  The cumulative-share curve is built by
+    global_running_sum (range shuffle + map-only Arrow cumsum — NO
+    single-partition window at any vocabulary size); the oracle states
+    the same curve with a SQL window.  Integer cumsums are exact, so the
+    crossing ranks hash-match.  See operators/text.vocab_coverage."""
+    from comlake_core_spark.operators.text import vocab_coverage
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return vocab_coverage(ensure_parallelism(docs))
+
+
+@workload(
+    "text_mattr_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), per_doc AS (
+      SELECT source,
+             ROUND(CASE WHEN len(t) < 50
+               THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               ELSE CAST(list_sum(list_transform(
+                      range(1, len(t) - 50 + 2),
+                      i -> len(list_distinct(t[i:i+49])))) AS DOUBLE)
+                    / (50 * (len(t) - 49))
+             END, 9) AS m,
+             ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 9) AS ttr
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(m AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_mattr,
+           CAST(SUM(CAST(ttr AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_ttr
+    FROM per_doc GROUP BY source
+    """,
+    "text",
+    "diversity",
+    "corpus-stats",
+)
+def text_mattr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (window 50; Covington & McFall
+    2010) per source, with plain TTR alongside — the length-independent
+    lexical-diversity score that catches looped generations plain TTR
+    and corpus-level distinct-n both miss.  Entirely row-local
+    sequence/array_distinct arithmetic inside codegen (no UDF, no
+    explode), then one map-combined 9-decimal-grid rollup.  See
+    operators/text.mattr."""
+    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return mattr(ensure_parallelism(docs))

@@ -1,0 +1,153 @@
+"""Behavioral tests for the r5 corpus-statistics operators (distinct-n
+diversity, Zipf OLS fit, tokenizer coverage curve, MATTR) and the
+global_running_sum primitive they build on.
+
+The driver-contract mirror proves Spark ≡ DuckDB on the real tables;
+these pin the SEMANTICS on small planted inputs where the right answer
+is known by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# global_running_sum
+# ---------------------------------------------------------------------------
+
+
+def test_global_running_sum_exact_and_ranked(spark):
+    from comlake_core_spark.operators.sampling import global_running_sum
+
+    rows = [(i, (i * 7919) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    out = global_running_sum(
+        df, [F.col("v").desc(), F.col("k").asc()], "v", out="cum", rank_out="rank",
+        num_partitions=7,
+    ).collect()
+    expect = sorted(rows, key=lambda r: (-r[1], r[0]))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    acc = 0
+    for i, (r, (k, v)) in enumerate(zip(by_rank, expect), start=1):
+        acc += v
+        assert r["rank"] == i and r["k"] == k and r["cum"] == acc
+
+
+def test_global_running_sum_no_single_partition_window(spark):
+    from comlake_core_spark.operators.sampling import global_running_sum
+
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    out = global_running_sum(df, [F.col("k").asc()], "v", out="cum", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "prefix sum must not fall back to a window"
+
+
+# ---------------------------------------------------------------------------
+# ngram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_hand_case(spark):
+    from comlake_core_spark.operators.text import ngram_diversity
+
+    # "a b a b": unigrams a,b,a,b -> 2/4; bigrams "a b","b a","a b" -> 2/3;
+    # trigrams "a b a","b a b" -> 2/2
+    df = spark.createDataFrame([(1, "a b a b", "s")], "doc_id long, text string, source string")
+    got = {r["n"]: r for r in ngram_diversity(df).collect()}
+    assert (got[1]["distinct_grams"], got[1]["total_grams"]) == (2, 4)
+    assert (got[2]["distinct_grams"], got[2]["total_grams"]) == (2, 3)
+    assert (got[3]["distinct_grams"], got[3]["total_grams"]) == (2, 2)
+    assert got[2]["diversity"] == pytest.approx(2 / 3, abs=1e-9)
+
+
+def test_ngram_diversity_short_doc_emits_no_long_grams(spark):
+    from comlake_core_spark.operators.text import ngram_diversity
+
+    df = spark.createDataFrame([(1, "solo", "s")], "doc_id long, text string, source string")
+    got = {r["n"]: r for r in ngram_diversity(df).collect()}
+    assert got[1]["total_grams"] == 1 and 2 not in got and 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from comlake_core_spark.operators.text import zipf_fit
+
+    # counts c(r) = round(1000 * r^-1): ln c ~ ln 1000 - 1 * ln r, so the
+    # OLS slope over the exact planted points sits near -1.
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 * r**-1.0)
+    df = spark.createDataFrame([(1, " ".join(words), "s")], "doc_id long, text string, source string")
+    row = zipf_fit(df, top_r=20).collect()[0]
+    assert row["n_ranked"] == 20
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+    assert row["zipf_intercept"] == pytest.approx(math.log(1000), abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_crossings(spark):
+    from comlake_core_spark.operators.text import vocab_coverage
+
+    # freqs 50, 30, 15, 5 (total 100): shares .5, .8, .95, 1.0
+    text = " ".join(["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5)
+    df = spark.createDataFrame([(1, text, "s")], "doc_id long, text string, source string")
+    got = {r["threshold"]: r for r in vocab_coverage(df).collect()}
+    assert got[0.5]["vocab_needed"] == 1 and got[0.5]["coverage"] == pytest.approx(0.5)
+    assert got[0.9]["vocab_needed"] == 3 and got[0.9]["coverage"] == pytest.approx(0.95)
+    assert got[0.95]["vocab_needed"] == 3
+    assert got[0.99]["vocab_needed"] == 4 and got[0.99]["coverage"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# MATTR
+# ---------------------------------------------------------------------------
+
+
+def test_mattr_short_doc_equals_ttr(spark):
+    from comlake_core_spark.operators.text import mattr
+
+    df = spark.createDataFrame([(1, "x y x", "s")], "doc_id long, text string, source string")
+    row = mattr(df, window=50).collect()[0]
+    assert row["avg_mattr"] == pytest.approx(2 / 3, abs=1e-9)
+    assert row["avg_ttr"] == pytest.approx(2 / 3, abs=1e-9)
+
+
+def test_mattr_windows_average(spark):
+    from comlake_core_spark.operators.text import mattr
+
+    # window=2 over "a a b": windows (a,a)->1/2, (a,b)->2/2; mattr = 3/4.
+    # plain TTR = 2/3 — the two diverge exactly as designed.
+    df = spark.createDataFrame([(1, "a a b", "s")], "doc_id long, text string, source string")
+    row = mattr(df, window=2).collect()[0]
+    assert row["avg_mattr"] == pytest.approx(0.75, abs=1e-9)
+    assert row["avg_ttr"] == pytest.approx(2 / 3, abs=1e-9)
+
+
+def test_mattr_repetition_detected_where_ttr_saturates(spark):
+    from comlake_core_spark.operators.text import mattr
+
+    # looped generation: 30 distinct tokens repeated 10x. Plain TTR = 0.1
+    # only because the doc is long; MATTR(window=10) stays high (each
+    # 10-window sees mostly distinct tokens) — a diverse-but-looped doc.
+    # A truly degenerate doc ("x" * 300) collapses BOTH.
+    loop = " ".join([f"t{i}" for i in range(30)] * 10)
+    degen = " ".join(["x"] * 300)
+    df = spark.createDataFrame(
+        [(1, loop, "loop"), (2, degen, "degen")], "doc_id long, text string, source string"
+    )
+    got = {r["source"]: r for r in mattr(df, window=10).collect()}
+    assert got["loop"]["avg_mattr"] == pytest.approx(1.0, abs=1e-9)
+    assert got["degen"]["avg_mattr"] == pytest.approx(1 / 10, abs=1e-9)
+    assert got["degen"]["avg_ttr"] == pytest.approx(1 / 300, abs=1e-9)
