@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   17 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   19 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6644,7 +6644,8 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          winsorize_events, k_anonymity_customers, curriculum_order_docs —
 #          and the corpus-statistics wave — ngram_diversity_by_source,
 #          zipf_slope_by_source, vocab_coverage_thresholds,
-#          text_mattr_by_source.
+#          text_mattr_by_source — and the portable-LSH diagnostics —
+#          lsh_bucket_skew_audit, minhash_estimate_calibration.
 #          r6 window = a few sentinels + these + re-greens as needed;
 #          all pass the oracle mirror at sf0.001 AND the driver-style
 #          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
@@ -9124,3 +9125,112 @@ def text_mattr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return mattr(ensure_parallelism(docs))
+
+
+# ---------------------------------------------------------------------------
+# LSH infrastructure diagnostics: the dedup family's own machinery put
+# under the value-hash gate.  Both run the PORTABLE md5 MinHash
+# (operators/dedup.minhash_signature_portable) so the oracle recomputes
+# the signatures — and therefore the buckets and the estimator —
+# bit-for-bit, not just the downstream answers.
+# ---------------------------------------------------------------------------
+
+_PORTABLE_LSH_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, grams,
+             list_transform(range(12),
+               s -> list_min(list_transform(grams,
+                      g -> md5(CAST(s AS VARCHAR) || '|' || g)))) AS sg
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, band,
+             md5(array_to_string(sg[band*3+1:band*3+3], ',')) AS bkey
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)
+    )
+"""
+
+
+@workload(
+    "lsh_bucket_skew_audit",
+    _PORTABLE_LSH_SQL
+    + r""",
+    buckets AS (
+      SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs,
+           ROUND(CAST(MAX(n * (n - 1) / 2) AS DOUBLE)
+                 / NULLIF(CAST(SUM(n * (n - 1) / 2) AS DOUBLE), 0), 9)
+             AS top_bucket_pair_share
+    FROM buckets GROUP BY band
+    """,
+    "dedup",
+    "diagnostics",
+    "skew",
+)
+def lsh_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-skew audit — candidate pairs are Σ C(bucket,2),
+    so ONE degenerate bucket turns the dedup self-join quadratic; this
+    report catches it BEFORE the join (a (band,bucket) count plus a
+    band rollup, strictly cheaper than the join it protects).  The
+    oracle recomputes the md5 signatures and buckets themselves.  See
+    operators/dedup.lsh_bucket_skew."""
+    from comlake_core_spark.operators.dedup import lsh_bucket_skew
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return lsh_bucket_skew(docs)
+
+
+@workload(
+    "minhash_estimate_calibration",
+    _PORTABLE_LSH_SQL
+    + r""",
+    cand AS (
+      SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ), scored AS (
+      SELECT least(CAST(floor(est * 10) AS BIGINT), 9) AS est_bin,
+             ROUND(est, 9) AS e, ROUND(jac, 9) AS tj,
+             ROUND(abs(est - jac), 9) AS ae
+      FROM (
+        SELECT CAST(len(list_filter(range(12),
+                         i -> a.sg[i+1] = b.sg[i+1])) AS DOUBLE) / 12 AS est,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+        FROM cand JOIN sig a ON cand.ida = a.doc_id
+                  JOIN sig b ON cand.idb = b.doc_id
+      )
+    )
+    SELECT est_bin, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(e  AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_estimate,
+           CAST(SUM(CAST(tj AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_true_jaccard,
+           CAST(SUM(CAST(ae AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS mae
+    FROM scored GROUP BY est_bin
+    """,
+    "dedup",
+    "diagnostics",
+    "calibration",
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: signature agreement (the unbiased
+    Jaccard estimator) vs EXACT shingle Jaccard over the LSH candidate
+    pairs, binned by estimate decile with mean-absolute-error per bin —
+    the measured answer to "how many hashes?", ann_recall_at_k's
+    discipline applied to the dedup estimator itself.  Candidates come
+    from bucket joins (never all-pairs); exact sets join back for
+    candidate ids only.  See operators/dedup.minhash_calibration."""
+    from comlake_core_spark.operators.dedup import minhash_calibration
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return minhash_calibration(docs)

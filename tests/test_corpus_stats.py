@@ -151,3 +151,59 @@ def test_mattr_repetition_detected_where_ttr_saturates(spark):
     assert got["loop"]["avg_mattr"] == pytest.approx(1.0, abs=1e-9)
     assert got["degen"]["avg_mattr"] == pytest.approx(1 / 10, abs=1e-9)
     assert got["degen"]["avg_ttr"] == pytest.approx(1 / 300, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# portable-MinHash diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_skew_flags_degenerate_bucket(spark):
+    from comlake_core_spark.operators.dedup import lsh_bucket_skew
+
+    # 20 identical docs + 5 distinct ones: every band has one 20-doc
+    # bucket contributing C(20,2)=190 of the pairs.
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)]
+    rows += [(100 + i, f"unique{i} words here nothing shared {i} x{i} y{i}") for i in range(5)]
+    out = lsh_bucket_skew(_docs(spark, rows)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["max_bucket"] == 20
+        assert r["candidate_pairs"] >= 190
+        assert r["top_bucket_pair_share"] >= 190 / (190 + 10)
+
+
+def test_minhash_calibration_exact_duplicates_land_in_top_bin(spark):
+    from comlake_core_spark.operators.dedup import minhash_calibration
+
+    rows = [(1, "one two three four five six seven"), (2, "one two three four five six seven")]
+    rows += [(10 + i, f"filler{i} tokens that are all different {i} a{i} b{i}") for i in range(4)]
+    out = {r["est_bin"]: r for r in minhash_calibration(_docs(spark, rows)).collect()}
+    # the identical pair: estimate 1.0 -> bin 9, true jaccard 1.0, mae 0
+    assert 9 in out
+    top = out[9]
+    assert top["avg_estimate"] == pytest.approx(1.0)
+    assert top["avg_true_jaccard"] == pytest.approx(1.0)
+    assert top["mae"] == pytest.approx(0.0)
+
+
+def test_minhash_calibration_estimator_is_plausible_mid_range(spark):
+    from comlake_core_spark.operators.dedup import minhash_calibration
+
+    # two docs sharing roughly half their shingles: the estimate must land
+    # within 3/12 of the true jaccard (12 hashes -> coarse but unbiased)
+    shared = "common one common two common three common four"
+    a = shared + " left only tokens here"
+    b = shared + " right different suffix now"
+    rows = [(1, a), (2, b)]
+    out = minhash_calibration(_docs(spark, rows), bands=12, num_hashes=12).collect()
+    # bands=12 (1 row/band) guarantees the pair is a candidate
+    assert len(out) >= 1
+    total_pairs = sum(r["n_pairs"] for r in out)
+    assert total_pairs == 1
+    r = out[0]
+    assert abs(r["avg_estimate"] - r["avg_true_jaccard"]) <= 0.25 + 1e-9
