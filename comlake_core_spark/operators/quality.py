@@ -393,3 +393,53 @@ def k_anonymity_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def calibration_bins(
+    scores: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    logit_micro_col: str = "avg_logit_micro",
+    label_col: str = "keep",
+    temperature: float = 25.0,
+    quantize: int = 9,
+) -> DataFrame:
+    """Reliability table for a document-quality classifier: predicted
+    probability (sigmoid of the integer micro-logit, scaled by
+    ``temperature``) binned into deciles against an independent binary
+    label, with the per-bin calibration gap — the table an ECE
+    (expected calibration error) reads off, and the audit that decides
+    whether a score threshold can be trusted as a sampling probability
+    (e.g. soft quality-weighted sampling a la DataComp) or only as a
+    ranking.
+
+    Determinism: the logit is an exact integer, x = micro/(1e6·T) is one
+    exact double division, the sigmoid lands on the ``quantize`` grid
+    (unigram_logprob's ln discipline applied to exp), per-bin means are
+    exact decimal sums, and the label rate is a ratio of integer counts.
+
+    Scale shape: one equi-join on the id (both inputs are per-doc
+    rollups of the same corpus scan family) and one ≤10-key map-combined
+    aggregate."""
+    x = F.col(logit_micro_col).cast("double") / F.lit(1_000_000.0 * temperature)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), quantize)
+    joined = scores.select(F.col(id_col), p.alias("_p")).join(
+        labels.select(F.col(id_col), F.col(label_col).cast("long").alias("_y")), id_col
+    )
+    binned = joined.select(
+        F.least(F.floor(F.col("_p") * 10).cast("long"), F.lit(9)).alias("prob_bin"),
+        "_p",
+        "_y",
+    )
+    dsum = lambda c: F.sum(F.col(c).cast(f"decimal(20,{quantize})")).cast("double")  # noqa: E731
+    return binned.groupBy("prob_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum("_p") / F.count(F.lit(1))).alias("avg_predicted"),
+        (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("label_rate"),
+    ).select(
+        "prob_bin",
+        "n_docs",
+        "avg_predicted",
+        "label_rate",
+        F.round(F.abs(F.col("avg_predicted") - F.col("label_rate")), quantize).alias("calibration_gap"),
+    )

@@ -96,3 +96,114 @@ def misra_gries(df: DataFrame, col: str, k: int) -> DataFrame:
         .select(col, (F.col("w") - F.col("off")).alias("est_count"))
         .where(F.col("est_count") > 0)
     )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k (KMV) distinct-value sketch: the k smallest md5 hashes of
+    the column's DISTINCT values, as 32-hex strings (lexicographic order
+    ≡ numeric order, split_assignment_portable's argument — so the sketch
+    is recomputable bit-for-bit by any engine with md5, unlike HLL whose
+    register layout is implementation-private).
+
+    Plans as distinct + TakeOrderedAndProject: each task keeps its local
+    bottom-k and the driver merges O(k · P) — the mergeability that makes
+    KMV a per-partition/per-shard summary at 100 TB (union two sketches =
+    bottom-k of their union).  Beyer et al., ICDE 2007."""
+    return (
+        df.select(F.col(key_col).cast("string").alias("_k"))
+        .distinct()
+        .select(F.md5("_k").alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+
+
+def _hex_frac(col: Column) -> Column:
+    """First 12 hex chars of a 32-hex md5 as a fraction of 16^12 — the
+    uniform (0,1) position the KMV estimator divides by."""
+    return F.conv(F.substring(col, 1, 12), 16, 10).cast("double") / F.lit(
+        float(16**12)
+    )
+
+
+def kmv_join_cardinality(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    k: int = 256,
+) -> DataFrame:
+    """Sketch-based join-key cardinality estimation — size a join BEFORE
+    running it.  KMV estimates each side's distinct keys as
+    (k−1)/x_k (x_k = k-th smallest hash fraction); the union sketch is
+    the bottom-k of the two sketches' union, and the intersection
+    estimate is the Jaccard-style ratio ρ·D̂_∪ where ρ is the fraction of
+    union-sketch hashes present in BOTH sketches (Beyer et al. 2007).
+
+    At 100 TB this is the planning primitive: both sketches are O(k)
+    rows merged via TakeOrdered (never a shuffle of the key column
+    beyond the distinct), the other table is never rescanned, and the
+    output carries the EXACT counts next to the estimates plus the
+    relative error — the measure-don't-guess audit of the estimator
+    itself."""
+    a_sk = kmv_sketch(left, left_key, k)
+    b_sk = kmv_sketch(right, right_key, k)
+    u_sk = a_sk.union(b_sk).distinct().orderBy("_h").limit(k)
+
+    def est_of(sk: DataFrame) -> DataFrame:
+        # k-th smallest = max within the sketch; exhaustive sketch (<k
+        # rows) means the side had fewer than k distinct keys -> exact
+        return sk.agg(
+            F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk")
+        ).select(
+            F.when(
+                F.col("_n") < k, F.col("_n").cast("double")
+            )
+            .otherwise(F.round((F.lit(k - 1)) / _hex_frac(F.col("_hk")), 6))
+            .alias("_est")
+        )
+
+    both = (
+        u_sk.join(a_sk.withColumnRenamed("_h", "_ha"), F.col("_h") == F.col("_ha"), "left")
+        .join(b_sk.withColumnRenamed("_h", "_hb"), F.col("_h") == F.col("_hb"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("_ku"),
+            F.count_if(F.col("_ha").isNotNull() & F.col("_hb").isNotNull()).alias("_kboth"),
+            F.max("_h").alias("_hku"),
+        )
+    )
+    est_u = F.when(F.col("_ku") < k, F.col("_ku").cast("double")).otherwise(
+        F.round(F.lit(k - 1) / _hex_frac(F.col("_hku")), 6)
+    )
+    est_inter = F.round(F.col("_kboth").cast("double") / F.col("_ku") * est_u, 6)
+
+    exact_a = left.agg(F.countDistinct(left_key).alias("exact_a"))
+    exact_b = right.agg(F.countDistinct(right_key).alias("exact_b"))
+    exact_i = (
+        left.select(F.col(left_key).alias("_ka"))
+        .distinct()
+        .join(right.select(F.col(right_key).alias("_ka")).distinct(), "_ka")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    scalars = (
+        both.select(est_inter.alias("est_intersection"))
+        .crossJoin(F.broadcast(a_sk.transform(est_of).withColumnRenamed("_est", "est_a")))
+        .crossJoin(F.broadcast(b_sk.transform(est_of).withColumnRenamed("_est", "est_b")))
+        .crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_i))
+    )
+    return scalars.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "est_a",
+        "exact_a",
+        "est_b",
+        "exact_b",
+        "est_intersection",
+        "exact_intersection",
+        F.round(
+            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            / F.col("exact_intersection").cast("double"),
+            6,
+        ).alias("rel_err_intersection"),
+    )

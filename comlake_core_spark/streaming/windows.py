@@ -212,3 +212,63 @@ def running_user_totals_exact(stream_df: DataFrame, key_col: str = "user_id", va
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """Top event-type paths per session — the behavioural-sequence rollup
+    (and, on a chat/interaction log, the conversation-reconstruction
+    step a training pipeline runs before turning sessions into training
+    samples).  Sessions use the same gap rule as sessionize; the path is
+    the '>'-joined event types in (ts, tiebreak) order, made total by
+    the tiebreak column so re-runs are byte-identical.
+
+    Scale shape: the session assignment is a per-user window (lag +
+    running flag-sum — partitioned by user, never global), path assembly
+    is one groupBy with an in-group sort of collected structs (bounded
+    by session length, not corpus size), and the final top-N is
+    TakeOrderedAndProject over the per-path counts (each task forwards
+    its local top-N)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    lagged = events.withColumn(
+        "_new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) >= F.lag(ts_col).over(w) + F.expr(f"INTERVAL {gap}")),
+            1,
+        ).otherwise(0),
+    )
+    sess = lagged.withColumn(
+        "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sess.groupBy(user_col, "_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(type_col).alias("_t"))
+                        )
+                    ),
+                    lambda s: s["_t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

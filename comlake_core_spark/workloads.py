@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   19 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   23 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6645,7 +6645,10 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          and the corpus-statistics wave — ngram_diversity_by_source,
 #          zipf_slope_by_source, vocab_coverage_thresholds,
 #          text_mattr_by_source — and the portable-LSH diagnostics —
-#          lsh_bucket_skew_audit, minhash_estimate_calibration.
+#          lsh_bucket_skew_audit, minhash_estimate_calibration — and the
+#          planning/audit wave — kmv_join_cardinality,
+#          zorder_pruning_audit, quality_calibration_bins,
+#          events_session_paths.
 #          r6 window = a few sentinels + these + re-greens as needed;
 #          all pass the oracle mirror at sf0.001 AND the driver-style
 #          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
@@ -9234,3 +9237,229 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return minhash_calibration(docs)
+
+
+@workload(
+    "kmv_join_cardinality",
+    r"""
+    WITH a_keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    b_keys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    a_sk AS (SELECT md5(k) AS h FROM a_keys ORDER BY h LIMIT 256),
+    b_sk AS (SELECT md5(k) AS h FROM b_keys ORDER BY h LIMIT 256),
+    u_sk AS (
+      SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM a_sk UNION ALL SELECT h FROM b_sk))
+      ORDER BY h LIMIT 256
+    ),
+    ea AS (
+      SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE ROUND(255.0 / (CAST('0x' || substr(MAX(h), 1, 12) AS BIGINT)
+                                 / 281474976710656.0), 6) END AS est_a
+      FROM a_sk
+    ),
+    eb AS (
+      SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE ROUND(255.0 / (CAST('0x' || substr(MAX(h), 1, 12) AS BIGINT)
+                                 / 281474976710656.0), 6) END AS est_b
+      FROM b_sk
+    ),
+    uu AS (
+      SELECT COUNT(*) AS ku,
+             CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kboth,
+             MAX(u.h) AS hku
+      FROM u_sk u LEFT JOIN a_sk a ON u.h = a.h LEFT JOIN b_sk b ON u.h = b.h
+    ),
+    eu AS (
+      SELECT ku, kboth,
+             CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+             ELSE ROUND(255.0 / (CAST('0x' || substr(hku, 1, 12) AS BIGINT)
+                                 / 281474976710656.0), 6) END AS est_u
+      FROM uu
+    ),
+    ex AS (
+      SELECT (SELECT COUNT(*) FROM a_keys) AS exact_a,
+             (SELECT COUNT(*) FROM b_keys) AS exact_b,
+             (SELECT COUNT(*) FROM a_keys JOIN b_keys USING (k)) AS exact_intersection
+    )
+    SELECT CAST(256 AS BIGINT) AS k,
+           est_a, exact_a, est_b, exact_b,
+           ROUND(CAST(kboth AS DOUBLE) / ku * est_u, 6) AS est_intersection,
+           exact_intersection,
+           ROUND(abs(ROUND(CAST(kboth AS DOUBLE) / ku * est_u, 6) - exact_intersection)
+                 / CAST(exact_intersection AS DOUBLE), 6) AS rel_err_intersection
+    FROM ea, eb, eu, ex
+    """,
+    "sketches",
+    "join",
+    "cardinality",
+)
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size planning with KMV bottom-k sketches (Beyer et al. 2007):
+    estimate each side's distinct join keys and their intersection from
+    O(k) mergeable sketch rows — how a 100 TB pipeline sizes a join
+    before paying for it — with exact counts and the relative error in
+    the same row (the estimator is AUDITED, not trusted).  md5 hashing
+    keeps the sketch engine-portable, so the oracle recomputes the
+    sketches themselves.  See operators/sketches.kmv_join_cardinality."""
+    from comlake_core_spark.operators.sketches import kmv_join_cardinality as kmv
+
+    od, cu = _t(spark, sf_dir, "orders", "customer")
+    return kmv(od, "o_custkey", cu, "c_custkey", k=256)
+
+
+@workload(
+    "zorder_pruning_audit",
+    r"""
+    WITH pts AS (
+      SELECT user_id % 32 AS x,
+             date_diff('day', DATE '2024-01-01', ts) AS y
+      FROM events
+    ), zed AS (
+      SELECT x, y,
+             (((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0)
+           + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2)
+           + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4)
+           + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6)
+           + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) AS z
+      FROM pts
+    )
+    SELECT CAST(z >> 6 AS BIGINT) AS zrange,
+           COUNT(*) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+           CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS x_span,
+           MAX(x) < 8 OR MIN(x) > 11 AS skipped_by_query
+    FROM zed GROUP BY zrange
+    """,
+    "layout",
+    "zorder",
+    "pruning",
+)
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (user bucket × event day),
+    bucket by z-range (one range ≡ one file/row-group under a z-sorted
+    write), and report each range's bounding box plus whether a
+    single-dimension query box could SKIP it on min/max stats — the
+    measured pruning argument for multi-dimensional layout at 100 TB
+    (row-order gives zero skips; the gate pins the z-order spans and
+    skip flags exactly).  Pure integer shift/mask arithmetic, one
+    map-only projection + one small-key aggregate.  See
+    operators/relational.zorder_audit."""
+    from comlake_core_spark.operators.relational import zorder_audit
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return zorder_audit(
+        ev,
+        x=F.col("user_id") % 32,
+        y=F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))),
+        bits=5,
+        range_shift=6,
+        query_x=(8, 11),
+    )
+
+
+@workload(
+    "quality_calibration_bins",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), w AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('w:' || CAST(
+                 CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 256
+               AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000 AS w
+      FROM tok2
+    ), lg AS (
+      SELECT doc_id, CAST((SUM(w) * 1000000) // COUNT(*) AS BIGINT) AS micro
+      FROM w GROUP BY doc_id
+    ), gt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), lbl AS (
+      SELECT doc_id,
+             CAST(len(t) BETWEEN 50 AND 100000
+                  AND ROUND(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 6)
+                        BETWEEN 3.0 AND 10.0
+                  AND ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(t), 6) >= 0.8
+                  AND len(list_filter(t, w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) >= 2
+               AS INT) AS y
+      FROM gt
+    ), pj AS (
+      SELECT ROUND(1.0 / (1.0 + exp(-(CAST(micro AS DOUBLE) / 25000000.0))), 9) AS p, y
+      FROM lg JOIN lbl USING (doc_id)
+    ), binned AS (
+      SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS prob_bin,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(p AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_predicted,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS label_rate
+      FROM pj GROUP BY prob_bin
+    )
+    SELECT prob_bin, n_docs, avg_predicted, label_rate,
+           ROUND(abs(avg_predicted - label_rate), 9) AS calibration_gap
+    FROM binned
+    """,
+    "quality",
+    "calibration",
+    "model",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (the ECE decomposition) for the hashed-feature
+    quality classifier against the Gopher rule label: sigmoid of the
+    integer micro-logit binned by decile vs the empirical keep rate with
+    per-bin gaps — the audit that decides whether a quality score can be
+    used as a SAMPLING probability (DataComp-style soft weighting) or
+    only as a ranking.  One id-join of two per-doc rollups + one ≤10-key
+    aggregate.  See operators/quality.calibration_bins."""
+    from comlake_core_spark.operators.quality import calibration_bins, lr_quality_logit
+    from comlake_core_spark.operators.text import gopher_quality
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    return calibration_bins(
+        lr_quality_logit(docs), gopher_quality(docs), label_col="keep"
+    )
+
+
+@workload(
+    "events_session_paths",
+    r"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+    "session-window",
+    "sequence",
+    "training-data",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 per-session event-type paths — the behavioural-sequence
+    rollup, and on a chat/interaction log the conversation-reconstruction
+    step before sessions become training samples.  Same gap rule as
+    events_sessionize (its lag/cumsum oracle extended with an ordered
+    string_agg); per-user windows, in-group sorted struct collection
+    (bounded by session length), TakeOrdered top-N.  See
+    streaming/windows.session_paths."""
+    from comlake_core_spark.streaming.windows import session_paths
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return session_paths(ev, gap="1 hour")

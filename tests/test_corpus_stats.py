@@ -207,3 +207,129 @@ def test_minhash_calibration_estimator_is_plausible_mid_range(spark):
     assert total_pairs == 1
     r = out[0]
     assert abs(r["avg_estimate"] - r["avg_true_jaccard"]) <= 0.25 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# KMV join-cardinality sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exhaustive_sketch_is_exact(spark):
+    from comlake_core_spark.operators.sketches import kmv_join_cardinality
+
+    a = spark.range(100).select(F.col("id").alias("ka"))
+    b = spark.range(50, 150).select(F.col("id").alias("kb"))
+    row = kmv_join_cardinality(a, "ka", b, "kb", k=256).collect()[0]
+    # both sides have < k distinct keys: sketches are exhaustive and every
+    # estimate must be EXACT
+    assert row["est_a"] == 100.0 and row["exact_a"] == 100
+    assert row["est_b"] == 100.0 and row["exact_b"] == 100
+    assert row["est_intersection"] == 50.0 and row["exact_intersection"] == 50
+    assert row["rel_err_intersection"] == 0.0
+
+
+def test_kmv_estimates_within_sampling_error(spark):
+    from comlake_core_spark.operators.sketches import kmv_join_cardinality
+
+    # 4000 vs 3000 keys with 2000 shared; k=256 -> rel std err ~1/sqrt(k)
+    # ~6%; assert within 4 sigma (25%)
+    a = spark.range(4000).select(F.col("id").alias("ka"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("kb"))
+    row = kmv_join_cardinality(a, "ka", b, "kb", k=256).collect()[0]
+    assert abs(row["est_a"] - 4000) / 4000 < 0.25
+    assert abs(row["est_b"] - 3000) / 3000 < 0.25
+    assert abs(row["est_intersection"] - 2000) / 2000 < 0.3
+    assert row["exact_intersection"] == 2000
+
+
+# ---------------------------------------------------------------------------
+# Z-order audit
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_bounds_both_dims_and_skips(spark):
+    from comlake_core_spark.operators.relational import zorder_audit
+
+    # full 32x32 grid: with range_shift=6 every z-range covers exactly a
+    # 8x8 tile (64 z-values = 3 low bit-pairs), so both spans are 8 and a
+    # query on x in [8,11] skips every range whose tile misses x 8..15...
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    out = zorder_audit(grid, F.col("x"), F.col("y"), bits=5, range_shift=6).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["n_rows"] == 64
+        assert r["x_span"] == 8 and (r["y_max"] - r["y_min"] + 1) == 8
+    # x in [8,11] intersects only the tiles with x_min == 8: 4 of 16 survive
+    assert sum(0 if r["skipped_by_query"] else 1 for r in out) == 4
+
+
+def test_zorder_row_order_layout_never_skips(spark):
+    from comlake_core_spark.operators.relational import zorder_audit
+
+    # contrast: bucket by ROW ORDER (y alone), every bucket spans all of x
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    rows = (
+        grid.groupBy((F.col("y") / 2).cast("long").alias("bucket"))
+        .agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+        .collect()
+    )
+    assert all(r["x_min"] == 0 and r["x_max"] == 31 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# calibration bins
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_perfectly_calibrated_and_miscalibrated(spark):
+    from comlake_core_spark.operators.quality import calibration_bins
+
+    # logits chosen so sigmoid(micro/25e6) lands mid-bin; labels set to the
+    # predicted rate in one group (gap ~0) and inverted in the other
+    import math
+
+    def micro_for(p):
+        return int(round(-25_000_000 * math.log(1 / p - 1)))
+
+    rows_scores, rows_labels = [], []
+    doc = 0
+    for p, n_pos, n in [(0.85, 17, 20), (0.15, 3, 20)]:
+        for i in range(n):
+            rows_scores.append((doc, micro_for(p)))
+            rows_labels.append((doc, 1 if i < n_pos else 0))
+            doc += 1
+    s = spark.createDataFrame(rows_scores, "doc_id long, avg_logit_micro long")
+    l = spark.createDataFrame(rows_labels, "doc_id long, keep int")
+    out = {r["prob_bin"]: r for r in calibration_bins(s, l).collect()}
+    assert out[8]["n_docs"] == 20 and out[8]["label_rate"] == pytest.approx(0.85)
+    assert out[8]["calibration_gap"] == pytest.approx(0.0, abs=1e-6)
+    assert out[1]["label_rate"] == pytest.approx(0.15)
+    assert out[1]["calibration_gap"] == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# session paths
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_gap_splits_and_orders(spark):
+    from comlake_core_spark.streaming.windows import session_paths
+
+    rows = [
+        # user 1: view>click then (after 2h gap) purchase
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:10:00", 1, "click"),
+        (3, "2024-01-01 13:00:00", 1, "purchase"),
+        # user 2: the same view>click shape
+        (4, "2024-01-01 09:00:00", 2, "view"),
+        (5, "2024-01-01 09:30:00", 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["path"]: r["n_sessions"] for r in session_paths(df, gap="1 hour").collect()}
+    assert out == {"view>click": 2, "purchase": 1}
