@@ -295,3 +295,49 @@ def audio_stats(df: DataFrame, sample_rate: int = 16000, codec: str = "fake") ->
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def perceptual_ahash(df: DataFrame, codec: str = "png", grid: int = 8) -> DataFrame:
+    """(id, content, meta) → (id, ahash): the average-hash perceptual
+    fingerprint — decode REAL bytes, block-mean downsample to
+    ``grid``×``grid``, emit one bit per block (block mean > global mean,
+    strict, all-integer via cross-multiplication so no float threshold),
+    packed as a hex string.
+
+    aHash is invariant to global brightness/contrast shifts (any monotone
+    pixel transform preserves the comparison against the image's own
+    mean), which is exactly the near-duplicate class byte-level image
+    dedup misses: re-encoded, re-exposed copies of the same picture.
+    Image dedup at 100 TB is then a plain exact-dedup groupBy on a
+    64-bit key — no pairwise comparison anywhere.
+
+    Map-only Arrow stage over the binary scan; downsample is one
+    vectorized reshape+sum per image."""
+    if codec not in ("png", "jpeg"):
+        raise ValueError("perceptual_ahash supports the pure-Python png/jpeg codecs")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"id": [], "ahash": []}
+            for _, row in pdf.iterrows():
+                img = _real_decode(bytes(row["content"] or b""), codec)
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                bh, bw = h // grid, w // grid
+                img = img[: bh * grid, : bw * grid].astype(np.int64)
+                blocks = img.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+                # bit = block_mean > global_mean, cross-multiplied exact:
+                # block_sum * n_blocks > total_sum (all int64)
+                bits = (blocks * (grid * grid) > blocks.sum()).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                out["id"].append(row["id"])
+                out["ahash"].append(format(val, f"0{grid * grid // 4}x"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, "id string, ahash string")

@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   23 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   25 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6648,7 +6648,8 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          lsh_bucket_skew_audit, minhash_estimate_calibration — and the
 #          planning/audit wave — kmv_join_cardinality,
 #          zorder_pruning_audit, quality_calibration_bins,
-#          events_session_paths.
+#          events_session_paths — and the multimodal/embedding pair —
+#          image_phash_neardup, embedding_centroid_drift.
 #          r6 window = a few sentinels + these + re-greens as needed;
 #          all pass the oracle mirror at sf0.001 AND the driver-style
 #          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
@@ -9463,3 +9464,114 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _t(spark, sf_dir, "events")
     return session_paths(ev, gap="1 hour")
+
+
+@workload(
+    "image_phash_neardup",
+    """
+    SELECT CAST(doc_id % 4 AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_images
+    FROM documents WHERE doc_id < 256
+    GROUP BY doc_id % 4
+    """,
+    "multimodal",
+    "dedup",
+    "perceptual",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup through the REAL PNG codec: each doc_id
+    < 256 becomes one of four 16×16 structural patterns (x+y, |x−y|, x,
+    min(x,y) — pattern = doc_id % 4) plus a per-image brightness shift
+    (doc_id % 13), PNG-encoded, decoded, and aHashed
+    (operators/multimodal.perceptual_ahash).  aHash thresholds each
+    block against the image's OWN mean, so the brightness shift cancels
+    EXACTLY (integer cross-multiplication) and images collapse into 4
+    perceptual groups — re-encoded/re-exposed copies dedupe while the
+    structurally different patterns stay apart, which the closed-form
+    oracle (groups ≡ doc_id % 4) pins.  At 100 TB the dedup is a plain
+    groupBy on a 64-bit hash: no pairwise stage anywhere."""
+    from comlake_core_spark.operators.multimodal import perceptual_ahash
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from comlake_core_spark.operators.codecs import png_encode
+
+        x = np.arange(16)[:, None] + np.zeros(16, dtype=np.int64)[None, :]
+        y = x.T
+        patterns = [x + y, np.abs(x - y), x, np.minimum(x, y)]
+        for pdf in it:
+            out = {"id": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = (patterns[d % 4] + d % 13).astype(np.uint8)
+                out["id"].append(str(d))
+                out["content"].append(png_encode(img, filter_type=1))
+                out["meta"].append({"mime": "image/png", "n_bytes": 0})
+            yield pd.DataFrame(out)
+
+    binary = ensure_parallelism(
+        docs.filter(F.col("doc_id") < 256).select("doc_id")
+    ).mapInPandas(
+        encode_batches, "id string, content binary, meta struct<mime string, n_bytes long>"
+    )
+    hashed = perceptual_ahash(binary, codec="png")
+    return hashed.groupBy("ahash").agg(
+        F.min(F.col("id").cast("long")).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    ).drop("ahash")
+
+
+@workload(
+    "embedding_centroid_drift",
+    r"""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS parity, i + 1 AS dim,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(len(embedding))) r(i)
+    ), comp AS (
+      SELECT label, parity, dim,
+             CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*) AS c,
+             COUNT(*) AS n
+      FROM halves GROUP BY label, parity, dim
+    ), pairs AS (
+      SELECT e.label, e.c AS ca, o.c AS co, e.n AS n_a, o.n AS n_b
+      FROM comp e JOIN comp o
+        ON e.label = o.label AND e.dim = o.dim
+       AND e.parity = 0 AND o.parity = 1
+    ), dots AS (
+      SELECT label, MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+             CAST(SUM(CAST(ROUND(ca * co, 9) AS DECIMAL(24,9))) AS DOUBLE) AS ab,
+             CAST(SUM(CAST(ROUND(ca * ca, 9) AS DECIMAL(24,9))) AS DOUBLE) AS aa,
+             CAST(SUM(CAST(ROUND(co * co, 9) AS DECIMAL(24,9))) AS DOUBLE) AS bb
+      FROM pairs GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label, n_a, n_b,
+           ROUND(ab / (sqrt(aa) * sqrt(bb)), 9) AS drift_cosine
+    FROM dots
+    """,
+    "embedding",
+    "drift",
+    "monitoring",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (split =
+    vec_id parity, standing in for old/new crawl): cosine between the
+    halves' centroids — the refresh monitor that flags classes whose
+    geometry moved before dedup radii / retrieval calibrations are
+    reused.  ONE 64-decimal-column map-combined aggregate (no explode) +
+    a #labels-row join; the oracle rebuilds the same centroids via
+    UNNEST WITH ORDINALITY.  See operators/similarity.centroid_drift."""
+    from comlake_core_spark.operators.similarity import centroid_drift
+    from comlake_core_spark.session import ensure_parallelism
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        ensure_parallelism(emb).withColumn("label", F.col("label").cast("long")),
+        split=F.col("vec_id") % 2,
+    )

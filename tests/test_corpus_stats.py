@@ -333,3 +333,79 @@ def test_session_paths_gap_splits_and_orders(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r["path"]: r["n_sessions"] for r in session_paths(df, gap="1 hour").collect()}
     assert out == {"view>click": 2, "purchase": 1}
+
+
+# ---------------------------------------------------------------------------
+# perceptual aHash
+# ---------------------------------------------------------------------------
+
+
+def _png_frame(spark, imgs):
+    import pandas as pd
+
+    from comlake_core_spark.operators.codecs import png_encode
+
+    rows = [(str(i), bytearray(png_encode(img, filter_type=1)), {"mime": "image/png", "n_bytes": 0})
+            for i, img in enumerate(imgs)]
+    return spark.createDataFrame(
+        rows, "id string, content binary, meta struct<mime string, n_bytes long>"
+    )
+
+
+def test_ahash_brightness_invariant_structure_sensitive(spark):
+    import numpy as np
+
+    from comlake_core_spark.operators.multimodal import perceptual_ahash
+
+    x = np.arange(16)[:, None] + np.zeros(16, dtype=np.int64)[None, :]
+    grad = (x + x.T).astype(np.uint8)
+    imgs = [grad, (grad + 40).astype(np.uint8), np.abs(x - x.T).astype(np.uint8)]
+    out = {r["id"]: r["ahash"] for r in perceptual_ahash(_png_frame(spark, imgs)).collect()}
+    assert out["0"] == out["1"], "brightness shift must not change the aHash"
+    assert out["0"] != out["2"], "different structure must change the aHash"
+    assert len(out["0"]) == 16  # 64 bits as 16 hex chars
+
+
+# ---------------------------------------------------------------------------
+# centroid drift
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_drift_identical_halves_cosine_one(spark):
+    from comlake_core_spark.operators.similarity import centroid_drift
+
+    # both halves drawn identically: centroids equal -> cosine 1
+    rows = [(i, [float((i // 2) % 5), 1.0, -2.0, 0.5], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_drift(df, split=F.col("vec_id") % 2, dim=4).collect()[0]
+    assert out["n_a"] == 20 and out["n_b"] == 20
+    assert out["drift_cosine"] == pytest.approx(1.0, abs=1e-8)
+
+
+def test_centroid_drift_orthogonal_halves_cosine_zero(spark):
+    from comlake_core_spark.operators.similarity import centroid_drift
+
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_drift(df, split=F.col("vec_id") % 2, dim=2).collect()[0]
+    assert out["drift_cosine"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_centroid_drift_exact_decimal_sums_no_precision_loss(spark):
+    from comlake_core_spark.operators.similarity import centroid_drift
+
+    # 64 dims with tiny components: the chained-decimal formulation lost
+    # scale past ~30 adds (caught by the sf0.001 oracle); pin 9-decimal
+    # precision survives the full 64-term fold
+    import math
+
+    vec_a = [0.000123456 * ((i % 7) + 1) for i in range(64)]
+    vec_b = [0.000234567 * ((i % 5) + 1) for i in range(64)]
+    rows = [(0, vec_a, 1), (1, vec_b, 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = centroid_drift(df, split=F.col("vec_id") % 2, dim=64).collect()[0]
+    num = sum(round(a * b, 9) for a, b in zip(vec_a, vec_b))
+    den = math.sqrt(sum(round(a * a, 9) for a in vec_a)) * math.sqrt(
+        sum(round(b * b, 9) for b in vec_b)
+    )
+    assert out["drift_cosine"] == pytest.approx(round(num / den, 9), abs=2e-9)
