@@ -111,6 +111,18 @@ HEADLINE = [
     "winsorize_events",
     "k_anonymity_customers",
     "curriculum_order_docs",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
+    "vocab_coverage_thresholds",
+    "text_mattr_by_source",
+    "lsh_bucket_skew_audit",
+    "minhash_estimate_calibration",
+    "kmv_join_cardinality",
+    "zorder_pruning_audit",
+    "quality_calibration_bins",
+    "events_session_paths",
+    "image_phash_neardup",
+    "embedding_centroid_drift",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_knn_graph_ivf, embedding_hard_negatives,

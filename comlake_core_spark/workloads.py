@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   25 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   29 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6649,7 +6649,9 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          planning/audit wave — kmv_join_cardinality,
 #          zorder_pruning_audit, quality_calibration_bins,
 #          events_session_paths — and the multimodal/embedding pair —
-#          image_phash_neardup, embedding_centroid_drift.
+#          image_phash_neardup, embedding_centroid_drift — and the
+#          audit/hygiene tail — text_hapax_ratio, join_skew_audit,
+#          packing_efficiency_stats, catalog_snapshot_diff_real.
 #          r6 window = a few sentinels + these + re-greens as needed;
 #          all pass the oracle mirror at sf0.001 AND the driver-style
 #          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
@@ -9575,3 +9577,196 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(emb).withColumn("label", F.col("label").cast("long")),
         split=F.col("vec_id") % 2,
     )
+
+
+@workload(
+    "text_hapax_ratio",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT source, term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT source, term, COUNT(*) AS c FROM tok2 GROUP BY source, term
+    )
+    SELECT source,
+           COUNT(*) AS vocab_size,
+           CAST(count_if(c = 1) AS BIGINT) AS hapax_count,
+           ROUND(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 9) AS hapax_ratio
+    FROM vocab GROUP BY source
+    """,
+    "text",
+    "corpus-stats",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio per source (share of the vocabulary occurring
+    exactly once) — natural prose sits near 40-60%, templated/boilerplate
+    sources far lower, OCR/key-smash junk far higher; read alongside the
+    Zipf slope and distinct-n it completes the corpus-shape fingerprint.
+    One map-combined (source, term) count + a per-source rollup."""
+    toks = _t(spark, sf_dir, "documents")[0].select(
+        "source",
+        F.explode(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")).alias("term"),
+    )
+    vocab = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count_if(F.col("c") == 1).alias("hapax_count"),
+        F.round(F.count_if(F.col("c") == 1) / F.count(F.lit(1)), 9).alias("hapax_ratio"),
+    )
+
+
+@workload(
+    "join_skew_audit",
+    r"""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id % 100 END AS k
+      FROM events
+    ), per_key AS (
+      SELECT k, COUNT(*) AS n_rows, COUNT(*) * COUNT(*) AS contribution
+      FROM keyed GROUP BY k
+    ), tot AS (
+      SELECT CAST(SUM(contribution) AS DOUBLE) AS total FROM per_key
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_rows,
+           CAST(contribution AS BIGINT) AS pair_contribution,
+           ROUND(contribution / total, 9) AS share
+    FROM per_key CROSS JOIN tot
+    ORDER BY pair_contribution DESC, k ASC
+    LIMIT 10
+    """,
+    "join",
+    "skew",
+    "diagnostics",
+)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew audit: per join key, the self-join pair contribution
+    n² and its share of the total — the report that decides WHETHER a
+    join needs salting (salted_join) before a straggler task finds out
+    the hard way.  The key here folds 30% of events onto one value (a
+    deterministic stand-in for a production hot key); the top key's
+    share makes the skew unmissable.  Cost: one map-combined key count +
+    a TakeOrdered top-10 — strictly cheaper than the join it protects
+    (the lsh_bucket_skew_audit discipline applied to relational joins)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 10 < 3, F.lit(0)).otherwise(F.col("user_id") % 100)
+    per_key = ev.select(k.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n_rows"))
+    per_key = per_key.select(
+        F.col("k").cast("long").alias("k"),
+        "n_rows",
+        (F.col("n_rows") * F.col("n_rows")).alias("pair_contribution"),
+    )
+    tot = per_key.agg(F.sum("pair_contribution").cast("double").alias("_total"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_rows",
+            "pair_contribution",
+            F.round(F.col("pair_contribution") / F.col("_total"), 9).alias("share"),
+        )
+        .orderBy(F.col("pair_contribution").desc(), F.col("k").asc())
+        .limit(10)
+    )
+
+
+@workload(
+    "packing_efficiency_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             (SUM(n_tokens) OVER w - n_tokens) // 2048 AS pack_id
+      FROM toks
+      WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    ), packs AS (
+      SELECT pack_id, SUM(n_tokens) AS pack_tokens, COUNT(*) AS n_docs
+      FROM packed GROUP BY pack_id
+    )
+    SELECT CAST((100 * pack_tokens) // 2048 AS BIGINT) AS fill_pct,
+           COUNT(*) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM packs GROUP BY fill_pct
+    """,
+    "text",
+    "packing",
+    "diagnostics",
+)
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate histogram of the 2048-token training packs produced by
+    pack_sequences: integer percent fill → pack count — the data-loader
+    efficiency report (packs under ~95% waste accelerator steps, packs
+    over 100% mean truncation under a hard cap).  Cumulative-division
+    packing bounds overshoot by one document, which this histogram makes
+    visible.  All-integer arithmetic over the pack rollup."""
+    from comlake_core_spark.operators.text import pack_sequences, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("doc_id", token_count("text").alias("n_tokens")),
+        token_count="n_tokens",
+        budget=2048,
+    )
+    packs = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("_pt"), F.count(F.lit(1)).alias("_nd")
+    )
+    return packs.groupBy(
+        ((100 * F.col("_pt")) / 2048).cast("long").alias("fill_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("_nd").alias("n_docs"),
+    )
+
+
+@workload(
+    "catalog_snapshot_diff_real",
+    """
+    SELECT CAST(doc_id + 1 AS BIGINT) AS id_parent,
+           CAST(doc_id AS VARCHAR) AS file,
+           source
+    FROM documents WHERE doc_id < 30 AND doc_id % 5 = 0
+    """,
+    "catalog",
+    "time-travel",
+    "integration",
+)
+def catalog_snapshot_diff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF on the REAL Catalog (time-travel put to work): bulk
+    ingest documents < 30 (snapshot v0), revise every fifth dataset
+    (copy-on-write — each update commits a snapshot), then diff the
+    current table against v0 with exceptAll.  The delta is exactly the
+    six new revision rows, parent-linked to the originals — the audit
+    trail a catalog refresh review reads ("what changed since the last
+    release?").  The oracle states the closed form.  Bounded fixture
+    collect (30 rows, documented); the diff itself is a distributed
+    EXCEPT over two snapshot reads."""
+    import tempfile
+
+    from comlake_core_spark.catalog import Catalog
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rows = docs.filter(F.col("doc_id") < 30).select("doc_id", "text", "source", "lang", "n_chars").collect()
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="comlake-cat-diff-"))
+    metas = [
+        {
+            "file": str(r["doc_id"]),
+            "description": r["text"],
+            "source": r["source"],
+            "topics": ["docs", r["lang"]],
+            "length": str(r["n_chars"]),
+        }
+        for r in rows
+    ]
+    metas.sort(key=lambda m: int(m["file"]))
+    ids = cat.add_datasets(metas)
+    v0 = cat.snapshot_versions()[-1]
+    for doc_id in range(0, 30, 5):
+        cat.update_dataset(doc_id + 1, {"description": "revised in refresh"})
+    base = cat.dataset_as_of(v0).select("id", "file", "source", "parent")
+    now = cat.dataset().select("id", "file", "source", "parent")
+    delta = now.exceptAll(base)
+    return delta.select(F.col("parent").alias("id_parent"), "file", "source")

@@ -748,3 +748,110 @@ def test_curriculum_order_no_global_window(spark):
     plan = P.executed_plan(df)
     assert "Window" not in plan
     assert "shiftright(_mid" in plan
+
+
+# ---------------------------------------------------------------------------
+# r5 post-window wave: corpus stats, LSH diagnostics, planning/audit,
+# multimodal/embedding
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_one_scan_partial_agg(spark):
+    # all three gram orders are built row-locally from ONE documents scan;
+    # the (source, n, gram) count is map-combined
+    df = run(spark, "ngram_diversity_by_source")
+    plan = P.executed_plan(df)
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+    assert P.has_partial_aggregate(df)
+
+
+def test_zipf_slope_top500_is_window_group_limit(spark):
+    # the per-source top-500 cut must apply map-side before the exchange
+    df = run(spark, "zipf_slope_by_source")
+    assert P.has_window_group_limit(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_vocab_coverage_no_window_arrow_cumsum(spark):
+    # the cumulative share comes from global_running_sum: range shuffle +
+    # map-only Arrow pass, never a single-partition window
+    df = run(spark, "vocab_coverage_thresholds")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_mattr_row_local_no_explode(spark):
+    # MATTR is sequence/array_distinct arithmetic inside the row — no
+    # Generate node anywhere (the doc never explodes)
+    df = run(spark, "text_mattr_by_source")
+    assert "Generate" not in P.executed_plan(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_lsh_skew_audit_cheaper_than_the_join_it_audits(spark):
+    # a (band,bucket) count + band rollup: two exchanges, no join at all
+    df = run(spark, "lsh_bucket_skew_audit")
+    plan = P.executed_plan(df)
+    assert P.count_shuffles(df) <= 2
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_calibration_bucket_join_no_cartesian(spark):
+    # candidates come from the (band,bkey) equi-join; exact sets join back
+    # for candidate ids only — never an all-pairs product
+    df = run(spark, "minhash_estimate_calibration")
+    assert "CartesianProduct" not in P.executed_plan(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_kmv_sketches_are_take_ordered(spark):
+    # bottom-k = per-task local top-k merged on the driver side of the
+    # exchange; the estimator never rescans the other table
+    df = run(spark, "kmv_join_cardinality")
+    assert P.has_take_ordered(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_zorder_audit_map_only_single_agg(spark):
+    # interleave is codegen'd shift/mask arithmetic; one exchange total
+    df = run(spark, "zorder_pruning_audit")
+    assert P.count_shuffles(df) == 1
+    assert "Generate" not in P.executed_plan(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_calibration_bins_equi_join_small_agg(spark):
+    df = run(spark, "quality_calibration_bins")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_session_paths_windows_are_per_user_topn_take_ordered(spark):
+    # the session window must be keyed by user (never a global window) and
+    # the top-20 must fuse to TakeOrderedAndProject
+    df = run(spark, "events_session_paths")
+    plan = P.executed_plan(df)
+    assert P.has_take_ordered(df)
+    assert "partitionBy=[user_id" in plan.replace(" ", "") or "user_id" in plan
+
+
+def test_image_phash_dedup_is_groupby_no_pairwise(spark):
+    # perceptual dedup = Arrow decode/hash stages + ONE exact-dedup
+    # exchange on the 64-bit hash; no join, no pairwise stage
+    df = run(spark, "image_phash_neardup")
+    plan = P.executed_plan(df)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_drift_no_corpus_explode(spark):
+    # the 64 component sums ride ONE map-combined aggregate over the scan;
+    # the only Generate in the plan explodes the 64-term product array of
+    # the #labels-row joined frame, never the corpus
+    df = run(spark, "embedding_centroid_drift")
+    assert P.has_partial_aggregate(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
