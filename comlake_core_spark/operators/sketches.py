@@ -201,9 +201,12 @@ def kmv_join_cardinality(
         "exact_b",
         "est_intersection",
         "exact_intersection",
+        # NULL when the true intersection is empty (relative error is
+        # undefined; the ANSI divide-by-zero on disjoint key sets was
+        # caught by the hypothesis fuzz)
         F.round(
             F.abs(F.col("est_intersection") - F.col("exact_intersection"))
-            / F.col("exact_intersection").cast("double"),
+            / F.nullif(F.col("exact_intersection").cast("double"), F.lit(0.0)),
             6,
         ).alias("rel_err_intersection"),
     )

@@ -9288,7 +9288,7 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(kboth AS DOUBLE) / ku * est_u, 6) AS est_intersection,
            exact_intersection,
            ROUND(abs(ROUND(CAST(kboth AS DOUBLE) / ku * est_u, 6) - exact_intersection)
-                 / CAST(exact_intersection AS DOUBLE), 6) AS rel_err_intersection
+                 / NULLIF(CAST(exact_intersection AS DOUBLE), 0), 6) AS rel_err_intersection
     FROM ea, eb, eu, ex
     """,
     "sketches",
