@@ -1368,3 +1368,69 @@ def mattr(
         (dsum("_m") / F.count(F.lit(1))).alias("avg_mattr"),
         (dsum("_t") / F.count(F.lit(1))).alias("avg_ttr"),
     )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize: int = 9,
+) -> DataFrame:
+    """Doc-to-doc cosine top-k over SPARSE tf-idf vectors via an inverted
+    index — the classic all-pairs similarity search (Bayardo et al.,
+    WWW'07): candidate pairs exist only where a term co-occurs, and the
+    df cap drops stop-like terms whose postings would otherwise create
+    |D|² candidate pairs (the same bound as jaccard_topk_similar's
+    max_df; DISCO's prefix-filter family is the tighter refinement).
+
+    Weights w(t,d) = tf · ln(N/df) with ln on the ``quantize`` grid;
+    pair dots and vector norms are exact decimal sums of rounded
+    products, so the cosine hash-matches a SQL oracle.  Norms are taken
+    over the SAME df-capped term space the dots use — the capped space
+    IS the similarity definition, not an approximation of it.
+
+    Scale: one tf agg, one O(vocab) df agg, a postings join keyed on the
+    term whose worst fan-out is |Q|·max_df per term, and a
+    WindowGroupLimit top-k per query."""
+    toks = df.select(F.col(id_col).alias("_d"), F.explode(_clean_tokens(text_col)).alias("_t"))
+    tf = toks.groupBy("_d", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df)
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    posts = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_t",
+            "_d",
+            (
+                F.col("_tf")
+                * F.round(F.log(F.col("_n").cast("double") / F.col("_df")), quantize)
+            ).alias("_w"),
+        )
+    )
+    dsum = lambda c, p=24: F.sum(F.round(c, quantize).cast(f"decimal({p},{quantize})")).cast("double")  # noqa: E731
+    norms = posts.groupBy("_d").agg(F.sqrt(dsum(F.col("_w") * F.col("_w"))).alias("_norm"))
+    qids = queries.select(F.col(id_col).alias("_q"))
+    qposts = posts.join(qids, posts["_d"] == qids["_q"]).select(
+        "_t", F.col("_q"), F.col("_w").alias("_wq")
+    )
+    dots = (
+        qposts.join(posts, "_t")
+        .filter(F.col("_d") != F.col("_q"))
+        .groupBy("_q", "_d")
+        .agg(dsum(F.col("_wq") * F.col("_w")).alias("_dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("_d", "_q").withColumnRenamed("_norm", "_nq"), "_q")
+        .join(norms, "_d")
+        .select(
+            F.col("_q").alias("query_id"),
+            F.col("_d").alias(id_col),
+            F.round(F.col("_dot") / (F.col("_nq") * F.col("_norm")), quantize).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   29 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   36 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6651,7 +6651,11 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          events_session_paths — and the multimodal/embedding pair —
 #          image_phash_neardup, embedding_centroid_drift — and the
 #          audit/hygiene tail — text_hapax_ratio, join_skew_audit,
-#          packing_efficiency_stats, catalog_snapshot_diff_real.
+#          packing_efficiency_stats, catalog_snapshot_diff_real — the
+#          codec-parity pair — multimodal_wav_audio_stats,
+#          multimodal_y4m_frame_sample — and the analytics tail —
+#          events_burst_detection, orders_rfm_segmentation,
+#          sparse_cosine_topk_docs.
 #          r6 window = a few sentinels + these + re-greens as needed;
 #          all pass the oracle mirror at sf0.001 AND the driver-style
 #          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
@@ -9770,3 +9774,287 @@ def catalog_snapshot_diff_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = cat.dataset().select("id", "file", "source", "parent")
     delta = now.exceptAll(base)
     return delta.select(F.col("parent").alias("id_parent"), "file", "source")
+
+
+@workload(
+    "multimodal_wav_audio_stats",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           CAST(800 AS BIGINT) AS n_samples,
+           CAST(0.05 AS DOUBLE) AS duration_sec,
+           CAST(100 * (doc_id % 50 + 1) AS DOUBLE) AS rms
+    FROM documents WHERE doc_id < 200
+    """,
+    "multimodal",
+    "codec",
+    "audio",
+    "integration",
+)
+def multimodal_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 WAV codec under the oracle gate (the PNG/JPEG pattern,
+    completing codec parity: every shipped codec now has a value-hash
+    gate): each doc_id < 200 becomes an 800-sample 16 kHz mono square
+    wave of amplitude a = 100·(doc_id % 50 + 1) — |x| is constant, so
+    RMS = a EXACTLY (a² is an exact double and IEEE sqrt of a perfect
+    square is exact) and duration = 800/16000 = 0.05.  Encode in one
+    mapInPandas stage (operators/codecs.wav_encode: RIFF/fmt/data), then
+    decode + feature-extract with the REAL path of
+    operators/multimodal.audio_stats (fmt-chunk rate, downmix, RMS)."""
+    from comlake_core_spark.operators.multimodal import audio_stats
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from comlake_core_spark.operators.codecs import wav_encode
+
+        sign = np.where(np.arange(800) % 2 == 0, 1, -1).astype(np.int32)
+        for pdf in it:
+            out = {"id": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                a = 100 * (int(doc_id) % 50 + 1)
+                out["id"].append(str(doc_id))
+                out["content"].append(wav_encode((sign * a).astype("<i2"), 16000))
+                out["meta"].append({"mime": "audio/wav", "n_bytes": 0})
+            yield pd.DataFrame(out)
+
+    binary = ensure_parallelism(
+        docs.filter(F.col("doc_id") < 200).select("doc_id")
+    ).mapInPandas(
+        encode_batches, "id string, content binary, meta struct<mime string, n_bytes long>"
+    )
+    return audio_stats(binary, codec="wav")
+
+
+@workload(
+    "multimodal_y4m_frame_sample",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(f AS DOUBLE) / 30 AS pts_sec,
+           CAST((doc_id + 31 * f) % 200 AS DOUBLE) AS mean_pixel
+    FROM documents CROSS JOIN (VALUES (0), (2), (4)) t(f)
+    WHERE doc_id < 120
+    """,
+    "multimodal",
+    "codec",
+    "video",
+    "integration",
+)
+def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL YUV4MPEG2 demux under the oracle gate: each doc_id < 120
+    becomes a 6-frame 16×16 C420 stream whose frame f is the constant
+    luma (doc_id + 31f) % 200; y4m-encode in one mapInPandas stage, then
+    demux with the REAL path of operators/multimodal.sample_frames
+    (every_n=2 → frames 0/2/4, pts from the stream's F30:1 header) and
+    reduce each sampled luma plane to its exact integer-mean.  The
+    closed-form oracle pins the demuxed frame indices, timestamps, and
+    plane contents in one gate."""
+    from comlake_core_spark.operators.multimodal import sample_frames
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from comlake_core_spark.operators.codecs import y4m_encode
+
+        for pdf in it:
+            out = {"id": [], "content": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = np.stack(
+                    [np.full((16, 16), (d + 31 * f) % 200, dtype=np.uint8) for f in range(6)]
+                )
+                out["id"].append(str(d))
+                out["content"].append(y4m_encode(frames, fps=30))
+                out["meta"].append({"mime": "video/x-yuv4mpeg", "n_bytes": 0})
+            yield pd.DataFrame(out)
+
+    binary = ensure_parallelism(
+        docs.filter(F.col("doc_id") < 120).select("doc_id")
+    ).mapInPandas(
+        encode_batches, "id string, content binary, meta struct<mime string, n_bytes long>"
+    )
+    frames = sample_frames(binary, every_n=2, codec="y4m")
+
+    def mean_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"id": [], "frame_idx": [], "pts_sec": [], "mean_pixel": []}
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(bytes(row["frame_bytes"]), dtype=np.uint8)
+                out["id"].append(row["id"])
+                out["frame_idx"].append(row["frame_idx"])
+                out["pts_sec"].append(row["pts_sec"])
+                out["mean_pixel"].append(float(buf.sum(dtype=np.int64)) / buf.size)
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        mean_batches, "id string, frame_idx long, pts_sec double, mean_pixel double"
+    )
+
+
+@workload(
+    "events_burst_detection",
+    """
+    WITH w AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MAX(burst) AS BIGINT) AS max_burst_10min
+    FROM w GROUP BY user_id
+    """,
+    "timeseries",
+    "window",
+    "anomaly",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's maximum event count inside any sliding
+    10-minute window (a RANGE frame over microsecond epochs — every event
+    anchors a window ending at itself, so the max over anchors IS the max
+    over all windows).  The rate-anomaly primitive behind abuse detection
+    and crawler-trap pruning.  Per-user windows shuffle once on user_id;
+    frame evaluation is a two-pointer pass inside the sorted partition."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-599_999_999, 0)
+    )
+    bursts = ev.select("user_id", F.count(F.lit(1)).over(w).alias("burst"))
+    return bursts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("burst").alias("max_burst_10min"),
+    )
+
+
+@workload(
+    "orders_rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS c,
+             MAX(o_orderdate) AS r,
+             COUNT(*) AS f,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT c,
+             ntile(4) OVER (ORDER BY r ASC, c ASC) AS r_score,
+             ntile(4) OVER (ORDER BY f ASC, c ASC) AS f_score,
+             ntile(4) OVER (ORDER BY m ASC, c ASC) AS m_score,
+             m
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm,
+           COUNT(*) AS n_customers,
+           CAST(SUM(m) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY rfm
+    """,
+    "aggregation",
+    "segmentation",
+    "window",
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quartile
+    scores, the classic marketing-analytics rollup): per-customer stats,
+    ntile(4) per metric with the customer key as tie-break (a TOTAL order
+    — ntile on ties is engine-defined otherwise), segments = the 3-digit
+    code.  Exact-decimal monetary sums.  Note the ntile windows are
+    corpus-wide: at 100 TB the quartile CUTS would come from
+    approx-quantile sketches (approx_quantiles_prices) and scoring would
+    be a map-side lookup — the window formulation is the exact
+    small-dimension shape (customers ≪ facts) and the sketch path is the
+    documented swap."""
+    od = _t(spark, sf_dir, "orders")[0]
+    per_cust = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max("o_orderdate").alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(dec("o_totalprice", 18, 2)).alias("m"),
+    )
+    scored = per_cust.select(
+        "c",
+        "m",
+        F.ntile(4).over(Window.orderBy(F.col("r").asc(), F.col("c").asc())).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("f").asc(), F.col("c").asc())).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("m").asc(), F.col("c").asc())).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m").cast("double").alias("total_monetary"),
+    )
+
+
+@workload(
+    "sparse_cosine_topk_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id AS d, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ), tok2 AS (
+      SELECT d, t FROM tok WHERE t <> ''
+    ), tf AS (
+      SELECT d, t, COUNT(*) AS tf FROM tok2 GROUP BY d, t
+    ), dfreq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 100
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+    ), posts AS (
+      SELECT t, d, tf * ROUND(ln(n / df), 9) AS w
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n
+    ), norms AS (
+      SELECT d, sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(24,9))) AS DOUBLE)) AS nrm
+      FROM posts GROUP BY d
+    ), dots AS (
+      SELECT q.d AS qd, p.d AS dd,
+             CAST(SUM(CAST(ROUND(q.w * p.w, 9) AS DECIMAL(24,9))) AS DOUBLE) AS dot
+      FROM posts q JOIN posts p ON q.t = p.t AND q.d <> p.d
+      WHERE q.d % 29 = 0
+      GROUP BY q.d, p.d
+    ), scored AS (
+      SELECT qd AS query_id, dd AS doc_id,
+             ROUND(dot / (nq.nrm * nd.nrm), 9) AS cosine
+      FROM dots JOIN norms nq ON dots.qd = nq.d
+                JOIN norms nd ON dots.dd = nd.d
+    )
+    SELECT query_id, doc_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    "similarity",
+    "text",
+    "retrieval",
+)
+def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse tf-idf cosine top-3 (Bayardo et al. WWW'07) for
+    every 29th document as query: inverted-index candidate generation
+    with a df-100 stop cap, exact-decimal dots and norms, per-query
+    WindowGroupLimit.  The lexical doc-to-doc twin of ann_cosine_topk
+    (dense) and jaccard_topk_similar_docs (set-based).  See
+    operators/text.sparse_cosine_topk."""
+    from comlake_core_spark.operators.text import sparse_cosine_topk
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    return sparse_cosine_topk(docs, docs.filter(F.col("doc_id") % 29 == 0), k=3, max_df=100)

@@ -409,3 +409,110 @@ def test_centroid_drift_exact_decimal_sums_no_precision_loss(spark):
         sum(round(b * b, 9) for b in vec_b)
     )
     assert out["drift_cosine"] == pytest.approx(round(num / den, 9), abs=2e-9)
+
+
+# ---------------------------------------------------------------------------
+# sparse cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from comlake_core_spark.operators.text import sparse_cosine_topk
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_topk(df, df.filter(F.col("doc_id") == 0), k=2).collect()
+    top = sorted(out, key=lambda r: -r["cosine"])[0]
+    assert top["doc_id"] == 1 and top["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_sparse_cosine_df_cap_drops_stopword_only_pairs(spark):
+    from comlake_core_spark.operators.text import sparse_cosine_topk
+
+    # 'the' appears in every doc; with max_df=2 it is dropped, so docs
+    # sharing ONLY 'the' are never candidates
+    rows = [(0, "the alpha"), (1, "the beta"), (2, "the alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_topk(df, df.filter(F.col("doc_id") == 0), k=3, max_df=2).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+# ---------------------------------------------------------------------------
+# burst detection
+# ---------------------------------------------------------------------------
+
+
+def test_burst_detection_counts_sliding_window(spark):
+    from comlake_core_spark.workloads import REGISTRY  # noqa: F401  (window expr is inline)
+
+    # user 1: 3 events within 10 min, then a gap, then 1 more; user 2: spread out
+    rows = [
+        (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:04:00", 1),
+        (3, "2024-01-01 10:09:00", 1), (4, "2024-01-01 12:00:00", 1),
+        (5, "2024-01-01 09:00:00", 2), (6, "2024-01-01 11:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts")).rangeBetween(-599_999_999, 0)
+    got = {
+        r["user_id"]: r["mb"]
+        for r in df.select("user_id", F.count(F.lit(1)).over(w).alias("burst"))
+        .groupBy("user_id")
+        .agg(F.max("burst").alias("mb"))
+        .collect()
+    }
+    assert got == {1: 3, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# codec parity: WAV / Y4M closed forms on planted inputs
+# ---------------------------------------------------------------------------
+
+
+def test_wav_square_wave_rms_is_exact_amplitude(spark):
+    import numpy as np
+
+    from comlake_core_spark.operators.codecs import wav_decode, wav_encode
+    from comlake_core_spark.operators.multimodal import audio_stats
+
+    a = 1700
+    sign = np.where(np.arange(800) % 2 == 0, 1, -1)
+    wav = wav_encode((sign * a).astype("<i2"), 16000)
+    rate, samples = wav_decode(wav)
+    assert rate == 16000 and samples.shape == (800, 1)
+    df = spark.createDataFrame(
+        [("x", bytearray(wav), {"mime": "audio/wav", "n_bytes": 0})],
+        "id string, content binary, meta struct<mime string, n_bytes long>",
+    )
+    row = audio_stats(df, codec="wav").collect()[0]
+    assert row["n_samples"] == 800
+    assert row["duration_sec"] == 0.05
+    assert row["rms"] == float(a)  # |x| constant -> RMS exactly a
+
+
+def test_y4m_sampled_frame_means_closed_form(spark):
+    import numpy as np
+
+    from comlake_core_spark.operators.codecs import y4m_encode
+    from comlake_core_spark.operators.multimodal import sample_frames
+
+    frames = np.stack([np.full((16, 16), 10 * f + 3, dtype=np.uint8) for f in range(6)])
+    df = spark.createDataFrame(
+        [("v", bytearray(y4m_encode(frames, fps=30)), {"mime": "video/x-yuv4mpeg", "n_bytes": 0})],
+        "id string, content binary, meta struct<mime string, n_bytes long>",
+    )
+    out = sorted(sample_frames(df, every_n=2, codec="y4m").collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert [r["pts_sec"] for r in out] == [0.0, 2 / 30, 4 / 30]
+    import numpy as _np
+
+    for r in out:
+        buf = _np.frombuffer(bytes(r["frame_bytes"]), dtype=_np.uint8)
+        assert buf.size == 256 and float(buf.mean()) == 10 * r["frame_idx"] + 3

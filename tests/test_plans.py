@@ -855,3 +855,37 @@ def test_centroid_drift_no_corpus_explode(spark):
     df = run(spark, "embedding_centroid_drift")
     assert P.has_partial_aggregate(df)
     assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_sparse_cosine_posting_join_no_cartesian_topk_grouplimit(spark):
+    # candidates only where a df-capped term co-occurs; per-query top-k
+    # applies map-side
+    df = run(spark, "sparse_cosine_topk_docs")
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.has_window_group_limit(df)
+
+
+def test_burst_detection_single_user_exchange(spark):
+    # the RANGE window and the per-user rollup share one user_id exchange
+    df = run(spark, "events_burst_detection")
+    assert P.count_shuffles(df) <= 2
+    assert P.has_partial_aggregate(df)
+
+
+def test_rfm_windows_over_dimension_rollup_only(spark):
+    # ntile windows run over the per-CUSTOMER rollup (dim cardinality),
+    # never the orders fact scan
+    df = run(spark, "orders_rfm_segmentation")
+    assert P.has_partial_aggregate(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_wav_and_y4m_pipelines_are_arrow_map_only(spark):
+    # encode -> decode/demux are chained mapInPandas stages; WAV adds no
+    # shuffle at all, Y4M only the fanout (still map-only)
+    for name in ("multimodal_wav_audio_stats", "multimodal_y4m_frame_sample"):
+        df = run(spark, name)
+        plan = P.executed_plan(df)
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
