@@ -123,6 +123,14 @@ HEADLINE = [
     "events_session_paths",
     "image_phash_neardup",
     "embedding_centroid_drift",
+    "text_hapax_ratio",
+    "join_skew_audit",
+    "packing_efficiency_stats",
+    "multimodal_wav_audio_stats",
+    "multimodal_y4m_frame_sample",
+    "events_burst_detection",
+    "orders_rfm_segmentation",
+    "sparse_cosine_topk_docs",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_knn_graph_ivf, embedding_hard_negatives,
