@@ -6656,9 +6656,19 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          multimodal_y4m_frame_sample — and the analytics tail —
 #          events_burst_detection, orders_rfm_segmentation,
 #          sparse_cosine_topk_docs.
-#          r6 window = a few sentinels + these + re-greens as needed;
-#          all pass the oracle mirror at sf0.001 AND the driver-style
-#          pandas canonicalizer (scripts/driver_sim.py) at sf0.01 locally.
+#          r6 window PLAN (rotate at r6 start, NOT before the r5
+#          correctness run): if CORRECTNESS_r05 lands 50/50 green,
+#          36 never-seen post-window names remain (< 40) — the final-
+#          closure branch applies: the r6 window must carry ALL 36,
+#          padded to 50 with re-green sentinels (suggested: one per
+#          family — qast_eq_filter, catalog_find, streaming_hourly_events,
+#          dedup_minhash_lsh, join_revenue_by_nation, ann_recall_at_k,
+#          semantic_dedup_embeddings, multimodal_jpeg_decode,
+#          approx_quantiles_prices, salted_join_revenue, window_ranks,
+#          pivot_status_by_priority, udaf_weighted_mean,
+#          catalog_find_real).  All 36 pass the oracle mirror at sf0.001
+#          AND the driver-style pandas canonicalizer
+#          (scripts/driver_sim.py) at the driver's sf0.01 locally.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
