@@ -131,6 +131,10 @@ HEADLINE = [
     "events_burst_detection",
     "orders_rfm_segmentation",
     "sparse_cosine_topk_docs",
+    "events_dau_wau_stickiness",
+    "orders_pareto_revenue_share",
+    "dedup_exact_normalized",
+    "customer_segment_entropy",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_knn_graph_ivf, embedding_hard_negatives,

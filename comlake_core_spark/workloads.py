@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   36 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   40 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6655,20 +6655,22 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          codec-parity pair — multimodal_wav_audio_stats,
 #          multimodal_y4m_frame_sample — and the analytics tail —
 #          events_burst_detection, orders_rfm_segmentation,
-#          sparse_cosine_topk_docs.
+#          sparse_cosine_topk_docs — and the engagement/distribution
+#          quartet — events_dau_wau_stickiness,
+#          orders_pareto_revenue_share, dedup_exact_normalized,
+#          customer_segment_entropy.
 #          r6 window PLAN (rotate at r6 start, NOT before the r5
 #          correctness run): if CORRECTNESS_r05 lands 50/50 green,
-#          36 never-seen post-window names remain (< 40) — the final-
-#          closure branch applies: the r6 window must carry ALL 36,
-#          padded to 50 with re-green sentinels (suggested: one per
-#          family — qast_eq_filter, catalog_find, streaming_hourly_events,
-#          dedup_minhash_lsh, join_revenue_by_nation, ann_recall_at_k,
+#          exactly 40 never-seen post-window names remain — the standard
+#          rotation applies: r6 window = the 40 first-timers + 10
+#          re-green sentinels (suggested, one per family: qast_eq_filter,
+#          catalog_find, streaming_hourly_events, dedup_minhash_lsh,
+#          join_revenue_by_nation, ann_recall_at_k,
 #          semantic_dedup_embeddings, multimodal_jpeg_decode,
-#          approx_quantiles_prices, salted_join_revenue, window_ranks,
-#          pivot_status_by_priority, udaf_weighted_mean,
-#          catalog_find_real).  All 36 pass the oracle mirror at sf0.001
-#          AND the driver-style pandas canonicalizer
-#          (scripts/driver_sim.py) at the driver's sf0.01 locally.
+#          approx_quantiles_prices, catalog_find_real).  All 40 pass the
+#          oracle mirror at sf0.001 AND the driver-style pandas
+#          canonicalizer (scripts/driver_sim.py) at the driver's sf0.01
+#          locally.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -10068,3 +10070,226 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     docs = ensure_parallelism(docs)
     return sparse_cosine_topk(docs, docs.filter(F.col("doc_id") % 29 == 0), k=3, max_df=100)
+
+
+@workload(
+    "events_dau_wau_stickiness",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS w,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    ), davg AS (
+      SELECT CAST(date_trunc('week', d) AS DATE) AS w,
+             SUM(dau) AS sdau, COUNT(*) AS ndays
+      FROM daily GROUP BY 1
+    )
+    SELECT w AS week_start, wau,
+           ROUND(CAST(sdau AS DOUBLE) / ndays, 9) AS avg_dau,
+           ROUND(CAST(sdau AS DOUBLE) / ndays / wau, 9) AS stickiness
+    FROM weekly JOIN davg USING (w)
+    """,
+    "timeseries",
+    "engagement",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week (the classic engagement ratio):
+    daily and weekly distinct-user rollups joined on the week, avg DAU
+    over the days the week actually has.  Two count-distinct aggregates
+    (partial-agg'd) and a #weeks-row join — the report shape of every
+    usage dashboard."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("w")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    davg = daily.groupBy(F.date_trunc("week", "d").cast("date").alias("w")).agg(
+        F.sum("dau").alias("sdau"), F.count(F.lit(1)).alias("ndays")
+    )
+    j = weekly.join(davg, "w")
+    return j.select(
+        F.col("w").alias("week_start"),
+        "wau",
+        F.round(F.col("sdau").cast("double") / F.col("ndays"), 9).alias("avg_dau"),
+        F.round(F.col("sdau").cast("double") / F.col("ndays") / F.col("wau"), 9).alias("stickiness"),
+    )
+
+
+@workload(
+    "orders_pareto_revenue_share",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS c,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), curve AS (
+      SELECT row_number() OVER (ORDER BY cents DESC, c ASC) AS rank,
+             SUM(cents) OVER (ORDER BY cents DESC, c ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    ), n AS (SELECT COUNT(*) AS n, SUM(cents) AS total FROM rev)
+    SELECT pct,
+           CAST(CAST(ceil(pct * n) AS BIGINT) AS BIGINT) AS n_top_customers,
+           ROUND(CAST(MAX(CASE WHEN rank = CAST(ceil(pct * n) AS BIGINT)
+                               THEN cum END) AS DOUBLE)
+                 / CAST(total AS DOUBLE), 9) AS revenue_share
+    FROM curve CROSS JOIN n
+    CROSS JOIN (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.05 AS DOUBLE)),
+                       (CAST(0.1 AS DOUBLE)), (CAST(0.2 AS DOUBLE))) t(pct)
+    GROUP BY pct, n, total
+    """,
+    "aggregation",
+    "distribution",
+)
+def orders_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration audit: the revenue share captured by the top
+    1/5/10/20% of customers — the skew number a mixture/reweighting
+    decision reads (and the second consumer of global_running_sum after
+    vocab_coverage: range shuffle + map-only Arrow cumsum over integer
+    CENTS, no single-partition window, exact at any customer count)."""
+    from comlake_core_spark.operators.sampling import global_running_sum
+
+    od = _t(spark, sf_dir, "orders")[0]
+    rev = od.groupBy(F.col("o_custkey").alias("c")).agg(
+        (F.sum(dec("o_totalprice", 18, 2)) * 100).cast("long").alias("cents")
+    )
+    cum = global_running_sum(
+        rev, [F.col("cents").desc(), F.col("c").asc()], "cents", out="_cum", rank_out="_rank"
+    )
+    one = rev.agg(F.count(F.lit(1)).alias("_n"), F.sum("cents").alias("_total"))
+    hits = cum.crossJoin(F.broadcast(one))
+    aggs = []
+    pcts = (0.01, 0.05, 0.1, 0.2)
+    for i, p in enumerate(pcts):
+        at = F.ceil(F.lit(p) * F.col("_n")).cast("long")
+        aggs.append(F.max(F.when(F.col("_rank") == at, at)).alias(f"_k{i}"))
+        aggs.append(
+            F.round(
+                F.max(F.when(F.col("_rank") == at, F.col("_cum"))).cast("double")
+                / F.max("_total").cast("double"),
+                9,
+            ).alias(f"_s{i}")
+        )
+    row = hits.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pct"),
+                F.col(f"_k{i}").alias("n_top_customers"),
+                F.col(f"_s{i}").alias("revenue_share"),
+            )
+            for i, p in enumerate(pcts)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.pct").alias("pct"),
+        F.col("_p.n_top_customers").alias("n_top_customers"),
+        F.col("_p.revenue_share").alias("revenue_share"),
+    )
+
+
+@workload(
+    "dedup_exact_normalized",
+    r"""
+    WITH reposts AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, '  ' || upper(text) || '  '
+      FROM documents WHERE doc_id < 200
+    ), norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                            ' +', ' ', 'g') AS nt
+      FROM reposts
+    )
+    SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM norm GROUP BY md5(nt)
+    HAVING COUNT(*) > 1
+    """,
+    "dedup",
+    "text",
+    "normalization",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalized exact dedup: lowercase, trim, strip
+    non-alphanumerics, collapse whitespace — the canonicalization that
+    catches re-posts byte-exact dedup misses (the fixture plants an
+    UPPERCASED padded copy of every doc_id < 200; raw md5 dedup finds
+    none of them).  One map-side normalization + one groupBy on the
+    digest: at 100 TB, shuffle rows = #distinct normal forms."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    reposts = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 200).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    nt = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        " +",
+        " ",
+    )
+    return (
+        reposts.select("doc_id", F.md5(nt).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .drop("_h")
+    )
+
+
+@workload(
+    "customer_segment_entropy",
+    """
+    WITH seg AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS s, COUNT(*) AS c
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), tot AS (
+      SELECT nk, SUM(c) AS n FROM seg GROUP BY nk
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey,
+           CAST(MIN(n) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) AS segment_entropy
+    FROM seg JOIN tot USING (nk)
+    GROUP BY nk
+    """,
+    "aggregation",
+    "distribution",
+    "monitoring",
+)
+def customer_segment_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the market-segment mix per nation — the
+    distribution-balance monitor (a domain/language mixture audit uses
+    the identical shape: low entropy = one segment dominates).  ln on
+    the 9-decimal grid with exact decimal sums; two map-combined aggs
+    over the dimension table."""
+    cu = _t(spark, sf_dir, "customer")[0]
+    seg = cu.groupBy(F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("s")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = seg.groupBy("nk").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(20,9)")
+    return (
+        seg.join(tot, "nk")
+        .groupBy("nk")
+        .agg(
+            F.min("n").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(term).cast("double").alias("segment_entropy"),
+        )
+        .select(
+            F.col("nk").cast("long").alias("nationkey"),
+            "n_customers",
+            "n_segments",
+            "segment_entropy",
+        )
+    )

@@ -889,3 +889,30 @@ def test_wav_and_y4m_pipelines_are_arrow_map_only(spark):
         plan = P.executed_plan(df)
         assert "MapInPandas" in plan
         assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_pareto_share_no_window_arrow_cumsum(spark):
+    # second consumer of global_running_sum: same no-single-partition-
+    # window contract as vocab_coverage
+    df = run(spark, "orders_pareto_revenue_share")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_dedup_normalized_single_digest_exchange(spark):
+    # normalize is map-side; the only exchange is the digest groupBy
+    df = run(spark, "dedup_exact_normalized")
+    assert P.count_shuffles(df) <= 2
+    assert P.has_partial_aggregate(df)
+
+
+def test_segment_entropy_dimension_sized_aggs(spark):
+    df = run(spark, "customer_segment_entropy")
+    assert P.has_partial_aggregate(df)
+    assert "CartesianProduct" not in P.executed_plan(df)
+
+
+def test_dau_wau_partial_aggs(spark):
+    df = run(spark, "events_dau_wau_stickiness")
+    assert P.has_partial_aggregate(df)
