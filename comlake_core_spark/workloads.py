@@ -6634,7 +6634,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          evidence, and both families keep other window reps).  Closes
 #          the registry as of window-freeze (184 workloads): every one of
 #          them driver-verified at least once after this round.
-#   r5+:   40 post-window additions (registered AFTER the r5 window froze,
+#   r5+:   38 post-window additions (registered AFTER the r5 window froze,
 #          so they are r6-window fodder by construction): the
 #          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
 #          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
@@ -6659,77 +6659,93 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          quartet — events_dau_wau_stickiness,
 #          orders_pareto_revenue_share, dedup_exact_normalized,
 #          customer_segment_entropy.
-#          r6 window PLAN (rotate at r6 start, NOT before the r5
-#          correctness run): if CORRECTNESS_r05 lands 50/50 green,
-#          exactly 40 never-seen post-window names remain — the standard
-#          rotation applies: r6 window = the 40 first-timers + 10
-#          re-green sentinels (suggested, one per family: qast_eq_filter,
-#          catalog_find, streaming_hourly_events, dedup_minhash_lsh,
+#          (The original plan text said "40"; the true post-window count
+#          is 38 = 222 registered − 184 cumulatively driver-seen —
+#          VERDICT r5 doc-nit #4, fixed here and pinned by
+#          test_rotation_log_count_matches_registry.)
+#   r6:    CORRECTNESS_r05 landed 50/50 green, so the rotation applies:
+#          r6 window = 10 family sentinels (qast_eq_filter, catalog_find,
+#          streaming_hourly_events, dedup_minhash_lsh,
 #          join_revenue_by_nation, ann_recall_at_k,
 #          semantic_dedup_embeddings, multimodal_jpeg_decode,
-#          approx_quantiles_prices, catalog_find_real).  All 40 pass the
+#          approx_quantiles_prices, catalog_find_real) + 2 discretionary
+#          re-greens whose code changed since their last driver row
+#          (jaccard_topk_similar_docs — r5 de-persist;
+#          embedding_knn_graph_ivf — re-registered this round in the
+#          scaled-codebook target_bucket_size regime, VERDICT r5 #2)
+#          + ALL 38 never-driver-seen post-window names = 50 exactly.
+#          The registry is FROZEN at 222 until CORRECTNESS_r06 lands
+#          (test_registry_frozen_for_r6): new operators built in r6 ship
+#          as code + pytest only and register in r7.  All 38 pass the
 #          oracle mirror at sf0.001 AND the driver-style pandas
 #          canonicalizer (scripts/driver_sim.py) at the driver's sf0.01
-#          locally.
+#          locally.  50/50 green ⇒ cumulative 222/222 driver-verified.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- sentinels: one driver-green pin per major family (r1-r4 verified) --
-    "qast_eq_filter",          # qast predicate compiler
-    "catalog_find",            # catalog scan + broadcast join
-    "streaming_hourly_events", # streaming≡batch
-    # -- array_functions re-run: r4 red row was the driver canonicalizer
-    #    choking on a raw ARRAY<STRING> column; vocab is now a joined string --
-    "array_functions",
-    # -- the 28-name never-driver-seen remainder (rotation log above) --
-    "qast_posix_regex",
-    "agg_stats_manual",
-    "sql_interface_shared_text",
-    "fuzzy_customer_names",
-    "forecast_revenue",
-    "zscore_events_pandas",
-    "top_customers_by_returns",
-    "pipeline_clean_corpus",
-    "chunk_documents",
-    "pack_sequences",
-    "pipeline_chunk_dedup_pack",
-    "pii_redact_customers",
-    "events_daily_rollup",
-    "dq_orders_checks",
-    "join_null_safe",
-    "agg_filtered_counts",
-    "token_budget_admit",
-    "events_sliding_windows",
-    "decontaminate_train_eval",
-    "text_repetition_filter",
-    "supplier_count_by_part_attrs",
-    "corpus_ngram_novelty",
-    "embedding_quantize_int8",
-    "text_unigram_logprob",
-    "text_feature_hashing",
-    "dedup_graph_triangles",
-    "analyze_orders_profile",
-    "ols_trend_by_nation",
-
-    # -- new in r5 (must be in the window: never driver-seen by definition) --
-    "events_ewma_decay",
-    "quality_gopher_rules",
-    "url_normalize_dedup",
-    "docs_length_buckets",
-    "dedup_lines_corpus",
-    "mad_outlier_events",
-    "weighted_sample_docs",
-    "pagerank_dedup_graph",
-    "quality_lr_logit",
-    "dedup_graph_bfs_depth",
-    "embedding_knn_graph",
-    "dedup_common_spans",
-    "dsir_importance_resampling",
-    "source_token_js",
-    "bpe_train_merges",
-    "embedding_pca_power",
+    # ------------------------------------------------------------------
+    # r6 window (the registry-closing rotation): 10 family sentinels +
+    # the 38 post-r5-window first-timers + 2 discretionary re-greens.
+    # The registry is FROZEN at 222 for this round (pinned by
+    # test_registry_frozen_for_r6) so CORRECTNESS_r06 going 50/50 green
+    # means cumulative 222/222 driver-verified — the evidence loop closes.
+    # ------------------------------------------------------------------
+    # -- sentinels: one driver-green pin per major family (r1-r5 verified) --
+    "qast_eq_filter",            # qast predicate compiler
+    "catalog_find",              # catalog scan + broadcast join
+    "streaming_hourly_events",   # streaming≡batch
+    "dedup_minhash_lsh",         # MinHash+LSH banding
+    "join_revenue_by_nation",    # TPC-H join/agg core
+    "ann_recall_at_k",           # ANN recall measurement
+    "semantic_dedup_embeddings", # SemDeDup clustering
+    "multimodal_jpeg_decode",    # pure-Python codec path
+    "approx_quantiles_prices",   # sketch family
+    "catalog_find_real",         # catalog integration (_real) family
+    # -- discretionary re-greens: code under these CHANGED since their
+    #    last driver row (jaccard: r5 lazy-localCheckpoint de-persist;
+    #    knn_ivf: re-registered this round in the scaled-codebook
+    #    regime, VERDICT r5 #2) — both need fresh driver evidence --
+    "jaccard_topk_similar_docs",
     "embedding_knn_graph_ivf",
-    "bpe_apply_fertility",
+    # -- the 38 never-driver-seen post-window workloads (rotation log) --
+    "boilerplate_strip_source",
+    "decontaminate_bloom",
+    "dedup_lsh_edit_verify",
+    "vocab_oov_rate",
+    "text_bigram_backoff_logprob",
+    "embedding_matryoshka_topk",
+    "embedding_hard_negatives",
+    "shard_assign_balanced",
+    "pii_pseudonymize_consistent",
+    "temperature_mixture_langs",
+    "winsorize_events",
+    "k_anonymity_customers",
+    "curriculum_order_docs",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
+    "vocab_coverage_thresholds",
+    "text_mattr_by_source",
+    "lsh_bucket_skew_audit",
+    "minhash_estimate_calibration",
+    "kmv_join_cardinality",
+    "zorder_pruning_audit",
+    "quality_calibration_bins",
+    "events_session_paths",
+    "image_phash_neardup",
+    "embedding_centroid_drift",
+    "text_hapax_ratio",
+    "join_skew_audit",
+    "packing_efficiency_stats",
+    "catalog_snapshot_diff_real",
+    "multimodal_wav_audio_stats",
+    "multimodal_y4m_frame_sample",
+    "events_burst_detection",
+    "orders_rfm_segmentation",
+    "sparse_cosine_topk_docs",
+    "events_dau_wau_stickiness",
+    "orders_pareto_revenue_share",
+    "dedup_exact_normalized",
+    "customer_segment_entropy",
 ]
 
 
@@ -8118,9 +8134,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH c AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), k AS (
+      SELECT GREATEST(CAST(ceil(COUNT(*) / 32.0) AS BIGINT), 8) AS n_cent FROM c
     ), cent AS (
-      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
-      FROM (SELECT * FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+      SELECT cid, cv FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+        FROM c
+      ) CROSS JOIN k WHERE cid <= k.n_cent
     ), centu AS (
       SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec
       FROM cent
@@ -8162,19 +8182,29 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN graph's 100 TB path made concrete: mutual-kNN edges from
-    IVF-bucketed candidates (each vector probes its 8 nearest of 16
-    seeded centroids; candidates are vectors home-assigned to a probed
-    bucket) — Σ_b |home_b|·|probe_b| candidate pairs instead of n².
+    IVF-bucketed candidates in the SCALED-CODEBOOK regime — the codebook
+    is sized FROM the corpus (n_centroids = ceil(n / 32), floor 8), so
+    bucket size stays ~constant as the corpus grows and the candidate
+    set Σ_b |home_b|·|probe_b| grows LINEARLY, not quadratically.
+    SCALING.md measures the difference directly: a fixed 16-centroid
+    codebook is 406 s at 8× (quadratic — a constant centroid count only
+    divides n² by a constant) vs ~linear with the scaled codebook; the
+    fixed-codebook form is retained ONLY as that diagnostic curve
+    (VERDICT r5 "What's wrong" #3).  Each vector probes its 8 nearest
+    centroids; candidates are vectors home-assigned to a probed bucket.
     The approximation is DETERMINISTIC and the oracle replicates it
-    exactly (md5-seeded centroids, same tie-breaks), so this is a full
-    value-hash row, not a weaker recall bound; with n_probe=n_centroids
-    the result equals embedding_knn_graph bit-for-bit (pinned by test).
-    See operators/similarity.mutual_knn_graph(candidate='ivf')."""
+    exactly (md5-seeded centroids, the same ceil(n/32) codebook size,
+    same tie-breaks), so this is a full value-hash row, not a weaker
+    recall bound; with n_probe=n_centroids the result equals
+    embedding_knn_graph bit-for-bit (pinned by test).
+    See operators/similarity.mutual_knn_graph(candidate='ivf',
+    target_bucket_size=...)."""
     from comlake_core_spark.operators.similarity import mutual_knn_graph
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return mutual_knn_graph(
-        emb, k=4, candidate="ivf", n_centroids=16, n_probe=8, seed_hasher="md5"
+        emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
+        target_bucket_size=32,
     )
 
 

@@ -55,21 +55,26 @@ def test_queries_leads_with_window_then_full_registry():
 
 def driver_seen() -> set[str]:
     """Every workload with a driver-green row in a PAST round: the r1-r2
-    window plus the keys of committed CORRECTNESS_r*.json artifacts,
-    EXCLUDING the highest-numbered one.  The newest artifact is this
-    round's own evidence — counting it would evaluate the current window
-    against results produced by that very window, so the assertion
-    self-invalidated the moment the driver landed its file (VERDICT r4
-    "What's wrong" #4)."""
+    window plus the keys of committed CORRECTNESS_r*.json artifacts —
+    excluding any artifact produced by the CURRENT window (its keyset
+    equals DRIVER_WINDOW's).  Counting that one would evaluate the
+    current window against results produced by that very window, so the
+    assertion self-invalidated the moment the driver landed its file
+    (VERDICT r4 "What's wrong" #4).  Keying the exclusion on the keyset
+    rather than "the newest file" means a freshly-ROTATED window counts
+    the previous round's artifact as the past evidence it is."""
     seen = set(R1_R2_WINDOW)
     repo = os.path.dirname(os.path.dirname(__file__))
     arts = sorted(
         f for f in os.listdir(repo)
         if f.startswith("CORRECTNESS_r") and f.endswith(".json")
     )
-    for fname in arts[:-1]:  # drop the newest: it is the current round's
+    for fname in arts:
         with open(os.path.join(repo, fname)) as f:
-            seen |= set(json.load(f))
+            keys = set(json.load(f))
+        if keys == set(DRIVER_WINDOW):
+            continue  # this round's own evidence — self-evaluation guard
+        seen |= keys
     return seen
 
 
@@ -102,3 +107,38 @@ def test_oracle_sql_order_matches_queries():
     qs = list(entry_mod.queries())
     os_ = list(entry_mod.oracle_sql())
     assert os_ == [n for n in qs if REGISTRY[n].oracle is not None]
+
+
+def test_registry_frozen_for_r6():
+    """The r6 window carries ALL 38 never-driver-seen workloads, so a
+    50/50-green CORRECTNESS_r06 closes the registry at cumulative
+    222/222 driver-verified.  Registering workload #223 before that
+    artifact lands would re-open the post-window debt that rotations
+    r3-r6 spent four rounds paying down (VERDICT r5 "Next round" #1) —
+    new operators built during r6 ship as code + pytest and register in
+    r7.  Once CORRECTNESS_r06.json exists the freeze lifts."""
+    repo = os.path.dirname(os.path.dirname(__file__))
+    if os.path.exists(os.path.join(repo, "CORRECTNESS_r06.json")):
+        return  # r6 evidence landed; the freeze is over
+    assert len(REGISTRY) == 222, (
+        f"registry grew to {len(REGISTRY)} during the r6 freeze; hold new "
+        "workload registrations until CORRECTNESS_r06.json lands (r7)"
+    )
+
+
+def test_rotation_log_count_matches_registry():
+    """The rotation-log comment in workloads.py must state the true
+    post-window count (VERDICT r5 doc-nit: the log said '40' when
+    222 registered − 184 driver-seen = 38).  Staleness-pin the figure
+    the same way WORKLOADS.md and the HTTP table are pinned."""
+    import inspect
+    import comlake_core_spark.workloads as w
+
+    src = inspect.getsource(w)
+    true_count = len([n for n in REGISTRY if n not in driver_seen()])
+    if true_count == 0:
+        return  # registry closed: every workload driver-verified
+    assert f"{true_count} never-driver-seen post-window" in src, (
+        f"rotation log does not state the true post-window count "
+        f"({true_count}); update the comment above DRIVER_WINDOW"
+    )
