@@ -60,6 +60,19 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, AppStatusListener + SQLAppStatusListener
+        # retain per-job/stage/task rollups and FULL physical-plan graphs
+        # for the last 1000 SQL executions.  A long-lived session running
+        # hundreds of large plans (bench times 110 queries x 3 reps in one
+        # JVM; a production 100 TB session is equally long-lived) accretes
+        # hundreds of MB of listener state, and the r5 bench record showed
+        # exactly the signature of that pressure: unchanged trivial
+        # aggregates inflating ~2x late in the session (VERDICT r5 "What's
+        # wrong" #1).  Cap retention far below the defaults.
+        .config("spark.sql.ui.retainedExecutions", "30")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
         # Broadcast sizing: the STATIC planner estimates from compressed
         # file bytes, which undershoots in-memory hash size ~5-10× — a
         # growing fact table that slips under the threshold gets broadcast
