@@ -695,6 +695,130 @@ def ivfpq_adc_topk(
     )
 
 
+def ivf_assign_two_level(
+    emb: DataFrame,
+    cents_df: DataFrame,
+    n_probe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_probe: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level IVF assignment — the piece that makes a corpus-scaled
+    codebook viable at 100 TB.
+
+    The flat assignment collects all C fine centroids into a literal
+    codebook and scores every vector against every centroid: O(n·C)
+    compute AND an O(C) literal plan.  With the scaled-codebook regime
+    (C = n / bucket_size) that stage is itself O(n²/bucket) — linear
+    pair generation bought with a quadratic assignment.  The standard
+    fix (FAISS coarse quantizer, SPANN levels) is hierarchical: pick
+    C1 = ceil(sqrt(C)) COARSE centroids from the fine codebook, route
+    each fine centroid to its nearest coarse (C·C1 work, broadcast-
+    tiny), then per vector (a) score the C1-literal coarse codebook
+    inside codegen, (b) take the top `coarse_probe` coarse buckets, and
+    (c) equi-join to the fine-centroid table on the coarse id and rank
+    the ~sqrt(C)-sized fine candidates with one window.  Every stage is
+    O(n·sqrt(C)) rows and the literal plan is O(sqrt(C)) — no collect of
+    the fine codebook, which stays a joined DataFrame.
+
+    Returns ``(home, probe)`` frames with the exact schema the flat path
+    produces — home: (_dst, _cv, bucket) one row per vector; probe:
+    (_src, _qv, bucket) n_probe rows per vector — so the downstream
+    bucket join / top-k / mutual filter is byte-identical.
+
+    Determinism: coarse pick is the same smallest-hash rule as
+    seeded_centroids; all tie-breaks are (similarity desc, centroid id
+    asc), matching the flat path.  With ``coarse_probe=None`` every
+    coarse bucket is probed, the fine candidate set is complete, and
+    home/probe EQUAL the flat assignment bit-for-bit (pinned by
+    tests/test_r7_pipeline_ops.py) — smaller coarse_probe trades recall
+    for the n·sqrt(C) bound exactly like n_probe does at the fine level.
+    """
+    spark = emb.sparkSession
+    n_cent = cents_df.count()
+    c1 = max(int(n_cent**0.5 + 0.9999), 1)
+    if coarse_probe is None:
+        coarse_probe = c1
+    # coarse codebook: the c1 fine centroids with the smallest md5(cid) —
+    # same seeded-pick rule (and tie-break) as seeded_centroids
+    coarse_rows = (
+        cents_df.select("centroid_id", "centroid_vec")
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), "centroid_id")
+        .limit(c1)
+        .collect()
+    )
+
+    def _unit(v: list) -> list:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [float(x) / n for x in v]
+
+    coarse_cb = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+            )
+            for r in coarse_rows
+        ]
+    )
+
+    def _coarse_scored(vcol: str):
+        return F.transform(
+            coarse_cb,
+            lambda s: F.struct(dot(F.col(vcol), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
+        )
+
+    # fine-centroid table routed to its coarse bucket; unit-normalized
+    # Spark-side with the same fold order as the flat path's literal
+    nrm = F.sqrt(dot(F.col("centroid_vec"), F.col("centroid_vec")))
+    fine = (
+        cents_df.select(
+            F.col("centroid_id").alias("_fcid"),
+            F.transform(
+                F.col("centroid_vec"),
+                lambda x: x / F.coalesce(F.nullif(nrm, F.lit(0.0)), F.lit(1.0)),
+            ).alias("_fcvec"),
+            F.col("centroid_vec").alias("_fraw"),
+        )
+        .withColumn("_coarse", (-F.array_max(_coarse_scored("_fraw"))["ncid"]).cast("int"))
+        .drop("_fraw")
+        .localCheckpoint(eager=True)
+    )
+
+    base = ensure_parallelism(emb).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cands = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(_coarse_scored("_v"))), 1, int(coarse_probe))
+        ).alias("_cs"),
+    ).select("_id", "_v", (-F.col("_cs.ncid")).cast("int").alias("_coarse"))
+    w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("_fcid"))
+    ranked = (
+        cands.join(fine, "_coarse")
+        .select("_id", "_v", "_fcid", dot(F.col("_v"), F.col("_fcvec")).alias("_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max(int(n_probe), 1))
+        .localCheckpoint(eager=True)  # one materialization feeds BOTH sides
+    )
+    # explode-wrapped bucket on the home side breaks attribute-id equality
+    # with the probe side (both derive from `ranked`) — the same self-join
+    # alias mitigation the flat path uses
+    home = ranked.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("_dst"),
+        F.col("_v").alias("_cv"),
+        F.explode(F.array(F.col("_fcid").cast("int"))).alias("bucket"),
+    )
+    probe = ranked.select(
+        F.col("_id").alias("_src"),
+        F.col("_v").alias("_qv"),
+        F.col("_fcid").cast("int").alias("bucket"),
+    )
+    return home, probe
+
+
 def mutual_knn_graph(
     emb: DataFrame,
     k: int = 4,
@@ -706,6 +830,8 @@ def mutual_knn_graph(
     seed_hasher: str = "xxhash64",
     refine_iters: int = 0,
     target_bucket_size: int | None = None,
+    assignment: str = "flat",
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, filtered to
     MUTUAL edges (a is in b's top-k AND b is in a's top-k) — the standard
@@ -782,56 +908,69 @@ def mutual_knn_graph(
                 emb, n_centroids, vec_col, id_col, hasher=seed_hasher
             )
 
-        def _unit(v: list) -> list:
-            n = sum(x * x for x in v) ** 0.5 or 1.0
-            return [float(x) / n for x in v]
+        if assignment == "two_level":
+            # hierarchical coarse→fine assignment: O(n·sqrt(C)) per stage
+            # and an O(sqrt(C)) literal plan — the regime that survives a
+            # corpus-scaled codebook at 100 TB (flat assignment is O(n·C)
+            # compute with an O(C) literal plan, quadratic when C ∝ n)
+            home, probe = ivf_assign_two_level(
+                emb, cents_df, n_probe,
+                vec_col=vec_col, id_col=id_col, coarse_probe=coarse_probe,
+            )
+        elif assignment == "flat":
 
-        codebook = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["centroid_id"])).alias("cid"),
-                    F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+            def _unit(v: list) -> list:
+                n = sum(x * x for x in v) ** 0.5 or 1.0
+                return [float(x) / n for x in v]
+
+            codebook = F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["centroid_id"])).alias("cid"),
+                        F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+                    )
+                    for r in cents_df.collect()
+                ]
+            )
+
+            def _scored_vs_cents(vcol: str):
+                return F.transform(
+                    codebook,
+                    lambda s: F.struct(
+                        dot(F.col(vcol), s["cvec"]).alias("sim"),
+                        (-s["cid"]).alias("ncid"),
+                    ),
                 )
-                for r in cents_df.collect()
-            ]
-        )
 
-        def _scored_vs_cents(vcol: str):
-            return F.transform(
-                codebook,
-                lambda s: F.struct(
-                    dot(F.col(vcol), s["cvec"]).alias("sim"),
-                    (-s["cid"]).alias("ncid"),
-                ),
-            )
-
-        c = ensure_parallelism(emb).select(
-            F.col(id_col).alias("_dst"),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
-        ).alias("_knn_c")
-        home = c.select(
-            "_dst",
-            "_cv",
-            F.explode(
-                F.array((-F.array_max(_scored_vs_cents("_cv"))["ncid"]).cast("int"))
-            ).alias("bucket"),
-        )
-        probe = (
-            emb.select(
-                F.col(id_col).alias("_src"),
-                F.col(vec_col).cast("array<double>").alias("_qv"),
-            )
-            .alias("_knn_q")
-            .select(
-                "_src",
-                "_qv",
+            c = ensure_parallelism(emb).select(
+                F.col(id_col).alias("_dst"),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            ).alias("_knn_c")
+            home = c.select(
+                "_dst",
+                "_cv",
                 F.explode(
-                    F.slice(F.reverse(F.array_sort(_scored_vs_cents("_qv"))), 1, n_probe)
-                ).alias("_s"),
+                    F.array((-F.array_max(_scored_vs_cents("_cv"))["ncid"]).cast("int"))
+                ).alias("bucket"),
             )
-            .select("_src", "_qv", (-F.col("_s.ncid")).cast("int").alias("bucket"))
-            .localCheckpoint(eager=True)
-        )
+            probe = (
+                emb.select(
+                    F.col(id_col).alias("_src"),
+                    F.col(vec_col).cast("array<double>").alias("_qv"),
+                )
+                .alias("_knn_q")
+                .select(
+                    "_src",
+                    "_qv",
+                    F.explode(
+                        F.slice(F.reverse(F.array_sort(_scored_vs_cents("_qv"))), 1, n_probe)
+                    ).alias("_s"),
+                )
+                .select("_src", "_qv", (-F.col("_s.ncid")).cast("int").alias("bucket"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise ValueError(f"unknown assignment strategy {assignment!r}")
         par = emb.sparkSession.sparkContext.defaultParallelism
         # pin the fan-out stage's width: the bucket join MULTIPLIES rows,
         # so byte-based AQE coalescing of its (small) input must not

@@ -7,7 +7,7 @@ its extract path (reference extract/data.clj:29-37) with the operations an
 LLM data pipeline needs over a `documents(text)` table.
 
 Engine-agreement note: everything here is per-row arithmetic on identical
-inputs, so results match a SQL oracle bitwise (see workloads.py module doc).
+inputs, so results match a SQL oracle bitwise (see workloads package doc).
 """
 
 from __future__ import annotations

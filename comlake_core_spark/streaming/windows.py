@@ -68,7 +68,7 @@ def sessionize(
     """Session windows: a session closes after `gap` of inactivity per key.
     F.session_window works on batch and streaming frames; the batch
     semantics equal the classic lag/cumsum SQL sessionization (oracle-
-    checked in workloads.py as events_sessionize)."""
+    checked in the workload registry as events_sessionize)."""
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     aggs = aggs or [F.count(F.lit(1)).alias("n_events")]

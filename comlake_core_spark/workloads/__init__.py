@@ -1,0 +1,457 @@
+"""Driver-contract workload registry: named queries + DuckDB oracle SQL.
+
+Each workload is a (spark_fn, oracle_sql) pair over the synthetic tables in a
+scale-factor directory.  The driver runs both at sf0.01 and compares row
+count + schema + order-insensitive value hash, so the two sides must agree
+*bitwise* on values.  Engine-agreement discipline used throughout:
+
+- **Sums are exact**: cast operands to DECIMAL before SUM (decimal arithmetic
+  is exact and associative, so Spark's partial aggregation order can't change
+  the result), then CAST the final sum to DOUBLE on both sides.
+- **Per-row doubles are safe unrounded**: +,-,*,/ on identical doubles are
+  IEEE-correctly-rounded in both engines, so row-level expressions match
+  bitwise without rounding.
+- **Averages** are computed as CAST(exact decimal sum AS DOUBLE) / COUNT —
+  one double division of identical inputs.
+- **Timestamps** are emitted as formatted strings (session TZ pinned to UTC).
+- Every computed column is aliased identically in Spark and SQL (the driver
+  sorts columns by name before hashing).
+- **Quantization bridges the genuinely float-dependent ops**: where an
+  operator's value passes through libm (ln in BM25) or an order-dependent
+  float reduction (k-means centroid means, the weighted-mean UDAF), both
+  engines round the SAME intermediate to a fixed decimal grid whose spacing
+  is ~6 orders of magnitude above the worst-case ulp drift, then continue
+  exactly (decimal sum / integer comparison). The rounding is part of the
+  operator's contract, not a fuzzy tolerance — the final hash is still exact.
+- **Hash-primitive parity**: sketches that default to xxhash64 (winnowing,
+  IVF seeding) run their oracle workloads in md5 mode — same pipeline,
+  swapped hash — because md5 is the one hash with an identical DuckDB twin;
+  FNV-1a (SimHash) and sha256 (fake image codec) are recomputed IN SQL.
+
+Query provenance: reference-parity entries cite the comlake.core behavior
+they reproduce (file:line into /root/reference); extension entries implement
+SURVEY.md §7 Phase 4 (aggregations, top-k, joins, windows, dedup, text,
+similarity) — operators the reference deliberately lacks (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from ._base import REGISTRY, Workload, workload, _t, dec  # noqa: F401
+
+# Family modules; importing registers their workloads.  Import order is
+# IRRELEVANT to the driver contract: REGISTRY is re-pinned below to the
+# original monolith registration order.
+from . import (  # noqa: E402,F401
+    qast,
+    catalog,
+    relational,
+    agg,
+    text,
+    dedup,
+    similarity,
+    sampling,
+    temporal,
+    streaming,
+    multimodal,
+    pipeline,
+)
+
+# ---------------------------------------------------------------------------
+# Registration-order pin.  The monolithic workloads.py registered in source
+# order; the split-by-family modules register in import order.  The driver's
+# 50-entry window and every CORRECTNESS artifact key on the ORIGINAL order,
+# so rebuild REGISTRY (in place — other modules hold references to the dict
+# object) to the pinned sequence.  test_driver_window.py and
+# test_driver_contract.py fail loudly if an entry is missing or reordered.
+# ---------------------------------------------------------------------------
+_REGISTRATION_ORDER: list[str] = [
+    "qast_eq_filter",
+    "qast_extract_regex",
+    "qast_find_regex",
+    "qast_arith_revenue",
+    "qast_maths_composite",
+    "qast_array_overlap",
+    "extract_json_field",
+    "catalog_find",
+    "catalog_latest_revision",
+    "agg_pricing_summary",
+    "topk_orders",
+    "topk_orders_per_segment",
+    "join_revenue_by_nation",
+    "distinct_event_users",
+    "events_hourly",
+    "window_running_sum",
+    "part_brand_stats",
+    "text_stats",
+    "text_token_budget",
+    "text_lang_id",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "bm25_search",
+    "text_pmi_bigrams",
+    "agg_grouping_sets",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_winnow",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "hybrid_search_rrf",
+    "ann_ivf_kmeans_topk",
+    "events_sessionize",
+    "semi_join_orders_shipped_late",
+    "anti_join_customers_no_final",
+    "agg_rollup_flag_status",
+    "events_props_sum",
+    "multimodal_bytes_meta",
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_decode_features",
+    "layout_partition_pruned_read",
+    "streaming_hourly_events",
+    "array_higher_order",
+    "events_props_variant",
+    "qast_string_concat",
+    "qast_posix_regex",
+    "qast_division_negation",
+    "qast_json_path",
+    "set_intersect_nations",
+    "set_except_nations",
+    "set_intersect_all_buyers",
+    "set_except_all_buyers",
+    "set_union_acct_holders",
+    "agg_stats_manual",
+    "window_lag_delta",
+    "window_moving_avg",
+    "sql_interface_shared_text",
+    "fuzzy_customer_names",
+    "unpivot_price_components",
+    "window_percentile_ranks",
+    "window_trailing_24h",
+    "approx_distinct_users",
+    "shipping_priority",
+    "forecast_revenue",
+    "agg_median_quantity",
+    "agg_cube_status",
+    "agg_corr_price_qty",
+    "pivot_status_by_priority",
+    "explode_token_counts",
+    "string_functions",
+    "date_functions",
+    "full_outer_nation_presence",
+    "window_ranks",
+    "array_functions",
+    "zscore_events",
+    "zscore_events_pandas",
+    "top_customers_by_returns",
+    "catalog_find_real",
+    "source_read_real",
+    "schema_infer_csv_real",
+    "udaf_weighted_mean",
+    "pipeline_clean_corpus",
+    "chunk_documents",
+    "pack_sequences",
+    "pipeline_chunk_dedup_pack",
+    "pii_redact_customers",
+    "join_local_supplier_volume",
+    "promo_revenue_ratio",
+    "small_qty_order_revenue",
+    "large_order_customers",
+    "disjunctive_filter_revenue",
+    "idle_rich_customers",
+    "asof_last_purchase",
+    "range_join_clicks_after_purchase",
+    "events_daily_rollup",
+    "events_gapfill_locf",
+    "salted_join_revenue",
+    "train_test_split_counts",
+    "dq_orders_checks",
+    "stratified_sample_orders",
+    "incremental_rollup_events",
+    "bloom_pruned_join",
+    "volume_shipping_pairs",
+    "market_share_by_year",
+    "profit_by_nation_year",
+    "customer_order_distribution",
+    "top_supplier_by_revenue",
+    "sole_returning_supplier",
+    "late_lines_by_priority",
+    "agg_argmax_order",
+    "string_agg_nations",
+    "join_null_safe",
+    "histogram_totalprice",
+    "union_by_name_evolution",
+    "agg_filtered_counts",
+    "recursive_cte_month_spine",
+    "lateral_top_order",
+    "map_functions_pipeline",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "token_budget_admit",
+    "events_sliding_windows",
+    "heavy_hitters_event_types",
+    "decontaminate_train_eval",
+    "text_repetition_filter",
+    "scd2_event_type_history",
+    "time_weighted_avg_value",
+    "min_unit_price_supplier",
+    "important_part_values",
+    "supplier_count_by_part_attrs",
+    "excess_volume_suppliers",
+    "corpus_ngram_novelty",
+    "jaccard_topk_similar_docs",
+    "embedding_quantize_int8",
+    "dedup_canonical_docs",
+    "streaming_dedup_users",
+    "dedup_incremental_batch",
+    "streaming_interval_join",
+    "streaming_running_totals",
+    "text_unigram_logprob",
+    "cdc_merge_orders",
+    "text_feature_hashing",
+    "udtf_top_terms",
+    "dedup_graph_triangles",
+    "server_find_real",
+    "extract_parquet_real",
+    "analyze_orders_profile",
+    "streaming_matview_events",
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "contrastive_negative_samples",
+    "ann_ivfpq_topk",
+    "mixture_resample_corpus",
+    "streaming_sessionize_users",
+    "ols_trend_by_nation",
+    "semantic_dedup_embeddings",
+    "leakage_safe_split_docs",
+    "ann_recall_at_k",
+    "pipeline_pretrain_corpus",
+    "approx_quantiles_prices",
+    "quality_gopher_rules",
+    "url_normalize_dedup",
+    "docs_length_buckets",
+    "events_ewma_decay",
+    "dedup_lines_corpus",
+    "mad_outlier_events",
+    "weighted_sample_docs",
+    "pagerank_dedup_graph",
+    "quality_lr_logit",
+    "dedup_graph_bfs_depth",
+    "embedding_knn_graph",
+    "dedup_common_spans",
+    "dsir_importance_resampling",
+    "source_token_js",
+    "bpe_train_merges",
+    "embedding_pca_power",
+    "embedding_knn_graph_ivf",
+    "bpe_apply_fertility",
+    "boilerplate_strip_source",
+    "decontaminate_bloom",
+    "dedup_lsh_edit_verify",
+    "vocab_oov_rate",
+    "text_bigram_backoff_logprob",
+    "embedding_matryoshka_topk",
+    "embedding_hard_negatives",
+    "shard_assign_balanced",
+    "pii_pseudonymize_consistent",
+    "temperature_mixture_langs",
+    "winsorize_events",
+    "k_anonymity_customers",
+    "curriculum_order_docs",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
+    "vocab_coverage_thresholds",
+    "text_mattr_by_source",
+    "lsh_bucket_skew_audit",
+    "minhash_estimate_calibration",
+    "kmv_join_cardinality",
+    "zorder_pruning_audit",
+    "quality_calibration_bins",
+    "events_session_paths",
+    "image_phash_neardup",
+    "embedding_centroid_drift",
+    "text_hapax_ratio",
+    "join_skew_audit",
+    "packing_efficiency_stats",
+    "catalog_snapshot_diff_real",
+    "multimodal_wav_audio_stats",
+    "multimodal_y4m_frame_sample",
+    "events_burst_detection",
+    "orders_rfm_segmentation",
+    "sparse_cosine_topk_docs",
+    "events_dau_wau_stickiness",
+    "orders_pareto_revenue_share",
+    "dedup_exact_normalized",
+    "customer_segment_entropy",
+]
+
+_snap = dict(REGISTRY)
+assert set(_snap) == set(_REGISTRATION_ORDER), (
+    sorted(set(_snap) ^ set(_REGISTRATION_ORDER))
+)
+REGISTRY.clear()
+for _n in _REGISTRATION_ORDER:
+    REGISTRY[_n] = _snap[_n]
+del _snap, _n
+
+
+
+
+# ---------------------------------------------------------------------------
+# Driver-window curation (VERDICT r2 "Next round" #1)
+#
+# The external driver verifies only the FIRST 50 entries of __spark_entry__
+# .queries() (insertion order) per round.  Rounds 1-2 both presented the same
+# first 50 registrations, so 110 workloads had only local-mirror evidence.
+# DRIVER_WINDOW rotates the window each round: ~10 sentinels pin the already
+# driver-green core (one per operator family), and the remaining ~40 slots
+# carry never-driver-seen workloads.  Names not listed follow in original
+# registration order, so the full registry is always exposed.
+#
+# Rotation log (append a line per round; used to pick the next window):
+#   r1-r2: registration order (names 0-49 of the original ordering)
+#   r3:    9 sentinels + 41 first-timers — TPC-H suite, temporal,
+#          PQ/IVF-PQ, CDC, sampling, streaming, sketches, incremental
+#          dedup, jaccard/approx promotions, multimodal_jpeg_decode
+#   r4:    5 sentinels + 45 first-timers — window-function family, set ops,
+#          scalar-function families (string/date/array/map), pivot/unpivot,
+#          udaf/udtf, the five `_real` integration entries, the r3
+#          capstones (semantic dedup, leakage split, ANN recall, pretrain
+#          pipeline, GK quantiles), joins/agg extras, funnel/retention.
+#   r5:    FINAL rotation — 3 core sentinels + the 28 never-seen remainder
+#          + array_functions (r4's one red row, output reshaped to scalar
+#          vocab string) + the 18 NEW r5 workloads (never-seen by
+#          definition; the 10 late-r5 additions displaced all 8 r4-green
+#          family sentinels plus the join_revenue_by_nation and
+#          dedup_minhash_lsh core pins — all keep earlier driver
+#          evidence, and both families keep other window reps).  Closes
+#          the registry as of window-freeze (184 workloads): every one of
+#          them driver-verified at least once after this round.
+#   r5+:   38 post-window additions (registered AFTER the r5 window froze,
+#          so they are r6-window fodder by construction): the
+#          candidate-gen/verify + hygiene wave — boilerplate_strip_source,
+#          decontaminate_bloom, dedup_lsh_edit_verify, vocab_oov_rate,
+#          text_bigram_backoff_logprob, embedding_matryoshka_topk,
+#          embedding_hard_negatives, shard_assign_balanced,
+#          pii_pseudonymize_consistent, temperature_mixture_langs,
+#          winsorize_events, k_anonymity_customers, curriculum_order_docs —
+#          and the corpus-statistics wave — ngram_diversity_by_source,
+#          zipf_slope_by_source, vocab_coverage_thresholds,
+#          text_mattr_by_source — and the portable-LSH diagnostics —
+#          lsh_bucket_skew_audit, minhash_estimate_calibration — and the
+#          planning/audit wave — kmv_join_cardinality,
+#          zorder_pruning_audit, quality_calibration_bins,
+#          events_session_paths — and the multimodal/embedding pair —
+#          image_phash_neardup, embedding_centroid_drift — and the
+#          audit/hygiene tail — text_hapax_ratio, join_skew_audit,
+#          packing_efficiency_stats, catalog_snapshot_diff_real — the
+#          codec-parity pair — multimodal_wav_audio_stats,
+#          multimodal_y4m_frame_sample — and the analytics tail —
+#          events_burst_detection, orders_rfm_segmentation,
+#          sparse_cosine_topk_docs — and the engagement/distribution
+#          quartet — events_dau_wau_stickiness,
+#          orders_pareto_revenue_share, dedup_exact_normalized,
+#          customer_segment_entropy.
+#          (The original plan text said "40"; the true post-window count
+#          is 38 = 222 registered − 184 cumulatively driver-seen —
+#          VERDICT r5 doc-nit #4, fixed here and pinned by
+#          test_rotation_log_count_matches_registry.)
+#   r6:    CORRECTNESS_r05 landed 50/50 green, so the rotation applies:
+#          r6 window = 10 family sentinels (qast_eq_filter, catalog_find,
+#          streaming_hourly_events, dedup_minhash_lsh,
+#          join_revenue_by_nation, ann_recall_at_k,
+#          semantic_dedup_embeddings, multimodal_jpeg_decode,
+#          approx_quantiles_prices, catalog_find_real) + 2 discretionary
+#          re-greens whose code changed since their last driver row
+#          (jaccard_topk_similar_docs — r5 de-persist;
+#          embedding_knn_graph_ivf — re-registered this round in the
+#          scaled-codebook target_bucket_size regime, VERDICT r5 #2)
+#          + ALL 38 never-driver-seen post-window names = 50 exactly.
+#          The registry is FROZEN at 222 until CORRECTNESS_r06 lands
+#          (test_registry_frozen_for_r6): new operators built in r6 ship
+#          as code + pytest only and register in r7.  All 38 pass the
+#          oracle mirror at sf0.001 AND the driver-style pandas
+#          canonicalizer (scripts/driver_sim.py) at the driver's sf0.01
+#          locally.  50/50 green ⇒ cumulative 222/222 driver-verified.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW: list[str] = [
+    # ------------------------------------------------------------------
+    # r6 window (the registry-closing rotation): 10 family sentinels +
+    # the 38 post-r5-window first-timers + 2 discretionary re-greens.
+    # The registry is FROZEN at 222 for this round (pinned by
+    # test_registry_frozen_for_r6) so CORRECTNESS_r06 going 50/50 green
+    # means cumulative 222/222 driver-verified — the evidence loop closes.
+    # ------------------------------------------------------------------
+    # -- sentinels: one driver-green pin per major family (r1-r5 verified) --
+    "qast_eq_filter",            # qast predicate compiler
+    "catalog_find",              # catalog scan + broadcast join
+    "streaming_hourly_events",   # streaming≡batch
+    "dedup_minhash_lsh",         # MinHash+LSH banding
+    "join_revenue_by_nation",    # TPC-H join/agg core
+    "ann_recall_at_k",           # ANN recall measurement
+    "semantic_dedup_embeddings", # SemDeDup clustering
+    "multimodal_jpeg_decode",    # pure-Python codec path
+    "approx_quantiles_prices",   # sketch family
+    "catalog_find_real",         # catalog integration (_real) family
+    # -- discretionary re-greens: code under these CHANGED since their
+    #    last driver row (jaccard: r5 lazy-localCheckpoint de-persist;
+    #    knn_ivf: re-registered this round in the scaled-codebook
+    #    regime, VERDICT r5 #2) — both need fresh driver evidence --
+    "jaccard_topk_similar_docs",
+    "embedding_knn_graph_ivf",
+    # -- the 38 never-driver-seen post-window workloads (rotation log) --
+    "boilerplate_strip_source",
+    "decontaminate_bloom",
+    "dedup_lsh_edit_verify",
+    "vocab_oov_rate",
+    "text_bigram_backoff_logprob",
+    "embedding_matryoshka_topk",
+    "embedding_hard_negatives",
+    "shard_assign_balanced",
+    "pii_pseudonymize_consistent",
+    "temperature_mixture_langs",
+    "winsorize_events",
+    "k_anonymity_customers",
+    "curriculum_order_docs",
+    "ngram_diversity_by_source",
+    "zipf_slope_by_source",
+    "vocab_coverage_thresholds",
+    "text_mattr_by_source",
+    "lsh_bucket_skew_audit",
+    "minhash_estimate_calibration",
+    "kmv_join_cardinality",
+    "zorder_pruning_audit",
+    "quality_calibration_bins",
+    "events_session_paths",
+    "image_phash_neardup",
+    "embedding_centroid_drift",
+    "text_hapax_ratio",
+    "join_skew_audit",
+    "packing_efficiency_stats",
+    "catalog_snapshot_diff_real",
+    "multimodal_wav_audio_stats",
+    "multimodal_y4m_frame_sample",
+    "events_burst_detection",
+    "orders_rfm_segmentation",
+    "sparse_cosine_topk_docs",
+    "events_dau_wau_stickiness",
+    "orders_pareto_revenue_share",
+    "dedup_exact_normalized",
+    "customer_segment_entropy",
+]
+
+
+
+
+def ordered_names() -> list[str]:
+    """Registry names with DRIVER_WINDOW first, then the rest in original
+    registration order.  __spark_entry__ builds queries()/oracle_sql() in
+    this order so the driver's 50-entry window is the curated one."""
+    window = [n for n in DRIVER_WINDOW if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(window)]
+    return window + rest

@@ -1,0 +1,1421 @@
+"""text analysis / corpus statistics / tokenization workloads
+
+Split from the monolithic workloads.py (VERDICT r5 "Next round" #6).
+Module organization CANNOT move the driver window: registration order is
+re-pinned to the original monolith order by _REGISTRATION_ORDER in
+workloads/__init__.py, and tests/test_driver_window.py pins the first-50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from comlake_core_spark.qast.compiler import compile_predicate, default_resolver
+from comlake_core_spark.session import tables
+
+from ._base import _t, dec, workload
+
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (operators/text.py) — LLM-pipeline extensions
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "text_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars_computed,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len,
+           CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) AS DOUBLE) / len(t) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM toks
+    """,
+    "text",
+)
+def text_stats_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import text_stats
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text_stats(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "text_token_budget",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+'))
+                + floor((length(text) - len(string_split_regex(trim(text), '\s+'))) / 16.0)
+                AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+    "text",
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import bpe_ish_token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_tokens_bpe"))
+
+
+
+
+@workload(
+    "text_lang_id",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), hits AS (
+      SELECT doc_id, text,
+        len(list_filter(t, x -> list_contains(['the','and','of','is'], lower(x)))) AS en,
+        len(list_filter(t, x -> list_contains(['der','die','und','ist'], lower(x)))) AS de,
+        len(list_filter(t, x -> list_contains(['le','la','et','est'], lower(x)))) AS fr,
+        len(list_filter(t, x -> list_contains(['el','la','y','es'], lower(x)))) AS es
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+           WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+           WHEN en = greatest(en, de, fr, es) THEN 'en'
+           WHEN de = greatest(en, de, fr, es) THEN 'de'
+           WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+           ELSE 'es' END AS lang_guess
+    FROM hits
+    """,
+    "text",
+    "langid",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import lang_id
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+
+
+@workload(
+    "text_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+      least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + least((CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) AS DOUBLE) / len(t)) * 4, 1.0) * 0.3
+      + (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text)) * 10, 1.0)) * 0.3
+      AS quality
+    FROM toks
+    """,
+    "text",
+    "quality",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from comlake_core_spark.operators.text import quality_score
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+
+
+@workload(
+    "text_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+    "text",
+    "tfidf",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document by TF-IDF (rational-idf form:
+    ln is monotone so the ranking equals the ln variant, and the ratio is
+    bitwise engine-portable — see operators/text.top_terms_tfidf). Scale:
+    explode → map-combined tf agg → O(vocab) df agg joined back →
+    WindowGroupLimit top-5; no all-pairs stage."""
+    from comlake_core_spark.operators.text import top_terms_tfidf
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return top_terms_tfidf(ensure_parallelism(docs), ln_idf=False)
+
+
+
+
+@workload(
+    "text_top_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "text",
+    "ngram",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: top-20 bigrams. The bigram list is
+    built JVM-side with transform over an index sequence (no Python, no
+    self-join of token positions), exploded, then map-side-combined
+    counted; the final top-20 is TakeOrderedAndProject — each task
+    forwards 20 rows, the driver merges. Deterministic tiebreak on the
+    bigram string keeps the limit stable across engines."""
+    from comlake_core_spark.operators.text import tokens
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    t = tokens(F.lower(F.col("text")))
+    with_t = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = with_t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get(F.col("t"), i), F.get(F.col("t"), i + F.lit(1))
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+
+
+@workload(
+    "bm25_search",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+      WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(
+             ln(1.0::DOUBLE + ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)))
+             * ((tf * 2.2::DOUBLE)
+                / (tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)))
+           , 9) AS DECIMAL(20,9))) AS DOUBLE) AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    "text",
+    "search",
+)
+def bm25_search_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents corpus for a fixed query —
+    lexical retrieval beside the embedding ANN path (one explode pass
+    feeds dl and query-term tf; df/stats broadcast back; TakeOrdered
+    top-n). quantize=9 confines the score's float dependence to one
+    per-term rounding (exact decimal sum after), so Java Math.log vs
+    DuckDB ln — equal to ~1 ulp — lands on the same 9-decimal grid and
+    the value hash matches. See operators/text.bm25_search."""
+    from comlake_core_spark.operators.text import bm25_search
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bm25_search(ensure_parallelism(docs), ("spark", "shuffle", "join"), quantize=9)
+
+
+
+
+@workload(
+    "text_pmi_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+      FROM toks
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2)
+    SELECT w1, w2, c12,
+           (CAST(tot.n AS DOUBLE) * c12) / (u1.c * u2.c) AS pmi_ratio
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.w1 = u1.w
+    JOIN ucnt u2 ON bcnt.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20
+    """,
+    "text",
+    "collocation",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength by pointwise mutual information, in its
+    ln-free ratio form N·c(xy)/(c(x)·c(y)) — ln is monotone, so the top-20
+    ranking is identical to true PMI while the ratio hash-matches any IEEE
+    engine (same trick as the tf-idf workload). Min-support c12 ≥ 5 is the
+    standard guard against low-count PMI blowup. Shape: one explode pass
+    each for unigrams and bigrams (both map-side combined), two broadcast
+    joins of the O(vocab) unigram counts onto the bigram counts, TakeOrdered
+    top-20."""
+    from comlake_core_spark.operators.text import tokens
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    t = tokens(F.lower(F.col("text")))
+    with_t = docs.select(t.alias("t")).filter(F.size("t") >= 2)
+
+    uni = with_t.select(F.explode("t").alias("w"))
+    # persist the O(vocab) unigram counts: they feed BOTH broadcast sides
+    # (u1, u2) AND — as a sum — the total-token scalar, so the corpus is
+    # tokenized twice total (unigram + bigram pass), not four times.
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    tot = ucnt.agg(F.sum("c").alias("n"))
+
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bi = with_t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.get(F.col("t"), i).alias("w1"),
+                    F.get(F.col("t"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(F.col("c12") >= 5)
+
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (F.col("n").cast("double") * F.col("c12") / (F.col("_c1") * F.col("_c2"))).alias(
+                "pmi_ratio"
+            ),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+
+
+@workload(
+    "chunk_documents",
+    r"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           substr(text, 1 + CAST(i AS INT) * 400, 500) AS chunk_text,
+           CAST(length(substr(text, 1 + CAST(i AS INT) * 400, 500)) AS INT) AS chunk_len
+    FROM documents
+    CROSS JOIN range(0, 1000) t(i)
+    WHERE 1 + i * 400 <= greatest(length(text), 1)
+    """,
+    "text",
+    "chunking",
+)
+def chunk_documents_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking of the corpus (500 chars, 100
+    overlap) — the pretraining/RAG prep step before tokenization. Map-only
+    sequence + posexplode + substring; the oracle enumerates the same
+    starts with a bounded range filter."""
+    from comlake_core_spark.operators.text import chunk_documents
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=500, overlap=100)
+
+
+
+
+@workload(
+    "pack_sequences",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tokens_before
+    FROM toks
+    WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+    "text",
+    "packing",
+)
+def pack_sequences_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: documents in id order are assigned
+    to fixed-capacity (2048-token) training packs by cumulative-count
+    division — the distributed approximation of greedy packing (a pack
+    can exceed budget by at most one document; the exact stateful variant
+    is the streaming admission-control operator). One range-partitioned
+    shuffle for the running sum."""
+    from comlake_core_spark.operators.text import pack_sequences, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(with_tokens, token_count="n_tokens", budget=2048)
+
+
+
+
+@workload(
+    "pii_redact_customers",
+    r"""
+    WITH base AS (
+      SELECT c_custkey AS doc_id,
+             concat_ws(' ', c_name,
+               printf('%02d-%03d-%03d-%04d', c_nationkey + 10, c_custkey % 1000,
+                      (c_custkey // 1000) % 1000, c_custkey % 10000),
+               concat(lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')),
+                      '@example.com'),
+               'from',
+               printf('%d.%d.%d.%d', c_nationkey % 256, c_custkey % 256,
+                      (c_custkey * 7) % 256, (c_custkey * 13) % 256),
+               c_mktsegment) AS text
+      FROM customer
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{2}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{4}')) AS INT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[PII]', 'g'),
+             '[0-9]{2}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{4}', '[PII]', 'g') AS redacted
+    FROM base
+    """,
+    "text",
+    "pii",
+)
+def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the pre-export redaction step of a training-data
+    pipeline: emails, phones, and IPv4s masked, per-category counts kept
+    for audit. Exercised over customer rows rewritten as text (name +
+    synthesized TPC-H-style phone + email + IP + segment) so every
+    category actually fires. Map-only: codegen'd regexp expressions over
+    one scan; the patterns are RE2-and-Java-compatible so Spark and the
+    oracle run the SAME regex (see operators/text.PII_PATTERNS)."""
+    from comlake_core_spark.operators.text import pii_redact
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                F.col("c_nationkey") + 10,
+                F.col("c_custkey") % 1000,
+                (F.col("c_custkey") / F.lit(1000)).cast("long") % 1000,
+                F.col("c_custkey") % 10000,
+            ),
+            F.concat(
+                F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]+", ".")),
+                F.lit("@example.com"),
+            ),
+            F.lit("from"),
+            F.format_string(
+                "%d.%d.%d.%d",
+                F.col("c_nationkey") % 256,
+                F.col("c_custkey") % 256,
+                (F.col("c_custkey") * 7) % 256,
+                (F.col("c_custkey") * 13) % 256,
+            ),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return pii_redact(base)
+
+
+
+
+@workload(
+    "text_repetition_filter",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, u.x AS tok
+      FROM documents,
+           UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS u(x)
+      WHERE u.x <> ''
+    ),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_token_count,
+           (2 * COUNT(*) < SUM(c)) OR (5 * MAX(c) > SUM(c)) AS is_repetitive
+    FROM per GROUP BY doc_id
+    """,
+    "text",
+    "quality",
+    "repetition",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (duplicate-token
+    fraction > 1/2 or one token > 20% of the doc). All-integer metrics —
+    the flag is integer cross-multiplication, bitwise oracle-safe. Scale:
+    explode → map-combined (doc, token) counts → tiny doc-level rollup."""
+    from comlake_core_spark.operators.text import repetition_stats
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return repetition_stats(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "corpus_ngram_novelty",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), dfreq AS (SELECT g, COUNT(*) AS d FROM sh GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+    "text",
+    "dedup",
+    "novelty",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document novelty scoring: per document, the fraction of its
+    distinct word 8-grams found nowhere else in the corpus (RefinedWeb /
+    Gopher-style boilerplate signal — catches shared passages whole-doc
+    dedup misses). One explode + two map-combined shuffles; see
+    operators/text.ngram_novelty for the 100 TB argument."""
+    from comlake_core_spark.operators.text import ngram_novelty
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=8)
+
+
+
+
+@workload(
+    "text_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT term, COUNT(*) AS c FROM tok2 GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / t), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM tok2 JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    "text",
+    "quality",
+    "lm",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring: average token log-probability under
+    the corpus's own unigram LM — the standard perplexity-bucket signal
+    for pretraining-data quality (junk-token documents score far below
+    prose). ln on a 9-decimal grid + exact decimal sums make the score
+    hash-checkable; see operators/text.unigram_logprob."""
+    from comlake_core_spark.operators.text import unigram_logprob
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return unigram_logprob(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "text_feature_hashing",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ), buckets AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 1024 AS b,
+             COUNT(*) AS cnt
+      FROM tok WHERE t <> ''
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           COUNT(*) AS nnz,
+           CAST(SUM(cnt) AS BIGINT) AS l1,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS l2_sq,
+           CAST(SUM(b * cnt) AS BIGINT) AS checksum
+    FROM buckets GROUP BY doc_id
+    """,
+    "text",
+    "vectorize",
+    "ml",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (sklearn HashingVectorizer shape):
+    fixed-width sparse feature vectors with NO vocabulary state — the
+    only vectorizer that stays embarrassingly parallel at 100 TB. Bucket
+    assignment is md5-portable, so the oracle recomputes exact bucket
+    counts; the emitted scalars (nnz/l1/l2²/checksum) pin every count.
+    See operators/text.feature_hashing."""
+    from comlake_core_spark.operators.text import feature_hashing
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return feature_hashing(ensure_parallelism(docs), n_features=1024)
+
+
+
+
+# ---------------------------------------------------------------------------
+# r5: web-corpus preparation extras — Gopher quality rules, URL-level dedup,
+# length-binned batching.  The reference has no text surface at all
+# (SURVEY.md §2.4); these extend the LLM-pipeline family with the three
+# standard pre-dedup stages of a web corpus (quality gate -> URL dedup ->
+# length bucketing for packing).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "quality_gopher_rules",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(t) AS word_count,
+             ROUND(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(t), 6) AS alpha_word_frac,
+             CAST(len(list_filter(t, w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS INT) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, word_count, mean_word_len, alpha_word_frac, stop_hits,
+           CAST(word_count BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 2 AS INT) AS keep
+    FROM m
+    """,
+    "text",
+    "quality",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a map-only pass:
+    word-count bounds, mean word length, alphabetic fraction, stopword
+    floor, composite keep flag.  Zero shuffles — the quality gate runs at
+    scan speed ahead of every heavier corpus stage."""
+    from comlake_core_spark.operators.text import gopher_quality
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
+
+
+@workload(
+    "docs_length_buckets",
+    r"""
+    WITH wc AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS word_count
+      FROM documents
+    )
+    SELECT CAST(floor(log2(word_count)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(word_count) AS BIGINT) AS total_words,
+           ROUND(AVG(CAST(word_count AS DOUBLE)), 6) AS avg_words,
+           MIN(word_count) AS min_words, MAX(word_count) AS max_words
+    FROM wc GROUP BY bucket
+    """,
+    "text",
+    "sampling",
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-binned batching stats: power-of-two word-count buckets —
+    the histogram a sequence-packing / length-grouped batching stage
+    consumes to size its bins (packing docs of similar length minimizes
+    padding waste).  One map-combined exchange on the bucket key; the
+    shuffle carries O(buckets x mappers) rows."""
+    from comlake_core_spark.operators.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    wc = docs.select(token_count("text").alias("word_count"))
+    return wc.groupBy(
+        F.floor(F.log2("word_count")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("word_count").cast("long").alias("total_words"),
+        F.round(F.avg(F.col("word_count").cast("double")), 6).alias("avg_words"),
+        F.min("word_count").alias("min_words"),
+        F.max("word_count").alias("max_words"),
+    )
+
+
+
+
+@workload(
+    "source_token_js",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT source,
+             CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024 AS b
+      FROM tok WHERE term <> ''
+    ), gb AS (
+      SELECT source, b, COUNT(*) AS c FROM tok2 GROUP BY source, b
+    ), bt AS (
+      SELECT b, COUNT(*) AS cb FROM tok2 GROUP BY b
+    ), gt AS (
+      SELECT source, COUNT(*) AS ng FROM tok2 GROUP BY source
+    ), na AS (SELECT COUNT(*) AS n FROM tok2),
+    cells AS (
+      SELECT gt.source, gt.ng,
+             COALESCE(gb.c, 0) / gt.ng AS p,
+             bt.cb / na.n AS q
+      FROM gt CROSS JOIN bt CROSS JOIN na
+      LEFT JOIN gb ON gb.source = gt.source AND gb.b = bt.b
+    ), jq AS (
+      SELECT source, ng,
+             CAST(round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                         + q * ln(q / ((p + q) / 2))) / 2 * 1000000000000.0, 0)
+                  AS BIGINT) AS jqv
+      FROM cells
+    )
+    SELECT source,
+           CAST(ng AS BIGINT) AS n_tokens,
+           CAST(SUM(jqv) AS BIGINT) AS js_q,
+           round(SUM(jqv) / 1000000000000.0, 9) AS js
+    FROM jq GROUP BY source, ng
+    """,
+    "text",
+    "stats",
+)
+def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: Jensen-Shannon divergence between
+    each source's hashed-unigram token distribution and the corpus's —
+    the domain-shift diagnostic that informs mixture weights.  O(sources
+    × 1024 buckets) regardless of vocabulary size; per-cell
+    contributions are quantized to integers before the per-source sum
+    (operators/text.js_divergence_by_group)."""
+    from comlake_core_spark.operators.text import js_divergence_by_group
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return js_divergence_by_group(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "bpe_train_merges",
+    r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\1  ', 'g')) || '  </w>' AS seq, cnt
+      FROM words
+    ),
+    p1 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w0),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
+    w1 AS (
+      SELECT trim(replace(' ' || seq || ' ', ' ' || replace(b1.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b1.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w0 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w1),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT trim(replace(' ' || seq || ' ', ' ' || replace(b2.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b2.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w1 CROSS JOIN b2
+    ),
+    p3 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w2),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS merge_rank, pair,
+           replace(pair, ' ', '') AS new_symbol, CAST(total AS BIGINT) AS pair_count
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), CAST(total AS BIGINT) FROM b2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), CAST(total AS BIGINT) FROM b3
+    """,
+    "text",
+    "tokenizer",
+    "iterative",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the lake: the first 3 BPE merge rules
+    learned from the documents corpus (Sennrich et al. 2016 — the
+    algorithm behind GPT/Llama vocabularies), as (merge_rank, pair,
+    new_symbol, pair_count) rows.  After one corpus pass builds the
+    word-frequency table, every round runs over the vocabulary-sized
+    dictionary: pair explode → map-combined count → 1-row argmax
+    broadcast → map-side replace (operators/text.bpe_merges; the
+    space-delimited replace semantics are pinned identical across
+    engines by test)."""
+    from comlake_core_spark.operators.text import bpe_merges
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_merges(ensure_parallelism(docs), merges=3)
+
+
+
+
+@workload(
+    "bpe_apply_fertility",
+    r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT word, trim(regexp_replace(word, '(.)', '\1  ', 'g')) || '  </w>' AS seq, cnt
+      FROM words
+    ),
+    p1 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w0),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
+    w1 AS (
+      SELECT word, trim(replace(' ' || seq || ' ', ' ' || replace(b1.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b1.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w0 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w1),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT word, trim(replace(' ' || seq || ' ', ' ' || replace(b2.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b2.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w1 CROSS JOIN b2
+    ),
+    p3 AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(cnt) AS total
+      FROM (SELECT string_split(seq, '  ') AS s, cnt FROM w2),
+           LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1),
+    w3 AS (
+      SELECT word, trim(replace(' ' || seq || ' ', ' ' || replace(b3.pair, ' ', '  ') || ' ',
+                          ' ' || replace(b3.pair, ' ', '') || ' ')) AS seq, cnt
+      FROM w2 CROSS JOIN b3
+    ),
+    enc AS (SELECT word, len(string_split(seq, '  ')) AS ntok FROM w3),
+    gw AS (
+      SELECT lang, word, COUNT(*) AS gc FROM (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(SUM(gc) AS BIGINT) AS n_words,
+           CAST(SUM(gc * ntok) AS BIGINT) AS n_subword_tokens,
+           CAST((SUM(gc * ntok) * 1000000) // SUM(gc) AS BIGINT) AS fertility_micro
+    FROM gw JOIN enc USING (word) GROUP BY lang
+    """,
+    "text",
+    "tokenizer",
+    "iterative",
+)
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer train→apply loop closed: learn 3 BPE merges on the
+    whole corpus (the identical chain as bpe_train_merges), encode every
+    word, and report per-language FERTILITY — subword tokens per word,
+    the number tokenizer papers tabulate to show how a shared vocabulary
+    taxes each language.  Application is a vocabulary-sized hash join of
+    per-language word counts against the merged dictionary + one
+    map-combined aggregate; fertility is exact integer micro-division
+    (operators/text.bpe_fertility)."""
+    from comlake_core_spark.operators.text import bpe_fertility
+
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_fertility(ensure_parallelism(docs), merges=3)
+
+
+
+
+@workload(
+    "vocab_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ), tok2 AS (SELECT source, t FROM tok WHERE t <> ''),
+    top AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
+        ORDER BY c DESC, t ASC LIMIT 20
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN top.t IS NULL THEN tok2.t END) AS BIGINT) AS n_distinct_oov,
+           ROUND(SUM(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
+    FROM tok2 LEFT JOIN top ON tok2.t = top.t
+    GROUP BY source
+    """,
+    "text",
+    "tokenizer",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a frequency-pruned
+    top-20 vocabulary — the sanity number a vocabulary decision is
+    validated with before committing a tokenizer for a 100 TB corpus
+    (high-OOV sources fragment into subwords or <unk>s and deserve
+    either vocab slots or down-weighting).  Top-V selection is a
+    TakeOrdered over the aggregated vocab with a deterministic
+    (count desc, token asc) tie-break; the rate is one double division
+    rounded once.  See operators/text.oov_rate for the two-shuffle
+    plan."""
+    from comlake_core_spark.operators.text import oov_rate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=20)
+
+
+
+
+@workload(
+    "text_bigram_backoff_logprob",
+    r"""
+    WITH lmtok AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+      FROM documents WHERE doc_id % 2 = 0
+    ), uni AS (
+      SELECT u.w AS w, COUNT(*) AS c FROM lmtok, UNNEST(ts) AS u(w) GROUP BY u.w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ), bi AS (
+      SELECT ts[i] AS prev, ts[i+1] AS w, COUNT(*) AS cb
+      FROM lmtok, UNNEST(range(1, len(ts))) AS r(i)
+      WHERE len(ts) >= 2 GROUP BY ts[i], ts[i+1]
+    ), sc AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+      FROM documents WHERE doc_id % 2 <> 0
+    ), sctok AS (
+      SELECT doc_id, CAST(r.i - 1 AS INT) AS pos, ts[i] AS w,
+             CASE WHEN r.i > 1 THEN ts[i-1] END AS prev
+      FROM sc, UNNEST(range(1, len(ts) + 1)) AS r(i)
+      WHERE len(ts) >= 1
+    ), scored AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > 0 AND bi.cb IS NULL THEN 1 ELSE 0 END AS backoff,
+             CAST(ROUND(CASE
+               WHEN pos = 0 THEN ln((COALESCE(uw.c, 0) + 1.0) / (tot.n + tot.v + 1.0))
+               WHEN bi.cb IS NOT NULL THEN ln(CAST(bi.cb AS DOUBLE) / CAST(up.c AS DOUBLE))
+               ELSE ln(0.4 * (COALESCE(uw.c, 0) + 1.0) / (tot.n + tot.v + 1.0))
+             END, 9) AS DECIMAL(20,9)) AS contrib
+      FROM sctok
+      LEFT JOIN uni uw ON sctok.w = uw.w
+      LEFT JOIN uni up ON sctok.prev = up.w
+      LEFT JOIN bi ON sctok.prev = bi.prev AND sctok.w = bi.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(contrib) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    "text",
+    "quality",
+    "lm",
+)
+def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al., EMNLP 2007): an
+    LM counted over the even-doc_id half (the stand-in curated slice)
+    scores the odd half — the CCNet perplexity-filter shape, one model
+    class up from unigram_logprob (a bigram separates word-salad from
+    prose; backoff handles unseen transitions with alpha=0.4, add-one
+    over the LM vocab handles OOV).  Every ln lands on the 9-decimal
+    grid with exact decimal sums (the proven unigram discipline), so the
+    average is hash-identical across engines.  Plan: count aggs over the
+    LM slice, MAP-ONLY (pos, term, prev) explode on the scoring side (no
+    lag window — prev comes from the token array), three keyed joins,
+    1-row broadcast totals; see operators/text.bigram_backoff_logprob."""
+    from comlake_core_spark.operators.text import bigram_backoff_logprob
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(docs)
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 != 0)
+    return bigram_backoff_logprob(score, lm)
+
+
+
+
+@workload(
+    "pii_pseudonymize_consistent",
+    r"""
+    WITH pc AS (
+      SELECT substr(md5('rotate-me:custkey:' || CAST(c_custkey AS VARCHAR)), 1, 12) AS cust_token,
+             substr(md5('rotate-me:name:' || c_name), 1, 12) AS name_token,
+             c_mktsegment
+      FROM customer
+    ), po AS (
+      SELECT substr(md5('rotate-me:custkey:' || CAST(o_custkey AS VARCHAR)), 1, 12) AS cust_token,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    )
+    SELECT pc.cust_token, pc.name_token, pc.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_spend
+    FROM pc JOIN po USING (cust_token)
+    GROUP BY pc.cust_token, pc.name_token, pc.c_mktsegment
+    """,
+    "text",
+    "pii",
+    "join",
+)
+def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization with referential integrity proven by
+    USE: customer and orders are pseudonymized INDEPENDENTLY (c_custkey
+    and o_custkey under the shared 'custkey' domain, the name under its
+    own domain so columns stay un-linkable), then joined ON THE TOKENS
+    and aggregated — the GDPR-pseudonymisation counterpart to
+    pii_redact_customers, which destroys analytic utility where this
+    preserves it (same spend-per-customer numbers, no raw keys
+    anywhere in the output).  Map-only md5 tokenization over each scan;
+    the token join hashes a uniform high-entropy key, so skew behavior
+    is no worse than the raw-key join.  See operators/text.pseudonymize."""
+    from comlake_core_spark.operators.text import pseudonymize
+
+    cust, od = _t(spark, sf_dir, "customer", "orders")
+    pc = pseudonymize(
+        cust.select("c_custkey", "c_name", "c_mktsegment"),
+        {"c_custkey": "custkey", "c_name": "name"},
+        secret="rotate-me",
+    ).select(
+        F.col("c_custkey").alias("cust_token"),
+        F.col("c_name").alias("name_token"),
+        "c_mktsegment",
+    )
+    po = pseudonymize(
+        od.select("o_custkey", "o_totalprice"), {"o_custkey": "custkey"}, secret="rotate-me"
+    ).select(F.col("o_custkey").alias("cust_token"), dec("o_totalprice").alias("_p"))
+    return (
+        pc.join(po, "cust_token")
+        .groupBy("cust_token", "name_token", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_p").cast("double").alias("total_spend"),
+        )
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# r5 corpus-statistics wave: the fingerprint numbers a pretraining-data
+# report leads with (diversity, Zipf shape, tokenizer coverage, lexical
+# richness).  All tokenize with the unigram_logprob convention
+# (lower → whitespace split → drop empties).
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "ngram_diversity_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), g AS (
+      SELECT source, n,
+             unnest(list_transform(range(1, len(t) - n + 2),
+                                   i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+      FROM toks CROSS JOIN (VALUES (1), (2), (3)) ns(n)
+      WHERE len(t) >= n
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           COUNT(*) AS total_grams,
+           ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 9) AS diversity
+    FROM g GROUP BY source, n
+    """,
+    "text",
+    "diversity",
+    "corpus-stats",
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source (distinct n-grams over total
+    n-grams) — the corpus self-repetition fingerprint that flags
+    template/boilerplate-heavy sources before pretraining.  One scan
+    builds all three gram lists row-locally (sequence+transform, no UDF),
+    one explode feeds one map-combined count.  See
+    operators/text.ngram_diversity."""
+    from comlake_core_spark.operators.text import ngram_diversity
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return ngram_diversity(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "zipf_slope_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT source, term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT source, term, COUNT(*) AS c FROM tok2 GROUP BY source, term
+    ), ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, term ASC) AS r
+      FROM vocab
+    ), top AS (
+      SELECT source,
+             ROUND(ln(CAST(r AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked WHERE r <= 500
+    ), s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(22,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(22,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sxx
+      FROM top GROUP BY source
+    )
+    SELECT source, n AS n_ranked,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS zipf_intercept
+    FROM s
+    """,
+    "text",
+    "corpus-stats",
+    "regression",
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq on ln rank, top-500 tokens) per source:
+    natural prose sits near slope −1; flat slopes flag ID/key-smash
+    sources, steep ones tiny-vocabulary boilerplate.  Rank window is
+    per-source with a map-side top-500 cut; ln on a 9-decimal grid +
+    exact decimal OLS sums make slope/intercept hash-checkable (the
+    unigram_logprob discipline).  See operators/text.zipf_fit."""
+    from comlake_core_spark.operators.text import zipf_fit
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return zipf_fit(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "vocab_coverage_thresholds",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT term, COUNT(*) AS c FROM tok2 GROUP BY term
+    ), curve AS (
+      SELECT row_number() OVER (ORDER BY c DESC, term ASC) AS rank,
+             CAST(SUM(c) OVER (ORDER BY c DESC, term ASC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / (SELECT CAST(SUM(c) AS DOUBLE) FROM vocab) AS share
+      FROM vocab
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(MIN(CASE WHEN share >= threshold THEN rank END) AS BIGINT)
+             AS vocab_needed,
+           MIN(CASE WHEN share >= threshold THEN share END) AS coverage
+    FROM curve CROSS JOIN (VALUES (0.5), (0.9), (0.95), (0.99)) t(threshold)
+    GROUP BY threshold
+    """,
+    "text",
+    "tokenizer",
+    "corpus-stats",
+)
+def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: the frequency-ranked vocabulary size needed
+    to cover 50/90/95/99% of running tokens, with the coverage attained
+    at the crossing.  The cumulative-share curve is built by
+    global_running_sum (range shuffle + map-only Arrow cumsum — NO
+    single-partition window at any vocabulary size); the oracle states
+    the same curve with a SQL window.  Integer cumsums are exact, so the
+    crossing ranks hash-match.  See operators/text.vocab_coverage."""
+    from comlake_core_spark.operators.text import vocab_coverage
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return vocab_coverage(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "text_mattr_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), per_doc AS (
+      SELECT source,
+             ROUND(CASE WHEN len(t) < 50
+               THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               ELSE CAST(list_sum(list_transform(
+                      range(1, len(t) - 50 + 2),
+                      i -> len(list_distinct(t[i:i+49])))) AS DOUBLE)
+                    / (50 * (len(t) - 49))
+             END, 9) AS m,
+             ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 9) AS ttr
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(m AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_mattr,
+           CAST(SUM(CAST(ttr AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS avg_ttr
+    FROM per_doc GROUP BY source
+    """,
+    "text",
+    "diversity",
+    "corpus-stats",
+)
+def text_mattr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (window 50; Covington & McFall
+    2010) per source, with plain TTR alongside — the length-independent
+    lexical-diversity score that catches looped generations plain TTR
+    and corpus-level distinct-n both miss.  Entirely row-local
+    sequence/array_distinct arithmetic inside codegen (no UDF, no
+    explode), then one map-combined 9-decimal-grid rollup.  See
+    operators/text.mattr."""
+    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return mattr(ensure_parallelism(docs))
+
+
+
+
+@workload(
+    "text_hapax_ratio",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tok2 AS (
+      SELECT source, term FROM tok WHERE term <> ''
+    ), vocab AS (
+      SELECT source, term, COUNT(*) AS c FROM tok2 GROUP BY source, term
+    )
+    SELECT source,
+           COUNT(*) AS vocab_size,
+           CAST(count_if(c = 1) AS BIGINT) AS hapax_count,
+           ROUND(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 9) AS hapax_ratio
+    FROM vocab GROUP BY source
+    """,
+    "text",
+    "corpus-stats",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio per source (share of the vocabulary occurring
+    exactly once) — natural prose sits near 40-60%, templated/boilerplate
+    sources far lower, OCR/key-smash junk far higher; read alongside the
+    Zipf slope and distinct-n it completes the corpus-shape fingerprint.
+    One map-combined (source, term) count + a per-source rollup."""
+    toks = _t(spark, sf_dir, "documents")[0].select(
+        "source",
+        F.explode(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")).alias("term"),
+    )
+    vocab = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count_if(F.col("c") == 1).alias("hapax_count"),
+        F.round(F.count_if(F.col("c") == 1) / F.count(F.lit(1)), 9).alias("hapax_ratio"),
+    )
+
+
+
+
+@workload(
+    "packing_efficiency_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             (SUM(n_tokens) OVER w - n_tokens) // 2048 AS pack_id
+      FROM toks
+      WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    ), packs AS (
+      SELECT pack_id, SUM(n_tokens) AS pack_tokens, COUNT(*) AS n_docs
+      FROM packed GROUP BY pack_id
+    )
+    SELECT CAST((100 * pack_tokens) // 2048 AS BIGINT) AS fill_pct,
+           COUNT(*) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM packs GROUP BY fill_pct
+    """,
+    "text",
+    "packing",
+    "diagnostics",
+)
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-rate histogram of the 2048-token training packs produced by
+    pack_sequences: integer percent fill → pack count — the data-loader
+    efficiency report (packs under ~95% waste accelerator steps, packs
+    over 100% mean truncation under a hard cap).  Cumulative-division
+    packing bounds overshoot by one document, which this histogram makes
+    visible.  All-integer arithmetic over the pack rollup."""
+    from comlake_core_spark.operators.text import pack_sequences, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("doc_id", token_count("text").alias("n_tokens")),
+        token_count="n_tokens",
+        budget=2048,
+    )
+    packs = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("_pt"), F.count(F.lit(1)).alias("_nd")
+    )
+    return packs.groupBy(
+        ((100 * F.col("_pt")) / 2048).cast("long").alias("fill_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("_nd").alias("n_docs"),
+    )

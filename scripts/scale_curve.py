@@ -143,16 +143,16 @@ def _knn_ivf_scaled_buckets(spark, sf_dir):
     # corpus (constant bucket size), probe count stays fixed — candidates
     # per node are then constant and the graph build is linear.  A FIXED
     # centroid count only divides the n² candidate set by
-    # n_centroids/n_probe (the registered workload's test-scale shape).
-    import re
-
-    m = re.search(r"x(\d+)/?$", sf_dir)
-    factor = int(m.group(1)) if m else 1
+    # n_centroids/n_probe (retained as the diagnostic curve).  Since r6
+    # this is the EXACT registered form of embedding_knn_graph_ivf
+    # (target_bucket_size=32), so the curve is evidence for the
+    # driver-seen plan, not a proxy.
     from comlake_core_spark.operators.similarity import mutual_knn_graph
 
     emb = tables(spark, sf_dir)["embeddings"]
     return mutual_knn_graph(
-        emb, k=4, candidate="ivf", n_centroids=16 * factor, n_probe=8
+        emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
+        target_bucket_size=32,
     )
 
 

@@ -1,0 +1,93 @@
+"""r7-bound operators: built + tested during the r6 registry freeze
+(test_registry_frozen_for_r6), to be registered as workloads in r7.
+
+Two-level IVF assignment (operators/similarity.ivf_assign_two_level):
+the scaled-codebook kNN graph's missing asymptotic piece.  The flat
+assignment scores every vector against a C-entry LITERAL codebook —
+O(n·C) compute and an O(C) plan, which is itself quadratic once the
+codebook scales with the corpus (C = n/bucket).  The hierarchical
+coarse→fine route keeps every stage O(n·sqrt(C)).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.similarity import mutual_knn_graph
+from comlake_core_spark.session import tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return tables(spark, SF_DIR)["embeddings"]
+
+
+def _edges(df):
+    return {
+        (r["id_a"], r["id_b"], r["rank_ab"], r["rank_ba"]): r["cosine"]
+        for r in df.collect()
+    }
+
+
+def test_two_level_full_coarse_probe_equals_flat(emb):
+    """Probing every coarse bucket makes the fine candidate set complete,
+    so home/probe — and therefore the whole mutual-kNN graph — must equal
+    the flat literal-codebook assignment bit-for-bit (same seeded
+    centroids, same tie-breaks, same sequential-fold dot products)."""
+    kwargs = dict(
+        k=4, candidate="ivf", n_probe=8, seed_hasher="md5", target_bucket_size=32
+    )
+    flat = _edges(mutual_knn_graph(emb, assignment="flat", **kwargs))
+    two = _edges(
+        mutual_knn_graph(emb, assignment="two_level", coarse_probe=None, **kwargs)
+    )
+    assert set(flat) == set(two)
+    for key, cos_flat in flat.items():
+        assert two[key] == cos_flat, key  # bitwise: identical fold order
+
+
+def test_two_level_partial_coarse_probe_trades_recall(emb):
+    """A partial coarse probe restricts fine candidates per vector — the
+    graph stays valid (schema, cosine range, mutual ranks) and keeps most
+    of the full assignment's edges on this data; deterministic, so the
+    recall here is a fixed number, not a flaky bound."""
+    kwargs = dict(
+        k=4, candidate="ivf", n_probe=8, seed_hasher="md5", target_bucket_size=32
+    )
+    full = _edges(mutual_knn_graph(emb, assignment="two_level", coarse_probe=None, **kwargs))
+    part_df = mutual_knn_graph(emb, assignment="two_level", coarse_probe=2, **kwargs)
+    part = _edges(part_df)
+    assert part_df.columns == ["id_a", "id_b", "cosine", "rank_ab", "rank_ba"]
+    assert part, "partial probing must still produce mutual edges"
+    for (a, b, rab, rba), cos in part.items():
+        assert a < b and 1 <= rab <= 4 and 1 <= rba <= 4
+        assert -1.0000001 <= cos <= 1.0000001
+    pairs_full = {(a, b) for (a, b, _, _) in full}
+    pairs_part = {(a, b) for (a, b, _, _) in part}
+    recall = len(pairs_part & pairs_full) / len(pairs_full)
+    assert recall >= 0.5, f"coarse_probe=2 recall collapsed: {recall:.2f}"
+
+
+def test_two_level_plan_has_no_fine_literal(emb):
+    """The point of the hierarchy: the FINE codebook must stay a joined
+    DataFrame, never a collected literal.  The coarse literal is
+    O(sqrt(C)) struct entries; with C≈16 at sf0.001 the coarse literal
+    has ≤ 4+1 centroids, so any plan embedding ≥ C literal vectors
+    betrays a flat collect.  Count literal array-of-struct centroid ids
+    in the final plan text."""
+    df = mutual_knn_graph(
+        emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
+        target_bucket_size=32, assignment="two_level", coarse_probe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = emb.count()
+    n_cent = max((n + 31) // 32, 8)
+    import re
+
+    # each literal codebook entry renders as "named_struct(cid, <int>" —
+    # the flat path would embed n_cent of them, two-level ceil(sqrt)
+    hits = len(re.findall(r"named_struct\(cid,", plan))
+    assert hits <= 2 * int(n_cent**0.5 + 1), (hits, n_cent)

@@ -1,7 +1,7 @@
 """Reproducibility under reconfiguration: the engine's results must be
 BITWISE identical when the physical execution changes — different shuffle
 partition counts, different input partitioning. This is the property that
-makes the decimal-sum discipline (workloads.py module doc) real: a 32-core
+makes the decimal-sum discipline (workloads package doc) real: a 32-core
 laptop and a 1000-executor cluster produce the same bytes."""
 
 import pytest
