@@ -129,3 +129,19 @@ def build_store(cfg: Configuration):
     from comlake_core_spark.store.ipfs import IpfsStore
 
     return IpfsStore(api_base=multiaddr_to_http(cfg.ipfs_multiaddr))
+
+
+def build_server(spark, cfg: Configuration, store=None, catalog=None):
+    """Full -main parity (main.clj:63-70): Configuration → content store
+    + catalog + HTTP server on the configured port.  ``catalog-root``
+    plays the reference's psql-url role (this engine's catalog is
+    parquet-snapshot-based); store/catalog can be injected for tests or
+    a LocalStore deployment."""
+    from comlake_core_spark.catalog.catalog import Catalog
+    from comlake_core_spark.server import ComlakeServer
+
+    if catalog is None:
+        if not cfg.catalog_root:
+            raise ValueError("catalog-root must be configured (or pass catalog=)")
+        catalog = Catalog(spark, cfg.catalog_root)
+    return ComlakeServer(spark, store or build_store(cfg), catalog, port=cfg.port)

@@ -156,12 +156,26 @@ def _knn_ivf_scaled_buckets(spark, sf_dir):
     )
 
 
+def _knn_ivf_two_level(spark, sf_dir):
+    # the r6 hierarchical assignment at a partial coarse probe — the form
+    # that bounds BOTH the pair stage (scaled codebook) and the assignment
+    # stage (coarse->fine, O(n*sqrt(C)) everywhere, no O(C) literal plan)
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    return mutual_knn_graph(
+        emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
+        target_bucket_size=32, assignment="two_level", coarse_probe=4,
+    )
+
+
 CUSTOM_OPS = {
     "jaccard_topk_shuffle_strategy": _jaccard_variant(False),
     "jaccard_topk_auto_strategy": _jaccard_variant("auto"),
     "semantic_dedup_forced_recluster": _semantic_dedup_reclustered,
     "ann_ivfpq_refined_codebook": _ivfpq_refined,
     "knn_graph_ivf_scaled_buckets": _knn_ivf_scaled_buckets,
+    "knn_graph_ivf_two_level": _knn_ivf_two_level,
 }
 
 

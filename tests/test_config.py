@@ -92,3 +92,24 @@ def test_build_store_points_at_configured_multiaddr(tmp_path):
     p.write_text('ipfs-multiaddr = "/dns4/ipfs.test/tcp/5009"\n')
     store = build_store(Configuration.load(site=str(p), user="/nonexistent/b.toml"))
     assert store.api == "http://ipfs.test:5009/api/v0"
+
+
+def test_build_server_wires_port_store_catalog(tmp_path, spark):
+    # -main parity: config -> store + catalog + server (main.clj:63-70)
+    from comlake_core_spark.config import build_server
+    from comlake_core_spark.store.local import LocalStore
+
+    p = tmp_path / "core.toml"
+    p.write_text(f'port = 18123\ncatalog-root = "{tmp_path}/cat"\n')
+    cfg = Configuration.load(site=str(p), user="/nonexistent/b.toml")
+    srv = build_server(spark, cfg, store=LocalStore(str(tmp_path / "cas")))
+    assert srv.port == 18123
+    assert srv.catalog.root == str(tmp_path) + "/cat"
+
+
+def test_build_server_requires_catalog_root(spark):
+    from comlake_core_spark.config import build_server
+
+    cfg = Configuration.load(site="/nonexistent/a", user="/nonexistent/b")
+    with pytest.raises(ValueError, match="catalog-root"):
+        build_server(spark, cfg)
