@@ -704,3 +704,86 @@ def global_running_sum(
             yield res
 
     return d.mapInPandas(_cum, out_schema)
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    group_cols: list[str],
+    loss_col: Column | str,
+    rounds: int = 3,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429
+    Algorithm 1, the multiplicative-weights core): given a per-document
+    loss proxy, compute per-domain EXCESS loss over the corpus mean and
+    run `rounds` of exponentiated-gradient ascent on the domain weights —
+    w_d <- w_d * exp(eta * excess_d), renormalized and mixed with the
+    uniform distribution by `smoothing` each round (the paper's step 6;
+    the mix is per-round, so the loop is genuinely iterative, not a
+    closed form).  Domains whose documents are harder than average gain
+    training share; smoothing keeps every domain sampled.
+
+    In the full recipe the proxy losses come from a small reference/proxy
+    model pair re-evaluated between rounds; this operator implements the
+    data-side schedule for a FIXED loss table, which is the piece a data
+    engine owns (the weights drop into mixture_resample's quota slot).
+
+    Exactness (the pagerank discipline): per-domain mean = exact decimal
+    sum / count (one double division); excess, each exp, and each
+    renormalized weight land on the 9-decimal quantize grid; totals are
+    exact decimal sums — bit-identical in any engine with md5-free
+    arithmetic, so an unrolled SQL oracle can replay every round.
+
+    Scale: ONE corpus-sized aggregate (map-combined) produces the domain
+    frame; every round is then arithmetic on that O(domains) frame with
+    1-row broadcast totals — no corpus re-scan, no collect at any domain
+    count.  Output: one row per domain with n_docs, mean_loss, excess,
+    and the final weight (×1e9 fixed-point and as double)."""
+    loss = F.col(loss_col) if isinstance(loss_col, str) else loss_col
+    ids = [F.col(c) for c in group_cols]
+    dom = df.select(*ids, loss.cast("double").alias("_l")).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("_l"), 9).cast("decimal(28,9)")).alias("_lsum"),
+    )
+    glob = dom.agg(
+        F.sum("_lsum").alias("_gsum"), F.sum("n_docs").alias("_gn"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    d = (
+        dom.crossJoin(F.broadcast(glob))
+        .withColumn("mean_loss", F.round(F.col("_lsum").cast("double") / F.col("n_docs"), 9))
+        .withColumn("_gmean", F.round(F.col("_gsum").cast("double") / F.col("_gn"), 9))
+        .withColumn("excess", F.greatest(F.round(F.col("mean_loss") - F.col("_gmean"), 9), F.lit(0.0)))
+        .withColumn("_w", F.round(F.lit(1.0) / F.col("_k"), 9).cast("decimal(20,9)"))
+    )
+    for _ in range(int(rounds)):
+        d = d.withColumn(
+            "_u",
+            F.round(
+                F.col("_w").cast("double") * F.round(F.exp(F.lit(float(eta)) * F.col("excess")), 9),
+                9,
+            ).cast("decimal(20,9)"),
+        )
+        z = d.agg(F.sum("_u").alias("_z"))
+        d = (
+            d.crossJoin(F.broadcast(z))
+            .withColumn(
+                "_w",
+                F.round(
+                    F.lit(1.0 - float(smoothing))
+                    * (F.col("_u").cast("double") / F.col("_z").cast("double"))
+                    + F.lit(float(smoothing)) / F.col("_k"),
+                    9,
+                ).cast("decimal(20,9)"),
+            )
+            .drop("_u", "_z")
+        )
+    return d.select(
+        *group_cols,
+        "n_docs",
+        "mean_loss",
+        "excess",
+        (F.col("_w") * 1_000_000_000).cast("long").alias("weight_q9"),
+        F.col("_w").cast("double").alias("weight"),
+    )

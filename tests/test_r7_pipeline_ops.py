@@ -91,3 +91,57 @@ def test_two_level_plan_has_no_fine_literal(emb):
     # the flat path would embed n_cent of them, two-level ceil(sqrt)
     hits = len(re.findall(r"named_struct\(cid,", plan))
     assert hits <= 2 * int(n_cent**0.5 + 1), (hits, n_cent)
+
+
+class TestDoremiDomainWeights:
+    """DoReMi-lite (arXiv:2305.10429 Alg. 1 core) over the documents
+    table: per-source weights from a quality-derived loss proxy."""
+
+    @pytest.fixture(scope="class")
+    def weights(self, spark):
+        from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+        docs = tables(spark, SF_DIR)["documents"]
+        # loss proxy: longer docs score "easier" (lower loss) — any
+        # deterministic per-doc number works for the schedule
+        loss = (1.0 / (1.0 + F.length("text") / 1000.0))
+        df = doremi_domain_weights(docs, ["source"], loss, rounds=3, eta=2.0, smoothing=0.02)
+        return {r["source"]: r.asDict() for r in df.collect()}
+
+    def test_weights_are_a_smoothed_distribution(self, weights):
+        k = len(weights)
+        total = sum(w["weight"] for w in weights.values())
+        assert abs(total - 1.0) < 1e-6 * k  # 9-grid rounding only
+        for w in weights.values():
+            assert w["weight"] >= 0.02 / k - 1e-9  # smoothing floor
+            assert w["weight_q9"] == int(round(w["weight"] * 1e9))
+
+    def test_harder_domains_gain_share(self, weights):
+        # weight must be monotone in excess loss (same eta for all)
+        by_excess = sorted(weights.values(), key=lambda w: w["excess"])
+        ws = [w["weight"] for w in by_excess]
+        assert ws == sorted(ws)
+        assert by_excess[-1]["excess"] > 0.0  # some domain is above mean
+
+    def test_deterministic_across_runs(self, spark, weights):
+        from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+        docs = tables(spark, SF_DIR)["documents"]
+        loss = (1.0 / (1.0 + F.length("text") / 1000.0))
+        again = {
+            r["source"]: r["weight_q9"]
+            for r in doremi_domain_weights(
+                docs, ["source"], loss, rounds=3, eta=2.0, smoothing=0.02
+            ).collect()
+        }
+        assert again == {s: w["weight_q9"] for s, w in weights.items()}
+
+    def test_zero_rounds_is_smoothless_uniform(self, spark):
+        from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+        docs = tables(spark, SF_DIR)["documents"]
+        df = doremi_domain_weights(docs, ["source"], F.lit(1.0), rounds=0)
+        rows = df.collect()
+        k = len(rows)
+        for r in rows:
+            assert abs(r["weight"] - 1.0 / k) < 1e-9
