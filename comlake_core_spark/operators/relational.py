@@ -122,21 +122,6 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8, sort_b
     writer.saveAsTable(table)
 
 
-def zorder_value(cx: Column, cy: Column, bits: int = 12) -> Column:
-    """Morton (Z-curve) interleave of two already-quantized non-negative int
-    columns: bit i of each input lands at bits 2i / 2i+1 of the output, so
-    rows close in BOTH dimensions get close z-values. Pure JVM bit ops —
-    stays inside whole-stage codegen."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(cx.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(cy.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return z
-
-
 def write_zorder(
     df: DataFrame, path: str, col_x: str, col_y: str, bits: int = 12, files: int = 32
 ) -> None:
@@ -328,7 +313,14 @@ def zorder_value(x: Column, y: Column, bits: int = 5) -> Column:
     integer shift/mask arithmetic (codegen'd, and stated identically in
     any SQL engine).  Bit i of x lands at position 2i+1, bit i of y at
     2i, so nearby (x, y) cells share z-prefixes — the layout key that
-    turns a 2-dimensional predicate into a compact set of z-ranges."""
+    turns a 2-dimensional predicate into a compact set of z-ranges.
+
+    The ONE Morton implementation in the engine: both write_zorder (which
+    resolves this name at call time) and zorder_audit — and the
+    zorder_pruning_audit oracle SQL, which restates this exact formula —
+    use it.  (An earlier shadowed twin with the opposite x/y bit order was
+    dead code and was removed in r6; interleave order is symmetric for
+    locality, but one definition must own the oracle.)"""
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
