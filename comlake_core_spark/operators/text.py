@@ -1434,3 +1434,146 @@ def sparse_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def _kn_trigram_scores(
+    score_df: DataFrame,
+    lm_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float,
+    quantize: int,
+    floor: float,
+) -> DataFrame:
+    """Scored trigram frame behind kneser_ney_trigram_logprob: one row per
+    scoring-side trigram with the interpolated-KN probability (quantized)
+    and its log.  Split out so tests can audit token-level probabilities
+    (e.g. sum-to-one over a context) without re-deriving the pipeline."""
+    lowered = F.lower(F.col(text_col))
+    toks_arr = F.filter(tokens(lowered), lambda x: x != "")
+    D = float(discount)
+
+    def grams(df: DataFrame, n: int, names: list[str]) -> DataFrame:
+        ts = toks_arr.alias("_ts")
+        idx = F.sequence(F.lit(0), F.size(ts) - n)
+        g = F.transform(idx, lambda i: F.struct(*[ts[i + j].alias(names[j]) for j in range(n)]))
+        return (
+            df.filter(F.size(toks_arr) >= n)
+            .select(F.col(id_col), F.explode(g).alias("_g"))
+            .select(F.col(id_col), *[F.col(f"_g.{c}").alias(c) for c in names])
+        )
+
+    lm = ensure_parallelism(lm_df)
+    tri = grams(lm, 3, ["w1", "w2", "w3"])
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
+    # highest-order context totals + distinct-continuation counts (both
+    # rollups of the already-aggregated c3 — no second corpus pass)
+    ctx = c3.groupBy("w1", "w2").agg(
+        F.sum("_c3").alias("_c2tot"), F.count(F.lit(1)).alias("_n1fw12")
+    )
+    # middle order works on trigram TYPES (Kneser-Ney continuation counts)
+    mid = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("_n1mid_bc"))
+    midtot = mid.groupBy("w2").agg(
+        F.sum("_n1mid_bc").alias("_n1mid_tot"), F.count(F.lit(1)).alias("_n1fw_mid")
+    )
+    # unigram continuation from bigram types
+    big = grams(lm, 2, ["a", "b"]).select("a", "b").distinct()
+    cont = big.groupBy(F.col("b").alias("w3c")).agg(F.count(F.lit(1)).alias("_n1bw"))
+    n1all = big.agg(F.count(F.lit(1)).cast("double").alias("_n1all"))
+
+    scored = (
+        grams(score_df, 3, ["w1", "w2", "w3"])
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(midtot, ["w2"], "left")
+        .join(cont, F.col("w3") == F.col("w3c"), "left")
+        .drop("w3c")
+        .crossJoin(F.broadcast(n1all))
+    )
+    pcont = F.coalesce(F.col("_n1bw"), F.lit(0)).cast("double") / F.col("_n1all")
+    p2 = F.when(
+        F.coalesce(F.col("_n1mid_tot"), F.lit(0)) > 0,
+        (
+            F.greatest(F.coalesce(F.col("_n1mid_bc"), F.lit(0)).cast("double") - F.lit(D), F.lit(0.0))
+            + F.lit(D) * F.col("_n1fw_mid").cast("double") * pcont
+        )
+        / F.col("_n1mid_tot").cast("double"),
+    ).otherwise(pcont)
+    p3 = F.when(
+        F.coalesce(F.col("_c2tot"), F.lit(0)) > 0,
+        (
+            F.greatest(F.coalesce(F.col("_c3"), F.lit(0)).cast("double") - F.lit(D), F.lit(0.0))
+            + F.lit(D) * F.col("_n1fw12").cast("double") * p2
+        )
+        / F.col("_c2tot").cast("double"),
+    ).otherwise(p2)
+    p9 = F.round(p3, quantize)
+    return scored.select(
+        F.col(id_col),
+        "w1",
+        "w2",
+        "w3",
+        p9.alias("p"),
+        F.round(F.log(F.greatest(p9, F.lit(float(floor)))), quantize).alias("lp"),
+        (F.coalesce(F.col("_c2tot"), F.lit(0)) == 0).cast("int").alias("_bo"),
+    )
+
+
+def kneser_ney_trigram_logprob(
+    score_df: DataFrame,
+    lm_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    quantize: int = 9,
+    floor: float = 1e-9,
+) -> DataFrame:
+    """Per-document average trigram log-probability under an interpolated
+    Kneser-Ney LM (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.x family,
+    single discount D) trained on `lm_df` — the model class behind the
+    KenLM perplexity filter in CCNet/LLaMA-style data pipelines, one
+    order and one discount up from bigram_backoff_logprob:
+
+        P(c|a,b) = (max(c(abc)-D,0) + D·N1+(ab·)·P(c|b)) / c(ab·)
+        P(c|b)   = (max(N1+(·bc)-D,0) + D·N1+(b·)·Pcont(c)) / N1+(·b·)
+        Pcont(c) = N1+(·c) / N1+(··)        (over bigram TYPES)
+
+    with hard backoff to the next order when a denominator is absent
+    (unseen context), and a probability floor before ln for the
+    never-seen-anywhere tail.  The continuation counts are what make KN
+    the strong smoother: a word's unigram weight is how many CONTEXTS it
+    completes, not how often it occurs ("San Francisco" inflates
+    c(francisco) but not N1+(·francisco)).
+
+    Engine-agreement discipline as everywhere: all counts are exact
+    integers from aggregates; each interpolated probability is one
+    double expression of identical inputs, rounded to the
+    `quantize`-decimal grid before ln, which lands on the grid again;
+    the per-doc sum is exact decimal — replayable by a SQL oracle
+    (registers in r7; built under the r6 registry freeze).
+
+    Plan: ONE trigram agg over the LM slice; every other model table
+    (context totals, continuation counts) is a rollup of that
+    aggregated frame, never a corpus re-scan; bigram types add one
+    distinct.  Scoring is a map-only trigram explode + five keyed joins
+    onto model tables (web-scale vocab shuffles, it does not broadcast)
+    + a 1-row broadcast total.  Returns (doc_id, n_trigrams,
+    n_backoff_ctx, avg_logprob)."""
+    scored = _kn_trigram_scores(
+        score_df, lm_df, text_col, id_col, discount, quantize, floor
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("_bo").cast("long").alias("n_backoff_ctx"),
+            F.sum(F.col("lp").cast(f"decimal(28,{quantize})")).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "n_backoff_ctx",
+            (F.col("_s").cast("double") / F.col("n_trigrams")).alias("avg_logprob"),
+        )
+    )

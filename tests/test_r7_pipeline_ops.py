@@ -145,3 +145,134 @@ class TestDoremiDomainWeights:
         k = len(rows)
         for r in rows:
             assert abs(r["weight"] - 1.0 / k) < 1e-9
+
+
+class TestKneserNeyTrigram:
+    """Interpolated KN trigram LM vs an independent pure-Python reference
+    computed with the same formulas (single discount, hard backoff on
+    absent denominators, 9-grid quantization)."""
+
+    TRAIN = [
+        (0, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (4, "a cat ran on the mat"),
+    ]
+    SCORE = [
+        (1, "the cat sat on the rug"),
+        (3, "a dog sat on a mat"),
+        (5, "zz yy xx"),          # fully unseen -> floors
+        (7, "one two"),           # < 3 tokens -> no trigrams
+    ]
+
+    @staticmethod
+    def _ref(train, score, D=0.75, q=9, floor=1e-9):
+        import math
+        from collections import Counter, defaultdict
+
+        tri, big = Counter(), set()
+        for _, t in train:
+            ws = t.split()
+            big.update(zip(ws, ws[1:]))
+            tri.update(zip(ws, ws[1:], ws[2:]))
+        c2tot, n1fw12 = Counter(), Counter()
+        mid, midtot, n1fw_mid = Counter(), Counter(), Counter()
+        for (a, b, c), n in tri.items():
+            c2tot[(a, b)] += n
+            n1fw12[(a, b)] += 1
+            mid[(b, c)] += 1
+        for (b, c), n in mid.items():
+            midtot[b] += n
+            n1fw_mid[b] += 1
+        cont = Counter(b for _, b in big)
+        n1all = len(big)
+        out = defaultdict(lambda: [0, 0, 0.0])  # n, backoff, sum
+        for did, t in score:
+            ws = t.split()
+            for a, b, c in zip(ws, ws[1:], ws[2:]):
+                pcont = cont.get(c, 0) / n1all
+                if midtot.get(b, 0) > 0:
+                    p2 = (max(mid.get((b, c), 0) - D, 0) + D * n1fw_mid[b] * pcont) / midtot[b]
+                else:
+                    p2 = pcont
+                if c2tot.get((a, b), 0) > 0:
+                    p3 = (max(tri.get((a, b, c), 0) - D, 0) + D * n1fw12[(a, b)] * p2) / c2tot[(a, b)]
+                    bo = 0
+                else:
+                    p3, bo = p2, 1
+                p9 = round(p3, q)
+                lp = round(math.log(max(p9, floor)), q)
+                rec = out[did]
+                rec[0] += 1
+                rec[1] += bo
+                rec[2] += lp
+            if len(ws) >= 3:
+                pass
+        return {d: (n, bo, s / n) for d, (n, bo, s) in out.items()}
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        train = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        score = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        return train, score
+
+    def test_matches_python_reference(self, spark, frames):
+        from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+
+        train, score = frames
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["n_backoff_ctx"], r["avg_logprob"])
+            for r in kneser_ney_trigram_logprob(score, train).collect()
+        }
+        want = self._ref(self.TRAIN, self.SCORE)
+        assert set(got) == set(want)  # doc 7 (<3 tokens) absent from both
+        for d in want:
+            assert got[d][0] == want[d][0], d
+            assert got[d][1] == want[d][1], d
+            assert got[d][2] == pytest.approx(want[d][2], abs=2e-9), d
+
+    def test_seen_context_probabilities_sum_to_one(self, spark, frames):
+        """Σ_c P(c|a,b) over the train VOCAB must be ~1 for a context seen
+        in training — the property that distinguishes real smoothing from
+        an ad-hoc score (stupid backoff deliberately fails this)."""
+        from comlake_core_spark.operators.text import _kn_trigram_scores
+
+        train, _ = frames
+        vocab = sorted({w for _, t in self.TRAIN for w in t.split()})
+        probes = spark.createDataFrame(
+            [(i, f"sat on {w}") for i, w in enumerate(vocab)],
+            "doc_id long, text string",
+        )
+        rows = _kn_trigram_scores(probes, train, "text", "doc_id", 0.75, 9, 1e-9).collect()
+        total = sum(r["p"] for r in rows)
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+    def test_continuation_beats_raw_frequency(self, spark):
+        """KN's point: a word frequent only inside one collocation gets a
+        LOW continuation weight.  'francisco' appears 3x (always after
+        'san'); 'mat' appears 2x after two different words — Pcont must
+        rank mat > francisco despite the raw counts saying otherwise."""
+        from comlake_core_spark.operators.text import _kn_trigram_scores
+
+        train = spark.createDataFrame(
+            [
+                (0, "san francisco fog san francisco bay san francisco hills"),
+                (2, "the mat was green a mat was found"),
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [(0, "qq qq francisco"), (1, "qq qq mat")], "doc_id long, text string"
+        )
+        p = {
+            r["w3"]: r["p"]
+            for r in _kn_trigram_scores(probes, train, "text", "doc_id", 0.75, 9, 1e-9).collect()
+        }
+        assert p["mat"] > p["francisco"]
+
+    def test_deterministic(self, spark, frames):
+        from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+
+        train, score = frames
+        a = sorted(map(tuple, kneser_ney_trigram_logprob(score, train).collect()))
+        b = sorted(map(tuple, kneser_ney_trigram_logprob(score, train).collect()))
+        assert a == b
