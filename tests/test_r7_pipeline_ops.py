@@ -276,3 +276,67 @@ class TestKneserNeyTrigram:
         a = sorted(map(tuple, kneser_ney_trigram_logprob(score, train).collect()))
         b = sorted(map(tuple, kneser_ney_trigram_logprob(score, train).collect()))
         assert a == b
+
+
+class TestUnigramLmTokenizer:
+    """SentencePiece-style unigram-LM training (Kudo 2018), hard-EM:
+    Viterbi E-step over the word dictionary + count re-estimation."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "low lower lowest low low"),
+                (1, "new newer newest new newer"),
+                (2, "wide wider widest low new"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_every_word_coverable_at_seed(self, spark, docs):
+        from comlake_core_spark.operators.text import unigram_lm_train, unigram_viterbi_segment
+
+        pieces = unigram_lm_train(docs, em_rounds=0, seed_vocab=20)
+        seg = unigram_viterbi_segment(docs, pieces)
+        words = {r["word"] for r in seg.collect()}
+        expect = {w for _, t in docs.collect() for w in t.split()}
+        assert words == expect  # single-char seeding guarantees coverage
+        for r in seg.collect():
+            assert "".join(r["pieces"]) == r["word"]
+
+    def test_hard_em_loglikelihood_non_decreasing(self, spark, docs):
+        from comlake_core_spark.operators.text import unigram_lm_train, unigram_viterbi_segment
+
+        lls = []
+        for rounds in (0, 1, 2):
+            pieces = unigram_lm_train(docs, em_rounds=rounds, seed_vocab=40)
+            seg = unigram_viterbi_segment(docs, pieces).collect()
+            lls.append(sum(r["freq"] * r["score"] for r in seg))
+        assert lls[1] >= lls[0] - 1e-6, lls
+        assert lls[2] >= lls[1] - 1e-6, lls
+
+    def test_em_prunes_unused_pieces(self, spark, docs):
+        from comlake_core_spark.operators.text import unigram_lm_train
+
+        seed = unigram_lm_train(docs, em_rounds=0, seed_vocab=60)
+        trained = unigram_lm_train(docs, em_rounds=2, seed_vocab=60)
+        assert trained.count() < seed.count()  # unused substrings fell out
+        # surviving pieces are a subset of the seed vocabulary
+        seed_set = {r["piece"] for r in seed.collect()}
+        assert {r["piece"] for r in trained.collect()} <= seed_set
+
+    def test_frequent_morphemes_become_pieces(self, spark, docs):
+        from comlake_core_spark.operators.text import unigram_lm_train, unigram_viterbi_segment
+
+        pieces = unigram_lm_train(docs, em_rounds=2, seed_vocab=60)
+        seg = {r["word"]: r["pieces"] for r in unigram_viterbi_segment(docs, pieces).collect()}
+        # 'low' and 'new' are frequent whole words -> single pieces
+        assert seg["low"] == ["low"]
+        assert seg["new"] == ["new"]
+
+    def test_deterministic(self, spark, docs):
+        from comlake_core_spark.operators.text import unigram_lm_train
+
+        a = sorted(map(tuple, unigram_lm_train(docs, em_rounds=2).collect()))
+        b = sorted(map(tuple, unigram_lm_train(docs, em_rounds=2).collect()))
+        assert a == b
