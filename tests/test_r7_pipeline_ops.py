@@ -340,3 +340,163 @@ class TestUnigramLmTokenizer:
         a = sorted(map(tuple, unigram_lm_train(docs, em_rounds=2).collect()))
         b = sorted(map(tuple, unigram_lm_train(docs, em_rounds=2).collect()))
         assert a == b
+
+
+DOREMI_ORACLE = r"""
+WITH d0 AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CAST(round(1.0/(1.0 + length(text)/1000.0), 9) AS DECIMAL(28,9))) AS lsum
+  FROM documents GROUP BY source
+), g AS (
+  SELECT SUM(lsum) AS gsum, SUM(n_docs) AS gn, COUNT(*) AS k FROM d0
+), base AS (
+  SELECT source, n_docs,
+         round(CAST(lsum AS DOUBLE)/n_docs, 9) AS mean_loss,
+         GREATEST(round(round(CAST(lsum AS DOUBLE)/n_docs, 9)
+                        - round(CAST(g.gsum AS DOUBLE)/g.gn, 9), 9), 0.0) AS excess,
+         CAST(round(1.0/g.k, 9) AS DECIMAL(20,9)) AS w, g.k AS k
+  FROM d0 CROSS JOIN g
+), u1 AS (
+  SELECT *, CAST(round(CAST(w AS DOUBLE)*round(exp(2.0*excess), 9), 9) AS DECIMAL(20,9)) AS u FROM base
+), r1 AS (
+  SELECT source, n_docs, mean_loss, excess, k,
+         CAST(round(CAST(1.0-0.02 AS DOUBLE)*(CAST(u AS DOUBLE)/CAST(z AS DOUBLE))
+                    + CAST(0.02 AS DOUBLE)/k, 9) AS DECIMAL(20,9)) AS w
+  FROM u1 CROSS JOIN (SELECT SUM(u) AS z FROM u1) zz
+), u2 AS (
+  SELECT *, CAST(round(CAST(w AS DOUBLE)*round(exp(2.0*excess), 9), 9) AS DECIMAL(20,9)) AS u FROM r1
+), r2 AS (
+  SELECT source, n_docs, mean_loss, excess, k,
+         CAST(round(CAST(1.0-0.02 AS DOUBLE)*(CAST(u AS DOUBLE)/CAST(z AS DOUBLE))
+                    + CAST(0.02 AS DOUBLE)/k, 9) AS DECIMAL(20,9)) AS w
+  FROM u2 CROSS JOIN (SELECT SUM(u) AS z FROM u2) zz
+), u3 AS (
+  SELECT *, CAST(round(CAST(w AS DOUBLE)*round(exp(2.0*excess), 9), 9) AS DECIMAL(20,9)) AS u FROM r2
+), r3 AS (
+  SELECT source, n_docs, mean_loss, excess, k,
+         CAST(round(CAST(1.0-0.02 AS DOUBLE)*(CAST(u AS DOUBLE)/CAST(z AS DOUBLE))
+                    + CAST(0.02 AS DOUBLE)/k, 9) AS DECIMAL(20,9)) AS w
+  FROM u3 CROSS JOIN (SELECT SUM(u) AS z FROM u3) zz
+)
+SELECT source, n_docs, mean_loss, excess,
+       CAST(w*1000000000 AS BIGINT) AS weight_q9, CAST(w AS DOUBLE) AS weight
+FROM r3
+"""
+
+
+def test_doremi_duckdb_oracle_staged(spark):
+    """Full value-hash oracle for the r7 doremi workload form, run here
+    WITHOUT registering (registry frozen for r6): the unrolled 3-round
+    SQL must reproduce the operator bit-for-bit on the driver tables."""
+    import duckdb
+
+    from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+    docs = tables(spark, SF_DIR)["documents"]
+    loss = F.lit(1.0) / (F.lit(1.0) + F.length("text") / F.lit(1000.0))
+    sdf = doremi_domain_weights(docs, ["source"], loss, rounds=3, eta=2.0, smoothing=0.02)
+    got = {r["source"]: tuple(r)[1:] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {r[0]: tuple(r)[1:] for r in con.sql(DOREMI_ORACLE).fetchall()}
+    assert got == want
+
+
+KN_ORACLE = r"""
+WITH tr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+  FROM documents WHERE doc_id % 2 = 0
+),
+trt AS (
+  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT)+1] AS w2, ts[CAST(i AS INT)+2] AS w3
+  FROM tr, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) u
+  WHERE len(ts) >= 3
+),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM trt GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, SUM(c3) AS c2tot, COUNT(*) AS n1fw12 FROM c3 GROUP BY 1, 2),
+mid AS (SELECT w2, w3, COUNT(*) AS n1mid FROM c3 GROUP BY 1, 2),
+midtot AS (SELECT w2, SUM(n1mid) AS n1mid_tot, COUNT(*) AS n1fw_mid FROM mid GROUP BY 1),
+bg AS (
+  SELECT DISTINCT ts[CAST(i AS INT)] AS a, ts[CAST(i AS INT)+1] AS b
+  FROM tr, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
+  WHERE len(ts) >= 2
+),
+cont AS (SELECT b, COUNT(*) AS n1bw FROM bg GROUP BY 1),
+n1all AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1all FROM bg),
+sc AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+  FROM documents WHERE doc_id % 2 = 1
+),
+sct AS (
+  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT)+1] AS w2, ts[CAST(i AS INT)+2] AS w3
+  FROM sc, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) u
+  WHERE len(ts) >= 3
+),
+j AS (
+  SELECT sct.doc_id, sct.w1, sct.w2, sct.w3,
+         c3.c3, ctx.c2tot, ctx.n1fw12,
+         mid.n1mid, midtot.n1mid_tot, midtot.n1fw_mid,
+         cont.n1bw, n1all.n1all
+  FROM sct
+  LEFT JOIN c3 ON sct.w1 = c3.w1 AND sct.w2 = c3.w2 AND sct.w3 = c3.w3
+  LEFT JOIN ctx ON sct.w1 = ctx.w1 AND sct.w2 = ctx.w2
+  LEFT JOIN mid ON sct.w2 = mid.w2 AND sct.w3 = mid.w3
+  LEFT JOIN midtot ON sct.w2 = midtot.w2
+  LEFT JOIN cont ON sct.w3 = cont.b
+  CROSS JOIN n1all
+),
+p2c AS (
+  SELECT *,
+    CASE WHEN COALESCE(n1mid_tot, 0) > 0 THEN
+      (GREATEST(CAST(COALESCE(n1mid, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       + CAST(0.75 AS DOUBLE) * CAST(n1fw_mid AS DOUBLE)
+         * (CAST(COALESCE(n1bw, 0) AS DOUBLE) / n1all))
+      / CAST(n1mid_tot AS DOUBLE)
+    ELSE CAST(COALESCE(n1bw, 0) AS DOUBLE) / n1all END AS p2
+  FROM j
+),
+p3c AS (
+  SELECT doc_id,
+    round(CASE WHEN COALESCE(c2tot, 0) > 0 THEN
+      (GREATEST(CAST(COALESCE(c3, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+       + CAST(0.75 AS DOUBLE) * CAST(n1fw12 AS DOUBLE) * p2)
+      / CAST(c2tot AS DOUBLE)
+    ELSE p2 END, 9) AS p9,
+    CASE WHEN COALESCE(c2tot, 0) = 0 THEN 1 ELSE 0 END AS bo
+  FROM p2c
+),
+lp AS (
+  SELECT doc_id, round(ln(GREATEST(p9, CAST(1e-9 AS DOUBLE))), 9) AS lp, bo FROM p3c
+)
+SELECT doc_id,
+       COUNT(*) AS n_trigrams,
+       CAST(SUM(bo) AS BIGINT) AS n_backoff_ctx,
+       CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
+def test_kneser_ney_duckdb_oracle_staged(spark):
+    """Full value-hash oracle for the r7 KN workload form (even half
+    trains, odd half is scored), run WITHOUT registering (registry
+    frozen for r6): the SQL re-derivation of the trigram/continuation
+    tables and the interpolation must match the operator bit-for-bit."""
+    import duckdb
+
+    from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+
+    docs = tables(spark, SF_DIR)["documents"]
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    sdf = kneser_ney_trigram_logprob(score, lm)
+    got = {r["doc_id"]: tuple(r)[1:] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {r[0]: tuple(r)[1:] for r in con.sql(KN_ORACLE).fetchall()}
+    assert set(got) == set(want)
+    bad = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
+    assert not bad, f"{len(bad)} docs differ; first: {list(bad.items())[:2]}"
