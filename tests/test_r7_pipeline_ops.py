@@ -500,3 +500,97 @@ def test_kneser_ney_duckdb_oracle_staged(spark):
     assert set(got) == set(want)
     bad = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
     assert not bad, f"{len(bad)} docs differ; first: {list(bad.items())[:2]}"
+
+
+KNN2_ORACLE = r"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), k_ AS (
+  SELECT GREATEST(CAST(ceil(COUNT(*) / 32.0) AS BIGINT), 8) AS n_cent FROM c
+), cent AS (
+  SELECT cid, cv FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+    FROM c
+  ) CROSS JOIN k_ WHERE cid <= k_.n_cent
+), c1_ AS (
+  SELECT CAST(ceil(sqrt(n_cent)) AS BIGINT) AS c1 FROM k_
+), coarse AS (
+  SELECT ccid, list_transform(ccv, x -> x / sqrt(list_dot_product(ccv, ccv))) AS ccvec
+  FROM (
+    SELECT cid AS ccid, cv AS ccv,
+           row_number() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS crn
+    FROM cent
+  ) CROSS JOIN c1_ WHERE crn <= c1_.c1
+), centu AS (
+  SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec, cv
+  FROM cent
+), fine AS (
+  -- each fine centroid routed to its nearest coarse centroid (raw fine
+  -- vector vs unit coarse, ties -> smaller coarse id)
+  SELECT cid, cvec, ccid AS coarse FROM (
+    SELECT centu.cid, centu.cvec, coarse.ccid, row_number() OVER (
+      PARTITION BY centu.cid
+      ORDER BY list_dot_product(centu.cv, coarse.ccvec) DESC, coarse.ccid ASC) AS rn
+    FROM centu CROSS JOIN coarse
+  ) WHERE rn = 1
+), vprobe AS (
+  -- each vector probes its 4 nearest coarse buckets
+  SELECT vec_id, cv, ccid AS coarse FROM (
+    SELECT c.vec_id, c.cv, coarse.ccid, row_number() OVER (
+      PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.cv, coarse.ccvec) DESC, coarse.ccid ASC) AS rn
+    FROM c CROSS JOIN coarse
+  ) WHERE rn <= 4
+), ranked AS (
+  -- fine candidates from probed coarse buckets, ranked per vector
+  SELECT vec_id, cv, cid, row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_dot_product(cv, cvec) DESC, cid ASC) AS rn
+  FROM vprobe JOIN fine USING (coarse)
+), home AS (
+  SELECT vec_id AS dst, cv, cid AS bucket FROM ranked WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS src, cv AS qv, cid AS bucket FROM ranked WHERE rn <= 8
+), scored AS (
+  SELECT src, dst,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM home JOIN probe USING (bucket) WHERE src <> dst
+), knn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+  FROM scored
+), kk AS (SELECT * FROM knn WHERE rn <= 4)
+SELECT id_a, id_b, cosine, rank_ab, rank_ba FROM
+  (SELECT src AS id_a, dst AS id_b, cosine, CAST(rn AS BIGINT) AS rank_ab
+   FROM kk WHERE src < dst) f
+  JOIN
+  (SELECT dst AS id_a, src AS id_b, CAST(rn AS BIGINT) AS rank_ba
+   FROM kk WHERE dst < src) r
+  USING (id_a, id_b)
+"""
+
+
+def test_knn_two_level_duckdb_oracle_staged(spark, emb):
+    """Full value-hash oracle for the r7 two-level kNN workload form
+    (target_bucket_size=32, coarse_probe=4, n_probe=8, k=4), run WITHOUT
+    registering: the SQL re-derives the coarse pick, the fine routing,
+    the per-vector coarse probe, and the fine ranking — so the plan that
+    is actually scale-safe at 100 TB is itself oracle-gated, not only
+    its flat-assignment equivalence."""
+    import duckdb
+
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    sdf = mutual_knn_graph(
+        emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
+        target_bucket_size=32, assignment="two_level", coarse_probe=4,
+    )
+    got = {(r["id_a"], r["id_b"]): (r["cosine"], r["rank_ab"], r["rank_ba"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    want = {(r[0], r[1]): (r[2], r[3], r[4]) for r in con.sql(KNN2_ORACLE).fetchall()}
+    assert set(got) == set(want)
+    bad = {e: (got[e], want[e]) for e in got if got[e] != want[e]}
+    assert not bad, f"{len(bad)} edges differ; first: {list(bad.items())[:2]}"
