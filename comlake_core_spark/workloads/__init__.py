@@ -377,6 +377,18 @@ del _snap, _n
 #          oracle mirror at sf0.001 AND the driver-style pandas
 #          canonicalizer (scripts/driver_sim.py) at the driver's sf0.01
 #          locally.  50/50 green ⇒ cumulative 222/222 driver-verified.
+#   r7 STAGING (operators built + tested during the r6 freeze, each with
+#          a proven-but-unregistered oracle in tests/test_r7_pipeline_ops
+#          .py — registration is copy-paste once CORRECTNESS_r06 lands):
+#          doremi_source_weights (sampling.doremi_domain_weights; unrolled
+#          3-round SQL staged, bit-exact), kneser_ney_logprob_docs
+#          (text.kneser_ney_trigram_logprob; even-trains-odd SQL staged,
+#          bit-exact), embedding_knn_graph_ivf2 (mutual_knn_graph
+#          assignment='two_level' coarse_probe=4; full hierarchical SQL
+#          staged, bit-exact), and unigram_lm_train/-segment (Viterbi DP —
+#          not SQL-expressible, register rows-only or keep pytest-gated).
+#          After r06 lands, the standard rotation resumes: ~10 sentinels +
+#          the new registrations + re-greens of anything whose code moved.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
