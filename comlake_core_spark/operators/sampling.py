@@ -756,6 +756,12 @@ def doremi_domain_weights(
         .withColumn("_gmean", F.round(F.col("_gsum").cast("double") / F.col("_gn"), 9))
         .withColumn("excess", F.greatest(F.round(F.col("mean_loss") - F.col("_gmean"), 9), F.lit(0.0)))
         .withColumn("_w", F.round(F.lit(1.0) / F.col("_k"), 9).cast("decimal(20,9)"))
+        # pin the O(domains) frame: each round references it TWICE (the Z
+        # total and the update), and without a cut Spark replays the
+        # corpus aggregate per reference — 17 parquet scans in the
+        # 3-round executed plan before this checkpoint, 1 after (pinned
+        # by test).  Same discipline as connected_components' loop.
+        .localCheckpoint(eager=True)
     )
     for _ in range(int(rounds)):
         d = d.withColumn(
@@ -778,6 +784,8 @@ def doremi_domain_weights(
                 ).cast("decimal(20,9)"),
             )
             .drop("_u", "_z")
+            # keep the per-round plan flat (rounds are user-controlled)
+            .localCheckpoint(eager=True)
         )
     return d.select(
         *group_cols,

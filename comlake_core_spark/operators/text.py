@@ -1465,7 +1465,14 @@ def _kn_trigram_scores(
 
     lm = ensure_parallelism(lm_df)
     tri = grams(lm, 3, ["w1", "w2", "w3"])
-    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
+    # every model table below is a rollup of this aggregate; the persist
+    # guarantees the LM corpus explode materializes ONCE regardless of
+    # whether Catalyst's exchange-reuse happens to dedupe the repeated
+    # subtree (it covers some but not all references here).  The
+    # trigram-type table is O(distinct trigrams): big, but the bounded
+    # artifact an LM build materializes anyway (at 100 TB: write it as a
+    # table and reuse across scoring runs)
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3")).persist()
     # highest-order context totals + distinct-continuation counts (both
     # rollups of the already-aggregated c3 — no second corpus pass)
     ctx = c3.groupBy("w1", "w2").agg(
@@ -1476,8 +1483,9 @@ def _kn_trigram_scores(
     midtot = mid.groupBy("w2").agg(
         F.sum("_n1mid_bc").alias("_n1mid_tot"), F.count(F.lit(1)).alias("_n1fw_mid")
     )
-    # unigram continuation from bigram types
-    big = grams(lm, 2, ["a", "b"]).select("a", "b").distinct()
+    # unigram continuation from bigram types (persisted: feeds both the
+    # continuation counts and the 1-row type total)
+    big = grams(lm, 2, ["a", "b"]).select("a", "b").distinct().persist()
     cont = big.groupBy(F.col("b").alias("w3c")).agg(F.count(F.lit(1)).alias("_n1bw"))
     n1all = big.agg(F.count(F.lit(1)).cast("double").alias("_n1all"))
 

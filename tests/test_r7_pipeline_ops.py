@@ -594,3 +594,17 @@ def test_knn_two_level_duckdb_oracle_staged(spark, emb):
     assert set(got) == set(want)
     bad = {e: (got[e], want[e]) for e in got if got[e] != want[e]}
     assert not bad, f"{len(bad)} edges differ; first: {list(bad.items())[:2]}"
+
+
+def test_doremi_single_corpus_scan(spark):
+    """The round loop must run on the checkpointed O(domains) frame —
+    without the cut, every round's Z total replayed the corpus aggregate
+    (17 parquet scans in the 3-round executed plan when this was
+    caught)."""
+    from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+    docs = tables(spark, SF_DIR)["documents"]
+    df = doremi_domain_weights(docs, ["source"], F.lit(1.0) / (F.lit(1.0) + F.length("text")), rounds=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # loop sees only the RDD cut
