@@ -608,3 +608,51 @@ def test_doremi_single_corpus_scan(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0  # loop sees only the RDD cut
+
+
+UNIGRAM_SEED_ORACLE = r"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+), sub AS (
+  SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece, SUM(freq) AS count
+  FROM words,
+       LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) ii,
+       LATERAL (SELECT unnest(range(1, least(4, length(word) - CAST(i AS INT) + 1) + 1)) AS l) ll
+  GROUP BY 1
+), ranked AS (
+  SELECT piece, count, row_number() OVER (ORDER BY count DESC, piece) AS rn FROM sub
+), seeds AS (
+  SELECT piece, MAX(count) AS count FROM (
+    SELECT piece, count FROM ranked WHERE rn <= 200
+    UNION ALL
+    SELECT piece, count FROM sub WHERE length(piece) = 1
+  ) GROUP BY piece
+), tot AS (SELECT CAST(SUM(count) AS DOUBLE) AS t FROM seeds)
+SELECT piece, count, round(ln(count / t), 9) AS logp FROM seeds CROSS JOIN tot
+"""
+
+
+def test_unigram_seed_duckdb_oracle_staged(spark):
+    """The unigram-LM SEED model (em_rounds=0) is fully SQL-expressible:
+    substring counts over the word dictionary, (count desc, piece)
+    top-200 ∪ all single chars, logp on the 9-grid.  Bit-exact vs the
+    operator — the r7 registration plan gives the seed a full value-hash
+    row and keeps the Viterbi-EM rounds pytest-gated (the DP is the one
+    genuinely non-SQL step)."""
+    import duckdb
+
+    from comlake_core_spark.operators.text import unigram_lm_train
+
+    docs = tables(spark, SF_DIR)["documents"]
+    sdf = unigram_lm_train(docs, em_rounds=0, seed_vocab=200, max_piece_len=4)
+    got = {r["piece"]: (r["count"], r["logp"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in con.sql(UNIGRAM_SEED_ORACLE).fetchall()}
+    assert set(got) == set(want)
+    bad = {p: (got[p], want[p]) for p in got if got[p] != want[p]}
+    assert not bad, f"{len(bad)} pieces differ; first: {list(bad.items())[:3]}"
