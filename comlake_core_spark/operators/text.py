@@ -1628,22 +1628,33 @@ def _unigram_viterbi(cands, wlen: int):
     """Best segmentation of a word from candidate (start, plen, logp,
     piece) occurrences: maximize Σ logp; ties prefer FEWER pieces, then
     the lexicographically smaller piece sequence — total order, so the
-    result is deterministic under any candidate ordering.  Returns the
-    piece list, or None if the word is not coverable."""
-    NEG = float("-inf")
+    result is deterministic under any candidate ordering.  Returns
+    (score_nanolog: int, -n_pieces: int, pieces: list[str]), or None if
+    the word is not coverable.
+
+    Scores accumulate EXACTLY in integer nanolog units (logp × 1e9,
+    rounded): the model feeds logps from the 9-decimal grid, so the
+    conversion is lossless, and integer sums are associative — float
+    accumulation breaks Viterbi's optimal-substructure assumption when a
+    sub-ulp score difference between two prefixes is later ABSORBED by
+    adding a larger term, making totals tie where prefixes strictly
+    differed (hypothesis found exactly that: a denormal-scale logp
+    flipped the returned segmentation away from the true lexicographic
+    optimum; tests/test_unigram_viterbi_property.py pins the fix against
+    brute-force enumeration)."""
     by_end: dict = {}
     for c in cands:
         by_end.setdefault(c["start"] + c["plen"] - 1, []).append(c)
-    # state: (score, -n_pieces) maximized, then piece-sequence tiebreak
+    # state: (nanolog score, -n_pieces) maximized, then sequence tiebreak
     best = [None] * (wlen + 1)
-    best[0] = (0.0, 0, [])
+    best[0] = (0, 0, [])
     for end in range(1, wlen + 1):
         cur = None
         for c in by_end.get(end, ()):
             prev = best[c["start"] - 1]
             if prev is None:
                 continue
-            cand = (prev[0] + c["logp"], prev[1] - 1, prev[2] + [c["piece"]])
+            cand = (prev[0] + round(c["logp"] * 1e9), prev[1] - 1, prev[2] + [c["piece"]])
             if cur is None:
                 cur = cand
             # higher score wins; then fewer pieces; then smaller sequence
@@ -1806,7 +1817,7 @@ def unigram_viterbi_segment(
             for word, freq, cands in zip(pdf["word"], pdf["freq"], pdf["cands"]):
                 seg = _unigram_viterbi(cands, len(word))
                 if seg is not None:
-                    rows.append((word, int(freq), seg[2], seg[0]))
+                    rows.append((word, int(freq), seg[2], seg[0] / 1e9))
             yield pd.DataFrame(rows, columns=["word", "freq", "pieces", "score"])
 
     return grouped.mapInPandas(_seg, out_schema)
