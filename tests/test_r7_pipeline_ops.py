@@ -656,3 +656,39 @@ def test_unigram_seed_duckdb_oracle_staged(spark):
     assert set(got) == set(want)
     bad = {p: (got[p], want[p]) for p in got if got[p] != want[p]}
     assert not bad, f"{len(bad)} pieces differ; first: {list(bad.items())[:3]}"
+
+
+def test_pretrain_pipeline_v2_composition(spark):
+    """End-to-end shape for the r7 composed workload: KN-perplexity
+    filter (even half trains the LM, odd half is scored) → DoReMi
+    per-source weights from the KN loss → mixture quotas → chunk —
+    every stage one of this round's operators plus existing machinery.
+    Sanity invariants only here (each stage's oracle is staged
+    separately); the point is that the stages COMPOSE on real tables."""
+    from comlake_core_spark.operators.sampling import doremi_domain_weights, mixture_resample
+    from comlake_core_spark.operators.text import chunk_documents, kneser_ney_trigram_logprob
+
+    docs = tables(spark, SF_DIR)["documents"]
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+
+    scored = kneser_ney_trigram_logprob(cand, lm)
+    flagged = cand.join(scored, "doc_id").filter(F.col("avg_logprob") > -18.0)
+    n_cand, n_kept = cand.count(), flagged.count()
+    assert 0 < n_kept <= n_cand
+
+    # negative avg_logprob as the DoReMi loss proxy: harder sources up-weight
+    w = doremi_domain_weights(flagged, ["source"], -F.col("avg_logprob"), rounds=2)
+    weights = {r["source"]: r["weight"] for r in w.collect()}
+    assert abs(sum(weights.values()) - 1.0) < 1e-6 * len(weights)
+
+    mix = mixture_resample(
+        flagged.withColumn("n_tokens", F.size(F.split(F.trim(F.lower("text")), r"\s+"))),
+        ["source"],
+        target_docs=min(50, n_kept),
+    )
+    assert mix.agg(F.sum("quota")).first()[0] == min(50, n_kept)
+
+    chunks = chunk_documents(flagged, chunk_chars=400, overlap=80)
+    per_doc = chunks.groupBy("doc_id").count()
+    assert per_doc.count() == n_kept  # every kept doc chunked, none lost
