@@ -169,6 +169,34 @@ def _knn_ivf_two_level(spark, sf_dir):
     )
 
 
+def _doremi_source_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+    docs = tables(spark, sf_dir)["documents"]
+    loss = F.lit(1.0) / (F.lit(1.0) + F.length("text") / F.lit(1000.0))
+    return doremi_domain_weights(docs, ["source"], loss, rounds=3, eta=2.0, smoothing=0.02)
+
+
+def _kneser_ney_logprob(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+
+    docs = tables(spark, sf_dir)["documents"]
+    return kneser_ney_trigram_logprob(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+def _unigram_lm_2rounds(spark, sf_dir):
+    from comlake_core_spark.operators.text import unigram_lm_train
+
+    docs = tables(spark, sf_dir)["documents"]
+    return unigram_lm_train(docs, em_rounds=2, seed_vocab=200)
+
+
 CUSTOM_OPS = {
     "jaccard_topk_shuffle_strategy": _jaccard_variant(False),
     "jaccard_topk_auto_strategy": _jaccard_variant("auto"),
@@ -176,6 +204,11 @@ CUSTOM_OPS = {
     "ann_ivfpq_refined_codebook": _ivfpq_refined,
     "knn_graph_ivf_scaled_buckets": _knn_ivf_scaled_buckets,
     "knn_graph_ivf_two_level": _knn_ivf_two_level,
+    # r7-staged operators: curves measured under the r6 freeze so the
+    # registrations land with SCALING evidence attached
+    "doremi_source_weights": _doremi_source_weights,
+    "kneser_ney_logprob": _kneser_ney_logprob,
+    "unigram_lm_2rounds": _unigram_lm_2rounds,
 }
 
 

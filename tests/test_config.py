@@ -30,12 +30,12 @@ def test_defaults_match_reference_fallback():
 def test_roundtrip_single_file(tmp_path):
     p = tmp_path / "core.toml"
     p.write_text(
-        'ipfs-multiaddr = "/dns4/ipfs.internal/tcp/5001"\n'
+        'ipfs-multiaddr = "/dns4/ipfs.example.org/tcp/5001"\n'
         "port = 9999\n"
         'catalog-root = "/srv/comlake/catalog"\n'
     )
     cfg = Configuration.load(site=str(p), user="/nonexistent/b.toml")
-    assert cfg.ipfs_multiaddr == "/dns4/ipfs.internal/tcp/5001"
+    assert cfg.ipfs_multiaddr == "/dns4/ipfs.example.org/tcp/5001"
     assert cfg.port == 9999
     assert cfg.catalog_root == "/srv/comlake/catalog"
     # untouched keys keep fallback values
@@ -89,9 +89,9 @@ def test_multiaddr_rejects_unsupported(bad):
 
 def test_build_store_points_at_configured_multiaddr(tmp_path):
     p = tmp_path / "core.toml"
-    p.write_text('ipfs-multiaddr = "/dns4/ipfs.test/tcp/5009"\n')
+    p.write_text('ipfs-multiaddr = "/dns4/ipfs-test.example.org/tcp/5009"\n')
     store = build_store(Configuration.load(site=str(p), user="/nonexistent/b.toml"))
-    assert store.api == "http://ipfs.test:5009/api/v0"
+    assert store.api == "http://ipfs-test.example.org:5009/api/v0"
 
 
 def test_build_server_wires_port_store_catalog(tmp_path, spark):
