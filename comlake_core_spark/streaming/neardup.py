@@ -1,0 +1,189 @@
+"""Streaming near-duplicate detection against a PERSISTENT signature
+index — the continuous-ingest form of the batch incremental dedup
+(operators/dedup.minhash_lsh_pairs_incremental, whose docstring promises
+exactly this: "band buckets from the OLD side are exactly what a
+persisted signature index provides").
+
+Each micro-batch:
+  1. shingles + MinHash signatures for the batch docs (map-only),
+  2. bands them and joins against the on-disk band index (new×old) and
+     an ordered within-batch self-join (new×new) — never old×old,
+  3. exact-Jaccard verifies candidates from stored shingle arrays,
+  4. appends the batch's bands/shingles to the index and its verified
+     duplicate pairs to the pairs table — all three written under a
+     `_batch=<id>/` subdirectory with overwrite, so a foreachBatch replay
+     after a crash rewrites the same files instead of duplicating them
+     (idempotent ⇒ exactly-once downstream).
+
+Scale: per-batch cost is |batch| × bucket-hit-rate — the index is read
+as parquet (band/bkey pushdown-friendly), not recomputed; the corpus
+never self-joins.  At 100 TB the shingle store should hold xxhash64
+fingerprints instead of raw shingle strings (8 bytes/shingle; verify
+then runs on fingerprints with negligible collision odds) — raw strings
+are kept here so the jaccard matches the batch operator bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.dedup import minhash_signature, shingles
+from comlake_core_spark.session import ensure_parallelism
+
+
+class StreamingNearDupIndex:
+    def __init__(
+        self,
+        root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k_shingle: int = 3,
+        num_hashes: int = 32,
+        bands: int = 8,
+        threshold: float = 0.6,
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+        self.root = root
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k_shingle = k_shingle
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self._bands_dir = os.path.join(root, "bands")
+        self._shingles_dir = os.path.join(root, "shingles")
+        self._pairs_dir = os.path.join(root, "pairs")
+
+    # -- model stages -------------------------------------------------------
+
+    def _sigs(self, df: DataFrame) -> DataFrame:
+        base = ensure_parallelism(df).select(
+            F.col(self.id_col).alias("_id"), F.col(self.text_col).alias("_txt")
+        )
+        return base.select(
+            "_id",
+            shingles("_txt", self.k_shingle).alias("_sh"),
+        ).select("_id", "_sh", minhash_signature(F.col("_sh"), self.num_hashes).alias("_sig"))
+
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        rpb = self.num_hashes // self.bands
+        return sigs.select(
+            "_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(F.array_join(F.slice("_sig", b * rpb + 1, rpb), ","))
+                        for b in range(self.bands)
+                    ]
+                )
+            ).alias("_band", "_bkey"),
+        )
+
+    def _read_or_empty(
+        self, spark: SparkSession, path: str, schema: str, before_batch: int | None = None
+    ) -> DataFrame:
+        """Read every `_batch=<id>/` subdir of an index table; with
+        ``before_batch`` keep only rows from strictly EARLIER batches.
+        That filter is what makes a foreachBatch REPLAY correct: after a
+        crash mid-commit the replayed batch's own rows may already sit in
+        the index, and matching the batch against itself would emit
+        self-pairs and reversed duplicates (caught by
+        test_batch_replay_is_idempotent)."""
+        if os.path.isdir(path) and any(
+            e.startswith("_batch=") for e in os.listdir(path)
+        ):
+            df = spark.read.option("basePath", path).parquet(os.path.join(path, "_batch=*"))
+            if before_batch is not None:
+                df = df.filter(F.col("_batch") < int(before_batch))
+            return df.drop("_batch")  # partition column, not payload
+        return spark.createDataFrame([], schema)
+
+    # -- foreachBatch body ----------------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = self._sigs(batch_df).persist()
+        banded_new = self._banded(sigs).persist()
+
+        idx_bands = self._read_or_empty(
+            spark, self._bands_dir, "_id long, _band int, _bkey long", before_batch=batch_id
+        ).withColumnsRenamed({"_id": "_oid"})
+        idx_sh = self._read_or_empty(
+            spark, self._shingles_dir, "_id long, _sh array<string>", before_batch=batch_id
+        )
+
+        vs_old = banded_new.join(
+            idx_bands,
+            (banded_new._band == idx_bands._band) & (banded_new._bkey == idx_bands._bkey),
+        ).select(F.col("_id").alias("new_id"), F.col("_oid").alias("match_id"))
+        r = banded_new.select(
+            F.col("_id").alias("_nid2"),
+            F.col("_band").alias("_band2"),
+            F.col("_bkey").alias("_bkey2"),
+        )
+        vs_new = banded_new.join(
+            r,
+            (banded_new._band == F.col("_band2"))
+            & (banded_new._bkey == F.col("_bkey2"))
+            & (banded_new._id < F.col("_nid2")),
+        ).select(F.col("_id").alias("new_id"), F.col("_nid2").alias("match_id"))
+        candidates = vs_old.unionByName(vs_new).distinct()
+
+        # exact-Jaccard verify: new-side shingles from this batch, match-side
+        # from the index (old) or the batch (new×new) — candidates only
+        sh_all = sigs.select("_id", "_sh").unionByName(idx_sh)
+        pairs = (
+            candidates.join(
+                sigs.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_a")),
+                "new_id",
+            )
+            .join(
+                sh_all.select(F.col("_id").alias("match_id"), F.col("_sh").alias("_sh_b")),
+                "match_id",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+                / F.size(F.array_union("_sh_a", "_sh_b")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("new_id", "match_id", "jaccard")
+        )
+
+        # idempotent writes: a replayed batch overwrites its own subdirs
+        sub = f"_batch={int(batch_id)}"
+        pairs.write.mode("overwrite").parquet(os.path.join(self._pairs_dir, sub))
+        banded_new.write.mode("overwrite").parquet(os.path.join(self._bands_dir, sub))
+        sigs.select("_id", "_sh").write.mode("overwrite").parquet(
+            os.path.join(self._shingles_dir, sub)
+        )
+        sigs.unpersist()
+        banded_new.unpersist()
+
+    # -- wiring ----------------------------------------------------------------
+
+    def stream_into(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Attach to a streaming DataFrame of documents; the index and the
+        pairs table advance exactly-once per micro-batch."""
+        return (
+            stream_df.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- readers -----------------------------------------------------------------
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        return self._read_or_empty(
+            spark, self._pairs_dir, "new_id long, match_id long, jaccard double"
+        )
+
+    def indexed_ids(self, spark: SparkSession) -> DataFrame:
+        return self._read_or_empty(
+            spark, self._shingles_dir, "_id long, _sh array<string>"
+        ).select(F.col("_id").alias(self.id_col))

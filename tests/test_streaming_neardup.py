@@ -1,0 +1,90 @@
+"""Streaming near-dup index: continuous-ingest MinHash dedup against a
+persistent banded signature index (streaming/neardup.py).
+
+The contract under test: pairs found across micro-batches equal the
+batch incremental operator's answer on the same split (new×old ∪
+new×new, never old×old), the index accumulates exactly-once, and a
+replayed batch (crash recovery) does not duplicate pairs or index rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from comlake_core_spark.operators.dedup import minhash_lsh_pairs_incremental
+from comlake_core_spark.streaming.neardup import StreamingNearDupIndex
+
+DOCS = [
+    # base corpus: two exact near-dup families + singletons
+    (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (2, "the quick brown fox jumps over the lazy dog in the evening sun"),
+    (3, "completely unrelated text about sparkling distributed computation"),
+    # second batch: dup of 1, dup within batch, fresh singleton
+    (10, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (11, "streaming ingestion lands a brand new snapshot of crawl data today"),
+    (12, "streaming ingestion lands a brand new snapshot of crawl data now"),
+]
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _run_two_batches(spark, corpus, tmp_path):
+    src = str(tmp_path / "src")
+    b1 = corpus.filter(F.col("doc_id") < 10)
+    b2 = corpus.filter(F.col("doc_id") >= 10)
+    idx = StreamingNearDupIndex(str(tmp_path / "index"), threshold=0.5)
+
+    # micro-batch 1: base corpus lands
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = idx.stream_into(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # micro-batch 2: the new snapshot arrives
+    b2.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = idx.stream_into(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    return idx, b1, b2
+
+
+def test_stream_matches_batch_incremental(spark, corpus, tmp_path):
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    got = {
+        (r["new_id"], r["match_id"]): round(r["jaccard"], 9)
+        for r in idx.pairs(spark).collect()
+    }
+
+    # batch-1-internal pairs: incremental with an empty old side
+    empty = corpus.limit(0)
+    want = {}
+    for old, new in ((empty, b1), (b1, b2)):
+        for r in minhash_lsh_pairs_incremental(old, new, threshold=0.5).collect():
+            want[(r["new_id"], r["match_id"])] = round(r["jaccard"], 9)
+
+    assert got == want
+    assert (10, 1) in got  # cross-batch dup found via the INDEX, not a re-scan
+    assert (11, 12) in got  # within-batch dup still caught (ordered new_id < match_id)
+
+
+def test_index_accumulates_all_ids(spark, corpus, tmp_path):
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    ids = {r["doc_id"] for r in idx.indexed_ids(spark).collect()}
+    assert ids == {d for d, _ in DOCS}
+
+
+def test_batch_replay_is_idempotent(spark, corpus, tmp_path):
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    before_pairs = sorted(map(tuple, idx.pairs(spark).collect()))
+    before_n = idx.indexed_ids(spark).count()
+    # crash-replay of the LAST micro-batch: foreachBatch reruns with the
+    # same batch_id; subdir overwrite must leave state unchanged
+    idx.apply_batch(b2, batch_id=1)
+    assert sorted(map(tuple, idx.pairs(spark).collect())) == before_pairs
+    assert idx.indexed_ids(spark).count() == before_n
