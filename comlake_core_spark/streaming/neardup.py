@@ -15,12 +15,17 @@ Each micro-batch:
      after a crash rewrites the same files instead of duplicating them
      (idempotent ⇒ exactly-once downstream).
 
-Scale: per-batch cost is |batch| × bucket-hit-rate — the index is read
-as parquet (band/bkey pushdown-friendly), not recomputed; the corpus
-never self-joins.  At 100 TB the shingle store should hold xxhash64
-fingerprints instead of raw shingle strings (8 bytes/shingle; verify
-then runs on fingerprints with negligible collision odds) — raw strings
-are kept here so the jaccard matches the batch operator bit-for-bit.
+Scale: per-batch JOIN cost is |batch| × bucket-hit-rate — the corpus
+never self-joins and old signatures are never recomputed.  The per-batch
+index SCAN, however, grows with the number of accumulated `_batch=`
+subdirs; the 100 TB posture is periodic compaction of the band index
+into a table bucketed on (band, bkey) (operators/relational.
+write_bucketed), which both collapses the small-file tail and makes the
+per-batch band join shuffle-free on the index side.  The shingle store
+should hold xxhash64 fingerprints instead of raw shingle strings at that
+scale (8 bytes/shingle; verify runs on fingerprints with negligible
+collision odds) — raw strings are kept here so the jaccard matches the
+batch operator bit-for-bit.
 """
 
 from __future__ import annotations
