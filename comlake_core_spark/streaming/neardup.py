@@ -91,21 +91,33 @@ class StreamingNearDupIndex:
     def _read_or_empty(
         self, spark: SparkSession, path: str, schema: str, before_batch: int | None = None
     ) -> DataFrame:
-        """Read every `_batch=<id>/` subdir of an index table; with
-        ``before_batch`` keep only rows from strictly EARLIER batches.
-        That filter is what makes a foreachBatch REPLAY correct: after a
-        crash mid-commit the replayed batch's own rows may already sit in
-        the index, and matching the batch against itself would emit
-        self-pairs and reversed duplicates (caught by
-        test_batch_replay_is_idempotent)."""
+        """Read an index table: the compacted segment (if ``compact()``
+        ran) plus every remaining `_batch=<id>/` subdir; with
+        ``before_batch`` keep only subdir rows from strictly EARLIER
+        batches.  That filter is what makes a foreachBatch REPLAY
+        correct: after a crash mid-commit the replayed batch's own rows
+        may already sit in the index, and matching the batch against
+        itself would emit self-pairs and reversed duplicates (caught by
+        test_batch_replay_is_idempotent).  Compacted rows are always
+        "earlier" — compaction runs only between stream restarts, so
+        every batch id after it exceeds everything it absorbed."""
+        parts = []
+        compacted = os.path.join(path, "_compacted")
+        if os.path.isdir(compacted):
+            parts.append(spark.read.parquet(compacted))
         if os.path.isdir(path) and any(
             e.startswith("_batch=") for e in os.listdir(path)
         ):
             df = spark.read.option("basePath", path).parquet(os.path.join(path, "_batch=*"))
             if before_batch is not None:
                 df = df.filter(F.col("_batch") < int(before_batch))
-            return df.drop("_batch")  # partition column, not payload
-        return spark.createDataFrame([], schema)
+            parts.append(df.drop("_batch"))  # partition column, not payload
+        if not parts:
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- foreachBatch body ----------------------------------------------------
 
@@ -180,6 +192,41 @@ class StreamingNearDupIndex:
             .trigger(availableNow=True)
             .start()
         )
+
+    # -- maintenance -------------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Collapse the accumulated `_batch=<id>/` subdirs of the band and
+        shingle stores into one `_compacted/` segment each, sorted by the
+        join key so parquet row-groups cluster by (band, bkey) / id.
+        Run BETWEEN stream restarts (no batch in flight): every later
+        batch id then exceeds everything absorbed, so the replay filter
+        stays correct.  This is the small-file/maintenance story of the
+        index — per-batch scan cost resets to one segment; at 100 TB the
+        same rewrite targets a table bucketed on the join key
+        (operators/relational.write_bucketed) so the index side of the
+        band join stops shuffling entirely."""
+        import shutil
+
+        for path, sort_cols in (
+            (self._bands_dir, ["_band", "_bkey"]),
+            (self._shingles_dir, ["_id"]),
+        ):
+            if not os.path.isdir(path):
+                continue
+            batch_dirs = [e for e in os.listdir(path) if e.startswith("_batch=")]
+            if not batch_dirs:
+                continue
+            merged = self._read_or_empty(spark, path, "_id long")
+            tmp = os.path.join(path, "_compacting")
+            merged.repartition(*[F.col(c) for c in sort_cols]).sortWithinPartitions(
+                *sort_cols
+            ).write.mode("overwrite").parquet(tmp)
+            final = os.path.join(path, "_compacted")
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+            for e in batch_dirs:
+                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
     # -- readers -----------------------------------------------------------------
 

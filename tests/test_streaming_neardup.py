@@ -88,3 +88,26 @@ def test_batch_replay_is_idempotent(spark, corpus, tmp_path):
     idx.apply_batch(b2, batch_id=1)
     assert sorted(map(tuple, idx.pairs(spark).collect())) == before_pairs
     assert idx.indexed_ids(spark).count() == before_n
+
+
+def test_compaction_preserves_semantics(spark, corpus, tmp_path):
+    """compact() between stream restarts: the per-batch subdirs collapse
+    into one segment, and a third micro-batch still finds its dups
+    against the FULL accumulated corpus."""
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    idx.compact(spark)
+    # subdirs gone, one compacted segment remains
+    for path in (idx._bands_dir, idx._shingles_dir):
+        entries = os.listdir(path)
+        assert "_compacted" in entries
+        assert not [e for e in entries if e.startswith("_batch=")]
+    assert {r["doc_id"] for r in idx.indexed_ids(spark).collect()} == {d for d, _ in DOCS}
+
+    # third batch: a dup of doc 3 (batch-1 era, now only in the segment)
+    b3 = spark.createDataFrame(
+        [(20, "completely unrelated text about sparkling distributed computing")],
+        "doc_id long, text string",
+    )
+    idx.apply_batch(b3, batch_id=2)
+    got = {(r["new_id"], r["match_id"]) for r in idx.pairs(spark).collect()}
+    assert (20, 3) in got  # found via the compacted segment
