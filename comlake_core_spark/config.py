@@ -90,9 +90,13 @@ class Configuration:
     @classmethod
     def load(cls, site: str | None = None, user: str | None = None) -> "Configuration":
         """Layer fallback <- site <- user, later keys winning — the
-        jezza-Toml multi-reader merge of Configuration.java:44-67."""
-        if site is None and user is None:
-            site, user = default_config_paths()
+        jezza-Toml multi-reader merge of Configuration.java:44-67.
+        Defaults resolve PER ARGUMENT: overriding only the site path must
+        not silently drop the user layer (the reference always consults
+        both locations, Configuration.java:76-78)."""
+        default_site, default_user = default_config_paths()
+        site = default_site if site is None else site
+        user = default_user if user is None else user
         merged = dict(FALLBACK)
         for layer in (_read_toml(site), _read_toml(user)):
             merged.update(layer)

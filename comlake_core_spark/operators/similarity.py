@@ -735,6 +735,10 @@ def ivf_assign_two_level(
     for the n·sqrt(C) bound exactly like n_probe does at the fine level.
     """
     spark = emb.sparkSession
+    # one materialization: cents_df is a lazy corpus-wide plan (seeded
+    # top-n / k-means), and count(), the coarse collect(), and the fine
+    # routing below would each replay it — cut it once (review r6 #3)
+    cents_df = cents_df.localCheckpoint(eager=True)
     n_cent = cents_df.count()
     c1 = max(int(n_cent**0.5 + 0.9999), 1)
     if coarse_probe is None:

@@ -35,8 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from comlake_core_spark.operators.dedup import minhash_signature, shingles
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.operators.dedup import lsh_band_keys, lsh_doc_signatures
 
 
 class StreamingNearDupIndex:
@@ -63,30 +62,16 @@ class StreamingNearDupIndex:
         self._shingles_dir = os.path.join(root, "shingles")
         self._pairs_dir = os.path.join(root, "pairs")
 
-    # -- model stages -------------------------------------------------------
+    # -- model stages: the SHARED batch-operator pipeline (review r6 #4 —
+    # one implementation, so streaming/batch parity is structural) -------
 
     def _sigs(self, df: DataFrame) -> DataFrame:
-        base = ensure_parallelism(df).select(
-            F.col(self.id_col).alias("_id"), F.col(self.text_col).alias("_txt")
+        return lsh_doc_signatures(
+            df, self.text_col, self.id_col, self.k_shingle, self.num_hashes
         )
-        return base.select(
-            "_id",
-            shingles("_txt", self.k_shingle).alias("_sh"),
-        ).select("_id", "_sh", minhash_signature(F.col("_sh"), self.num_hashes).alias("_sig"))
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
-        rpb = self.num_hashes // self.bands
-        return sigs.select(
-            "_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(F.array_join(F.slice("_sig", b * rpb + 1, rpb), ","))
-                        for b in range(self.bands)
-                    ]
-                )
-            ).alias("_band", "_bkey"),
-        )
+        return lsh_band_keys(sigs.drop("_sh"), self.num_hashes, self.bands)
 
     def _read_or_empty(
         self, spark: SparkSession, path: str, schema: str, before_batch: int | None = None
@@ -98,26 +83,65 @@ class StreamingNearDupIndex:
         correct: after a crash mid-commit the replayed batch's own rows
         may already sit in the index, and matching the batch against
         itself would emit self-pairs and reversed duplicates (caught by
-        test_batch_replay_is_idempotent).  Compacted rows are always
-        "earlier" — compaction runs only between stream restarts, so
-        every batch id after it exceeds everything it absorbed."""
+        test_batch_replay_is_idempotent).  Compacted rows carry their
+        original `_batch` id as a stored column, so the replay filter
+        applies to them identically — compacting right after a crashed
+        batch is safe.  Subdirs at or below the segment's absorbed
+        watermark are crash leftovers and are skipped."""
         parts = []
-        compacted = os.path.join(path, "_compacted")
-        if os.path.isdir(compacted):
-            parts.append(spark.read.parquet(compacted))
-        if os.path.isdir(path) and any(
-            e.startswith("_batch=") for e in os.listdir(path)
-        ):
-            df = spark.read.option("basePath", path).parquet(os.path.join(path, "_batch=*"))
-            if before_batch is not None:
-                df = df.filter(F.col("_batch") < int(before_batch))
-            parts.append(df.drop("_batch"))  # partition column, not payload
+        seg = self._segment_dir(path)
+        upto = self._absorbed_upto(seg)
+        if seg is not None:
+            parts.append(spark.read.parquet(seg))  # stores _batch as a column
+        live = [
+            os.path.join(path, e)
+            for e in (os.listdir(path) if os.path.isdir(path) else [])
+            if e.startswith("_batch=") and int(e.split("=", 1)[1]) > upto
+        ]
+        if live:
+            parts.append(
+                spark.read.option("basePath", path)
+                .parquet(*live)
+                .withColumn("_batch", F.col("_batch").cast("long"))
+            )
         if not parts:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], schema + ", _batch long").drop("_batch")
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if before_batch is not None:
+            out = out.filter(F.col("_batch") < int(before_batch))
+        return out.drop("_batch")
+
+    @staticmethod
+    def _segment_dir(path: str) -> str | None:
+        """Resolve the compacted segment, healing a crashed swap: if the
+        rename sequence died between moving the old segment to `_trash`
+        and promoting `_compacting`, the trash copy IS the segment."""
+        final = os.path.join(path, "_compacted")
+        trash = os.path.join(path, "_trash")
+        if os.path.isdir(final):
+            return final
+        if os.path.isdir(trash):
+            return trash
+        return None
+
+    @staticmethod
+    def _absorbed_upto(seg: str | None) -> int:
+        """Highest batch id absorbed into the segment (marker file written
+        before the swap).  `_batch=` subdirs at or below it are stale
+        duplicates from a crash between the swap and the subdir cleanup —
+        readers skip them, the next compact() removes them."""
+        if seg is None:
+            return -1
+        marker = os.path.join(seg, "_absorbed_upto.json")
+        try:
+            import json
+
+            with open(marker) as f:
+                return int(json.load(f)["upto"])
+        except (OSError, ValueError, KeyError):
+            return -1
 
     # -- foreachBatch body ----------------------------------------------------
 
@@ -199,13 +223,23 @@ class StreamingNearDupIndex:
         """Collapse the accumulated `_batch=<id>/` subdirs of the band and
         shingle stores into one `_compacted/` segment each, sorted by the
         join key so parquet row-groups cluster by (band, bkey) / id.
-        Run BETWEEN stream restarts (no batch in flight): every later
-        batch id then exceeds everything absorbed, so the replay filter
-        stays correct.  This is the small-file/maintenance story of the
-        index — per-batch scan cost resets to one segment; at 100 TB the
-        same rewrite targets a table bucketed on the join key
+        Per-batch scan cost resets to one segment; at 100 TB the same
+        rewrite targets a table bucketed on the join key
         (operators/relational.write_bucketed) so the index side of the
-        band join stops shuffling entirely."""
+        band join stops shuffling entirely.
+
+        Crash-safety (both holes confirmed by review + reproduction):
+        - rows KEEP their `_batch` id inside the segment, so a replayed
+          micro-batch still excludes its own absorbed rows via the
+          before_batch filter — compacting right after a crashed
+          (uncommitted) batch no longer makes the replay match the batch
+          against itself;
+        - the swap is rename(final→_trash), rename(_compacting→final),
+          THEN delete the absorbed subdirs and the trash — a kill at any
+          point leaves either the old segment recoverable (_segment_dir
+          falls back to _trash) or stale subdirs that readers skip via
+          the `_absorbed_upto` marker and the next compact() removes."""
+        import json
         import shutil
 
         for path, sort_cols in (
@@ -214,19 +248,57 @@ class StreamingNearDupIndex:
         ):
             if not os.path.isdir(path):
                 continue
-            batch_dirs = [e for e in os.listdir(path) if e.startswith("_batch=")]
-            if not batch_dirs:
-                continue
-            merged = self._read_or_empty(spark, path, "_id long")
+            final = os.path.join(path, "_compacted")
+            trash = os.path.join(path, "_trash")
             tmp = os.path.join(path, "_compacting")
+            # heal prior crashes: a trash with no final IS the segment; a
+            # trash beside a final is a completed swap's leftover
+            if os.path.isdir(trash) and not os.path.isdir(final):
+                os.rename(trash, final)
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+            seg = self._segment_dir(path)
+            upto = self._absorbed_upto(seg)
+            batch_ids = sorted(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(path)
+                if e.startswith("_batch=")
+            )
+            live_ids = [b for b in batch_ids if b > upto]
+            if not live_ids and seg is not None:
+                # nothing new to absorb; still drop stale (≤ upto) subdirs
+                for b in batch_ids:
+                    shutil.rmtree(os.path.join(path, f"_batch={b}"), ignore_errors=True)
+                continue
+            if not batch_ids and seg is None:
+                continue
+
+            parts = []
+            if seg is not None:
+                parts.append(spark.read.parquet(seg))
+            if live_ids:
+                parts.append(
+                    spark.read.option("basePath", path)
+                    .parquet(*[os.path.join(path, f"_batch={b}") for b in live_ids])
+                    .withColumn("_batch", F.col("_batch").cast("long"))
+                )
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
             merged.repartition(*[F.col(c) for c in sort_cols]).sortWithinPartitions(
                 *sort_cols
             ).write.mode("overwrite").parquet(tmp)
-            final = os.path.join(path, "_compacted")
-            shutil.rmtree(final, ignore_errors=True)
+            new_upto = max([upto] + live_ids)
+            with open(os.path.join(tmp, "_absorbed_upto.json"), "w") as f:
+                json.dump({"upto": new_upto}, f)
+
+            if os.path.isdir(final):
+                os.rename(final, trash)
             os.rename(tmp, final)
-            for e in batch_dirs:
-                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+            for b in batch_ids:
+                shutil.rmtree(os.path.join(path, f"_batch={b}"), ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
 
     # -- readers -----------------------------------------------------------------
 

@@ -113,3 +113,18 @@ def test_build_server_requires_catalog_root(spark):
     cfg = Configuration.load(site="/nonexistent/a", user="/nonexistent/b")
     with pytest.raises(ValueError, match="catalog-root"):
         build_server(spark, cfg)
+
+
+def test_single_explicit_path_keeps_other_layer(tmp_path, monkeypatch):
+    # review r6 #6: overriding only the site path must not drop the user
+    # layer — defaults resolve per argument (Configuration.java:76-78
+    # always consults both locations)
+    site = tmp_path / "site.toml"
+    site.write_text('psql-user = "site"\n')
+    user_dir = tmp_path / "cfg"
+    (user_dir).mkdir()
+    (user_dir / "core.toml").write_text('psql-passwd = "from-user-layer"\n')
+    monkeypatch.setenv("COMLAKE_CONFIG_DIR", str(user_dir))
+    cfg = Configuration.load(site=str(site))  # user path NOT passed
+    assert cfg.psql_user == "site"
+    assert cfg.psql_passwd == "from-user-layer"

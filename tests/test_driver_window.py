@@ -69,12 +69,20 @@ def driver_seen() -> set[str]:
         f for f in os.listdir(repo)
         if f.startswith("CORRECTNESS_r") and f.endswith(".json")
     )
-    for fname in arts:
+    for fname in arts[:-1]:  # every non-newest artifact is past evidence
         with open(os.path.join(repo, fname)) as f:
+            seen |= set(json.load(f))
+    if arts:
+        with open(os.path.join(repo, arts[-1])) as f:
             keys = set(json.load(f))
-        if keys == set(DRIVER_WINDOW):
-            continue  # this round's own evidence — self-evaluation guard
-        seen |= keys
+        # The newest artifact is excluded when it came from the CURRENT
+        # window — keyed on SUBSET, not equality, so a partial artifact
+        # (driver crashed mid-run: 49 of 50 keys) still fails CLOSED
+        # instead of silently self-evaluating (review r6 #5).  A rotated
+        # window makes the previous round's keys a non-subset, so that
+        # artifact counts as the past evidence it is.
+        if not keys <= set(DRIVER_WINDOW):
+            seen |= keys
     return seen
 
 

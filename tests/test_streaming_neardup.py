@@ -111,3 +111,61 @@ def test_compaction_preserves_semantics(spark, corpus, tmp_path):
     idx.apply_batch(b3, batch_id=2)
     got = {(r["new_id"], r["match_id"]) for r in idx.pairs(spark).collect()}
     assert (20, 3) in got  # found via the compacted segment
+
+
+def test_compact_after_uncommitted_batch_then_replay(spark, corpus, tmp_path):
+    """Review-confirmed bug #1: batch N's writes land, the process dies
+    BEFORE the checkpoint commit, an operator runs compact(), then the
+    stream restarts and replays batch N.  Compacted rows keep their
+    _batch id, so the replay must still exclude them — no self-pairs, no
+    duplicated index rows."""
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    before_pairs = sorted(map(tuple, idx.pairs(spark).collect()))
+    before_ids = sorted(r["doc_id"] for r in idx.indexed_ids(spark).collect())
+
+    idx.compact(spark)          # absorbs batch 1's (uncommitted) rows
+    idx.apply_batch(b2, batch_id=1)  # checkpoint replay after restart
+
+    after_pairs = sorted(map(tuple, idx.pairs(spark).collect()))
+    after_ids = sorted(r["doc_id"] for r in idx.indexed_ids(spark).collect())
+    assert after_pairs == before_pairs  # no self-pairs, no reversed dups
+    assert after_ids == before_ids      # batch rows not duplicated
+
+
+def test_compact_swap_crash_windows_recoverable(spark, corpus, tmp_path):
+    """Review-confirmed bug #2: the segment swap must never lose the old
+    segment.  Simulate a kill between rename(final->trash) and
+    rename(tmp->final): readers fall back to the trash copy, and the
+    next compact() heals the layout."""
+    import os as _os
+    import shutil
+
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    idx.compact(spark)
+    full_ids = {r["doc_id"] for r in idx.indexed_ids(spark).collect()}
+
+    # simulate the crash window on the shingle store: final moved to
+    # trash, replacement never promoted
+    final = _os.path.join(idx._shingles_dir, "_compacted")
+    trash = _os.path.join(idx._shingles_dir, "_trash")
+    _os.rename(final, trash)
+    assert {r["doc_id"] for r in idx.indexed_ids(spark).collect()} == full_ids
+
+    idx.compact(spark)  # heals: trash promoted back to final
+    assert _os.path.isdir(final) and not _os.path.isdir(trash)
+    assert {r["doc_id"] for r in idx.indexed_ids(spark).collect()} == full_ids
+
+    # stale-subdir window: segment promoted but absorbed subdirs survive a
+    # crash before cleanup — readers must not double-count them
+    b3 = spark.createDataFrame([(30, "some fresh text never seen before at all")],
+                               "doc_id long, text string")
+    idx.apply_batch(b3, batch_id=2)
+    idx.compact(spark)
+    # resurrect a stale copy of batch 2 as if cleanup had died
+    shutil.copytree(
+        _os.path.join(idx._shingles_dir, "_compacted"),
+        _os.path.join(idx._shingles_dir, "_batch=2"),
+        ignore=shutil.ignore_patterns("_absorbed_upto.json", "_SUCCESS*"),
+    )
+    n = idx.indexed_ids(spark).count()
+    assert n == len(full_ids) + 1  # stale subdir skipped via the watermark
