@@ -26,6 +26,15 @@ should hold xxhash64 fingerprints instead of raw shingle strings at that
 scale (8 bytes/shingle; verify runs on fingerprints with negligible
 collision odds) — raw strings are kept here so the jaccard matches the
 batch operator bit-for-bit.
+
+Deployment contract (ADVICE r6 #3): the index root must be a
+DRIVER-LOCAL POSIX path — the crash-safe segment swap and the reader's
+subdir listing use os.listdir/os.rename, which assume atomic directory
+rename.  HDFS/S3 deployments must route the listing and the swap
+through the Hadoop FileSystem API with an object-store commit protocol
+(rename-free: write to a versioned segment name + a last-committed
+pointer file) before the 100 TB posture applies to the STORE itself;
+the Spark compute plan is storage-agnostic either way.
 """
 
 from __future__ import annotations
@@ -48,10 +57,17 @@ class StreamingNearDupIndex:
         num_hashes: int = 32,
         bands: int = 8,
         threshold: float = 0.6,
+        id_type: str = "long",
     ):
         if num_hashes % bands != 0:
             raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
         self.root = root
+        # the id column's Spark type (simpleString form, e.g. "long",
+        # "string"): the empty-index frames must carry the STREAM's id
+        # type or the first batch joins against a mistyped empty frame
+        # and diverges from the parquet-inferred schema afterwards
+        # (ADVICE r6 #4); apply_batch validates every batch against it
+        self.id_type = id_type
         self.text_col = text_col
         self.id_col = id_col
         self.k_shingle = k_shingle
@@ -87,7 +103,9 @@ class StreamingNearDupIndex:
         original `_batch` id as a stored column, so the replay filter
         applies to them identically — compacting right after a crashed
         batch is safe.  Subdirs at or below the segment's absorbed
-        watermark are crash leftovers and are skipped."""
+        watermark, and subdirs WITHOUT a _SUCCESS marker (a write that
+        died mid-flight; possibly unreadable partial parquet), are crash
+        leftovers and are skipped — the replay rewrites the latter."""
         parts = []
         seg = self._segment_dir(path)
         upto = self._absorbed_upto(seg)
@@ -96,7 +114,9 @@ class StreamingNearDupIndex:
         live = [
             os.path.join(path, e)
             for e in (os.listdir(path) if os.path.isdir(path) else [])
-            if e.startswith("_batch=") and int(e.split("=", 1)[1]) > upto
+            if e.startswith("_batch=")
+            and int(e.split("=", 1)[1]) > upto
+            and self._committed(os.path.join(path, e))
         ]
         if live:
             parts.append(
@@ -112,6 +132,15 @@ class StreamingNearDupIndex:
         if before_batch is not None:
             out = out.filter(F.col("_batch") < int(before_batch))
         return out.drop("_batch")
+
+    @staticmethod
+    def _committed(subdir: str) -> bool:
+        """A `_batch=` subdir counts only once Spark's commit protocol
+        finished it (`_SUCCESS` marker).  A crash mid-write leaves a
+        partial subdir with no marker; absorbing it into the compacted
+        segment would advance the watermark past the batch and silently
+        drop its rewritten rows on replay (ADVICE r6 #1)."""
+        return os.path.exists(os.path.join(subdir, "_SUCCESS"))
 
     @staticmethod
     def _segment_dir(path: str) -> str | None:
@@ -147,14 +176,26 @@ class StreamingNearDupIndex:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.sql.types import _parse_datatype_string
+
+        got = batch_df.schema[self.id_col].dataType
+        if got != _parse_datatype_string(self.id_type):
+            raise TypeError(
+                f"stream id column {self.id_col!r} is {got.simpleString()}, "
+                f"but this index was declared id_type={self.id_type!r} — "
+                f"construct StreamingNearDupIndex(id_type="
+                f"{got.simpleString()!r}) so the empty-index frames and the "
+                "on-disk schema agree"
+            )
         sigs = self._sigs(batch_df).persist()
         banded_new = self._banded(sigs).persist()
 
+        idt = self.id_type
         idx_bands = self._read_or_empty(
-            spark, self._bands_dir, "_id long, _band int, _bkey long", before_batch=batch_id
+            spark, self._bands_dir, f"_id {idt}, _band int, _bkey long", before_batch=batch_id
         ).withColumnsRenamed({"_id": "_oid"})
         idx_sh = self._read_or_empty(
-            spark, self._shingles_dir, "_id long, _sh array<string>", before_batch=batch_id
+            spark, self._shingles_dir, f"_id {idt}, _sh array<string>", before_batch=batch_id
         )
 
         vs_old = banded_new.join(
@@ -219,7 +260,7 @@ class StreamingNearDupIndex:
 
     # -- maintenance -------------------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession, allow_active: bool = False) -> None:
         """Collapse the accumulated `_batch=<id>/` subdirs of the band and
         shingle stores into one `_compacted/` segment each, sorted by the
         join key so parquet row-groups cluster by (band, bkey) / id.
@@ -227,6 +268,15 @@ class StreamingNearDupIndex:
         rewrite targets a table bucketed on the join key
         (operators/relational.write_bucketed) so the index side of the
         band join stops shuffling entirely.
+
+        OFFLINE-ONLY: do NOT run while a stream is feeding this index.
+        apply_batch enumerates `_batch=` subdirs at plan-build time and
+        Spark reads the files lazily, so deleting absorbed subdirs
+        mid-micro-batch fails the batch with FileNotFoundException
+        (ADVICE r6 #2).  Guarded: raises if the session has ANY active
+        streaming query (conservative — the session-level API cannot
+        attribute a query to this index); pass allow_active=True only
+        when the active queries are known not to touch this index.
 
         Crash-safety (both holes confirmed by review + reproduction):
         - rows KEEP their `_batch` id inside the segment, so a replayed
@@ -242,6 +292,14 @@ class StreamingNearDupIndex:
         import json
         import shutil
 
+        if not allow_active and spark.streams.active:
+            raise RuntimeError(
+                "compact() is offline-only: the session has "
+                f"{len(spark.streams.active)} active streaming quer(y/ies), and "
+                "deleting absorbed _batch= subdirs under a running micro-batch "
+                "fails it with FileNotFoundException; stop the stream first "
+                "(or pass allow_active=True if none of them feed this index)"
+            )
         for path, sort_cols in (
             (self._bands_dir, ["_band", "_bkey"]),
             (self._shingles_dir, ["_id"]),
@@ -265,7 +323,17 @@ class StreamingNearDupIndex:
                 for e in os.listdir(path)
                 if e.startswith("_batch=")
             )
-            live_ids = [b for b in batch_ids if b > upto]
+            # absorb only COMMITTED subdirs (ADVICE r6 #1): an uncommitted
+            # _batch=N is a crash leftover whose batch WILL replay (the
+            # checkpoint never advanced); absorbing it would set upto=N and
+            # permanently skip the replay's rewritten rows.  Uncommitted
+            # dirs are deleted below like any other leftover — the replay
+            # rewrites them from scratch.
+            live_ids = [
+                b
+                for b in batch_ids
+                if b > upto and self._committed(os.path.join(path, f"_batch={b}"))
+            ]
             if not live_ids and seg is not None:
                 # nothing new to absorb; still drop stale (≤ upto) subdirs
                 for b in batch_ids:
@@ -303,11 +371,12 @@ class StreamingNearDupIndex:
     # -- readers -----------------------------------------------------------------
 
     def pairs(self, spark: SparkSession) -> DataFrame:
+        idt = self.id_type
         return self._read_or_empty(
-            spark, self._pairs_dir, "new_id long, match_id long, jaccard double"
+            spark, self._pairs_dir, f"new_id {idt}, match_id {idt}, jaccard double"
         )
 
     def indexed_ids(self, spark: SparkSession) -> DataFrame:
         return self._read_or_empty(
-            spark, self._shingles_dir, "_id long, _sh array<string>"
+            spark, self._shingles_dir, f"_id {self.id_type}, _sh array<string>"
         ).select(F.col("_id").alias(self.id_col))

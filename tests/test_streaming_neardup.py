@@ -169,3 +169,97 @@ def test_compact_swap_crash_windows_recoverable(spark, corpus, tmp_path):
     )
     n = idx.indexed_ids(spark).count()
     assert n == len(full_ids) + 1  # stale subdir skipped via the watermark
+
+
+def test_compact_never_absorbs_uncommitted_batch(spark, corpus, tmp_path):
+    """ADVICE r6 #1: a write that died MID-FLIGHT (no _SUCCESS marker,
+    possibly partial parquet) must not be absorbed — compacting before
+    the restart previously advanced the watermark past the batch, so the
+    replay's rewritten subdir was permanently skipped and the batch's
+    rows silently lost."""
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    b3 = spark.createDataFrame(
+        [(40, "the quick brown fox jumps over the lazy dog in the morning sun")],
+        "doc_id long, text string",
+    )
+    # simulate the crash: batch 2's subdirs exist but are uncommitted —
+    # write them fully, then strip the _SUCCESS markers and corrupt the
+    # band store's data half to prove compact never even reads it
+    idx.apply_batch(b3, batch_id=2)
+    for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
+        sub = os.path.join(path, "_batch=2")
+        os.remove(os.path.join(sub, "_SUCCESS"))
+    for e in os.listdir(os.path.join(idx._bands_dir, "_batch=2")):
+        if e.endswith(".parquet"):
+            with open(os.path.join(idx._bands_dir, "_batch=2", e), "wb") as f:
+                f.write(b"partial garbage from a dying executor")
+
+    idx.compact(spark)  # must neither crash on the garbage nor absorb it
+    from comlake_core_spark.streaming.neardup import StreamingNearDupIndex as S
+
+    upto = S._absorbed_upto(S._segment_dir(idx._bands_dir))
+    assert upto == 1, "uncommitted batch 2 must not advance the watermark"
+
+    # restart: the checkpoint replays batch 2, rewriting its subdirs
+    idx.apply_batch(b3, batch_id=2)
+    got = {(r["new_id"], r["match_id"]) for r in idx.pairs(spark).collect()}
+    assert (40, 1) in got and (40, 10) in got  # batch 2's rows are all back
+    assert 40 in {r["doc_id"] for r in idx.indexed_ids(spark).collect()}
+
+
+def test_reader_skips_uncommitted_subdir(spark, corpus, tmp_path):
+    """_read_or_empty must skip a partial (no _SUCCESS) subdir instead of
+    failing the next micro-batch on unreadable parquet."""
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    before = idx.indexed_ids(spark).count()
+    sub = os.path.join(idx._shingles_dir, "_batch=7")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    assert idx.indexed_ids(spark).count() == before
+
+
+def test_compact_refuses_while_stream_active(spark, corpus, tmp_path):
+    """ADVICE r6 #2: compact() deletes files an in-flight micro-batch may
+    still read lazily — it must refuse while the session has active
+    streaming queries (offline-only contract)."""
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("noop").start()
+    )
+    try:
+        with pytest.raises(RuntimeError, match="offline-only"):
+            idx.compact(spark)
+    finally:
+        q.stop()
+    idx.compact(spark)  # stream stopped: proceeds normally
+    assert {r["doc_id"] for r in idx.indexed_ids(spark).collect()} == {d for d, _ in DOCS}
+
+
+def test_string_doc_ids_supported(spark, tmp_path):
+    """ADVICE r6 #4: a string id stream previously joined a hardcoded
+    long-typed empty frame on the first batch; id_type now flows through
+    every empty-index schema."""
+    idx = StreamingNearDupIndex(str(tmp_path / "idx"), threshold=0.5, id_type="string")
+    b1 = spark.createDataFrame(
+        [("a-1", "the quick brown fox jumps over the lazy dog in the morning sun"),
+         ("a-2", "totally different content about columnar storage formats")],
+        "doc_id string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("b-1", "the quick brown fox jumps over the lazy dog in the evening sun")],
+        "doc_id string, text string",
+    )
+    idx.apply_batch(b1, batch_id=0)  # first batch: joins the EMPTY index
+    idx.apply_batch(b2, batch_id=1)
+    got = {(r["new_id"], r["match_id"]) for r in idx.pairs(spark).collect()}
+    assert ("b-1", "a-1") in got
+    assert idx.pairs(spark).schema["new_id"].dataType.simpleString() == "string"
+
+
+def test_mismatched_id_type_raises(spark, tmp_path):
+    idx = StreamingNearDupIndex(str(tmp_path / "idx"))  # default long
+    batch = spark.createDataFrame([("x", "some text here")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="id_type"):
+        idx.apply_batch(batch, batch_id=0)
