@@ -936,3 +936,72 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(
         lr_quality_logit(docs), gopher_quality(docs), label_col="keep"
     )
+
+
+
+
+@workload(
+    "doremi_source_weights",
+    r"""
+    WITH d0 AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(round(1.0/(1.0 + length(text)/1000.0), 9) AS DECIMAL(28,9))) AS lsum
+      FROM documents GROUP BY source
+    ), g AS (
+      SELECT SUM(lsum) AS gsum, SUM(n_docs) AS gn, COUNT(*) AS k FROM d0
+    ), base AS (
+      SELECT source, n_docs,
+             round(CAST(lsum AS DOUBLE)/n_docs, 9) AS mean_loss,
+             GREATEST(round(round(CAST(lsum AS DOUBLE)/n_docs, 9)
+                            - round(CAST(g.gsum AS DOUBLE)/g.gn, 9), 9), 0.0) AS excess,
+             CAST(round(1.0/g.k, 9) AS DECIMAL(20,9)) AS w, g.k AS k
+      FROM d0 CROSS JOIN g
+    ), u1 AS (
+      SELECT *, CAST(round(CAST(w AS DOUBLE)*round(exp(2.0*excess), 9), 9) AS DECIMAL(20,9)) AS u FROM base
+    ), r1 AS (
+      SELECT source, n_docs, mean_loss, excess, k,
+             CAST(round(CAST(1.0-0.02 AS DOUBLE)*(CAST(u AS DOUBLE)/CAST(z AS DOUBLE))
+                        + CAST(0.02 AS DOUBLE)/k, 9) AS DECIMAL(20,9)) AS w
+      FROM u1 CROSS JOIN (SELECT SUM(u) AS z FROM u1) zz
+    ), u2 AS (
+      SELECT *, CAST(round(CAST(w AS DOUBLE)*round(exp(2.0*excess), 9), 9) AS DECIMAL(20,9)) AS u FROM r1
+    ), r2 AS (
+      SELECT source, n_docs, mean_loss, excess, k,
+             CAST(round(CAST(1.0-0.02 AS DOUBLE)*(CAST(u AS DOUBLE)/CAST(z AS DOUBLE))
+                        + CAST(0.02 AS DOUBLE)/k, 9) AS DECIMAL(20,9)) AS w
+      FROM u2 CROSS JOIN (SELECT SUM(u) AS z FROM u2) zz
+    ), u3 AS (
+      SELECT *, CAST(round(CAST(w AS DOUBLE)*round(exp(2.0*excess), 9), 9) AS DECIMAL(20,9)) AS u FROM r2
+    ), r3 AS (
+      SELECT source, n_docs, mean_loss, excess, k,
+             CAST(round(CAST(1.0-0.02 AS DOUBLE)*(CAST(u AS DOUBLE)/CAST(z AS DOUBLE))
+                        + CAST(0.02 AS DOUBLE)/k, 9) AS DECIMAL(20,9)) AS w
+      FROM u3 CROSS JOIN (SELECT SUM(u) AS z FROM u3) zz
+    )
+    SELECT source, n_docs, mean_loss, excess,
+           CAST(w*1000000000 AS BIGINT) AS weight_q9, CAST(w AS DOUBLE) AS weight
+    FROM r3
+    """,
+    "sampling",
+    "training-data",
+    "doremi",
+)
+def doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (arXiv:2305.10429 Alg. 1 core)
+    under the oracle gate: per-source weights from a deterministic
+    per-doc loss proxy (longer docs score "easier"), 3 rounds of
+    exponentiated-gradient ascent with per-round uniform smoothing.  The
+    oracle UNROLLS all three rounds in SQL — every round's Z total,
+    update, and renormalization replayed on the 9-decimal grid — so the
+    genuinely iterative schedule is value-hash-verified end to end.
+    Scale: ONE map-combined corpus aggregate, then O(domains) arithmetic
+    per round with 1-row broadcast totals and checkpoint cuts (the
+    17-scans replay bug is plan-pinned in test_r7_pipeline_ops).  See
+    operators/sampling.doremi_domain_weights."""
+    from comlake_core_spark.operators.sampling import doremi_domain_weights
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    loss = F.lit(1.0) / (F.lit(1.0) + F.length("text") / F.lit(1000.0))
+    return doremi_domain_weights(
+        docs, ["source"], loss, rounds=3, eta=2.0, smoothing=0.02
+    )

@@ -1144,3 +1144,103 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     docs = ensure_parallelism(docs)
     return sparse_cosine_topk(docs, docs.filter(F.col("doc_id") % 29 == 0), k=3, max_df=100)
+
+
+
+
+@workload(
+    "embedding_knn_graph_ivf2",
+    r"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), k_ AS (
+      SELECT GREATEST(CAST(ceil(COUNT(*) / 32.0) AS BIGINT), 8) AS n_cent FROM c
+    ), cent AS (
+      SELECT cid, cv FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+        FROM c
+      ) CROSS JOIN k_ WHERE cid <= k_.n_cent
+    ), c1_ AS (
+      SELECT CAST(ceil(sqrt(n_cent)) AS BIGINT) AS c1 FROM k_
+    ), coarse AS (
+      SELECT ccid, list_transform(ccv, x -> x / sqrt(list_dot_product(ccv, ccv))) AS ccvec
+      FROM (
+        SELECT cid AS ccid, cv AS ccv,
+               row_number() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS crn
+        FROM cent
+      ) CROSS JOIN c1_ WHERE crn <= c1_.c1
+    ), centu AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec, cv
+      FROM cent
+    ), fine AS (
+      -- each fine centroid routed to its nearest coarse centroid (raw fine
+      -- vector vs unit coarse, ties -> smaller coarse id)
+      SELECT cid, cvec, ccid AS coarse FROM (
+        SELECT centu.cid, centu.cvec, coarse.ccid, row_number() OVER (
+          PARTITION BY centu.cid
+          ORDER BY list_dot_product(centu.cv, coarse.ccvec) DESC, coarse.ccid ASC) AS rn
+        FROM centu CROSS JOIN coarse
+      ) WHERE rn = 1
+    ), vprobe AS (
+      -- each vector probes its 4 nearest coarse buckets
+      SELECT vec_id, cv, ccid AS coarse FROM (
+        SELECT c.vec_id, c.cv, coarse.ccid, row_number() OVER (
+          PARTITION BY c.vec_id
+          ORDER BY list_dot_product(c.cv, coarse.ccvec) DESC, coarse.ccid ASC) AS rn
+        FROM c CROSS JOIN coarse
+      ) WHERE rn <= 4
+    ), ranked AS (
+      -- fine candidates from probed coarse buckets, ranked per vector
+      SELECT vec_id, cv, cid, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(cv, cvec) DESC, cid ASC) AS rn
+      FROM vprobe JOIN fine USING (coarse)
+    ), home AS (
+      SELECT vec_id AS dst, cv, cid AS bucket FROM ranked WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS src, cv AS qv, cid AS bucket FROM ranked WHERE rn <= 8
+    ), scored AS (
+      SELECT src, dst,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM home JOIN probe USING (bucket) WHERE src <> dst
+    ), knn AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+      FROM scored
+    ), kk AS (SELECT * FROM knn WHERE rn <= 4)
+    SELECT id_a, id_b, cosine, rank_ab, rank_ba FROM
+      (SELECT src AS id_a, dst AS id_b, cosine, CAST(rn AS BIGINT) AS rank_ab
+       FROM kk WHERE src < dst) f
+      JOIN
+      (SELECT dst AS id_a, src AS id_b, CAST(rn AS BIGINT) AS rank_ba
+       FROM kk WHERE dst < src) r
+      USING (id_a, id_b)
+    """,
+    "similarity",
+    "graph",
+    "ann",
+)
+def embedding_knn_graph_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scaled-codebook kNN graph's missing asymptotic piece, now a
+    driver row of its own: TWO-LEVEL IVF assignment (FAISS coarse-
+    quantizer / SPANN shape).  Flat assignment scores every vector
+    against a C-entry LITERAL codebook — O(n·C) compute and an O(C)
+    plan, itself quadratic once C ∝ n.  The hierarchy picks
+    ceil(sqrt(C)) coarse centroids (same smallest-md5 rule), routes each
+    fine centroid to its nearest coarse, probes 4 coarse buckets per
+    vector inside codegen, and ranks the ~sqrt(C) fine candidates with
+    one window — every stage O(n·sqrt(C)), the fine codebook stays a
+    JOINED DataFrame (no collect; plan-pinned literal-free in
+    test_r7_pipeline_ops).  The oracle re-derives the coarse pick, fine
+    routing, per-vector probe, and ranking, so the plan that is actually
+    scale-safe at 100 TB is itself value-hash-gated — not only its
+    flat-assignment equivalence (which coarse_probe=None pins bitwise in
+    pytest).  See operators/similarity.ivf_assign_two_level."""
+    from comlake_core_spark.operators.similarity import mutual_knn_graph
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_graph(
+        emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
+        target_bucket_size=32, assignment="two_level", coarse_probe=4,
+    )

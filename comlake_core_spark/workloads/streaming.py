@@ -403,3 +403,80 @@ def streaming_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+
+
+@workload(
+    "streaming_neardup_index",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sized a JOIN sized b
+      ON a.id < b.id
+     AND a.gc >= CAST(ceil(b.gc * 0.8) AS BIGINT)
+     AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+    """,
+    "streaming",
+    "dedup",
+    "incremental",
+)
+def streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection against a PERSISTENT signature index
+    under the oracle gate — the continuous-ingest form of
+    dedup_incremental_batch (VERDICT r6 "Next round" #5).  The corpus
+    replays as a real file-source stream (3 micro-batches,
+    maxFilesPerTrigger=1, availableNow); each batch bands its MinHash
+    signatures against the on-disk index (new×old) plus an ordered
+    within-batch self-join (new×new) — old×old is NEVER recomputed — and
+    appends its bands/shingles/pairs idempotently under _batch=<id>/.
+    Because every doc lands in some batch, the union of per-batch pair
+    tables covers every near-dup pair exactly once (cross-batch pairs
+    when the later doc arrives, within-batch pairs ordered), so after
+    least/greatest normalization the streamed result must equal the
+    batch ALL-PAIRS answer — the oracle brute-forces exact Jaccard over
+    all pairs (same exactness-preserving size-ratio prefilter as
+    dedup_minhash_lsh), so equality simultaneously proves 100% LSH
+    recall (64 hashes x 16 bands at 0.8) AND the index's exactly-once
+    accumulation.  See streaming/neardup.StreamingNearDupIndex."""
+    import tempfile
+
+    from comlake_core_spark.streaming.neardup import StreamingNearDupIndex
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    stream_dir = tempfile.mkdtemp(prefix="comlake-stream-nd-")
+    docs.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .load(stream_dir)
+    )
+    idx = StreamingNearDupIndex(
+        tempfile.mkdtemp(prefix="comlake-nd-index-"),
+        k_shingle=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+    )
+    q = idx.stream_into(stream, tempfile.mkdtemp(prefix="comlake-nd-ckpt-"))
+    q.awaitTermination(300)
+    q.stop()
+    return idx.pairs(spark).select(
+        F.least("new_id", "match_id").alias("id_a"),
+        F.greatest("new_id", "match_id").alias("id_b"),
+        "jaccard",
+    )

@@ -1419,3 +1419,153 @@ def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_packs"),
         F.sum("_nd").alias("n_docs"),
     )
+
+
+
+
+@workload(
+    "kneser_ney_logprob_docs",
+    r"""
+    WITH tr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    trt AS (
+      SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT)+1] AS w2, ts[CAST(i AS INT)+2] AS w3
+      FROM tr, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) u
+      WHERE len(ts) >= 3
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM trt GROUP BY 1, 2, 3),
+    ctx AS (SELECT w1, w2, SUM(c3) AS c2tot, COUNT(*) AS n1fw12 FROM c3 GROUP BY 1, 2),
+    mid AS (SELECT w2, w3, COUNT(*) AS n1mid FROM c3 GROUP BY 1, 2),
+    midtot AS (SELECT w2, SUM(n1mid) AS n1mid_tot, COUNT(*) AS n1fw_mid FROM mid GROUP BY 1),
+    bg AS (
+      SELECT DISTINCT ts[CAST(i AS INT)] AS a, ts[CAST(i AS INT)+1] AS b
+      FROM tr, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
+      WHERE len(ts) >= 2
+    ),
+    cont AS (SELECT b, COUNT(*) AS n1bw FROM bg GROUP BY 1),
+    n1all AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1all FROM bg),
+    sc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    sct AS (
+      SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT)+1] AS w2, ts[CAST(i AS INT)+2] AS w3
+      FROM sc, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) u
+      WHERE len(ts) >= 3
+    ),
+    j AS (
+      SELECT sct.doc_id, sct.w1, sct.w2, sct.w3,
+             c3.c3, ctx.c2tot, ctx.n1fw12,
+             mid.n1mid, midtot.n1mid_tot, midtot.n1fw_mid,
+             cont.n1bw, n1all.n1all
+      FROM sct
+      LEFT JOIN c3 ON sct.w1 = c3.w1 AND sct.w2 = c3.w2 AND sct.w3 = c3.w3
+      LEFT JOIN ctx ON sct.w1 = ctx.w1 AND sct.w2 = ctx.w2
+      LEFT JOIN mid ON sct.w2 = mid.w2 AND sct.w3 = mid.w3
+      LEFT JOIN midtot ON sct.w2 = midtot.w2
+      LEFT JOIN cont ON sct.w3 = cont.b
+      CROSS JOIN n1all
+    ),
+    p2c AS (
+      SELECT *,
+        CASE WHEN COALESCE(n1mid_tot, 0) > 0 THEN
+          (GREATEST(CAST(COALESCE(n1mid, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+           + CAST(0.75 AS DOUBLE) * CAST(n1fw_mid AS DOUBLE)
+             * (CAST(COALESCE(n1bw, 0) AS DOUBLE) / n1all))
+          / CAST(n1mid_tot AS DOUBLE)
+        ELSE CAST(COALESCE(n1bw, 0) AS DOUBLE) / n1all END AS p2
+      FROM j
+    ),
+    p3c AS (
+      SELECT doc_id,
+        round(CASE WHEN COALESCE(c2tot, 0) > 0 THEN
+          (GREATEST(CAST(COALESCE(c3, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+           + CAST(0.75 AS DOUBLE) * CAST(n1fw12 AS DOUBLE) * p2)
+          / CAST(c2tot AS DOUBLE)
+        ELSE p2 END, 9) AS p9,
+        CASE WHEN COALESCE(c2tot, 0) = 0 THEN 1 ELSE 0 END AS bo
+      FROM p2c
+    ),
+    lp AS (
+      SELECT doc_id, round(ln(GREATEST(p9, CAST(1e-9 AS DOUBLE))), 9) AS lp, bo FROM p3c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(SUM(bo) AS BIGINT) AS n_backoff_ctx,
+           CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+    "text",
+    "language-model",
+    "quality",
+)
+def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring under the oracle gate —
+    the model class behind the KenLM perplexity filter in CCNet/LLaMA
+    data pipelines.  The even half of the corpus trains the LM, the odd
+    half is scored; the oracle re-derives the trigram, context,
+    continuation, and bigram-type tables and replays the full
+    interpolation (single discount 0.75, hard backoff on absent
+    denominators, 9-grid quantize before ln), so every probability is
+    value-hash-verified.  Plan: one trigram aggregate over the LM slice
+    (all model tables are rollups of it), map-only scoring explode +
+    five keyed joins, one 1-row broadcast total.  See
+    operators/text.kneser_ney_trigram_logprob."""
+    from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return kneser_ney_trigram_logprob(score, lm)
+
+
+
+
+@workload(
+    "unigram_lm_seed",
+    r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY word
+    ), sub AS (
+      SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece, SUM(freq) AS count
+      FROM words,
+           LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) ii,
+           LATERAL (SELECT unnest(range(1, least(4, length(word) - CAST(i AS INT) + 1) + 1)) AS l) ll
+      GROUP BY 1
+    ), ranked AS (
+      SELECT piece, count, row_number() OVER (ORDER BY count DESC, piece) AS rn FROM sub
+    ), seeds AS (
+      SELECT piece, MAX(count) AS count FROM (
+        SELECT piece, count FROM ranked WHERE rn <= 200
+        UNION ALL
+        SELECT piece, count FROM sub WHERE length(piece) = 1
+      ) GROUP BY piece
+    ), tot AS (SELECT CAST(SUM(count) AS DOUBLE) AS t FROM seeds)
+    SELECT piece, count, round(ln(count / t), 9) AS logp FROM seeds CROSS JOIN tot
+    """,
+    "text",
+    "tokenizer",
+    "language-model",
+)
+def unigram_lm_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer SEED model (Kudo 2018)
+    under the oracle gate: substring counts over the one-pass word
+    dictionary, (count desc, piece) top-200 seed vocabulary unioned with
+    all single characters (coverage guarantee), logp on the 9-grid.  The
+    Viterbi hard-EM rounds that refine this seed are the one genuinely
+    non-SQL step (integer-nanolog DP, property-fuzzed in
+    tests/test_unigram_viterbi_property.py + test_r7_pipeline_ops.py);
+    the seed model is where the corpus-scale work lives — the dictionary
+    saturates as data grows, so the EM rounds are dictionary-sized.  See
+    operators/text.unigram_lm_train."""
+    from comlake_core_spark.operators.text import unigram_lm_train
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return unigram_lm_train(docs, em_rounds=0, seed_vocab=200, max_piece_len=4)
