@@ -133,14 +133,25 @@ class StreamingNearDupIndex:
             out = out.filter(F.col("_batch") < int(before_batch))
         return out.drop("_batch")
 
-    @staticmethod
-    def _committed(subdir: str) -> bool:
-        """A `_batch=` subdir counts only once Spark's commit protocol
-        finished it (`_SUCCESS` marker).  A crash mid-write leaves a
-        partial subdir with no marker; absorbing it into the compacted
-        segment would advance the watermark past the batch and silently
-        drop its rewritten rows on replay (ADVICE r6 #1)."""
-        return os.path.exists(os.path.join(subdir, "_SUCCESS"))
+    #: the index's OWN commit marker, written by apply_batch after all
+    #: three stores' parquet writes finish.  Spark's `_SUCCESS` marker is
+    #: not trusted: it is only emitted when
+    #: mapreduce.fileoutputcommitter.marksuccessfuljobs=true, so a
+    #: deployment that disables it would make every committed batch look
+    #: uncommitted — readers would return empty results and a later
+    #: compact() would delete committed data (ADVICE r7 #2).  It is also
+    #: per-store, while the batch's unit of commit is all THREE stores:
+    #: the marker lands only after bands+shingles+pairs are all durable.
+    _COMMIT_MARKER = "_COMLAKE_COMMITTED"
+
+    @classmethod
+    def _committed(cls, subdir: str) -> bool:
+        """A `_batch=` subdir counts only once apply_batch finished the
+        whole batch (our own marker).  A crash mid-write leaves partial
+        subdirs with no marker; absorbing one into the compacted segment
+        would advance the watermark past the batch and silently drop its
+        rewritten rows on replay (ADVICE r6 #1)."""
+        return os.path.exists(os.path.join(subdir, cls._COMMIT_MARKER))
 
     @staticmethod
     def _segment_dir(path: str) -> str | None:
@@ -238,11 +249,26 @@ class StreamingNearDupIndex:
 
         # idempotent writes: a replayed batch overwrites its own subdirs
         sub = f"_batch={int(batch_id)}"
-        pairs.write.mode("overwrite").parquet(os.path.join(self._pairs_dir, sub))
-        banded_new.write.mode("overwrite").parquet(os.path.join(self._bands_dir, sub))
-        sigs.select("_id", "_sh").write.mode("overwrite").parquet(
-            os.path.join(self._shingles_dir, sub)
-        )
+        subdirs = [
+            os.path.join(self._pairs_dir, sub),
+            os.path.join(self._bands_dir, sub),
+            os.path.join(self._shingles_dir, sub),
+        ]
+        pairs.write.mode("overwrite").parquet(subdirs[0])
+        banded_new.write.mode("overwrite").parquet(subdirs[1])
+        sigs.select("_id", "_sh").write.mode("overwrite").parquet(subdirs[2])
+        # commit point: the batch's unit of commit is all THREE stores, so
+        # the index's own markers land only after every parquet write is
+        # durable.  A crash before this loop leaves all three subdirs
+        # uncommitted (readers skip, compact() won't absorb, the replay
+        # overwrites); a crash inside it can leave a committed prefix, but
+        # the replay's mode("overwrite") rewrite is bit-identical, so a
+        # reader seeing the prefix sees exactly the rows the replay will
+        # re-commit (ADVICE r7 #2 — do not depend on Spark's optional
+        # _SUCCESS marker).
+        for d in subdirs:
+            with open(os.path.join(d, self._COMMIT_MARKER), "w") as f:
+                f.write(str(int(batch_id)))
         sigs.unpersist()
         banded_new.unpersist()
 
@@ -334,12 +360,20 @@ class StreamingNearDupIndex:
                 for b in batch_ids
                 if b > upto and self._committed(os.path.join(path, f"_batch={b}"))
             ]
-            if not live_ids and seg is not None:
-                # nothing new to absorb; still drop stale (≤ upto) subdirs
-                for b in batch_ids:
-                    shutil.rmtree(os.path.join(path, f"_batch={b}"), ignore_errors=True)
-                continue
-            if not batch_ids and seg is None:
+            if not live_ids:
+                # Nothing new to absorb.  With a segment, the remaining
+                # subdirs are stale (≤ upto) or uncommitted crash leftovers
+                # — both safe to drop (the checkpoint never advanced past
+                # an uncommitted batch, so its replay rewrites from
+                # scratch).  WITHOUT a segment — e.g. the post-crash,
+                # pre-restart state where the only subdirs are uncommitted
+                # — there is nothing to compact and nothing worth deleting:
+                # just skip, or parts[0] below reads an empty list
+                # (ADVICE r7 #3, reproduced in
+                # test_compact_with_only_uncommitted_subdirs).
+                if seg is not None:
+                    for b in batch_ids:
+                        shutil.rmtree(os.path.join(path, f"_batch={b}"), ignore_errors=True)
                 continue
 
             parts = []

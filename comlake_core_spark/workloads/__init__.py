@@ -287,6 +287,16 @@ _REGISTRATION_ORDER: list[str] = [
     "orders_pareto_revenue_share",
     "dedup_exact_normalized",
     "customer_segment_entropy",
+    # -- r7-staged registrations (built + oracle-proven during the r6
+    #    freeze; the r7 round registered them in the family modules but
+    #    forgot this list — VERDICT r7 "the gate produced nothing") --
+    "doremi_source_weights",
+    "embedding_knn_graph_ivf2",
+    "kneser_ney_logprob_docs",
+    "streaming_neardup_index",
+    "unigram_lm_seed",
+    # -- r8 registrations --
+    "pretrain_pipeline_v2",
 ]
 
 _snap = dict(REGISTRY)
@@ -389,17 +399,28 @@ del _snap, _n
 #          not SQL-expressible, register rows-only or keep pytest-gated).
 #          After r06 lands, the standard rotation resumes: ~10 sentinels +
 #          the new registrations + re-greens of anything whose code moved.
+#   r7:    REGRESSION — the five staged workloads were registered in the
+#          family modules but never appended to _REGISTRATION_ORDER, so
+#          the import-time set-equality assertion made the whole package
+#          unimportable: CORRECTNESS_r07.json is empty, BENCH_r07 rc=1.
+#          No driver evidence was produced; cumulative stays 222/222.
+#   r8:    registration repaired (the five names appended above).  Window
+#          = 10 family sentinels + the 5 r7-staged names + the r8
+#          registrations (pretrain_pipeline_v2, ...) + re-greens from the
+#          r6 window filling remaining slots.  Together those are the
+#          6 never-driver-seen post-window additions as of this rotation
+#          — ALL of them are IN the window, so a green round closes the
+#          evidence gap again (cumulative 222 + window first-timers).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # r6 window (the registry-closing rotation): 10 family sentinels +
-    # the 38 post-r5-window first-timers + 2 discretionary re-greens.
-    # The registry is FROZEN at 222 for this round (pinned by
-    # test_registry_frozen_for_r6) so CORRECTNESS_r06 going 50/50 green
-    # means cumulative 222/222 driver-verified — the evidence loop closes.
+    # r8 window: 10 family sentinels + the 5 r7-staged first-timers
+    # (mandatory: the only never-driver-seen names after the r7
+    # registration repair) + new r8 registrations + r6-green re-fills
+    # for any remaining slots.
     # ------------------------------------------------------------------
-    # -- sentinels: one driver-green pin per major family (r1-r5 verified) --
+    # -- sentinels: one driver-green pin per major family (r1-r6 verified) --
     "qast_eq_filter",            # qast predicate compiler
     "catalog_find",              # catalog scan + broadcast join
     "streaming_hourly_events",   # streaming≡batch
@@ -410,13 +431,17 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_jpeg_decode",    # pure-Python codec path
     "approx_quantiles_prices",   # sketch family
     "catalog_find_real",         # catalog integration (_real) family
-    # -- discretionary re-greens: code under these CHANGED since their
-    #    last driver row (jaccard: r5 lazy-localCheckpoint de-persist;
-    #    knn_ivf: re-registered this round in the scaled-codebook
-    #    regime, VERDICT r5 #2) — both need fresh driver evidence --
+    # -- the 5 r7-staged first-timers (never driver-seen; VERDICT r7) --
+    "doremi_source_weights",
+    "embedding_knn_graph_ivf2",
+    "kneser_ney_logprob_docs",
+    "streaming_neardup_index",
+    "unigram_lm_seed",
+    # -- r8 first-timers --
+    "pretrain_pipeline_v2",
+    # -- r6-green re-fills (displaced one-for-one by new r8 workloads) --
     "jaccard_topk_similar_docs",
     "embedding_knn_graph_ivf",
-    # -- the 38 never-driver-seen post-window workloads (rotation log) --
     "boilerplate_strip_source",
     "decontaminate_bloom",
     "dedup_lsh_edit_verify",
@@ -449,12 +474,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_wav_audio_stats",
     "multimodal_y4m_frame_sample",
     "events_burst_detection",
-    "orders_rfm_segmentation",
-    "sparse_cosine_topk_docs",
-    "events_dau_wau_stickiness",
-    "orders_pareto_revenue_share",
-    "dedup_exact_normalized",
-    "customer_segment_entropy",
 ]
 
 

@@ -473,7 +473,15 @@ def streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
     )
     q = idx.stream_into(stream, tempfile.mkdtemp(prefix="comlake-nd-ckpt-"))
-    q.awaitTermination(300)
+    # fail loudly on timeout: stopping a still-running availableNow stream
+    # would return a PARTIAL index that nondeterministically fails (or
+    # worse, passes) the oracle gate (ADVICE r7 #4)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_neardup_index: availableNow stream did not finish "
+            "within 300s; refusing to return a partial pairs table"
+        )
     q.stop()
     return idx.pairs(spark).select(
         F.least("new_id", "match_id").alias("id_a"),

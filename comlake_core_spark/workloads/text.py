@@ -1548,7 +1548,9 @@ def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT piece, count FROM sub WHERE length(piece) = 1
       ) GROUP BY piece
     ), tot AS (SELECT CAST(SUM(count) AS DOUBLE) AS t FROM seeds)
-    SELECT piece, count, round(ln(count / t), 9) AS logp FROM seeds CROSS JOIN tot
+    SELECT piece, CAST(count AS BIGINT) AS count,
+           round(ln(count / t), 9) AS logp
+    FROM seeds CROSS JOIN tot
     """,
     "text",
     "tokenizer",

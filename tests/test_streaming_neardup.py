@@ -161,18 +161,23 @@ def test_compact_swap_crash_windows_recoverable(spark, corpus, tmp_path):
                                "doc_id long, text string")
     idx.apply_batch(b3, batch_id=2)
     idx.compact(spark)
-    # resurrect a stale copy of batch 2 as if cleanup had died
+    # resurrect a stale copy of batch 2 as if cleanup had died — WITH its
+    # commit marker, so the watermark (not the commit check) is what
+    # skips it
+    stale = _os.path.join(idx._shingles_dir, "_batch=2")
     shutil.copytree(
         _os.path.join(idx._shingles_dir, "_compacted"),
-        _os.path.join(idx._shingles_dir, "_batch=2"),
+        stale,
         ignore=shutil.ignore_patterns("_absorbed_upto.json", "_SUCCESS*"),
     )
+    with open(_os.path.join(stale, StreamingNearDupIndex._COMMIT_MARKER), "w") as f:
+        f.write("2")
     n = idx.indexed_ids(spark).count()
     assert n == len(full_ids) + 1  # stale subdir skipped via the watermark
 
 
 def test_compact_never_absorbs_uncommitted_batch(spark, corpus, tmp_path):
-    """ADVICE r6 #1: a write that died MID-FLIGHT (no _SUCCESS marker,
+    """ADVICE r6 #1: a write that died MID-FLIGHT (no commit marker,
     possibly partial parquet) must not be absorbed — compacting before
     the restart previously advanced the watermark past the batch, so the
     replay's rewritten subdir was permanently skipped and the batch's
@@ -183,12 +188,12 @@ def test_compact_never_absorbs_uncommitted_batch(spark, corpus, tmp_path):
         "doc_id long, text string",
     )
     # simulate the crash: batch 2's subdirs exist but are uncommitted —
-    # write them fully, then strip the _SUCCESS markers and corrupt the
-    # band store's data half to prove compact never even reads it
+    # write them fully, then strip the index's own commit markers and
+    # corrupt the band store's data half to prove compact never reads it
     idx.apply_batch(b3, batch_id=2)
     for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
         sub = os.path.join(path, "_batch=2")
-        os.remove(os.path.join(sub, "_SUCCESS"))
+        os.remove(os.path.join(sub, StreamingNearDupIndex._COMMIT_MARKER))
     for e in os.listdir(os.path.join(idx._bands_dir, "_batch=2")):
         if e.endswith(".parquet"):
             with open(os.path.join(idx._bands_dir, "_batch=2", e), "wb") as f:
@@ -208,8 +213,8 @@ def test_compact_never_absorbs_uncommitted_batch(spark, corpus, tmp_path):
 
 
 def test_reader_skips_uncommitted_subdir(spark, corpus, tmp_path):
-    """_read_or_empty must skip a partial (no _SUCCESS) subdir instead of
-    failing the next micro-batch on unreadable parquet."""
+    """_read_or_empty must skip a partial (no commit-marker) subdir
+    instead of failing the next micro-batch on unreadable parquet."""
     idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
     before = idx.indexed_ids(spark).count()
     sub = os.path.join(idx._shingles_dir, "_batch=7")
@@ -235,6 +240,44 @@ def test_compact_refuses_while_stream_active(spark, corpus, tmp_path):
         q.stop()
     idx.compact(spark)  # stream stopped: proceeds normally
     assert {r["doc_id"] for r in idx.indexed_ids(spark).collect()} == {d for d, _ in DOCS}
+
+
+def test_compact_with_only_uncommitted_subdirs(spark, corpus, tmp_path):
+    """ADVICE r7 #3: a store whose ONLY contents are uncommitted _batch=
+    subdirs and no compacted segment (the post-crash, pre-restart state)
+    used to skip both early-continue guards and crash on parts[0] of an
+    empty list.  compact() must be a no-op that leaves the subdirs for
+    the replay to overwrite."""
+    idx = StreamingNearDupIndex(str(tmp_path / "index"), threshold=0.5)
+    b1 = corpus.filter(F.col("doc_id") < 10)
+    idx.apply_batch(b1, batch_id=0)
+    for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
+        os.remove(os.path.join(path, "_batch=0", StreamingNearDupIndex._COMMIT_MARKER))
+
+    idx.compact(spark)  # must not raise IndexError
+
+    # the uncommitted subdirs survive for the checkpoint replay...
+    assert os.path.isdir(os.path.join(idx._bands_dir, "_batch=0"))
+    # ...and the replay restores the index in full
+    idx.apply_batch(b1, batch_id=0)
+    assert idx.indexed_ids(spark).count() == b1.count()
+
+
+def test_committed_without_spark_success_marker(spark, corpus, tmp_path):
+    """ADVICE r7 #2: commit detection must not depend on Spark's optional
+    _SUCCESS file (absent when mapreduce.fileoutputcommitter
+    .marksuccessfuljobs=false) — a deployment disabling it must not see
+    committed batches vanish or compact() delete their data."""
+    idx = StreamingNearDupIndex(str(tmp_path / "index"), threshold=0.5)
+    b1 = corpus.filter(F.col("doc_id") < 10)
+    idx.apply_batch(b1, batch_id=0)
+    for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
+        s = os.path.join(path, "_batch=0", "_SUCCESS")
+        if os.path.exists(s):
+            os.remove(s)
+    assert idx.indexed_ids(spark).count() == b1.count()
+    idx.compact(spark)  # absorbs, does not delete
+    assert idx.indexed_ids(spark).count() == b1.count()
 
 
 def test_string_doc_ids_supported(spark, tmp_path):
