@@ -139,6 +139,14 @@ HEADLINE = [
     # to the scaled-codebook regime (codebook ∝ corpus ⇒ ~linear build) —
     # the plan the driver now sees is one worth timing at sf0.1
     "embedding_knn_graph_ivf",
+    # r8: the repaired r7 registrations + the composed pipeline — all
+    # batch plans worth a sf0.1 median (streaming_neardup_index is
+    # excluded below with the rest of the streaming family)
+    "doremi_source_weights",
+    "embedding_knn_graph_ivf2",
+    "kneser_ney_logprob_docs",
+    "unigram_lm_seed",
+    "pretrain_pipeline_v2",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_hard_negatives,
@@ -146,6 +154,20 @@ HEADLINE = [
 # bpe_apply_fertility) — their performance story is the measured 1x-8x
 # curves in SCALING.md, where the quadratic-vs-linear regime is the point;
 # a single sf0.1 median would only bloat the artifact the driver captures.
+#
+# BENCH-EXCLUDED accounting (VERDICT r6 #8 / r7 "Next round" #7): the
+# registered workloads NOT timed here fall into exactly these classes —
+# (a) streaming / stateful-restart workloads whose wall time is trigger
+#     scheduling, not data processing (streaming family);
+# (b) `_real`-suffixed integration workloads that stand up HTTP servers,
+#     content stores, or catalog fixtures (their cost is the fixture);
+# (c) scaling-curve diagnostics measured in SCALING.md's 1x-8x sweeps
+#     (quadratic baselines kept only as the regime comparison);
+# (d) sub-second oracle/self-check variants of an already-timed plan
+#     (calibration, golden-value, and property-check forms), where a
+#     second median would time the same physical plan twice.
+# The count is staleness-pinned by tests/test_driver_contract.py::
+# test_bench_exclusion_note_current against len(REGISTRY)-len(HEADLINE).
 
 # Spread attribution (VERDICT r5 "Next round" #4): the r5 outlier spreads
 # (sparse_cosine_topk_docs [2.8, 12.6], orders_rfm_segmentation
@@ -190,6 +212,48 @@ CANARY = [
     "pagerank_dedup_graph",    # iterative graph
 ]
 assert all(c in HEADLINE for c in CANARY)
+
+# Per-family canary attribution (VERDICT r6 #2 / r7 "Next round" #3): a
+# summed canary_sec says "the session drifted"; it cannot say WHICH
+# family.  Each timed query is normalized to its family's canary median
+# (ratio = median / canary_median), keyed off the workload's FIRST tag.
+# A query whose raw time doubles while its ratio holds moved WITH its
+# canary — session/machine pressure; a ratio that moves alone is a real
+# per-query regression.  The r5→r6 suspects (burst 2.06×, hybrid 1.70×,
+# sparse 1.69×, drift 1.43×) are exactly the rows this column decides.
+# Families without a natural canary anchor record family=None (their
+# attribution stays the overall canary_sec).
+FAMILY_CANARY = {
+    "qast": "qast_eq_filter",
+    "json": "qast_eq_filter",
+    "catalog": "catalog_find",
+    "extract": "catalog_find",
+    "sources": "catalog_find",
+    "aggregation": "agg_pricing_summary",
+    "sketch": "agg_pricing_summary",
+    "sketches": "agg_pricing_summary",
+    "sql": "agg_pricing_summary",
+    "join": "join_revenue_by_nation",
+    "setop": "join_revenue_by_nation",
+    "cdc": "join_revenue_by_nation",
+    "fuzzy": "join_revenue_by_nation",
+    "topk": "topk_orders_per_segment",
+    "window": "topk_orders_per_segment",
+    "streaming": "events_sessionize",
+    "temporal": "events_sessionize",
+    "timeseries": "events_sessionize",
+    "session-window": "events_sessionize",
+    "time": "events_sessionize",
+    "funnel": "events_sessionize",
+    "retention": "events_sessionize",
+    "dedup": "dedup_exact",
+    "text": "text_tfidf_top_terms",
+    "quality": "text_tfidf_top_terms",
+    "similarity": "ann_ivf_topk",
+    "embedding": "ann_ivf_topk",
+    "multimodal": "multimodal_jpeg_decode",
+}
+assert all(c in CANARY for c in set(FAMILY_CANARY.values()))
 
 
 def force(df) -> None:
@@ -261,6 +325,19 @@ def main() -> None:
     # its official bench record (VERDICT r4 "What's wrong" #2).  The
     # compact headline dict is printed as the FINAL stdout line and must
     # stay under ~2000 bytes.
+    # per-family attribution columns (VERDICT r7 #3): which canary anchors
+    # each query, and the query's median as a multiple of that anchor —
+    # compare ratios across rounds to separate session drift (raw moved,
+    # ratio held) from real per-query regressions (ratio moved)
+    family_canary = {
+        name: FAMILY_CANARY.get(REGISTRY[name].tags[0] if REGISTRY[name].tags else "")
+        for name in timings
+    }
+    normalized = {
+        name: round(medians[name] / medians[anchor], 3)
+        for name, anchor in family_canary.items()
+        if anchor is not None and medians.get(anchor)
+    }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -272,11 +349,26 @@ def main() -> None:
                 # the number the round was graded on
                 "medians": medians,
                 "spread": spread,
-                "canary": {"queries": CANARY, "sec": canary_sec},
+                "canary": {
+                    "queries": CANARY,
+                    "sec": canary_sec,
+                    "per_query": {c: medians[c] for c in CANARY},
+                },
+                "family_canary": family_canary,
+                "normalized": normalized,
                 "reps": reps,
                 "sf": sf_val,
                 "total": total,
                 "queries_timed": len(timings),
+                # reconciliation line (VERDICT r7 #7): registered − timed
+                # = excluded, each excluded name in a BENCH-EXCLUDED class
+                # (see the note above HEADLINE); no silent truncation
+                "bench_excluded": {
+                    "count": len(REGISTRY) - len(set(HEADLINE)),
+                    "registered": len(REGISTRY),
+                    "classes": "streaming/stateful, _real integration, "
+                    "SCALING.md curve diagnostics, oracle/self-check twins",
+                },
             },
             f,
             indent=1,

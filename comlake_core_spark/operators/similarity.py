@@ -277,22 +277,35 @@ def ivf_topk(
     refine_iters: int = 0,
     seed_hasher: str = "xxhash64",
     kmeans_quantize: int | None = None,
+    assignment: str = "auto",
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose nearest centroid is
     among the query's n_probe closest centroids. refine_iters > 0 runs that
     many spherical k-means Lloyd passes over the corpus first (kmeans_refine)
     — better-centered buckets, same query plan.
 
-    Bucket assignment is MAP-ONLY: the codebook is collected to the driver
-    (it is O(n_centroids) rows and driver-resident during k-means anyway),
-    L2-normalized there, and baked into the plan as a literal array of
-    (id, unit-vector) structs — so each row ranks the centroids inside a
-    single transform + array_max, no crossJoin, no window, no shuffle of
-    the corpus. Ranking by cosine against centroids is invariant to the
-    row vector's own norm, so the per-centroid score is ONE O(d) dot fold
-    against the pre-normalized centroid (no norm folds at all). The only
-    corpus shuffle in the whole query is the final per-query top-k window
-    over the bucket-pruned candidate rows."""
+    FLAT bucket assignment is MAP-ONLY: the codebook is collected to the
+    driver (it is O(n_centroids) rows and driver-resident during k-means
+    anyway), L2-normalized there, and baked into the plan as a literal
+    array of (id, unit-vector) structs — so each row ranks the centroids
+    inside a single transform + array_max, no crossJoin, no window, no
+    shuffle of the corpus. Ranking by cosine against centroids is
+    invariant to the row vector's own norm, so the per-centroid score is
+    ONE O(d) dot fold against the pre-normalized centroid (no norm folds
+    at all). The only corpus shuffle in the whole query is the final
+    per-query top-k window over the bucket-pruned candidate rows.
+
+    assignment='two_level' (auto-selected when the codebook is
+    corpus-scaled, n_centroids > sqrt(n) — see resolve_ivf_assignment)
+    routes both sides through the coarse→fine hierarchy instead: the
+    fine codebook stays a joined DataFrame (never collected) and every
+    stage is O(rows·sqrt(C)).  With the default coarse_probe (all coarse
+    buckets) the result EQUALS the flat path bit-for-bit, so 'auto' is a
+    plan-shape decision, never a semantics one."""
+    if assignment not in ("auto", "flat", "two_level"):
+        raise ValueError(f"unknown assignment strategy {assignment!r}")
+    assignment = resolve_ivf_assignment(assignment, int(n_centroids), corpus.count)
     if refine_iters > 0:
         cents_df = kmeans_refine(
             corpus,
@@ -306,67 +319,96 @@ def ivf_topk(
     else:
         cents_df = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=seed_hasher)
 
-    def _unit(v: list) -> list:
-        n = sum(x * x for x in v) ** 0.5 or 1.0
-        return [float(x) / n for x in v]
+    if assignment == "two_level":
+        # coarse→fine routed assignment for BOTH sides; the fine codebook
+        # stays a joined DataFrame and the literal plan is O(sqrt(C)).
+        # Same home/probe semantics as the flat literal argmax (ties
+        # toward the smallest centroid id), bit-equal with the default
+        # full coarse probe — pinned by test_ivf_topk_two_level_equals_flat
+        coarse_cb, fine, c1 = _two_level_parts(cents_df)
+        cp = int(coarse_probe) if coarse_probe is not None else c1
+        cr = _two_level_ranked(corpus, coarse_cb, fine, 1, cp, vec_col, id_col)
+        c_assigned = cr.filter(F.col("_rn") == 1).select(
+            F.col("_id").alias("nbr_id"),
+            F.col("_v").alias("_cv"),
+            F.explode(F.array(F.col("_fcid").cast("int"))).alias("bucket"),
+        )
+        q_assigned = _two_level_ranked(
+            queries, coarse_cb, fine, n_probe, cp, vec_col, query_id_col
+        ).select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_fcid").cast("int").alias("_qbucket"),
+        )
+    else:
 
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+        def _unit(v: list) -> list:
+            n = sum(x * x for x in v) ** 0.5 or 1.0
+            return [float(x) / n for x in v]
+
+        codebook = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    F.array(*[F.lit(x) for x in _unit(r["centroid_vec"])]).alias("cvec"),
+                )
+                for r in cents_df.collect()
+            ]
+        )
+
+        def _scored(vcol: str):
+            # struct order (dot, -cid): max/descending = best similarity,
+            # ties broken toward the smallest centroid id (same order the
+            # k-means assignment and the old window formulation used)
+            return F.transform(
+                codebook,
+                lambda s: F.struct(
+                    dot(F.col(vcol), s["cvec"]).alias("sim"),
+                    (-s["cid"]).alias("ncid"),
+                ),
             )
-            for r in cents_df.collect()
-        ]
-    )
 
-    def _scored(vcol: str):
-        # struct order (dot, -cid): max/descending = best similarity, ties
-        # broken toward the smallest centroid id (same order the k-means
-        # assignment and the old window formulation used)
-        return F.transform(
-            codebook,
-            lambda s: F.struct(
-                dot(F.col(vcol), s["cvec"]).alias("sim"),
-                (-s["cid"]).alias("ncid"),
+        # explicit aliases: corpus and queries may derive from the SAME
+        # source relation (self-lookup), and the join below must bind each
+        # side's attributes to its own subtree
+        c = corpus.select(
+            F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+        ).alias("_ivf_c")
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        ).alias("_ivf_q")
+        # the 1-element explode is semantically a plain projection, but a
+        # Generate output carries NO alias constraint — preventing the
+        # optimizer's constraint inference from substituting this
+        # corpus-side expression into a filter on the (same-relation) query
+        # side and producing an unbindable reference (Catalyst
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under AQE replan at small sizes)
+        c_assigned = c.select(
+            "nbr_id",
+            "_cv",
+            F.explode(F.array((-F.array_max(_scored("_cv"))["ncid"]).cast("int"))).alias(
+                "bucket"
             ),
         )
-
-    # explicit aliases: corpus and queries may derive from the SAME source
-    # relation (self-lookup), and the join below must bind each side's
-    # attributes to its own subtree
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("_cv")
-    ).alias("_ivf_c")
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
-    ).alias("_ivf_q")
-    # the 1-element explode is semantically a plain projection, but a
-    # Generate output carries NO alias constraint — preventing the
-    # optimizer's constraint inference from substituting this corpus-side
-    # expression into a filter on the (same-relation) query side and
-    # producing an unbindable reference (Catalyst
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under AQE replan at small sizes)
-    c_assigned = c.select(
-        "nbr_id",
-        "_cv",
-        F.explode(F.array((-F.array_max(_scored("_cv"))["ncid"]).cast("int"))).alias("bucket"),
-    )
-    q_assigned = (
-        q.select(
-            "query_id",
-            "_qv",
-            F.explode(F.slice(F.reverse(F.array_sort(_scored("_qv"))), 1, n_probe)).alias("_s"),
+        q_assigned = (
+            q.select(
+                "query_id",
+                "_qv",
+                F.explode(
+                    F.slice(F.reverse(F.array_sort(_scored("_qv"))), 1, n_probe)
+                ).alias("_s"),
+            )
+            .select("query_id", "_qv", (-F.col("_s.ncid")).cast("int").alias("_qbucket"))
+            # eager materialization of the O(|queries| × n_probe) probe
+            # frame — tiny by contract (it is the broadcast side below).
+            # Also severs shared lineage with the corpus: when queries
+            # derive from the same relation, constraint inference otherwise
+            # substitutes the corpus bucket expression into a filter on
+            # this side (unbindable attribute — Catalyst
+            # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
+            .localCheckpoint(eager=True)
         )
-        .select("query_id", "_qv", (-F.col("_s.ncid")).cast("int").alias("_qbucket"))
-        # eager materialization of the O(|queries| × n_probe) probe frame —
-        # tiny by contract (it is the broadcast side below). Also severs
-        # shared lineage with the corpus: when queries derive from the same
-        # relation, constraint inference otherwise substitutes the corpus
-        # bucket expression into a filter on this side (unbindable
-        # attribute — Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).
-        .localCheckpoint(eager=True)
-    )
 
     scored = c_assigned.join(
         F.broadcast(q_assigned), F.col("bucket") == F.col("_qbucket")
@@ -734,15 +776,39 @@ def ivf_assign_two_level(
     tests/test_r7_pipeline_ops.py) — smaller coarse_probe trades recall
     for the n·sqrt(C) bound exactly like n_probe does at the fine level.
     """
-    spark = emb.sparkSession
+    coarse_cb, fine, c1 = _two_level_parts(cents_df)
+    if coarse_probe is None:
+        coarse_probe = c1
+    ranked = _two_level_ranked(
+        emb, coarse_cb, fine, n_probe, coarse_probe, vec_col, id_col
+    )
+    # explode-wrapped bucket on the home side breaks attribute-id equality
+    # with the probe side (both derive from `ranked`) — the same self-join
+    # alias mitigation the flat path uses
+    home = ranked.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("_dst"),
+        F.col("_v").alias("_cv"),
+        F.explode(F.array(F.col("_fcid").cast("int"))).alias("bucket"),
+    )
+    probe = ranked.select(
+        F.col("_id").alias("_src"),
+        F.col("_v").alias("_qv"),
+        F.col("_fcid").cast("int").alias("bucket"),
+    )
+    return home, probe
+
+
+def _two_level_parts(cents_df: DataFrame):
+    """Shared two-level machinery (ivf_assign_two_level, ivf_topk):
+    checkpoint the centroid plan once, pick the O(sqrt(C)) coarse
+    codebook literal, and route every fine centroid to its coarse bucket
+    — the fine codebook STAYS a DataFrame (never collected)."""
     # one materialization: cents_df is a lazy corpus-wide plan (seeded
     # top-n / k-means), and count(), the coarse collect(), and the fine
     # routing below would each replay it — cut it once (review r6 #3)
     cents_df = cents_df.localCheckpoint(eager=True)
     n_cent = cents_df.count()
     c1 = max(int(n_cent**0.5 + 0.9999), 1)
-    if coarse_probe is None:
-        coarse_probe = c1
     # coarse codebook: the c1 fine centroids with the smallest md5(cid) —
     # same seeded-pick rule (and tie-break) as seeded_centroids
     coarse_rows = (
@@ -766,12 +832,6 @@ def ivf_assign_two_level(
         ]
     )
 
-    def _coarse_scored(vcol: str):
-        return F.transform(
-            coarse_cb,
-            lambda s: F.struct(dot(F.col(vcol), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
-        )
-
     # fine-centroid table routed to its coarse bucket; unit-normalized
     # Spark-side with the same fold order as the flat path's literal
     nrm = F.sqrt(dot(F.col("centroid_vec"), F.col("centroid_vec")))
@@ -784,43 +844,81 @@ def ivf_assign_two_level(
             ).alias("_fcvec"),
             F.col("centroid_vec").alias("_fraw"),
         )
-        .withColumn("_coarse", (-F.array_max(_coarse_scored("_fraw"))["ncid"]).cast("int"))
+        .withColumn(
+            "_coarse",
+            (-F.array_max(_coarse_score_expr(coarse_cb, "_fraw"))["ncid"]).cast("int"),
+        )
         .drop("_fraw")
         .localCheckpoint(eager=True)
     )
+    return coarse_cb, fine, c1
 
-    base = ensure_parallelism(emb).select(
+
+def _coarse_score_expr(coarse_cb, vcol: str):
+    return F.transform(
+        coarse_cb,
+        lambda s: F.struct(dot(F.col(vcol), s["cvec"]).alias("sim"), (-s["cid"]).alias("ncid")),
+    )
+
+
+def _two_level_ranked(
+    df: DataFrame,
+    coarse_cb,
+    fine: DataFrame,
+    n_top: int,
+    coarse_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Rank each vector's fine-centroid candidates through the coarse
+    route: O(n·sqrt(C)) coarse scoring inside codegen, equi-join to the
+    fine table on the coarse id, one window for the per-vector top
+    ``n_top``.  Tie-breaks (similarity desc, centroid id asc) match the
+    flat literal-codebook argmax, so probing every coarse bucket
+    reproduces the flat assignment bit-for-bit."""
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     cands = base.select(
         "_id",
         "_v",
         F.explode(
-            F.slice(F.reverse(F.array_sort(_coarse_scored("_v"))), 1, int(coarse_probe))
+            F.slice(
+                F.reverse(F.array_sort(_coarse_score_expr(coarse_cb, "_v"))),
+                1,
+                int(coarse_probe),
+            )
         ).alias("_cs"),
     ).select("_id", "_v", (-F.col("_cs.ncid")).cast("int").alias("_coarse"))
     w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("_fcid"))
-    ranked = (
+    return (
         cands.join(fine, "_coarse")
         .select("_id", "_v", "_fcid", dot(F.col("_v"), F.col("_fcvec")).alias("_sim"))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max(int(n_probe), 1))
+        .filter(F.col("_rn") <= max(int(n_top), 1))
         .localCheckpoint(eager=True)  # one materialization feeds BOTH sides
     )
-    # explode-wrapped bucket on the home side breaks attribute-id equality
-    # with the probe side (both derive from `ranked`) — the same self-join
-    # alias mitigation the flat path uses
-    home = ranked.filter(F.col("_rn") == 1).select(
-        F.col("_id").alias("_dst"),
-        F.col("_v").alias("_cv"),
-        F.explode(F.array(F.col("_fcid").cast("int"))).alias("bucket"),
-    )
-    probe = ranked.select(
-        F.col("_id").alias("_src"),
-        F.col("_v").alias("_qv"),
-        F.col("_fcid").cast("int").alias("bucket"),
-    )
-    return home, probe
+
+
+def resolve_ivf_assignment(
+    assignment: str, n_centroids: int, n_rows_fn
+) -> str:
+    """'auto' policy (VERDICT r6 #6 / r7 "Next round" #4): route through
+    the two-level assignment exactly when the codebook is CORPUS-SCALED —
+    n_centroids > sqrt(n) — because that is the regime where the flat
+    path's O(n·C) compute and O(C) literal plan turn quadratic (C ∝ n).
+    Small codebooks (C <= 32, every fixed-codebook workload) stay flat
+    without even paying the row count; n_rows_fn is only called past
+    that gate (feed a known row count at 100 TB instead of a count()).
+    Results are IDENTICAL either way when coarse_probe covers all coarse
+    buckets (the bitwise equality pin), so the switch is a plan-shape
+    decision, never a semantics one."""
+    if assignment != "auto":
+        return assignment
+    if n_centroids <= 32:
+        return "flat"
+    n_rows = int(n_rows_fn())
+    return "two_level" if n_centroids * n_centroids > n_rows else "flat"
 
 
 def mutual_knn_graph(
@@ -834,7 +932,7 @@ def mutual_knn_graph(
     seed_hasher: str = "xxhash64",
     refine_iters: int = 0,
     target_bucket_size: int | None = None,
-    assignment: str = "flat",
+    assignment: str = "auto",
     coarse_probe: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, filtered to
@@ -897,9 +995,18 @@ def mutual_knn_graph(
         # codebook regime SCALING.md measures (36 s vs 406 s at 8× for a
         # fixed codebook). Costs one count() pass; at 100 TB feed the
         # table's known row count instead.
+        n_rows: int | None = None
         if target_bucket_size is not None:
             n_rows = emb.count()
             n_centroids = max((n_rows + target_bucket_size - 1) // target_bucket_size, n_probe)
+        # 'auto' (default since r8): corpus-scaled codebook ⇒ two-level,
+        # fixed small codebook ⇒ flat; bit-identical either way with the
+        # default full coarse probe (see resolve_ivf_assignment)
+        assignment = resolve_ivf_assignment(
+            assignment,
+            int(n_centroids),
+            (lambda: n_rows) if n_rows is not None else emb.count,
+        )
         # refine_iters > 0 runs spherical k-means Lloyd passes first
         # (kmeans_refine) — better-centered buckets raise edge recall at
         # the same probe budget, identical downstream plan

@@ -218,6 +218,7 @@ class ComlakeServer:
         port: int = 8090,
         reuse_port: bool = False,
         snapshot_export: str | None = None,
+        snapshot_max_rows: int = 200_000,
     ):
         self.spark = spark
         self.store = store
@@ -243,8 +244,12 @@ class ComlakeServer:
         # interpreter instead of a Spark job per request — the same
         # tiering as the reference, whose catalog lives in PostgreSQL
         # while content stays in IPFS (thesis/main/meth.tex:89-94).
-        # Rebuilt lazily after any catalog mutation.
-        self._find_snap: list[dict] | None = None
+        # Rebuilt lazily after any catalog mutation.  snapshot_max_rows
+        # (VERDICT r6 #3) caps the driver-resident copy: a catalog past
+        # the cap serves /find through the Spark path instead — degraded
+        # latency, never degraded correctness or an OOM'd driver.
+        self.snapshot_max_rows = int(snapshot_max_rows)
+        self._find_snap: list[dict] | object | None = None
         self._snap_lock = threading.Lock()
 
     def _invalidate_snapshot(self) -> None:
@@ -260,15 +265,32 @@ class ComlakeServer:
                 except FileNotFoundError:
                     pass
 
-    def _snapshot(self) -> list[dict]:
+    #: sentinel cached in _find_snap when the catalog exceeds
+    #: snapshot_max_rows — remembers the over-cap verdict for the current
+    #: catalog version so /find doesn't re-run the capped collect per
+    #: request; any mutation resets it via _invalidate_snapshot
+    _OVER_CAP = object()
+
+    def _snapshot(self) -> list[dict] | None:
         """One MERGED row dict (extras with fixed columns shadowing — the
         same merge catalog.find's resolver and the response body use) per
         catalog entry.  One Spark collect per catalog version, amortized
         over every /find after it; the merge happens HERE, once per
-        version, never in the per-request hot loop."""
+        version, never in the per-request hot loop.
+
+        Returns None when the catalog exceeds ``snapshot_max_rows``
+        (VERDICT r6 #3): the capped collect fetches at most cap+1 rows —
+        bounded driver memory regardless of catalog size — and the
+        over-cap verdict is cached until the next mutation.  Callers fall
+        back to the Spark path; workers see no export file and proxy."""
         with self._snap_lock:
+            if self._find_snap is self._OVER_CAP:
+                return None
             if self._find_snap is None:
-                rows = self.catalog.joined().collect()
+                rows = self.catalog.joined().limit(self.snapshot_max_rows + 1).collect()
+                if len(rows) > self.snapshot_max_rows:
+                    self._find_snap = self._OVER_CAP
+                    return None
                 snap = []
                 for r in rows:
                     d = r.asDict(recursive=True)
@@ -356,14 +378,16 @@ class ComlakeServer:
 
     def op_find(self, ast: Any) -> tuple[int, Any]:
         if snapshot_safe(ast):
-            try:
-                # find path is PARTIAL-match regex (reference PostgreSQL ~,
-                # qast.clj:35) — same mode the Spark path compiles with
-                match = snapshot_matcher(ast)
-                hits = [merged for merged in self._snapshot() if match(merged)]
-            except QastError:
-                return 400, {"error": "malformed query"}
-            return 200, hits
+            snap = self._snapshot()  # None = catalog over snapshot_max_rows
+            if snap is not None:
+                try:
+                    # find path is PARTIAL-match regex (reference PostgreSQL
+                    # ~, qast.clj:35) — same mode the Spark path compiles with
+                    match = snapshot_matcher(ast)
+                    hits = [merged for merged in snap if match(merged)]
+                except QastError:
+                    return 400, {"error": "malformed query"}
+                return 200, hits
         try:
             rows = self.catalog.find(ast).collect()
         except QastError:

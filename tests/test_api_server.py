@@ -291,3 +291,46 @@ def test_malformed_regex_returns_400_both_paths(server, found_dataset):
     ok_ast = ["~", [".", ["$"], "description"], "pop.*"]
     status, rows = jcall(server, "POST", "/find", json.dumps(ok_ast).encode())
     assert status == 200
+
+
+def test_snapshot_cap_falls_back_to_spark_path(spark, tmp_path):
+    """VERDICT r6 #3: a catalog past ``snapshot_max_rows`` must not be
+    collected into driver memory — /find serves through the Spark path
+    with identical results, workers see no export file (→ proxy), and
+    the over-cap verdict is cached until the next mutation."""
+    export = tmp_path / "find.snap"
+    srv = ComlakeServer(
+        spark,
+        LocalStore(str(tmp_path / "cas")),
+        Catalog(spark, str(tmp_path / "cat")),
+        port=0,
+        snapshot_export=str(export),
+        snapshot_max_rows=2,
+    )
+    cids = []
+    for i in range(4):  # 4 entries > cap of 2
+        cid = srv.store.add_bytes(f"doc {i}\n".encode())
+        srv.catalog.upsert_content(cid, "text/plain")
+        srv.catalog.add_dataset(
+            {"file": cid, "description": f"doc {i}", "source": "t",
+             "topics": [], "topic": f"t{i % 2}"}
+        )
+        cids.append(cid)
+    srv._invalidate_snapshot()
+
+    ast = ["==", [".", ["$"], "topic"], "t1"]
+    assert ComlakeServer._snapshot is not None  # sanity: API unchanged
+    status, hits = srv.op_find(ast)
+    assert status == 200
+    assert sorted(h["cid"] for h in hits) == sorted(cids[1::2])
+    # over-cap: Spark path used, snapshot neither cached nor exported
+    assert srv._find_snap is ComlakeServer._OVER_CAP
+    assert not export.exists()
+
+    # same query under a raised cap: fast path re-enables, same answer
+    srv.snapshot_max_rows = 100
+    srv._invalidate_snapshot()
+    status2, hits2 = srv.op_find(ast)
+    assert status2 == 200
+    assert sorted(h["cid"] for h in hits2) == sorted(h["cid"] for h in hits)
+    assert isinstance(srv._find_snap, list) and export.exists()

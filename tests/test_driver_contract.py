@@ -114,3 +114,55 @@ def test_coverage_http_numbers_cite_artifact():
     inline = set(re.findall(r"([\d,]+(?:\.\d+)?)\s*req/s", text))
     allowed = {"5,576", "6,238", "29,789", "965"}  # baselines + the r2 client-artifact anecdote
     assert inline <= allowed, f"measured numbers embedded in COVERAGE.md: {inline - allowed}"
+
+
+def test_coverage_bench_numbers_cite_artifact():
+    """VERDICT r7 "Next round" #3 tail: COVERAGE.md carried a headline
+    figure (76.05 s) that matched no committed BENCH_r{N}.json — local
+    runs drift from the driver's official record within one round.  Any
+    "headline **X s**" / "canary **Y s**" claim in COVERAGE.md must
+    equal a value/canary_sec recorded in SOME committed bench artifact
+    (the only citable sources)."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    allowed: set[str] = set()
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        tail = json.load(open(p)).get("tail", "")
+        for pat in (r'"value":([\d.]+)', r'"canary_sec":([\d.]+)'):
+            allowed.update(re.findall(pat, tail))
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        text = f.read()
+    claims = re.findall(r"headline \*\*([\d.]+) s", text)
+    claims += re.findall(r"canary \*\*([\d.]+) s", text)
+    claims += re.findall(r"BENCH_r\d+\.json: ([\d.]+) s", text)
+    bad = [c for c in claims if c not in allowed]
+    assert not bad, (
+        f"COVERAGE.md bench figures not present in any BENCH_r*.json: {bad}"
+    )
+
+
+def test_bench_exclusion_note_current():
+    """VERDICT r6 #8 / r7 #7: bench.py must carry the BENCH-EXCLUDED note
+    naming why non-headline workloads are bench-ineligible, and the
+    emitted BENCH_DETAIL accounting must reconcile: every registered
+    workload is either timed (HEADLINE) or excluded — no silent drops."""
+    import bench
+
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline entries"
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"headline names not in REGISTRY: {missing}"
+    excluded = set(REGISTRY) - set(bench.HEADLINE)
+    import inspect
+
+    src = inspect.getsource(bench)
+    assert "BENCH-EXCLUDED" in src, "bench.py lost its exclusion note"
+    # the note's classes must cover what is actually excluded: every
+    # excluded streaming/real workload is class (a)/(b) by construction;
+    # spot-pin the two classes that have crisp membership tests
+    streaming = {n for n in excluded if "streaming" in REGISTRY[n].tags}
+    real = {n for n in excluded if n.endswith("_real")}
+    assert streaming and real, "exclusion classes (a)/(b) must be non-empty"
+    assert "streaming" in src and "_real" in src
