@@ -147,6 +147,11 @@ HEADLINE = [
     "kneser_ney_logprob_docs",
     "unigram_lm_seed",
     "pretrain_pipeline_v2",
+    "dedup_containment_prefix",
+    "text_topgram_char_fraction",
+    "train_test_ngram_leakage",
+    "embedding_norm_health",
+    "asof_next_view_after_purchase",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_hard_negatives,

@@ -1752,3 +1752,79 @@ def minhash_calibration(
         (dsum("_t") / F.count(F.lit(1))).alias("avg_true_jaccard"),
         (dsum("_ae") / F.count(F.lit(1))).alias("mae"),
     )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """One-sided set-CONTAINMENT join: all ordered pairs (src, dst) with
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| >= threshold — the near-
+    SUPERSET detector Jaccard-threshold dedup structurally misses (a
+    short doc embedded verbatim in a long one has high containment but
+    arbitrarily low Jaccard, so MinHash-LSH banding at the Jaccard
+    threshold is not guaranteed to surface it).  This is the quote/
+    template/wrapper case in pretraining corpora.
+
+    Algorithm: AllPairs/PPJoin-style PREFIX FILTERING (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08), the exact-recall counterpart to LSH:
+
+      1. one corpus pass computes shingle document frequencies;
+      2. each doc orders its shingles by (df asc, shingle asc) — the
+         canonical global order that puts the RAREST shingles first —
+         and keeps only its PREFIX of size |S| - ceil(t·|S|) + 1: by
+         pigeonhole, any dst reaching overlap ceil(t·|S_src|) must share
+         at least one prefix shingle, so joining src PREFIXES against
+         the FULL posting list loses nothing (100% recall, exact);
+      3. candidates are verified with the exact intersection from the
+         stored shingle arrays.
+
+    Scale: no all-pairs anywhere — candidate volume is Σ_gram
+    |prefix postings| × |full postings|, and frequency-ascending prefix
+    ordering makes prefix postings the rare grams.  Two aggregate
+    shuffles (df count, per-doc prefix window) + the candidate equi-join;
+    verification joins are id-keyed.  Same shingle machinery as the LSH
+    family (operators/dedup.shingles), so the SQL oracle twin matches
+    bit-for-bit."""
+    t = float(threshold)
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh"))
+        .withColumn("_gc", F.size("_sh"))
+        .persist()  # feeds postings, prefixes, and both verify sides
+    )
+    posts = sh.select("_id", "_gc", F.explode("_sh").alias("_g"))
+    dfreq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_g"))
+    prefix_len = F.col("_gc") - F.ceil(F.lit(t) * F.col("_gc")).cast("long") + F.lit(1)
+    pref = (
+        posts.join(dfreq, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col("_id").alias("_src"), "_g")
+    )
+    cand = (
+        pref.join(posts.select(F.col("_id").alias("_dst"), "_g"), "_g")
+        .filter(F.col("_src") != F.col("_dst"))
+        .select("_src", "_dst")
+        .distinct()
+    )
+    a = sh.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"), F.col("_gc").alias("_gca"))
+    b = sh.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(a, "_src")
+        .join(b, "_dst")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("_sha", "_shb")).cast("double") / F.col("_gca"),
+        )
+        .filter(F.col("containment") >= t)
+        .select(
+            F.col("_src").alias("src_id"),
+            F.col("_dst").alias("dst_id"),
+            "containment",
+        )
+    )

@@ -31,17 +31,29 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with the
-    greatest ``right_ts <= left_ts`` for the same ``on`` key (inclusive at
-    equality, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """As-of join.  direction="backward" (default): for each left row,
+    attach the right row with the greatest ``right_ts <= left_ts`` for
+    the same ``on`` key (inclusive at equality, like DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``).  direction="forward": the right
+    row with the SMALLEST ``right_ts >= left_ts`` (DuckDB
+    ``ON l.ts <= r.ts``) — next-touch attribution, restock-after-stockout,
+    first-response-after-alert.
 
     Right-side (key, ts) pairs should be unique; among exact duplicates the
     surviving row is unspecified (pre-aggregate to make it deterministic).
 
-    how="left" keeps left rows with no prior right row (right columns null);
-    how="inner" drops them.
+    how="left" keeps left rows with no prior (resp. later) right row
+    (right columns null); how="inner" drops them.
+
+    Plan shape is direction-independent: one shuffle on the key, one
+    sorted window pass with one-row running state — the merge
+    formulation that survives 100 TB, vs the theta-join's
+    broadcast-nested-loop.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     from pyspark.sql import types as T
 
     lcarry = [c for c in left.columns if c not in (on, left_ts)]
@@ -70,10 +82,13 @@ def asof_join(
         F.lit(None).cast(r_struct_type).alias("_r"),
         *[F.col(c) for c in lcarry],
     )
-    # right rows sort before left rows at equal ts (_side 0 < 1) → inclusive
+    # right rows sort before left rows at equal ts (_side 0 < 1) → inclusive;
+    # forward scans time DESCENDING so "last preceding non-null" is the
+    # nearest right row at-or-after the left ts
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (

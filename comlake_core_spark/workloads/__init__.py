@@ -297,6 +297,11 @@ _REGISTRATION_ORDER: list[str] = [
     "unigram_lm_seed",
     # -- r8 registrations --
     "pretrain_pipeline_v2",
+    "dedup_containment_prefix",
+    "text_topgram_char_fraction",
+    "train_test_ngram_leakage",
+    "embedding_norm_health",
+    "asof_next_view_after_purchase",
 ]
 
 _snap = dict(REGISTRY)
@@ -405,12 +410,15 @@ del _snap, _n
 #          unimportable: CORRECTNESS_r07.json is empty, BENCH_r07 rc=1.
 #          No driver evidence was produced; cumulative stays 222/222.
 #   r8:    registration repaired (the five names appended above).  Window
-#          = 10 family sentinels + the 5 r7-staged names + the r8
-#          registrations (pretrain_pipeline_v2, ...) + re-greens from the
-#          r6 window filling remaining slots.  Together those are the
-#          6 never-driver-seen post-window additions as of this rotation
-#          — ALL of them are IN the window, so a green round closes the
-#          evidence gap again (cumulative 222 + window first-timers).
+#          = 10 family sentinels + the 5 r7-staged names + the 6 r8
+#          registrations (pretrain_pipeline_v2, dedup_containment_prefix,
+#          text_topgram_char_fraction, train_test_ngram_leakage,
+#          embedding_norm_health, asof_next_view_after_purchase) +
+#          re-greens from the r6 window filling remaining slots.
+#          Together those are the 11 never-driver-seen post-window
+#          additions as of this rotation — ALL of them are IN the window,
+#          so a green round closes the evidence gap again (cumulative
+#          222 driver-verified + the window first-timers).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -439,6 +447,11 @@ DRIVER_WINDOW: list[str] = [
     "unigram_lm_seed",
     # -- r8 first-timers --
     "pretrain_pipeline_v2",
+    "dedup_containment_prefix",
+    "text_topgram_char_fraction",
+    "train_test_ngram_leakage",
+    "embedding_norm_health",
+    "asof_next_view_after_purchase",
     # -- r6-green re-fills (displaced one-for-one by new r8 workloads) --
     "jaccard_topk_similar_docs",
     "embedding_knn_graph_ivf",
@@ -469,11 +482,6 @@ DRIVER_WINDOW: list[str] = [
     "embedding_centroid_drift",
     "text_hapax_ratio",
     "join_skew_audit",
-    "packing_efficiency_stats",
-    "catalog_snapshot_diff_real",
-    "multimodal_wav_audio_stats",
-    "multimodal_y4m_frame_sample",
-    "events_burst_detection",
 ]
 
 

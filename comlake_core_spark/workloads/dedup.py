@@ -1306,3 +1306,149 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .drop("_h")
     )
+
+
+
+
+@workload(
+    "dedup_containment_prefix",
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh)
+    SELECT a.id AS src_id, b.id AS dst_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / a.gc AS containment
+    FROM sized a JOIN sized b
+      ON a.id <> b.id
+     AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / a.gc >= 0.8
+    """,
+    "dedup",
+    "containment",
+    "prefix-filter",
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment near-superset detection at 0.8 via AllPairs/PPJoin
+    prefix filtering — the quote/template/wrapper dedup case MinHash-LSH
+    (Jaccard-banded) structurally misses.  EXACT recall by pigeonhole
+    (rarest-first prefix vs full postings), so the oracle brute-forces
+    the full ordered pair space (with the necessary |S_dst| size
+    prefilter) and equality proves both the prefix filter's 100% recall
+    AND the verification arithmetic.  See
+    operators/dedup.containment_pairs_prefix."""
+    from comlake_core_spark.operators.dedup import containment_pairs_prefix
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return containment_pairs_prefix(docs, threshold=0.8)
+
+
+
+
+@workload(
+    "train_test_ngram_leakage",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(ts) - 4, 1) + 1),
+               i -> array_to_string(ts[i:i+4], ' ')
+             )) AS grams,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000' AS is_test
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+            FROM documents)
+    ), tg AS (
+      SELECT DISTINCT unnest(grams) AS g FROM sh WHERE NOT is_test
+    ), testd AS (
+      SELECT doc_id, source, grams FROM sh WHERE is_test
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT t.doc_id, unnest(t.grams) AS g FROM testd t
+      ) x JOIN tg USING (g)
+    ), te AS (
+      SELECT t.source, COUNT(*) AS n_test,
+             CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM testd t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      GROUP BY t.source
+    ), tr AS (
+      SELECT source, COUNT(*) AS n_train FROM sh WHERE NOT is_test GROUP BY source
+    )
+    SELECT source,
+           COALESCE(n_train, 0) AS n_train,
+           COALESCE(n_test, 0) AS n_test,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CASE WHEN COALESCE(n_test, 0) > 0
+                THEN round(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_test, 9)
+           END AS contamination_rate
+    FROM tr FULL JOIN te USING (source)
+    """,
+    "dedup",
+    "decontamination",
+    "split",
+)
+def train_test_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit (r8): apply the engine-portable md5
+    split (12.5% test, split_assignment_portable — the same cut the
+    leakage-safe splits use) and measure, per source, how many TEST
+    documents share at least one 5-gram with ANY train document — the
+    audit a data team runs to decide whether a plain hash split leaks
+    eval data (the answer motivating leakage_safe_split_docs).
+    Complements decontaminate_bloom (external benchmark) by auditing the
+    corpus against its OWN split.
+
+    Plan: one scan builds per-doc distinct 5-gram sets (map-only
+    sequence+transform), train grams collapse to one distinct gram set
+    (map-combined), the test side probes it with a gram equi-join +
+    doc-distinct — no all-pairs, no broadcast of corpus-sized state;
+    at 100 TB the gram join is the same shape as the LSH band join."""
+    from comlake_core_spark.operators.dedup import shingles
+    from comlake_core_spark.operators.sampling import split_assignment_portable
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        shingles(F.col("text"), 5).alias("_sh"),
+        split_assignment_portable(F.col("doc_id"), 0.125).alias("_is_test"),
+    )
+    train = base.filter(~F.col("_is_test"))
+    testd = base.filter(F.col("_is_test"))
+    train_grams = train.select(F.explode("_sh").alias("g")).distinct()
+    hits = (
+        testd.select("doc_id", F.explode("_sh").alias("g"))
+        .join(train_grams, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    te = (
+        testd.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+    )
+    tr = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        tr.join(te, "source", "full")
+        .select(
+            "source",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_test", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_test"), 9
+                ),
+            ).alias("contamination_rate"),
+        )
+    )

@@ -1951,3 +1951,59 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_contribution").desc(), F.col("k").asc())
         .limit(10)
     )
+
+
+
+
+@workload(
+    "asof_next_view_after_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(v.ts) AS next_view_us,
+           v.next_view_event
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, min(event_id) AS next_view_event
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY user_id, ts) v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+    "join",
+    "asof",
+    "temporal",
+)
+def asof_next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r8): each purchase annotated with the user's
+    next view at or after it — post-purchase engagement, the time-mirror
+    of asof_last_purchase.  DuckDB's ASOF JOIN with the <= inequality is
+    the oracle.  Same union+window merge plan as backward (one shuffle
+    on user_id, one sorted pass, one-row state), just scanned in
+    descending time — a theta-join formulation would plan a
+    broadcast-nested-loop and die at scale.  See
+    operators/temporal.asof_join(direction='forward')."""
+    from comlake_core_spark.operators.temporal import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("next_view_event"))
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        # events.ts is parquet timestamp[us] without a zone -> TIMESTAMP_NTZ;
+        # session timezone is pinned UTC so the LTZ cast is epoch-identity
+        # (same note as asof_last_purchase)
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("purchase_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp_ltz")).alias("next_view_us"),
+        "next_view_event",
+    )

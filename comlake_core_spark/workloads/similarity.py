@@ -1244,3 +1244,69 @@ def embedding_knn_graph_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=4, candidate="ivf", n_probe=8, seed_hasher="md5",
         target_bucket_size=32, assignment="two_level", coarse_probe=4,
     )
+
+
+
+
+@workload(
+    "embedding_norm_health",
+    r"""
+    WITH v AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           round(CAST(SUM(CAST(round(nrm, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_norm,
+           round(MIN(nrm), 9) AS min_norm,
+           round(MAX(nrm), 9) AS max_norm,
+           round(CAST(SUM(CASE WHEN nrm < 0.9 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS frac_low,
+           round(CAST(SUM(CASE WHEN nrm > 1.1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS frac_high
+    FROM v GROUP BY label
+    """,
+    "embedding",
+    "quality",
+    "monitoring",
+)
+def embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry health audit (r8): per-label L2-norm
+    distribution — mean on the exact-decimal 9-grid, min/max, and the
+    fraction of vectors outside the [0.9, 1.1] band.  The pre-flight
+    check before any cosine-based stage (ANN, SemDeDup, centroid drift):
+    un-normalized or collapsed vectors silently corrupt every cosine
+    threshold downstream, and a label whose norm band drifts flags a
+    broken encoder shard in the refresh.
+
+    Norms use the deterministic sequential-fold dot (bitwise equal to
+    the oracle's list_dot_product), means fold rounded norms through
+    exact decimal addition.  Plan: ONE map-combined aggregate over one
+    scan — no explode, no join; shuffle volume is #labels rows."""
+    from comlake_core_spark.operators.similarity import dot
+    from comlake_core_spark.session import ensure_parallelism
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(dot(v, v))
+    base = ensure_parallelism(emb).select(
+        F.col("label").cast("long").alias("label"), nrm.alias("_nrm")
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("label").agg(
+        n.alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("_nrm"), 9).cast("decimal(28,9)")).cast("double") / n, 9
+        ).alias("mean_norm"),
+        F.round(F.min("_nrm"), 9).alias("min_norm"),
+        F.round(F.max("_nrm"), 9).alias("max_norm"),
+        F.round(
+            F.sum(F.when(F.col("_nrm") < 0.9, 1).otherwise(0)).cast("double") / n, 9
+        ).alias("frac_low"),
+        F.round(
+            F.sum(F.when(F.col("_nrm") > 1.1, 1).otherwise(0)).cast("double") / n, 9
+        ).alias("frac_high"),
+    )

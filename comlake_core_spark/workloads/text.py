@@ -1571,3 +1571,131 @@ def unigram_lm_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return unigram_lm_train(docs, em_rounds=0, seed_vocab=200, max_piece_len=4)
+
+
+
+
+@workload(
+    "text_topgram_char_fraction",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, greatest(length(text), 1) AS tlen,
+             string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source, tlen, 2 AS n,
+             array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS g
+      FROM toks,
+      LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 1) + 1)) AS i) i2
+      UNION ALL
+      SELECT doc_id, source, tlen, 3 AS n,
+             array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+      FROM toks,
+      LATERAL (SELECT unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS i) i3
+      UNION ALL
+      SELECT doc_id, source, tlen, 4 AS n,
+             array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+      FROM toks,
+      LATERAL (SELECT unnest(range(1, greatest(len(ts) - 3, 1) + 1)) AS i) i4
+    ), counted AS (
+      SELECT doc_id, source, tlen, n, g, COUNT(*) AS c
+      FROM grams GROUP BY ALL
+    ), top AS (
+      SELECT doc_id, source, n,
+             round(CAST(c * length(g) AS DOUBLE) / tlen, 9) AS frac
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+        FROM counted
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           COUNT(*) // 3 AS n_docs,
+           round(CAST(SUM(CASE WHEN n = 2 THEN CAST(round(frac, 9) AS DECIMAL(28,9)) END) AS DOUBLE)
+                 / (COUNT(*) // 3), 9) AS mean_top2,
+           CAST(SUM(CASE WHEN n = 2 AND frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_top2,
+           round(CAST(SUM(CASE WHEN n = 3 THEN CAST(round(frac, 9) AS DECIMAL(28,9)) END) AS DOUBLE)
+                 / (COUNT(*) // 3), 9) AS mean_top3,
+           CAST(SUM(CASE WHEN n = 3 AND frac > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_top3,
+           round(CAST(SUM(CASE WHEN n = 4 THEN CAST(round(frac, 9) AS DECIMAL(28,9)) END) AS DOUBLE)
+                 / (COUNT(*) // 3), 9) AS mean_top4,
+           CAST(SUM(CASE WHEN n = 4 AND frac > 0.16 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_top4
+    FROM top GROUP BY source
+    """,
+    "text",
+    "quality",
+    "repetition",
+)
+def text_topgram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 Table A1): per document,
+    the fraction of characters covered by the single most frequent word
+    n-gram for n ∈ {2,3,4} (tie → lexicographically smallest gram), then
+    per-source means and counts over the paper's thresholds (top-2 >
+    0.20, top-3 > 0.18, top-4 > 0.16) — the looped-template detector
+    that catches generated/boilerplate sources before pretraining.
+
+    Plan: one scan, map-only n-gram fanout (×3 sequence+transform, no
+    UDF), ONE map-combined count aggregate, one per-(doc,n) window with
+    WindowGroupLimit, one tiny per-source rollup.  No joins, no
+    all-pairs; fanout is ~3× token count — the linear shape a 100 TB
+    repetition audit needs."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        F.greatest(F.length("text"), F.lit(1)).alias("tlen"),
+        toks.alias("_ts"),
+    )
+    # unary lambda via closure factory: F.transform feeds the ARRAY INDEX
+    # as a second argument to any binary lambda, so `lambda i, n=n` would
+    # silently receive the position as n (the minhash_signature lesson)
+    def _grams_of(n: int):
+        return lambda i: F.array_join(F.slice(F.col("_ts"), i, n), " ")
+
+    per_n = []
+    for n in (2, 3, 4):
+        idx = F.sequence(F.lit(1), F.greatest(F.size("_ts") - (n - 1), F.lit(1)))
+        grams = F.transform(idx, _grams_of(n))
+        per_n.append(
+            base.select(
+                "doc_id", "source", "tlen", F.lit(n).alias("n"),
+                F.explode(grams).alias("g"),
+            )
+        )
+    allg = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    counted = allg.groupBy("doc_id", "source", "tlen", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), F.asc("g"))
+    top = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "n",
+            F.round((F.col("c") * F.length("g")).cast("double") / F.col("tlen"), 9).alias("frac"),
+        )
+    )
+    d9 = lambda c: F.round(c, 9).cast("decimal(28,9)")
+    n_docs = (F.count(F.lit(1)) / F.lit(3)).cast("long")
+    def mean_n(n):
+        return F.round(
+            F.sum(F.when(F.col("n") == n, d9(F.col("frac")))).cast("double") / n_docs, 9
+        )
+    def flag_n(n, thr):
+        return F.sum(
+            F.when((F.col("n") == n) & (F.col("frac") > thr), 1).otherwise(0)
+        ).cast("long")
+    return top.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        mean_n(2).alias("mean_top2"),
+        flag_n(2, 0.20).alias("flagged_top2"),
+        mean_n(3).alias("mean_top3"),
+        flag_n(3, 0.18).alias("flagged_top3"),
+        mean_n(4).alias("mean_top4"),
+        flag_n(4, 0.16).alias("flagged_top4"),
+    )
