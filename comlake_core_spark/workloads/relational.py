@@ -2007,3 +2007,92 @@ def asof_next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros(F.col("asof_ts").cast("timestamp_ltz")).alias("next_view_us"),
         "next_view_event",
     )
+
+
+
+
+@workload(
+    "market_basket_lift",
+    r"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n_orders FROM items
+    ), freq AS (
+      SELECT p, COUNT(*) AS c FROM items GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 3
+    ), scored AS (
+      SELECT part_a, part_b, support,
+             round((support * n.n_orders)
+                   / (CAST(fa.c AS DOUBLE) * fb.c), 9) AS lift
+      FROM pairs
+      JOIN freq fa ON pairs.part_a = fa.p
+      JOIN freq fb ON pairs.part_b = fb.p
+      CROSS JOIN n
+    )
+    SELECT part_a, part_b, support, lift FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY lift DESC, part_a ASC, part_b ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+    "join",
+    "aggregation",
+    "association-rules",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining on TPC-H lineitem: top-20
+    co-ordered part pairs by LIFT (support·N / (c_a·c_b)) with min
+    support 3 — the classic within-group pair mining shape (a self-join
+    on the group key, never on the corpus).  Scale: the distinct pass
+    and the pair aggregate are map-combined shuffles on orderkey/pair;
+    pair volume is Σ_order |items|² with TPC-H's small basket sizes —
+    bounded fanout, same shape as the LSH bucket join.  Lift lands on
+    the 9-grid (int·double/int·int), top-20 rides TakeOrdered.  Ties
+    break (lift desc, part_a, part_b)."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = (
+        ensure_parallelism(li)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()  # feeds the pair join, the item counts, and n_orders
+    )
+    n_orders = items.select(F.countDistinct("o").cast("double").alias("n_orders"))
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    b = items.select(F.col("o"), F.col("p").alias("p_b"))
+    pairs = (
+        items.join(b, "o")
+        .filter(F.col("p") < F.col("p_b"))
+        .groupBy(F.col("p").alias("part_a"), F.col("p_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    fa = freq.select(F.col("p").alias("part_a"), F.col("c").alias("_ca"))
+    fb = freq.select(F.col("p").alias("part_b"), F.col("c").alias("_cb"))
+    scored = (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                (F.col("support") * F.col("n_orders"))
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                9,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("part_a", "part_b", "support", "lift")
+    )

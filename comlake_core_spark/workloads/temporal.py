@@ -453,3 +453,60 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sdau").cast("double") / F.col("ndays"), 9).alias("avg_dau"),
         F.round(F.col("sdau").cast("double") / F.col("ndays") / F.col("wau"), 9).alias("stickiness"),
     )
+
+
+
+
+@workload(
+    "events_markov_transitions",
+    r"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), tr AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), tot AS (
+      SELECT from_type, SUM(n) AS n_from FROM tr GROUP BY from_type
+    )
+    SELECT tr.from_type, tr.to_type, tr.n AS n_transitions,
+           CAST(tot.n_from AS BIGINT) AS n_from,
+           round(CAST(tr.n AS DOUBLE) / tot.n_from, 9) AS p
+    FROM tr JOIN tot USING (from_type)
+    """,
+    "temporal",
+    "window",
+    "markov",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | type) from lead() pairs ordered by (ts, event_id) —
+    the behavioral fingerprint behind next-action prediction and
+    anomaly scoring (a transition whose probability collapses between
+    snapshots flags instrumentation or bot changes).  One shuffle on
+    user_id for the lead window, one map-combined count over
+    (from, to) — state space is |event_type|², rows are corpus-sized
+    only in the window pass.  Deterministic tie order (ts, event_id)."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ensure_parallelism(ev).select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    tr = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n_transitions").cast("long").alias("n_from"))
+    return tr.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.round(F.col("n_transitions").cast("double") / F.col("n_from"), 9).alias("p"),
+    )

@@ -1699,3 +1699,86 @@ def text_topgram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_n(4).alias("mean_top4"),
         flag_n(4, 0.16).alias("flagged_top4"),
     )
+
+
+
+
+@workload(
+    "text_sentence_stats",
+    r"""
+    WITH sents AS (
+      SELECT doc_id, source,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                         s -> s <> '') AS ss
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, source, len(ss) AS n_sentences,
+             CASE WHEN len(ss) > 0 THEN
+               round(CAST(list_sum(list_transform(ss,
+                     s -> len(string_split_regex(s, '\s+')))) AS DOUBLE)
+                     / len(ss), 9)
+             END AS mean_sent_tokens
+      FROM sents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sentences) AS BIGINT) AS total_sentences,
+           round(CAST(SUM(CAST(n_sentences AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_sentences_per_doc,
+           round(CAST(SUM(CAST(COALESCE(round(mean_sent_tokens, 9), 0)
+                               AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_sentence_tokens
+    FROM per_doc GROUP BY source
+    """,
+    "text",
+    "segmentation",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation profile per source: regex sentence split on
+    [.!?]+ runs, per-document sentence count and mean sentence token
+    length, rolled up per source — the layout fingerprint separating
+    prose from logs/tables/code before chunking policies are chosen.
+    Map-only segmentation (split + transform + filter, no UDF), one
+    aggregate; the per-doc sentence mean folds through the 9-grid so
+    the source rollup is engine-exact."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    per_doc = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        F.size(ss).alias("n_sentences"),
+        F.when(
+            F.size(ss) > 0,
+            F.round(
+                F.aggregate(
+                    ss,
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + F.size(F.split(s, r"\s+")),
+                ).cast("double")
+                / F.size(ss),
+                9,
+            ),
+        ).alias("mean_sent_tokens"),
+    )
+    n = F.count(F.lit(1))
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_sentences").cast("long").alias("total_sentences"),
+        F.round(
+            F.sum(F.col("n_sentences").cast("decimal(28,9)")).cast("double") / n, 9
+        ).alias("mean_sentences_per_doc"),
+        F.round(
+            F.sum(
+                F.coalesce(F.round(F.col("mean_sent_tokens"), 9), F.lit(0)).cast(
+                    "decimal(28,9)"
+                )
+            ).cast("double")
+            / n,
+            9,
+        ).alias("mean_sentence_tokens"),
+    )

@@ -54,6 +54,8 @@ def main() -> None:
         samples = []
         for _ in range(REPS):
             spark.catalog.clearCache()
+            for _jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                _jrdd.unpersist(False)
             spark._jvm.System.gc()
             df = REGISTRY[name].fn(spark, SF_DIR)
             t0 = time.perf_counter()
