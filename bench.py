@@ -155,6 +155,8 @@ HEADLINE = [
     "market_basket_lift",
     "events_markov_transitions",
     "text_sentence_stats",
+    "text_code_detection",
+    "dedup_header_footer_boilerplate",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_hard_negatives,

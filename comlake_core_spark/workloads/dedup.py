@@ -1452,3 +1452,73 @@ def train_test_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+
+
+@workload(
+    "dedup_header_footer_boilerplate",
+    r"""
+    WITH hf AS (
+      SELECT doc_id, source,
+             md5(substring(text, 1, 80)) AS head_fp,
+             md5(substring(text, greatest(length(text) - 79, 1), 80)) AS tail_fp
+      FROM documents WHERE length(text) >= 80
+    ), heads AS (
+      SELECT head_fp, COUNT(*) AS c, COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) AS exemplar_doc
+      FROM hf GROUP BY head_fp HAVING COUNT(*) >= 2
+    ), tails AS (
+      SELECT tail_fp, COUNT(*) AS c, COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) AS exemplar_doc
+      FROM hf GROUP BY tail_fp HAVING COUNT(*) >= 2
+    )
+    SELECT 'head' AS kind, head_fp AS fp, c AS n_docs, n_sources, exemplar_doc
+    FROM heads
+    UNION ALL
+    SELECT 'tail' AS kind, tail_fp AS fp, c AS n_docs, n_sources, exemplar_doc
+    FROM tails
+    """,
+    "dedup",
+    "boilerplate",
+)
+def dedup_header_footer_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared header/footer detection: documents opening or closing with
+    the SAME 80-character window are template instances (site chrome,
+    license banners, scraper artifacts) — the cluster list feeding a
+    strip-boilerplate pass at the document edge, complementing
+    dedup_lines_corpus (interior lines) and boilerplate_strip_source
+    (per-source line frequency).  Map-only fingerprints + two
+    map-combined aggregates; the HAVING >= 2 cut keeps the result
+    cluster-sized, never corpus-sized."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = (
+        ensure_parallelism(docs)
+        .filter(F.length("text") >= 80)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.substring("text", 1, 80)).alias("head_fp"),
+            F.md5(
+                F.substring(
+                    "text", F.greatest(F.length("text") - 79, F.lit(1)).cast("int"), 80
+                )
+            ).alias("tail_fp"),
+        )
+    )
+
+    def clusters(col: str, kind: str) -> DataFrame:
+        return (
+            base.groupBy(F.col(col).alias("fp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("source").alias("n_sources"),
+                F.min("doc_id").alias("exemplar_doc"),
+            )
+            .filter(F.col("n_docs") >= 2)
+            .select(F.lit(kind).alias("kind"), "fp", "n_docs", "n_sources", "exemplar_doc")
+        )
+
+    return clusters("head_fp", "head").unionByName(clusters("tail_fp", "tail"))

@@ -1782,3 +1782,80 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_sentence_tokens"),
     )
+
+
+
+
+@workload(
+    "text_code_detection",
+    r"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             greatest(length(text), 1) AS tlen,
+             length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g'))
+               AS n_sym,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '^\s{3}'))) AS n_indent,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> trim(l) <> '')) AS n_lines
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             round(CAST(n_sym AS DOUBLE) / tlen, 9) AS sym_ratio,
+             CASE WHEN n_lines > 0
+                  THEN round(CAST(n_indent AS DOUBLE) / n_lines, 9)
+                  ELSE 0.0 END AS indent_ratio
+      FROM per_doc
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN sym_ratio > 0.03 AND indent_ratio > 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like,
+           round(CAST(SUM(CAST(sym_ratio AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_sym_ratio,
+           round(CAST(SUM(CAST(indent_ratio AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_indent_ratio
+    FROM scored GROUP BY source
+    """,
+    "text",
+    "quality",
+    "code-detection",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection heuristics per source: bracket/operator
+    symbol density and indented-line fraction — the cheap first-pass
+    router every mixed crawl runs before choosing tokenizers, dedup
+    policies, and quality filters (code and prose need different ones).
+    Map-only (regexp_replace length delta + line-list filters, no UDF),
+    one aggregate; all ratios fold through the 9-grid."""
+    from comlake_core_spark.session import ensure_parallelism
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tlen = F.greatest(F.length("text"), F.lit(1))
+    n_sym = F.length("text") - F.length(F.regexp_replace("text", r"[{}();=<>\[\]]", ""))
+    lines = F.split(F.col("text"), "\n")
+    n_indent = F.size(F.filter(lines, lambda l: l.rlike(r"^\s{3}")))
+    n_lines = F.size(F.filter(lines, lambda l: F.trim(l) != ""))
+    scored = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        F.round(n_sym.cast("double") / tlen, 9).alias("sym_ratio"),
+        F.when(n_lines > 0, F.round(n_indent.cast("double") / n_lines, 9))
+        .otherwise(F.lit(0.0))
+        .alias("indent_ratio"),
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum(
+            F.when((F.col("sym_ratio") > 0.03) & (F.col("indent_ratio") > 0.2), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_code_like"),
+        F.round(F.sum(F.col("sym_ratio").cast("decimal(28,9)")).cast("double") / n, 9).alias(
+            "mean_sym_ratio"
+        ),
+        F.round(
+            F.sum(F.col("indent_ratio").cast("decimal(28,9)")).cast("double") / n, 9
+        ).alias("mean_indent_ratio"),
+    )
