@@ -270,6 +270,27 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def reset_session_state(spark) -> None:
+    """Inter-rep isolation, shared with scripts/bench_reconcile.py so the
+    reconcile measurements run under the SAME session conditions as the
+    bench they reconcile (review r8 #6)."""
+    spark.catalog.clearCache()
+    # clearCache() drops CACHE TABLE / persist() blocks but NOT
+    # localCheckpoint RDDs — and the checkpoint-heavy workloads
+    # (DoReMi rounds, two-level IVF, connected components) each
+    # leave eagerly-materialized RDDs pinned until their Python
+    # DataFrame objects happen to be GC'd.  100 queries in, that
+    # residue is executor-memory pressure the next timing pays —
+    # the session-position effect BENCH_RECONCILE_r08.json
+    # measures (isolated medians 1.2-3.4x below same-code
+    # in-session medians).  Drop them explicitly.
+    for _jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        _jrdd.unpersist(False)
+    # collect the garbage the dropped cache blocks left behind
+    # now, not as a full-GC pause inside the next timing
+    spark._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -306,21 +327,7 @@ def main() -> None:
             # r4 "What's wrong" #3).  Order matters: clear the PREVIOUS
             # rep's cache blocks first, then rebuild the DataFrame so its
             # persist() markers are fresh and intact for the timed force.
-            spark.catalog.clearCache()
-            # clearCache() drops CACHE TABLE / persist() blocks but NOT
-            # localCheckpoint RDDs — and the checkpoint-heavy workloads
-            # (DoReMi rounds, two-level IVF, connected components) each
-            # leave eagerly-materialized RDDs pinned until their Python
-            # DataFrame objects happen to be GC'd.  100 queries in, that
-            # residue is executor-memory pressure the next timing pays —
-            # the session-position effect BENCH_RECONCILE_r08.json
-            # measures (isolated medians 1.2-3.4x below same-code
-            # in-session medians).  Drop them explicitly.
-            for _jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                _jrdd.unpersist(False)
-            # collect the garbage the dropped cache blocks left behind
-            # now, not as a full-GC pause inside the next timing
-            spark._jvm.System.gc()
+            reset_session_state(spark)
             df = REGISTRY[name].fn(spark, sf_dir)
             start = time.perf_counter()
             force(df)

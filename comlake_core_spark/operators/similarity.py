@@ -279,6 +279,7 @@ def ivf_topk(
     kmeans_quantize: int | None = None,
     assignment: str = "auto",
     coarse_probe: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose nearest centroid is
     among the query's n_probe closest centroids. refine_iters > 0 runs that
@@ -305,7 +306,14 @@ def ivf_topk(
     plan-shape decision, never a semantics one."""
     if assignment not in ("auto", "flat", "two_level"):
         raise ValueError(f"unknown assignment strategy {assignment!r}")
-    assignment = resolve_ivf_assignment(assignment, int(n_centroids), corpus.count)
+    # feed a KNOWN row count via n_rows to keep 'auto' count-free at
+    # 100 TB (review r8 #3); corpus.count only runs when n_centroids
+    # exceeds the small-codebook fast path AND no count was supplied
+    assignment = resolve_ivf_assignment(
+        assignment,
+        int(n_centroids),
+        (lambda: n_rows) if n_rows is not None else corpus.count,
+    )
     if refine_iters > 0:
         cents_df = kmeans_refine(
             corpus,
@@ -327,7 +335,12 @@ def ivf_topk(
         # full coarse probe — pinned by test_ivf_topk_two_level_equals_flat
         coarse_cb, fine, c1 = _two_level_parts(cents_df)
         cp = int(coarse_probe) if coarse_probe is not None else c1
-        cr = _two_level_ranked(corpus, coarse_cb, fine, 1, cp, vec_col, id_col)
+        # corpus side: single consumer, no self-join lineage issue (the
+        # query side below is checkpointed) — skip the corpus-sized
+        # materialization (review r8 #4)
+        cr = _two_level_ranked(
+            corpus, coarse_cb, fine, 1, cp, vec_col, id_col, checkpoint=False
+        )
         c_assigned = cr.filter(F.col("_rn") == 1).select(
             F.col("_id").alias("nbr_id"),
             F.col("_v").alias("_cv"),
@@ -869,6 +882,7 @@ def _two_level_ranked(
     coarse_probe: int,
     vec_col: str,
     id_col: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Rank each vector's fine-centroid candidates through the coarse
     route: O(n·sqrt(C)) coarse scoring inside codegen, equi-join to the
@@ -891,13 +905,18 @@ def _two_level_ranked(
         ).alias("_cs"),
     ).select("_id", "_v", (-F.col("_cs.ncid")).cast("int").alias("_coarse"))
     w = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("_fcid"))
-    return (
+    out = (
         cands.join(fine, "_coarse")
         .select("_id", "_v", "_fcid", dot(F.col("_v"), F.col("_fcvec")).alias("_sim"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max(int(n_top), 1))
-        .localCheckpoint(eager=True)  # one materialization feeds BOTH sides
     )
+    # checkpoint=True: one materialization feeds BOTH consumers (home AND
+    # probe in ivf_assign_two_level) and severs shared lineage for the
+    # downstream self-join.  Single-consumer corpus-side callers pass
+    # False — pinning a corpus-sized (id, vector) copy in block storage
+    # for one read is pure memory pressure (review r8 #4).
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def resolve_ivf_assignment(
@@ -934,6 +953,7 @@ def mutual_knn_graph(
     target_bucket_size: int | None = None,
     assignment: str = "auto",
     coarse_probe: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding column, filtered to
     MUTUAL edges (a is in b's top-k AND b is in a's top-k) — the standard
@@ -995,9 +1015,9 @@ def mutual_knn_graph(
         # codebook regime SCALING.md measures (36 s vs 406 s at 8× for a
         # fixed codebook). Costs one count() pass; at 100 TB feed the
         # table's known row count instead.
-        n_rows: int | None = None
         if target_bucket_size is not None:
-            n_rows = emb.count()
+            if n_rows is None:
+                n_rows = emb.count()
             n_centroids = max((n_rows + target_bucket_size - 1) // target_bucket_size, n_probe)
         # 'auto' (default since r8): corpus-scaled codebook ⇒ two-level,
         # fixed small codebook ⇒ flat; bit-identical either way with the

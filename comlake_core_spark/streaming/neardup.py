@@ -103,9 +103,11 @@ class StreamingNearDupIndex:
         original `_batch` id as a stored column, so the replay filter
         applies to them identically — compacting right after a crashed
         batch is safe.  Subdirs at or below the segment's absorbed
-        watermark, and subdirs WITHOUT a _SUCCESS marker (a write that
-        died mid-flight; possibly unreadable partial parquet), are crash
-        leftovers and are skipped — the replay rewrites the latter."""
+        watermark, and UNCOMMITTED subdirs (no `_COMLAKE_COMMITTED`
+        marker and no legacy `_SUCCESS`; a mid-flight write with
+        possibly unreadable partial parquet — see ``_committed``), are
+        crash leftovers and are skipped — the replay rewrites the
+        latter."""
         parts = []
         seg = self._segment_dir(path)
         upto = self._absorbed_upto(seg)
@@ -146,12 +148,23 @@ class StreamingNearDupIndex:
 
     @classmethod
     def _committed(cls, subdir: str) -> bool:
-        """A `_batch=` subdir counts only once apply_batch finished the
-        whole batch (our own marker).  A crash mid-write leaves partial
-        subdirs with no marker; absorbing one into the compacted segment
-        would advance the watermark past the batch and silently drop its
-        rewritten rows on replay (ADVICE r6 #1)."""
-        return os.path.exists(os.path.join(subdir, cls._COMMIT_MARKER))
+        """A `_batch=` subdir counts once apply_batch finished the whole
+        batch (our own marker) — OR, legacy fallback, once Spark's
+        `_SUCCESS` marker exists (indexes written before the
+        _COMLAKE_COMMITTED scheme carry only `_SUCCESS`, and their
+        checkpoints have advanced past those batches, so treating them
+        as uncommitted would hide the data from readers and let
+        compact() delete it permanently — review r8 #1).  The fallback
+        is safe in the crash windows too: a subdir bearing `_SUCCESS`
+        but no marker is a FULLY-written store whose batch will replay
+        bit-identically (deterministic writes), so absorbing or reading
+        it early changes nothing; a mid-flight partial write has
+        NEITHER file and stays invisible (ADVICE r6 #1).  Deployments
+        with marksuccessfuljobs=false simply never take the fallback —
+        the index's own marker gates everything (ADVICE r7 #2)."""
+        return os.path.exists(os.path.join(subdir, cls._COMMIT_MARKER)) or os.path.exists(
+            os.path.join(subdir, "_SUCCESS")
+        )
 
     @staticmethod
     def _segment_dir(path: str) -> str | None:

@@ -2090,9 +2090,10 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("part_a", "part_b", "support", "lift")
-    )
+    # top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a row_number window, whose empty
+    # partitionBy would funnel every surviving pair through one task
+    # (review r8 #2)
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)

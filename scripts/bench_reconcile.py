@@ -10,6 +10,10 @@ matches the r6 BENCH_DETAIL ratio, the r5→r6 raw delta was session
 drift (the canary moved too); if the isolated ratio reproduces the raw
 regression, it is a real plan change to chase.
 
+Shares force()/reset_session_state() and the family→canary mapping with
+bench.py (review r8 #6) so the two measurements run under identical
+session conditions.
+
 Writes BENCH_RECONCILE_r08.json (committed artifact — COVERAGE.md cites
 it).
 """
@@ -23,23 +27,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import FAMILY_CANARY, force, reset_session_state
 from comlake_core_spark.session import get_spark
 from comlake_core_spark.workloads import REGISTRY
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = 4
 
-# suspect → its family canary (bench.py FAMILY_CANARY via first tag)
-PAIRS = [
-    ("events_burst_detection", "events_sessionize"),
-    ("hybrid_search_rrf", "ann_ivf_topk"),
-    ("sparse_cosine_topk_docs", "ann_ivf_topk"),
-    ("embedding_centroid_drift", "ann_ivf_topk"),
+SUSPECTS = [
+    "events_burst_detection",
+    "hybrid_search_rrf",
+    "sparse_cosine_topk_docs",
+    "embedding_centroid_drift",
 ]
-
-
-def force(df) -> None:
-    df.write.mode("overwrite").format("noop").save()
+# suspect → its family canary, derived from the SAME first-tag mapping
+# bench.py uses — no second hand-maintained copy
+PAIRS = [(s, FAMILY_CANARY[REGISTRY[s].tags[0]]) for s in SUSPECTS]
 
 
 def main() -> None:
@@ -53,10 +56,7 @@ def main() -> None:
     def med(name: str) -> tuple[float, list[float]]:
         samples = []
         for _ in range(REPS):
-            spark.catalog.clearCache()
-            for _jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                _jrdd.unpersist(False)
-            spark._jvm.System.gc()
+            reset_session_state(spark)
             df = REGISTRY[name].fn(spark, SF_DIR)
             t0 = time.perf_counter()
             force(df)

@@ -194,6 +194,9 @@ def test_compact_never_absorbs_uncommitted_batch(spark, corpus, tmp_path):
     for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
         sub = os.path.join(path, "_batch=2")
         os.remove(os.path.join(sub, StreamingNearDupIndex._COMMIT_MARKER))
+        s = os.path.join(sub, "_SUCCESS")
+        if os.path.exists(s):  # a TRUE partial write has neither file
+            os.remove(s)
     for e in os.listdir(os.path.join(idx._bands_dir, "_batch=2")):
         if e.endswith(".parquet"):
             with open(os.path.join(idx._bands_dir, "_batch=2", e), "wb") as f:
@@ -253,6 +256,9 @@ def test_compact_with_only_uncommitted_subdirs(spark, corpus, tmp_path):
     idx.apply_batch(b1, batch_id=0)
     for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
         os.remove(os.path.join(path, "_batch=0", StreamingNearDupIndex._COMMIT_MARKER))
+        s = os.path.join(path, "_batch=0", "_SUCCESS")
+        if os.path.exists(s):
+            os.remove(s)
 
     idx.compact(spark)  # must not raise IndexError
 
@@ -278,6 +284,27 @@ def test_committed_without_spark_success_marker(spark, corpus, tmp_path):
     assert idx.indexed_ids(spark).count() == b1.count()
     idx.compact(spark)  # absorbs, does not delete
     assert idx.indexed_ids(spark).count() == b1.count()
+
+
+def test_legacy_success_only_subdirs_stay_visible(spark, corpus, tmp_path):
+    """Review r8 #1: an index written BEFORE the _COMLAKE_COMMITTED
+    scheme has _SUCCESS-bearing, marker-less subdirs whose batches will
+    never replay (the checkpoint advanced).  Readers must keep serving
+    them and compact() must absorb — not delete — them."""
+    idx = StreamingNearDupIndex(str(tmp_path / "index"), threshold=0.5)
+    b1 = corpus.filter(F.col("doc_id") < 10)
+    idx.apply_batch(b1, batch_id=0)
+    # regress the on-disk layout to the legacy scheme
+    for path in (idx._bands_dir, idx._shingles_dir, idx._pairs_dir):
+        sub = os.path.join(path, "_batch=0")
+        os.remove(os.path.join(sub, StreamingNearDupIndex._COMMIT_MARKER))
+        assert os.path.exists(os.path.join(sub, "_SUCCESS"))
+    assert idx.indexed_ids(spark).count() == b1.count()
+    idx.compact(spark)  # absorbs the legacy batch
+    assert idx.indexed_ids(spark).count() == b1.count()
+    from comlake_core_spark.streaming.neardup import StreamingNearDupIndex as S
+
+    assert S._absorbed_upto(S._segment_dir(idx._shingles_dir)) == 0
 
 
 def test_string_doc_ids_supported(spark, tmp_path):
