@@ -157,6 +157,7 @@ HEADLINE = [
     "text_sentence_stats",
     "text_code_detection",
     "dedup_header_footer_boilerplate",
+    "ann_ivf2_topk",
 ]
 # Deliberately NOT in the headline set: the exact/quadratic graph builds
 # (embedding_knn_graph, embedding_hard_negatives,

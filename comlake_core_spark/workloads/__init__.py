@@ -307,6 +307,7 @@ _REGISTRATION_ORDER: list[str] = [
     "text_sentence_stats",
     "text_code_detection",
     "dedup_header_footer_boilerplate",
+    "ann_ivf2_topk",
 ]
 
 _snap = dict(REGISTRY)
@@ -415,15 +416,15 @@ del _snap, _n
 #          unimportable: CORRECTNESS_r07.json is empty, BENCH_r07 rc=1.
 #          No driver evidence was produced; cumulative stays 222/222.
 #   r8:    registration repaired (the five names appended above).  Window
-#          = 10 family sentinels + the 5 r7-staged names + the 11 r8
+#          = 10 family sentinels + the 5 r7-staged names + the 12 r8
 #          registrations (pretrain_pipeline_v2, dedup_containment_prefix,
 #          text_topgram_char_fraction, train_test_ngram_leakage,
 #          embedding_norm_health, asof_next_view_after_purchase,
 #          market_basket_lift, events_markov_transitions,
 #          text_sentence_stats, text_code_detection,
-#          dedup_header_footer_boilerplate) + re-greens from the r6 window filling
+#          dedup_header_footer_boilerplate, ann_ivf2_topk) + re-greens from the r6 window filling
 #          remaining slots.  Together those are the
-#          16 never-driver-seen post-window additions as of this rotation
+#          17 never-driver-seen post-window additions as of this rotation
 #          — ALL of them are IN the window, so a green round closes the
 #          evidence gap again (cumulative 222 driver-verified + the
 #          window first-timers).
@@ -465,6 +466,7 @@ DRIVER_WINDOW: list[str] = [
     "text_sentence_stats",
     "text_code_detection",
     "dedup_header_footer_boilerplate",
+    "ann_ivf2_topk",
     # -- r6-green re-fills (displaced one-for-one by new r8 workloads) --
     "jaccard_topk_similar_docs",
     "embedding_knn_graph_ivf",
@@ -489,7 +491,6 @@ DRIVER_WINDOW: list[str] = [
     "minhash_estimate_calibration",
     "kmv_join_cardinality",
     "zorder_pruning_audit",
-    "quality_calibration_bins",
 ]
 
 

@@ -1310,3 +1310,101 @@ def embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_nrm") > 1.1, 1).otherwise(0)).cast("double") / n, 9
         ).alias("frac_high"),
     )
+
+
+
+
+@workload(
+    "ann_ivf2_topk",
+    r"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), k_ AS (
+      SELECT GREATEST(CAST(ceil(COUNT(*) / 32.0) AS BIGINT), 8) AS n_cent FROM c
+    ), cent AS (
+      SELECT cid, cv FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid, cv
+        FROM c
+      ) CROSS JOIN k_ WHERE cid <= k_.n_cent
+    ), c1_ AS (
+      SELECT CAST(ceil(sqrt(n_cent)) AS BIGINT) AS c1 FROM k_
+    ), coarse AS (
+      SELECT ccid, list_transform(ccv, x -> x / sqrt(list_dot_product(ccv, ccv))) AS ccvec
+      FROM (
+        SELECT cid AS ccid, cv AS ccv,
+               row_number() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS crn
+        FROM cent
+      ) CROSS JOIN c1_ WHERE crn <= c1_.c1
+    ), centu AS (
+      SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvec, cv
+      FROM cent
+    ), fine AS (
+      SELECT cid, cvec, ccid AS coarse FROM (
+        SELECT centu.cid, centu.cvec, coarse.ccid, row_number() OVER (
+          PARTITION BY centu.cid
+          ORDER BY list_dot_product(centu.cv, coarse.ccvec) DESC, coarse.ccid ASC) AS rn
+        FROM centu CROSS JOIN coarse
+      ) WHERE rn = 1
+    ), vprobe AS (
+      SELECT vec_id, cv, ccid AS coarse FROM (
+        SELECT c.vec_id, c.cv, coarse.ccid, row_number() OVER (
+          PARTITION BY c.vec_id
+          ORDER BY list_dot_product(c.cv, coarse.ccvec) DESC, coarse.ccid ASC) AS rn
+        FROM c CROSS JOIN coarse
+      ) WHERE rn <= 4
+    ), ranked AS (
+      SELECT vec_id, cv, cid, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY list_dot_product(cv, cvec) DESC, cid ASC) AS rn
+      FROM vprobe JOIN fine USING (coarse)
+    ), home AS (
+      SELECT vec_id AS nbr_id, cv, cid AS bucket FROM ranked WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, cv AS qv, cid AS bucket
+      FROM ranked WHERE rn <= 8 AND vec_id % 7 = 0
+    ), scored AS (
+      SELECT query_id, nbr_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM home JOIN probe USING (bucket)
+    )
+    SELECT query_id, nbr_id, cosine, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    "similarity",
+    "ann",
+    "two-level",
+)
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk's TWO-LEVEL route under the driver gate (r8): approximate
+    top-5 for every 7th vector with a corpus-scaled codebook
+    (n_centroids = max(ceil(n/32), 8)) through the coarse→fine hierarchy
+    — the assignment 'auto' selects at exactly this codebook regime (and
+    what a 100 TB ANN lookup actually plans).  The fine codebook stays a
+    joined DataFrame; the coarse literal is O(sqrt(C)).  The oracle
+    re-derives the coarse pick, fine routing, 4-bucket coarse probe,
+    8-bucket fine probe, and the per-query top-5, so the scale path is
+    value-hash-gated end to end — alongside the coarse_probe=None ≡ flat
+    bitwise pin in tests/test_r8_ivf_auto.py.  See
+    operators/similarity.ivf_topk(assignment='two_level')."""
+    from comlake_core_spark.operators.similarity import ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") % 7 == 0
+    )
+    return ivf_topk(
+        emb,
+        queries,
+        k=5,
+        n_centroids=max((n + 31) // 32, 8),
+        n_probe=8,
+        seed_hasher="md5",
+        assignment="two_level",
+        coarse_probe=4,
+        n_rows=n,
+    )
