@@ -124,12 +124,33 @@ def _make_worker_handler(store: LocalStore, snap: SnapshotReader, primary_port: 
             try:
                 conn.request(self.command, self.path, body or None, headers)
                 resp = conn.getresponse()
-                payload = resp.read()
                 status = resp.status
                 rtype = resp.getheader("Content-Type", "application/json")
+                chunked = resp.getheader("Content-Length") is None
+                if not chunked:
+                    payload = resp.read()
             except (ConnectionError, http.client.HTTPException, OSError):
                 proxy_local.conn = None
                 return self._send(502, {"error": "primary unavailable"})
+            if chunked:
+                # streamed upstream (e.g. /extract): relay in bounded
+                # chunks — the worker must not re-buffer what the primary
+                # deliberately streamed
+                self.send_response(status)
+                self.send_header("Content-Type", rtype)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    while True:
+                        piece = resp.read(65536)
+                        if not piece:
+                            break
+                        self.wfile.write(b"%x\r\n%s\r\n" % (len(piece), piece))
+                    self.wfile.write(b"0\r\n\r\n")
+                except (ConnectionError, http.client.HTTPException, OSError):
+                    proxy_local.conn = None
+                    self.close_connection = True
+                return
             self.send_response(status)
             self.send_header("Content-Type", rtype)
             self.send_header("Content-Length", str(len(payload)))

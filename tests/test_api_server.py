@@ -334,3 +334,73 @@ def test_snapshot_cap_falls_back_to_spark_path(spark, tmp_path):
     assert status2 == 200
     assert sorted(h["cid"] for h in hits2) == sorted(h["cid"] for h in hits)
     assert isinstance(srv._find_snap, list) and export.exists()
+
+
+# ---------------------------------------------------------------------------
+# /extract streaming (VERDICT r8 #1): results leave over chunked transfer
+# encoding row-by-row, never a driver-side collect
+# ---------------------------------------------------------------------------
+
+
+def test_extract_streams_chunked_without_collect(server):
+    """A large extract arrives chunked, parses to the full result, and the
+    engine path returns a RowStream (iterator), proving nothing collected
+    the result on the driver."""
+    import io
+
+    from comlake_core_spark.server import RowStream
+
+    n = 50_000
+    buf = io.StringIO()
+    buf.write("k,v\n")
+    for i in range(n):
+        buf.write(f"{i},{'x' * 40}\n")
+    body = buf.getvalue().encode()
+    status, doc = jcall(server, "POST", "/file", body, content_type="text/csv")
+    assert status == 200
+    cid = doc["cid"]
+
+    # engine level: success payload is a stream, not a list
+    status, payload = server.op_extract(cid, ["~", [".", ["$"], "k"], ".*"])
+    assert status == 200 and isinstance(payload, RowStream)
+    assert sum(1 for _ in payload.rows) == n
+
+    # HTTP level: chunked framing, full fidelity
+    ast = json.dumps(["~", [".", ["$"], "k"], ".*"]).encode()
+    url = f"http://127.0.0.1:{server.port}/extract/{cid}"
+    req = urllib.request.Request(url, data=ast, method="POST")
+    req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        assert resp.headers.get("Content-Length") is None
+        rows = json.load(resp)
+    assert len(rows) == n
+    assert rows[0].keys() == {"k", "v"}
+    assert {r["k"] for r in rows} == {str(i) for i in range(n)}
+
+
+def test_extract_empty_result_streams_valid_json(server, cids):
+    ast = json.dumps(["==", [".", ["$"], "country_name"], "Atlantis"]).encode()
+    status, rows = jcall(server, "POST", f"/extract/{cids['csv']}", ast)
+    assert status == 200 and rows == []
+
+
+def test_extract_max_rows_cap(spark, tmp_path):
+    """The optional cap (symmetrical to snapshot_max_rows) bounds both the
+    response and the Spark job via .limit."""
+    srv = ComlakeServer(
+        spark,
+        LocalStore(str(tmp_path / "cas")),
+        Catalog(spark, str(tmp_path / "cat")),
+        port=0,
+        extract_max_rows=5,
+    )
+    body = b"a\n" + b"".join(b"%d\n" % i for i in range(100))
+    import io as _io
+
+    cid = srv.store.add(_io.BytesIO(body))
+    srv.catalog.upsert_content(cid, "text/csv")
+    status, payload = srv.op_extract(cid, True)
+    assert status == 200
+    assert sum(1 for _ in payload.rows) == 5
