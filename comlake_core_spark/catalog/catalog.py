@@ -181,35 +181,13 @@ class Catalog:
 
     def _current_pointer(self, table: str) -> tuple[int, str | None]:
         """(version, version_dir) of the newest committed snapshot;
-        (-1, None) for an empty catalog."""
-        import re
+        (-1, None) for an empty catalog.  The reader logic lives in the
+        Spark-free pointer module so serving-tier workers and the DuckDB
+        /find fallback share it (listdir→open vacuum-race handling
+        included; ADVICE r4, catalog.py:182)."""
+        from comlake_core_spark.catalog.pointer import current_pointer
 
-        pat = re.compile(rf"^{re.escape(table)}\.current\.v(\d+)$")
-        # listdir→open races a concurrent process's vacuum(): the token we
-        # picked can be unlinked between the scan and the read (the other
-        # process already committed vN+1 and retained only that).  A pure
-        # read must never fail on that — re-scan; the newest token always
-        # survives vacuum, so this terminates (ADVICE r4, catalog.py:182).
-        for _attempt in range(8):
-            best = -1
-            for name in os.listdir(self.root):
-                m = pat.match(name)
-                if m:
-                    best = max(best, int(m.group(1)))
-            if best < 0:
-                break
-            try:
-                with open(self._token(table, best)) as f:
-                    return best, f.read().strip()
-            except FileNotFoundError:
-                continue
-        # legacy single-pointer layout (pre-CAS catalogs)
-        legacy = os.path.join(self.root, f"{table}.current")
-        if os.path.exists(legacy):
-            with open(legacy) as f:
-                version_dir = f.read().strip()
-            return int(os.path.basename(version_dir).split("-v")[-1]), version_dir
-        return -1, None
+        return current_pointer(self.root, table)
 
     def _read(self, table: str, schema: T.StructType) -> DataFrame:
         _ver, version_dir = self._current_pointer(table)

@@ -106,6 +106,33 @@ def _coerce_num(v: Any) -> Any:
 RowFn = Callable[[dict], Any]
 
 
+#: (minimum, exact) operand counts, mirroring the compiler's _check_arity
+#: calls — checked at COMPILE time (once per request), so the hot loop
+#: stays arity-check-free.  Without these, a wrong-arity AST the compiler
+#: 400s would silently evaluate here (e.g. ["%", a, b, c] dropped its
+#: third operand), splitting the snapshot path from the Spark path.
+_ARITY: dict[str, tuple[int, int | None]] = {
+    "$": (0, 0),
+    ".": (2, None),
+    "~": (2, 2),
+    "+": (1, None),
+    "-": (1, None),
+    "*": (1, None),
+    "/": (1, None),
+    "%": (2, 2),
+    "==": (2, None),
+    "!=": (2, None),
+    ">": (2, None),
+    ">=": (2, None),
+    "<": (2, None),
+    "<=": (2, None),
+    "&&": (2, 2),
+    "&": (1, None),
+    "|": (1, None),
+    "!": (1, 1),
+}
+
+
 def compile_eval(ast: Any, regex_mode: str = "full") -> RowFn:
     """Stage the AST into a row→value closure (compile once, run per row)."""
 
@@ -118,7 +145,13 @@ def compile_eval(ast: Any, regex_mode: str = "full") -> RowFn:
         if not isinstance(head, str) or head not in _COMPILERS:
             elems = [comp(e) for e in node]
             return lambda row: [e(row) for e in elems]
-        return _COMPILERS[head](node[1:], comp, regex_mode)
+        minimum, exact = _ARITY[head]
+        args = node[1:]
+        if exact is not None and len(args) != exact:
+            raise QastError(f"operator {head!r} expects exactly {exact} operands, got {len(args)}")
+        if len(args) < minimum:
+            raise QastError(f"operator {head!r} expects at least {minimum} operands, got {len(args)}")
+        return _COMPILERS[head](args, comp, regex_mode)
 
     return comp(ast)
 

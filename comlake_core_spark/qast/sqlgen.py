@@ -3,11 +3,14 @@
 The reference compiled qast to a PostgreSQL WHERE string as its production
 SQL backend (reference src/comlake/core/qast.clj:52-65). This engine
 executes ONLY through the Spark compiler (qast/compiler.py); this renderer
-exists as the third independent implementation for divergence testing —
+exists (a) as the third independent implementation for divergence testing —
 tests/test_qast_duckdb_fuzz.py runs randomized ASTs through the Spark
 compiler, the Python interpreter (qast/interp.py) AND DuckDB, the
-sqllogictest-style cross-engine strategy. Three implementations can't
-share a bug by copy-paste.
+sqllogictest-style cross-engine strategy; three implementations can't
+share a bug by copy-paste — and (b) as the serving layer's /find fallback
+executor: predicates the driver-resident snapshot can't serve render here
+and run in DuckDB over the catalog's parquet snapshot instead of paying a
+Spark job per request (VERDICT r8 "Next round" #2; see findsql.py).
 
 Semantics are pinned to the compiler's documented choices (see
 qast/compiler.py's module docstring): Kleene AND comparison chains
@@ -16,7 +19,11 @@ lattice (nil→false, 0/"" truthy); `/` as double division; `%` keeping
 the dividend's sign (DuckDB's `%` already does); `+` dispatching to
 `||` for all-string / all-array operands (SQL `||` null-propagates
 exactly like Spark concat); `~` as regexp_full_match / regexp_matches
-per regex mode.
+per regex mode; UNKNOWN-kind operands (dynamic extras fields,
+JSON-extracted values — strings at runtime) coerce into arithmetic and
+numeric comparisons via TRY_CAST(x AS DOUBLE), mirroring the compiler's
+``_num_view`` / ``_chain`` try_cast semantics exactly (malformed→NULL,
+never an error).
 
 Dialect notes (why this targets DuckDB, not every engine):
 - list literals render as [a, b, ...] and `&&` as list_has_any();
@@ -26,11 +33,15 @@ Dialect notes (why this targets DuckDB, not every engine):
 - division by zero: DuckDB raises where Spark yields NULL, so `/`
   renders with a NULLIF(divisor, 0) guard to pin the compiler's
   null-on-zero semantics.
+
+The optional ``dynamic`` hook maps a top-level field name that is NOT in
+``kinds`` to a SQL expression (the /find fallback passes the merged
+extras-map lookup); without it, unknown fields render as NULL (the
+reference's row-map ``get`` returns nil for absent keys, qast.clj:93-96).
 """
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Any, Callable
 
 from comlake_core_spark.qast.compiler import QastError
@@ -53,16 +64,29 @@ class _S:
         self.kind = kind
 
 
+class _Ctx:
+    __slots__ = ("kinds", "mode", "dynamic")
+
+    def __init__(self, kinds, mode, dynamic):
+        self.kinds = kinds
+        self.mode = mode
+        self.dynamic = dynamic
+
+
 def qast_to_sql(
-    ast: Any, kinds: dict[str, str] | None = None, regex_mode: str = "full"
+    ast: Any,
+    kinds: dict[str, str] | None = None,
+    regex_mode: str = "full",
+    dynamic: Callable[[str], str] | None = None,
 ) -> str:
     """Render a qast expression as a SQL expression string.
 
     `kinds` maps top-level field names to 'bool'|'num'|'str'|'arr' — the
-    same type knowledge default_resolver extracts from a Spark schema;
-    unknown/missing fields render as NULL (the reference's row-map `get`
-    returns nil for absent keys, qast.clj:93-96)."""
-    s = _render(ast, kinds or {}, regex_mode)
+    same type knowledge default_resolver extracts from a Spark schema.
+    `dynamic`, when given, renders fields missing from `kinds` (they get
+    kind UNKNOWN: string-or-null at runtime, like the compiler's extras
+    resolution); otherwise unknown fields render as NULL."""
+    s = _render(ast, _Ctx(kinds or {}, regex_mode, dynamic))
     if isinstance(s, _Root):
         raise QastError('bare ["$"] is not a complete expression')
     return s.sql
@@ -102,64 +126,85 @@ def _truthy(s: _S) -> str:
     )
 
 
-def _render(ast: Any, kinds: dict[str, str], mode: str) -> _S | _Root:
+def _num_view(t: _S) -> str:
+    """Numeric view of an operand — the renderer's form of the compiler's
+    ``_num_view`` (compiler.py:166): UNKNOWN-kind subexpressions coerce
+    via TRY_CAST(double) with malformed→NULL; typed operands pass
+    through."""
+    return f"TRY_CAST({t.sql} AS DOUBLE)" if t.kind == _UNKNOWN else t.sql
+
+
+def _render(ast: Any, ctx: _Ctx) -> _S | _Root:
     if not isinstance(ast, list):
         return _lit(ast)
     if not ast:
         raise QastError("empty array is not a valid expression")
     head = ast[0]
     if not isinstance(head, str) or head not in _OPS:
-        elems = [_render(e, kinds, mode) for e in ast]
+        elems = [_render(e, ctx) for e in ast]
         if any(isinstance(e, _Root) for e in elems):
             raise QastError('["$"] cannot appear inside an array literal')
         return _S("[" + ", ".join(e.sql for e in elems) + "]", _ARR)
-    return _OPS[head](ast[1:], kinds, mode)
+    return _OPS[head](ast[1:], ctx)
 
 
-def _args(args: list[Any], kinds: dict[str, str], mode: str) -> list[_S]:
+def _args(args: list[Any], ctx: _Ctx) -> list[_S]:
     out = []
     for a in args:
-        s = _render(a, kinds, mode)
+        s = _render(a, ctx)
         if isinstance(s, _Root):
             raise QastError('["$"] is only valid as the first operand of "."')
         out.append(s)
     return out
 
 
-def _op_root(args, kinds, mode):
+def _op_root(args, ctx):
     if args:
         raise QastError('operator "$" expects exactly 0 operands')
     return _ROOT
 
 
-def _op_field(args, kinds, mode):
+def _op_field(args, ctx):
     if len(args) < 2:
         raise QastError('operator "." expects at least 2 operands')
-    base = _render(args[0], kinds, mode)
+    base = _render(args[0], ctx)
     path = args[1:]
     if not all(isinstance(p, str) for p in path):
         raise QastError("field path components must be strings")
     if isinstance(base, _Root):
         head, *rest = path
-        if head not in kinds:
-            return _S("NULL", _UNKNOWN)
+        if head not in ctx.kinds:
+            if ctx.dynamic is None:
+                return _S("NULL", _UNKNOWN)
+            base_sql = ctx.dynamic(head)
+            if not rest:
+                return _S(base_sql, _UNKNOWN)
+            return _S(_json_path(base_sql, rest), _UNKNOWN)
         if not rest:
-            return _S(_quote_ident(head), kinds[head])
-        if kinds[head] == _STR:
-            jpath = "$." + ".".join(rest)
-            return _S(
-                f"json_extract_string({_quote_ident(head)}, {_quote_str(jpath)})",
-                _UNKNOWN,
-            )
+            return _S(_quote_ident(head), ctx.kinds[head])
+        if ctx.kinds[head] == _STR:
+            return _S(_json_path(_quote_ident(head), rest), _UNKNOWN)
         raise QastError("sqlgen supports nested paths only into string (JSON) columns")
     raise QastError("sqlgen supports field access only from the row root")
 
 
-def _op_regex(args, kinds, mode):
+def _json_path(base_sql: str, rest: list[str]) -> str:
+    """Nested traversal into a JSON string, pinned to Spark's
+    get_json_object: invalid JSON yields NULL (DuckDB's json_extract
+    would raise), absent keys yield NULL, string/number/bool leaves
+    render unquoted, object/array leaves render as JSON text."""
+    jpath = _quote_str("$." + ".".join(rest))
+    return (
+        f"(CASE WHEN json_valid({base_sql}) "
+        f"THEN json_extract_string({base_sql}, {jpath}) END)"
+    )
+
+
+def _op_regex(args, ctx):
     if len(args) != 2 or not isinstance(args[1], str):
         raise QastError("~ expects (expr, string-literal pattern)")
-    (s,) = _args(args[:1], kinds, mode)
-    fn = "regexp_full_match" if mode == "full" else "regexp_matches"
+    (s,) = _args(args[:1], ctx)
+    fn = "regexp_full_match" if ctx.mode == "full" else "regexp_matches"
     return _S(f"{fn}({s.sql}, {_quote_str(args[1])})", _BOOL)
 
 
@@ -167,78 +212,94 @@ def _fold(op: str, parts: list[str]) -> str:
     return "(" + f" {op} ".join(parts) + ")"
 
 
-def _op_add(args, kinds, mode):
-    ts = _args(args, kinds, mode)
+def _op_add(args, ctx):
+    ts = _args(args, ctx)
     if not ts:
         raise QastError('operator "+" expects at least 1 operand')
     kset = {t.kind for t in ts}
     if kset == {_STR} or kset == {_ARR}:
         return _S(_fold("||", [t.sql for t in ts]), ts[0].kind)
-    return _S(_fold("+", [t.sql for t in ts]), _NUM)
+    return _S(_fold("+", [_num_view(t) for t in ts]), _NUM)
 
 
-def _op_sub(args, kinds, mode):
-    ts = _args(args, kinds, mode)
+def _op_sub(args, ctx):
+    ts = _args(args, ctx)
     if not ts:
         raise QastError('operator "-" expects at least 1 operand')
     if len(ts) == 1:
-        return _S(f"(- {ts[0].sql})", _NUM)
-    return _S(_fold("-", [t.sql for t in ts]), _NUM)
+        return _S(f"(- {_num_view(ts[0])})", _NUM)
+    return _S(_fold("-", [_num_view(t) for t in ts]), _NUM)
 
 
-def _op_mul(args, kinds, mode):
-    ts = _args(args, kinds, mode)
+def _op_mul(args, ctx):
+    ts = _args(args, ctx)
     if not ts:
         raise QastError('operator "*" expects at least 1 operand')
-    return _S(_fold("*", [t.sql for t in ts]), _NUM)
+    return _S(_fold("*", [_num_view(t) for t in ts]), _NUM)
 
 
-def _op_div(args, kinds, mode):
-    ts = _args(args, kinds, mode)
+def _op_div(args, ctx):
+    ts = _args(args, ctx)
     if not ts:
         raise QastError('operator "/" expects at least 1 operand')
     if len(ts) == 1:
         ts = [_S("1.0", _NUM), ts[0]]
-    # NULLIF pins Spark's null-on-divide-by-zero (DuckDB would raise)
-    sql = f"CAST({ts[0].sql} AS DOUBLE)"
+    # NULLIF pins Spark's null-on-divide-by-zero (DuckDB would raise);
+    # UNKNOWN operands TRY_CAST first (malformed→NULL, like try_divide
+    # over _num_view in the compiler)
+    sql = f"CAST({_num_view(ts[0])} AS DOUBLE)"
     for t in ts[1:]:
-        sql = f"({sql} / NULLIF(CAST({t.sql} AS DOUBLE), 0.0))"
+        sql = f"({sql} / NULLIF(CAST({_num_view(t)} AS DOUBLE), 0.0))"
     return _S(sql, _NUM)
 
 
-def _op_mod(args, kinds, mode):
+def _op_mod(args, ctx):
     if len(args) != 2:
         raise QastError('operator "%" expects exactly 2 operands')
-    a, b = _args(args, kinds, mode)
-    return _S(f"({a.sql} % NULLIF({b.sql}, 0))", _NUM)
+    a, b = _args(args, ctx)
+    return _S(f"({_num_view(a)} % NULLIF({_num_view(b)}, 0))", _NUM)
 
 
 def _chain(op: str):
-    def impl(args, kinds, mode):
+    def impl(args, ctx):
         if len(args) < 2:
             raise QastError(f"operator {op!r} expects at least 2 operands")
-        ts = _args(args, kinds, mode)
-        pairs = [f"({a.sql} {op} {b.sql})" for a, b in zip(ts, ts[1:])]
+        ts = _args(args, ctx)
+
+        def pair(a: _S, b: _S) -> str:
+            # compiler._chain parity: an UNKNOWN side compared against a
+            # known-numeric side takes the try_cast(double) coercion
+            # (string→double, malformed→NULL→pair NULL); UNKNOWN-vs-string
+            # and UNKNOWN-vs-UNKNOWN compare as strings (both are VARCHAR
+            # at runtime here)
+            sa, sb = a.sql, b.sql
+            if a.kind == _UNKNOWN and b.kind == _NUM:
+                sa = f"TRY_CAST({sa} AS DOUBLE)"
+            elif b.kind == _UNKNOWN and a.kind == _NUM:
+                sb = f"TRY_CAST({sb} AS DOUBLE)"
+            return f"({sa} {op} {sb})"
+
+        pairs = [pair(a, b) for a, b in zip(ts, ts[1:])]
         return _S(_fold("AND", pairs) if len(pairs) > 1 else pairs[0], _BOOL)
 
     return impl
 
 
-def _op_ne(args, kinds, mode):
-    eq = _chain("=")(args, kinds, mode)
+def _op_ne(args, ctx):
+    eq = _chain("=")(args, ctx)
     return _S(f"(NOT {eq.sql})", _BOOL)
 
 
-def _op_overlap(args, kinds, mode):
+def _op_overlap(args, ctx):
     if len(args) != 2:
         raise QastError('operator "&&" expects exactly 2 operands')
-    a, b = _args(args, kinds, mode)
+    a, b = _args(args, ctx)
     return _S(f"list_has_any({a.sql}, {b.sql})", _BOOL)
 
 
 def _logical(op: str):
-    def impl(args, kinds, mode):
-        ts = _args(args, kinds, mode)
+    def impl(args, ctx):
+        ts = _args(args, ctx)
         if not ts:
             raise QastError(f"operator expects at least 1 operand")
         return _S(_fold(op, [_truthy(t) for t in ts]), _BOOL)
@@ -246,10 +307,10 @@ def _logical(op: str):
     return impl
 
 
-def _op_not(args, kinds, mode):
+def _op_not(args, ctx):
     if len(args) != 1:
         raise QastError('operator "!" expects exactly 1 operand')
-    (t,) = _args(args, kinds, mode)
+    (t,) = _args(args, ctx)
     return _S(f"(NOT {_truthy(t)})", _BOOL)
 
 

@@ -197,6 +197,114 @@ def snapshot_safe(ast: Any) -> bool:
     return False  # unknown heads → Spark path
 
 
+def _node_kind_dd(node: Any) -> str:
+    """Relaxed static kind for the DuckDB fallback gate: like _node_kind,
+    but (a) multi-segment paths whose base is a fixed STRING column or a
+    dynamic extras field are kind 'e' (the compiler renders both as
+    get_json_object → string-or-null, which the DuckDB renderer mirrors
+    with json_extract_string), and (b) arithmetic over {'n','0','e'}
+    operands is kind 'n' (both engines take the try_cast-double view of
+    'e' operands)."""
+    if isinstance(node, list) and node and not _is_array_literal(node):
+        head = node[0]
+        if head == "." and len(node) >= 3 and node[1] == ["$"]:
+            if not all(isinstance(p, str) for p in node[2:]):
+                return "u"
+            if len(node) == 3:
+                return _FIXED_KINDS.get(node[2], "e")
+            # multi-segment: JSON traversal of a dynamic extras value
+            # (catalog.find's resolver get_json_objects those); a FIXED
+            # base stays 'u' — the Spark path getItems it, which errors
+            # on scalar columns (the reference's PG `->` on text errors
+            # identically), so it is not this tier's to serve
+            return "u" if node[2] in _FIXED_KINDS else "e"
+        if head in ("-", "*", "/", "%"):
+            ks = {_node_kind_dd(a) for a in node[1:]} - {"0"}
+            return "n" if ks <= {"n", "e"} else "u"
+        if head == "+":
+            ks = {_node_kind_dd(a) for a in node[1:]} - {"0"}
+            if ks == {"s"}:
+                return "s"
+            if ks == {"a"}:
+                return "a"
+            return "n" if ks <= {"n", "e"} else "u"
+    return _node_kind(node)
+
+
+def duckdb_find_safe(ast: Any) -> bool:
+    """True iff the qast predicate is in the class the DuckDB renderer
+    (qast/sqlgen.py) serves with semantics IDENTICAL to the Spark
+    compiler over the merged catalog row — the /find fallback executor
+    for snapshot-unsafe predicates and over-cap catalogs (VERDICT r8 #2).
+
+    Strictly wider than ``snapshot_safe``: everything it admits, plus the
+    regimes the kind-blind Python interpreter had to exclude but a typed
+    SQL engine pins exactly — arithmetic/'+' with dynamic-extras
+    operands (both sides render the compiler's try_cast-double view),
+    multi-segment extras/JSON paths (get_json_object ≡
+    json_extract_string), and extras under boolean truthiness (the
+    renderer's UNKNOWN truthiness drops the string "false" exactly like
+    the compiler's).  Still excluded: mixed known-kind comparisons and
+    paths into non-string fixed columns (no pinned cross-engine
+    semantics — those stay on the Spark path)."""
+    if not isinstance(ast, list):
+        return True  # scalar literal
+    if not ast:
+        return False  # both engines reject the empty array
+    if _is_array_literal(ast):
+        return all(a != ["$"] and duckdb_find_safe(a) for a in ast)
+    head = ast[0]
+    args = ast[1:]
+    if head == "$":
+        return False  # bare row reference: only valid as the base of "."
+    if head == ".":
+        return (
+            len(ast) >= 3
+            and ast[1] == ["$"]
+            and all(isinstance(p, str) for p in ast[2:])
+            and _node_kind_dd(ast) != "u"
+        )
+    if head in _CMP_OPS:
+        if not all(duckdb_find_safe(a) for a in args):
+            return False
+        kinds = {_node_kind_dd(a) for a in args} - {"0"}
+        if "u" in kinds:
+            return False
+        if "e" in kinds:
+            other = kinds - {"e"}
+            return other <= {"s"} or other <= {"n"}
+        return len(kinds) <= 1
+    if head == "~":
+        return (
+            len(args) == 2
+            and all(duckdb_find_safe(a) for a in args)
+            and _node_kind_dd(args[0]) in ("s", "0", "e")
+            and _node_kind_dd(args[1]) in ("s", "0")
+        )
+    if head == "&&":
+        return all(duckdb_find_safe(a) for a in args) and all(
+            _node_kind_dd(a) in ("a", "0") for a in args
+        )
+    if head in _BOOL_OPS:
+        # 'e' operands ARE admitted here (unlike snapshot_safe): the
+        # renderer's UNKNOWN truthiness is the compiler's, verbatim
+        return all(duckdb_find_safe(a) for a in args)
+    if head in ("-", "*", "/", "%"):
+        return all(duckdb_find_safe(a) for a in args) and all(
+            _node_kind_dd(a) in ("n", "0", "e") for a in args
+        )
+    if head == "+":
+        if not all(duckdb_find_safe(a) for a in args):
+            return False
+        kinds = {_node_kind_dd(a) for a in args}
+        return (
+            kinds == {"s"}
+            or kinds == {"a"}
+            or kinds <= {"n", "0", "e"}
+        )
+    return False  # unknown heads → Spark path
+
+
 def snapshot_matcher(ast: Any):
     """Per-REQUEST row filter for the snapshot fast path, ≡
     compile_predicate's truthiness wrapper over the interpreter's value:
@@ -272,6 +380,14 @@ class ComlakeServer:
         self.extract_max_rows = extract_max_rows
         self._find_snap: list[dict] | object | None = None
         self._snap_lock = threading.Lock()
+        # /find middle tier (VERDICT r8 #2): predicates the snapshot can't
+        # serve (snapshot-unsafe semantics, or catalog over the row cap)
+        # run as one DuckDB query over the catalog parquet instead of a
+        # Spark job per request — see findsql.py.  Lazy: first fallback
+        # request constructs it; catalogs without a filesystem root (none
+        # today) simply never get one.
+        self._duck: Any = None
+        self._duck_lock = threading.Lock()
 
     def _invalidate_snapshot(self) -> None:
         with self._snap_lock:
@@ -397,6 +513,28 @@ class ComlakeServer:
         self._invalidate_snapshot()
         return 200, {"id": new_id}
 
+    def _duck_find(self, ast: Any) -> list[dict] | None:
+        """Middle-tier /find: one DuckDB query over the catalog parquet.
+        Returns None when the tier can't serve this request (no catalog
+        root, renderer/DuckDB error) — callers fall through to Spark,
+        which re-raises genuine QastErrors as clean 400s."""
+        root = getattr(self.catalog, "root", None)
+        if root is None:
+            return None
+        if self._duck is None:
+            with self._duck_lock:
+                if self._duck is None:
+                    from comlake_core_spark.findsql import DuckFinder
+
+                    self._duck = DuckFinder(root)
+        try:
+            return self._duck.find(ast)
+        except Exception:
+            # malformed AST (Spark path will 400 it identically), an RE2-
+            # rejected Java regex, a racing catalog swap — all land on the
+            # Spark path, the semantics of record
+            return None
+
     def op_find(self, ast: Any) -> tuple[int, Any]:
         if snapshot_safe(ast):
             snap = self._snapshot()  # None = catalog over snapshot_max_rows
@@ -408,6 +546,10 @@ class ComlakeServer:
                     hits = [merged for merged in snap if match(merged)]
                 except QastError:
                     return 400, {"error": "malformed query"}
+                return 200, hits
+        if duckdb_find_safe(ast):
+            hits = self._duck_find(ast)
+            if hits is not None:
                 return 200, hits
         try:
             rows = self.catalog.find(ast).collect()

@@ -45,7 +45,12 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from comlake_core_spark.qast.compiler import QastError
-from comlake_core_spark.server import FIXED_KEYS, snapshot_matcher, snapshot_safe
+from comlake_core_spark.server import (
+    FIXED_KEYS,
+    duckdb_find_safe,
+    snapshot_matcher,
+    snapshot_safe,
+)
 from comlake_core_spark.store.local import LocalStore
 
 
@@ -80,7 +85,9 @@ class SnapshotReader:
             return self._snap
 
 
-def _make_worker_handler(store: LocalStore, snap: SnapshotReader, primary_port: int):
+def _make_worker_handler(
+    store: LocalStore, snap: SnapshotReader, primary_port: int, duck=None
+):
     proxy_local = threading.local()
 
     class WorkerHandler(BaseHTTPRequestHandler):
@@ -164,17 +171,26 @@ def _make_worker_handler(store: LocalStore, snap: SnapshotReader, primary_port: 
                     ast = json.loads(body.decode())
                 except (json.JSONDecodeError, UnicodeDecodeError):
                     return self._send(400, {"error": "malformed query"})
-                if not snapshot_safe(ast):
-                    return self._proxy(body)
-                entries = snap.get()
-                if entries is None:  # invalidated → primary rebuilds
-                    return self._proxy(body)
-                try:
-                    match = snapshot_matcher(ast)
-                    hits = [merged for merged in entries if match(merged)]
-                except QastError:
-                    return self._send(400, {"error": "malformed query"})
-                return self._send(200, hits)
+                if snapshot_safe(ast):
+                    entries = snap.get()
+                    if entries is not None:
+                        try:
+                            match = snapshot_matcher(ast)
+                            hits = [merged for merged in entries if match(merged)]
+                        except QastError:
+                            return self._send(400, {"error": "malformed query"})
+                        return self._send(200, hits)
+                # middle tier: snapshot-unsafe predicates (and over-cap
+                # catalogs, whose export the primary never writes) run as
+                # one DuckDB query over the shared catalog parquet, right
+                # here in the worker — Spark-free, so fallback throughput
+                # scales with worker count (VERDICT r8 #2)
+                if duck is not None and duckdb_find_safe(ast):
+                    try:
+                        return self._send(200, duck.find(ast))
+                    except Exception:
+                        pass  # Spark path on the primary decides
+                return self._proxy(body)
             if self.path in ("/dir", "/file", "/cp", "/dataset", "/update") or self.path.startswith(
                 "/extract/"
             ):
@@ -213,10 +229,21 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--cas", required=True, help="content store root directory")
     ap.add_argument("--snapshot", required=True, help="primary's snapshot export path")
     ap.add_argument("--primary-port", type=int, required=True, help="primary private port")
+    ap.add_argument(
+        "--catalog",
+        default=None,
+        help="catalog root directory: enables the worker-local DuckDB /find "
+        "fallback for snapshot-unsafe predicates and over-cap catalogs",
+    )
     args = ap.parse_args(argv)
 
+    duck = None
+    if args.catalog:
+        from comlake_core_spark.findsql import DuckFinder
+
+        duck = DuckFinder(args.catalog)
     handler = _make_worker_handler(
-        LocalStore(args.cas), SnapshotReader(args.snapshot), args.primary_port
+        LocalStore(args.cas), SnapshotReader(args.snapshot), args.primary_port, duck=duck
     )
     httpd = _ReusePortServer(("127.0.0.1", args.port), handler)
     print("READY", flush=True)  # parent waits for this before benchmarking
@@ -253,6 +280,7 @@ class ServingTier:
         port = self.primary.start()
         private_port = self.primary.start_private()
         cas_root = self.primary.store.root
+        catalog_root = getattr(self.primary.catalog, "root", None)
         for _ in range(self.n_workers):
             proc = subprocess.Popen(
                 [
@@ -267,7 +295,8 @@ class ServingTier:
                     self.primary.snapshot_export,
                     "--primary-port",
                     str(private_port),
-                ],
+                ]
+                + (["--catalog", catalog_root] if catalog_root else []),
                 stdout=subprocess.PIPE,
                 text=True,
             )

@@ -161,3 +161,39 @@ def test_tier_rejects_non_local_store(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="LocalStore"):
         ServingTier(primary, n_workers=1)
+
+
+def test_workers_serve_duckdb_fallback_locally_and_fresh(tier):
+    """Snapshot-unsafe predicates are served worker-locally by the DuckDB
+    middle tier (VERDICT r8 #2) with Spark-path answers, from EVERY
+    process, and mutations are visible on the very next request (the
+    finder re-resolves the catalog version per request)."""
+    status, doc = jcall(tier, "POST", "/file", b"duck-tier", content_type="text/plain")
+    assert status == 200
+    cid = doc["cid"]
+    status, d1 = jcall(tier, "POST", "/dataset", json.dumps({
+        "file": cid, "description": "duck", "source": "dt", "topics": [],
+        "length": "7",
+    }).encode())
+    assert status == 200
+
+    # '+' with an extras operand: snapshot-unsafe → DuckDB tier
+    ast = json.dumps(["&", [">", ["+", [".", ["$"], "length"], 1], 7],
+                           ["==", [".", ["$"], "source"], "dt"]]).encode()
+    from comlake_core_spark.server import duckdb_find_safe, snapshot_safe
+    assert not snapshot_safe(json.loads(ast)) and duckdb_find_safe(json.loads(ast))
+    for _ in range(REPEAT):
+        status, hits = jcall(tier, "POST", "/find", ast)
+        assert status == 200
+        assert [h["id"] for h in hits] == [d1["id"]]
+
+    # mutation → next fallback find (any process) sees the new row
+    status, d2 = jcall(tier, "POST", "/dataset", json.dumps({
+        "file": cid, "description": "duck2", "source": "dt", "topics": [],
+        "length": "9",
+    }).encode())
+    assert status == 200
+    for _ in range(REPEAT):
+        status, hits = jcall(tier, "POST", "/find", ast)
+        assert status == 200
+        assert sorted(h["id"] for h in hits) == sorted([d1["id"], d2["id"]])
