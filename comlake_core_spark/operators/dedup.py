@@ -1754,12 +1754,75 @@ def minhash_calibration(
     )
 
 
+def containment_candidates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate-pair generation for ``containment_pairs_prefix`` —
+    exposed separately so tests can measure candidate VOLUME (the thing
+    the ``max_df`` stop-cap bounds) independent of verification.
+    Returns distinct (_src, _dst) candidate pairs."""
+    _, pref, posts = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
+    return (
+        pref.join(posts.select(F.col("_id").alias("_dst"), "_g"), "_g")
+        .filter(F.col("_src") != F.col("_dst"))
+        .select("_src", "_dst")
+        .distinct()
+    )
+
+
+def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
+    """(doc shingle sets, prefix rows, postings) under the optional df
+    stop-cap.  With ``max_df`` set, grams with corpus document frequency
+    above it are removed from the SHINGLE UNIVERSE itself — postings,
+    prefixes, AND the verification sets — so the operator stays EXACT
+    for the capped similarity (containment over non-boilerplate grams),
+    the same redefinition ``sparse_cosine_topk``'s max_df applies to its
+    vector space.  Required-overlap arithmetic uses an epsilon-guarded
+    ceil: ceil(t·gc − 1e−9) is the smallest integer ≥ t·gc even when the
+    double product rounds a hair above an exactly-integral value, which
+    plain ceil would overestimate by 1 — shortening the prefix and
+    breaking the recall guarantee at exact-threshold pairs (ADVICE r8)."""
+    t = float(threshold)
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh"))
+        .select("_id", F.explode("_sh").alias("_g"))
+    )
+    dfreq = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= int(max_df))
+    # inner join doubles as the universe filter: capped-out grams vanish
+    # from postings, prefixes, and (via the rebuild below) verify sets
+    pg = sh.join(dfreq, "_g").persist()
+    wid = Window.partitionBy("_id")
+    w = wid.orderBy(F.asc("_df"), F.asc("_g"))
+    pref = (
+        pg.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_gce", F.count(F.lit(1)).over(wid))
+        .withColumn(
+            "_req", F.ceil(F.lit(t) * F.col("_gce") - F.lit(1e-9)).cast("long")
+        )
+        .filter(F.col("_rn") <= F.col("_gce") - F.col("_req") + F.lit(1))
+        .select(F.col("_id").alias("_src"), "_g")
+    )
+    sets = pg.groupBy("_id").agg(
+        F.collect_list("_g").alias("_sh"), F.count(F.lit(1)).alias("_gc")
+    )
+    return sets, pref, pg.select("_id", "_g")
+
+
 def containment_pairs_prefix(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """One-sided set-CONTAINMENT join: all ordered pairs (src, dst) with
     C(src→dst) = |S_src ∩ S_dst| / |S_src| >= threshold — the near-
@@ -1783,37 +1846,28 @@ def containment_pairs_prefix(
          stored shingle arrays.
 
     Scale: no all-pairs anywhere — candidate volume is Σ_gram
-    |prefix postings| × |full postings|, and frequency-ascending prefix
-    ordering makes prefix postings the rare grams.  Two aggregate
-    shuffles (df count, per-doc prefix window) + the candidate equi-join;
+    |prefix postings| × |postings|, and frequency-ascending prefix
+    ordering makes prefix postings the rare grams.  ``max_df`` is the
+    100 TB lever for the df tail's worst case (VERDICT r8 #3): grams
+    above the cap leave the shingle UNIVERSE (postings, prefixes, and
+    verify sets alike — see _containment_stages), so a boilerplate gram
+    shared by the whole corpus can no longer meet a corpus-sized posting
+    list; the operator stays exact for the capped similarity, and the
+    oracle mirrors the same universe filter.  Two aggregate shuffles
+    (df count, per-doc prefix window) + the candidate equi-join;
     verification joins are id-keyed.  Same shingle machinery as the LSH
     family (operators/dedup.shingles), so the SQL oracle twin matches
     bit-for-bit."""
     t = float(threshold)
-    sh = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh"))
-        .withColumn("_gc", F.size("_sh"))
-        .persist()  # feeds postings, prefixes, and both verify sides
-    )
-    posts = sh.select("_id", "_gc", F.explode("_sh").alias("_g"))
-    dfreq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_g"))
-    prefix_len = F.col("_gc") - F.ceil(F.lit(t) * F.col("_gc")).cast("long") + F.lit(1)
-    pref = (
-        posts.join(dfreq, "_g")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-        .select(F.col("_id").alias("_src"), "_g")
-    )
+    sets, pref, posts = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
     cand = (
         pref.join(posts.select(F.col("_id").alias("_dst"), "_g"), "_g")
         .filter(F.col("_src") != F.col("_dst"))
         .select("_src", "_dst")
         .distinct()
     )
-    a = sh.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"), F.col("_gc").alias("_gca"))
-    b = sh.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))
+    a = sets.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"), F.col("_gc").alias("_gca"))
+    b = sets.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))
     return (
         cand.join(a, "_src")
         .join(b, "_dst")

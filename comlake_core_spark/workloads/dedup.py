@@ -1313,7 +1313,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "dedup_containment_prefix",
     r"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id AS id,
              list_distinct(list_transform(
                range(1, greatest(len(toks) - 2, 1) + 1),
@@ -1321,12 +1321,15 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS grams
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
             FROM documents)
-    ), sized AS (SELECT id, grams, len(grams) AS gc FROM sh)
+    ), posts AS (SELECT id, unnest(grams) AS g FROM sh0),
+    dfreq AS (SELECT g, count(*) AS df FROM posts GROUP BY g),
+    kept AS (SELECT id, g FROM posts JOIN dfreq USING (g) WHERE df <= 200),
+    sized AS (SELECT id, list(g) AS grams, count(*) AS gc FROM kept GROUP BY id)
     SELECT a.id AS src_id, b.id AS dst_id,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / a.gc AS containment
     FROM sized a JOIN sized b
       ON a.id <> b.id
-     AND b.gc >= CAST(ceil(a.gc * 0.8) AS BIGINT)
+     AND b.gc >= CAST(ceil(a.gc * 0.8 - 1e-9) AS BIGINT)
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / a.gc >= 0.8
     """,
     "dedup",
@@ -1337,15 +1340,20 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-containment near-superset detection at 0.8 via AllPairs/PPJoin
     prefix filtering — the quote/template/wrapper dedup case MinHash-LSH
     (Jaccard-banded) structurally misses.  EXACT recall by pigeonhole
-    (rarest-first prefix vs full postings), so the oracle brute-forces
-    the full ordered pair space (with the necessary |S_dst| size
-    prefilter) and equality proves both the prefix filter's 100% recall
+    (rarest-first prefix vs full postings) over the max_df-capped
+    shingle universe (grams in >200 docs leave postings, prefixes, and
+    verify sets alike — the 100 TB hot-gram lever, VERDICT r8 #3; at
+    this corpus's df ceiling the cap admits every gram, so the answer
+    equals uncapped containment).  The oracle brute-forces the full
+    ordered pair space over the SAME capped universe (with the necessary
+    |S_dst| size prefilter, epsilon-guarded ceil on both engines —
+    ADVICE r8) and equality proves both the prefix filter's 100% recall
     AND the verification arithmetic.  See
     operators/dedup.containment_pairs_prefix."""
     from comlake_core_spark.operators.dedup import containment_pairs_prefix
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return containment_pairs_prefix(docs, threshold=0.8)
+    return containment_pairs_prefix(docs, threshold=0.8, max_df=200)
 
 
 
