@@ -429,68 +429,81 @@ del _snap, _n
 #          evidence gap again (cumulative 222 driver-verified + the
 #          window first-timers).
 # ---------------------------------------------------------------------------
+#   r9:    registry CLOSED at 239/239 cumulative driver-verified (r8 went
+#          50/50), so the rotation switches to EVIDENCE FRESHNESS
+#          (VERDICT r8 "Next round" #6): a workload is STALE when an
+#          engine module its fn imports (operators/*, streaming/*,
+#          qast/*, catalog/*, server — NOT its workloads/*.py
+#          registration file, which is appended every round, nor
+#          session.py config churn) has a commit newer than the
+#          workload's newest green CORRECTNESS row.  108 of 239 are
+#          stale at rotation time (tests/test_driver_window.py
+#          stale_names()).  Window = 10 family sentinels + the 4
+#          workloads whose engine code r9 itself changed
+#          (dedup_containment_prefix: max_df cap + epsilon ceil;
+#          kneser_ney_logprob_docs / pretrain_pipeline_v2: type-table
+#          scoring; server_find_real: catalog pointer refactor + DuckDB
+#          find tier) + the 36 longest-unverified stale names (oldest
+#          green row first — r1/r2-era greens on operator modules that
+#          changed in r7/r8).  42 of the 50 slots carry stale evidence;
+#          the remaining 66 stale names roll to r10's window.
+# ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # ------------------------------------------------------------------
-    # r8 window: 10 family sentinels + the 5 r7-staged first-timers
-    # (mandatory: the only never-driver-seen names after the r7
-    # registration repair) + new r8 registrations + r6-green re-fills
-    # for any remaining slots.
-    # ------------------------------------------------------------------
-    # -- sentinels: one driver-green pin per major family (r1-r6 verified) --
+    # -- sentinels: one driver-green pin per major family --
     "qast_eq_filter",            # qast predicate compiler
     "catalog_find",              # catalog scan + broadcast join
     "streaming_hourly_events",   # streaming≡batch
-    "dedup_minhash_lsh",         # MinHash+LSH banding
+    "dedup_minhash_lsh",         # MinHash+LSH banding (also stale: dedup.py r9)
     "join_revenue_by_nation",    # TPC-H join/agg core
     "ann_recall_at_k",           # ANN recall measurement
-    "semantic_dedup_embeddings", # SemDeDup clustering
+    "semantic_dedup_embeddings", # SemDeDup clustering (also stale: dedup.py r9)
     "multimodal_jpeg_decode",    # pure-Python codec path
     "approx_quantiles_prices",   # sketch family
     "catalog_find_real",         # catalog integration (_real) family
-    # -- the 5 r7-staged first-timers (never driver-seen; VERDICT r7) --
-    "doremi_source_weights",
-    "embedding_knn_graph_ivf2",
-    "kneser_ney_logprob_docs",
-    "streaming_neardup_index",
-    "unigram_lm_seed",
-    # -- r8 first-timers --
-    "pretrain_pipeline_v2",
+    # -- engine code changed THIS round: re-verify first --
     "dedup_containment_prefix",
-    "text_topgram_char_fraction",
-    "train_test_ngram_leakage",
-    "embedding_norm_health",
-    "asof_next_view_after_purchase",
-    "market_basket_lift",
-    "events_markov_transitions",
-    "text_sentence_stats",
-    "text_code_detection",
-    "dedup_header_footer_boilerplate",
-    "ann_ivf2_topk",
-    # -- r6-green re-fills (displaced one-for-one by new r8 workloads) --
-    "jaccard_topk_similar_docs",
-    "embedding_knn_graph_ivf",
-    "boilerplate_strip_source",
-    "decontaminate_bloom",
-    "dedup_lsh_edit_verify",
-    "vocab_oov_rate",
-    "text_bigram_backoff_logprob",
-    "embedding_matryoshka_topk",
-    "embedding_hard_negatives",
-    "shard_assign_balanced",
-    "pii_pseudonymize_consistent",
-    "temperature_mixture_langs",
-    "winsorize_events",
-    "k_anonymity_customers",
-    "curriculum_order_docs",
-    "ngram_diversity_by_source",
-    "zipf_slope_by_source",
-    "vocab_coverage_thresholds",
-    "text_mattr_by_source",
-    "lsh_bucket_skew_audit",
-    "minhash_estimate_calibration",
-    "kmv_join_cardinality",
-    "zorder_pruning_audit",
+    "kneser_ney_logprob_docs",
+    "pretrain_pipeline_v2",
+    "server_find_real",
+    # -- stale backlog, oldest green row first (engine modules changed
+    #    in r7/r8 after these workloads' last driver evidence) --
+    "qast_division_negation",
+    "qast_json_path",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "array_higher_order",
+    "bm25_search",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_winnow",
+    "events_sessionize",
+    "hybrid_search_rrf",
+    "layout_partition_pruned_read",
+    "multimodal_decode_features",
+    "multimodal_png_decode",
+    "qast_arith_revenue",
+    "qast_string_concat",
+    "text_lang_id",
+    "text_pmi_bigrams",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "text_token_budget",
+    "text_top_bigrams",
+    "ann_cosine_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "asof_last_purchase",
+    "cdc_merge_orders",
+    "contrastive_negative_samples",
+    "dedup_incremental_batch",
+    "embedding_pq_codes",
+    "events_gapfill_locf",
+    "heavy_hitters_event_types",
+    "mixture_resample_corpus",
 ]
 
 

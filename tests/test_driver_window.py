@@ -150,3 +150,112 @@ def test_rotation_log_count_matches_registry():
         f"rotation log does not state the true post-window count "
         f"({true_count}); update the comment above DRIVER_WINDOW"
     )
+
+
+# ---------------------------------------------------------------------------
+# evidence freshness (VERDICT r8 "Next round" #6): with the registry closed
+# at 239/239 cumulative, rotation switches from "never-driver-seen" to
+# "stale" — engine code changed after the workload's last green row
+# ---------------------------------------------------------------------------
+
+import functools
+import inspect
+import re
+import subprocess
+
+_REPO = os.path.dirname(os.path.dirname(__file__))
+
+
+@functools.lru_cache(maxsize=None)
+def _git_time(relpath: str) -> int | None:
+    """Unix time of the newest commit touching relpath; None if untracked
+    or git is unavailable (the check degrades to skipped, never wrong)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", relpath],
+            cwd=_REPO, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return int(out) if out else None
+
+
+def _engine_files(name: str) -> set[str]:
+    """Engine modules the workload's fn imports — operators/*, qast/*,
+    streaming/*, catalog/*, server, ... — but NOT its workloads/*.py
+    registration file (appended every round: counting it would mark the
+    whole registry stale each rotation) nor session.py (config churn)."""
+    src = inspect.getsource(REGISTRY[name].fn)
+    files = set()
+    for m in re.finditer(r"from (comlake_core_spark(?:\.\w+)+) import", src):
+        mod = m.group(1)
+        if mod.split(".")[1] in ("workloads", "session"):
+            continue
+        p = mod.replace(".", "/") + ".py"
+        if os.path.exists(os.path.join(_REPO, p)):
+            files.add(p)
+        elif os.path.exists(os.path.join(_REPO, mod.replace(".", "/"), "__init__.py")):
+            files.add(mod.replace(".", "/") + "/__init__.py")
+    return files
+
+
+def _green_times() -> dict[str, int]:
+    """name -> commit time of the newest CORRECTNESS artifact holding a
+    green (rows_match, no err) row for it."""
+    greens: dict[str, int] = {}
+    for fname in sorted(
+        f for f in os.listdir(_REPO)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    ):
+        t = _git_time(fname)
+        if t is None:
+            continue
+        with open(os.path.join(_REPO, fname)) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+                greens[name] = max(greens.get(name, 0), t)
+    return greens
+
+
+def stale_names() -> set[str]:
+    """Workloads whose driver evidence is stale: never green, or an engine
+    module changed after their newest green row."""
+    greens = _green_times()
+    out = set()
+    for name in REGISTRY:
+        gt = greens.get(name)
+        if gt is None:
+            out.add(name)
+            continue
+        for p in _engine_files(name):
+            ft = _git_time(p)
+            if ft is not None and ft > gt:
+                out.add(name)
+                break
+    return out
+
+
+def test_window_rotation_prioritizes_stale_evidence():
+    """Once every workload is driver-seen, each rotation must spend its
+    non-sentinel slots re-verifying STALE evidence: >=40 window slots
+    stale while >=40 remain stale overall; once fewer remain, the window
+    must carry all of them.  (Skipped while never-seen workloads exist —
+    the first-timer rule above governs then — and self-excludes the
+    current window's own artifact exactly like driver_seen.)"""
+    if _git_time("__spark_entry__.py") is None:
+        return  # no git — freshness is undecidable, fail open
+    seen = driver_seen()
+    if any(n not in seen for n in REGISTRY):
+        return  # never-seen workloads outrank staleness
+    stale = stale_names()
+    in_window = [n for n in DRIVER_WINDOW if n in stale]
+    if len(stale) >= 40:
+        assert len(in_window) >= 40, (
+            f"only {len(in_window)} stale workloads in the window; with "
+            f"{len(stale)} stale overall the rotation must re-verify >=40 "
+            "(VERDICT r8 #6)"
+        )
+    else:
+        left_out = sorted(n for n in stale if n not in DRIVER_WINDOW)
+        assert not left_out, f"stale workloads missing from the window: {left_out}"
