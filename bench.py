@@ -329,6 +329,14 @@ def main() -> None:
             # rep's cache blocks first, then rebuild the DataFrame so its
             # persist() markers are fresh and intact for the timed force.
             reset_session_state(spark)
+            # NOTE (ADVICE r8): the timer starts AFTER fn() returns, so
+            # build-time eager work some builders do (ann_ivf2_topk's
+            # emb.count(), the two-level IVF path's eager localCheckpoint
+            # materializations, codebook collects) is untimed BY DESIGN:
+            # those are amortized index/model builds a serving deployment
+            # pays once, not per query — the timed region is the query
+            # over the built structures.  Workloads without eager builders
+            # are unaffected (their fn() is pure plan construction).
             df = REGISTRY[name].fn(spark, sf_dir)
             start = time.perf_counter()
             force(df)

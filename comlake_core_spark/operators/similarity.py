@@ -310,9 +310,7 @@ def ivf_topk(
     # 100 TB (review r8 #3); corpus.count only runs when n_centroids
     # exceeds the small-codebook fast path AND no count was supplied
     assignment = resolve_ivf_assignment(
-        assignment,
-        int(n_centroids),
-        (lambda: n_rows) if n_rows is not None else corpus.count,
+        assignment, int(n_centroids), _counted_rows(corpus, n_rows, "ivf_topk")
     )
     if refine_iters > 0:
         cents_df = kmeans_refine(
@@ -940,6 +938,30 @@ def resolve_ivf_assignment(
     return "two_level" if n_centroids * n_centroids > n_rows else "flat"
 
 
+def _counted_rows(corpus, n_rows, caller: str):
+    """n_rows_fn for 'auto' callers: returns the caller-supplied row count
+    when given, else warns ONCE per call that a plan-build-time
+    corpus.count() job is about to run (ADVICE r8: previously a silent
+    full scan for auto callers with n_centroids > 32 — exactly the cost
+    the 100 TB guidance says to avoid; pass n_rows to skip it)."""
+
+    def fn():
+        if n_rows is not None:
+            return int(n_rows)
+        import warnings
+
+        warnings.warn(
+            f"{caller}: assignment='auto' with n_centroids > 32 and no "
+            "n_rows — running a plan-build-time corpus.count(); pass "
+            "n_rows to avoid this full scan at 100 TB",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return corpus.count()
+
+    return fn
+
+
 def mutual_knn_graph(
     emb: DataFrame,
     k: int = 4,
@@ -1023,9 +1045,7 @@ def mutual_knn_graph(
         # fixed small codebook ⇒ flat; bit-identical either way with the
         # default full coarse probe (see resolve_ivf_assignment)
         assignment = resolve_ivf_assignment(
-            assignment,
-            int(n_centroids),
-            (lambda: n_rows) if n_rows is not None else emb.count,
+            assignment, int(n_centroids), _counted_rows(emb, n_rows, "mutual_knn_graph")
         )
         # refine_iters > 0 runs spherical k-means Lloyd passes first
         # (kmeans_refine) — better-centered buckets raise edge recall at

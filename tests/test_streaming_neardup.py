@@ -333,3 +333,49 @@ def test_mismatched_id_type_raises(spark, tmp_path):
     batch = spark.createDataFrame([("x", "some text here")], "doc_id string, text string")
     with pytest.raises(TypeError, match="id_type"):
         idx.apply_batch(batch, batch_id=0)
+
+
+def test_success_only_absorb_then_replay_is_invariant(spark, corpus, tmp_path):
+    """ADVICE r8: the crash window the legacy `_SUCCESS` fallback leans on
+    — a batch crashed BETWEEN its parquet writes and the marker loop, a
+    compact() then ABSORBS the `_SUCCESS`-only subdirs into the segment,
+    and the streaming engine later REPLAYS the batch (its checkpoint
+    never advanced).  Safety rests on the replay rewriting the stores
+    bit-identically and the absorbed-upto watermark masking the rewritten
+    subdirs as stale duplicates.  This pins that end-to-end: index
+    contents are unchanged through absorb + replay."""
+    idx, b1, b2 = _run_two_batches(spark, corpus, tmp_path)
+
+    def snap():
+        pairs = {
+            (r["new_id"], r["match_id"]): round(r["jaccard"], 9)
+            for r in idx.pairs(spark).collect()
+        }
+        ids = sorted(r["doc_id"] for r in idx.indexed_ids(spark).collect())
+        return pairs, ids
+
+    before = snap()
+
+    # simulate the crash: batch 1's subdirs are fully written with Spark's
+    # _SUCCESS but the index's own marker never landed
+    for store in (idx._pairs_dir, idx._bands_dir, idx._shingles_dir):
+        sub = os.path.join(store, "_batch=1")
+        marker = os.path.join(sub, idx._COMMIT_MARKER)
+        assert os.path.exists(marker) and os.path.exists(os.path.join(sub, "_SUCCESS"))
+        os.unlink(marker)
+
+    # compact() takes the legacy fallback and absorbs the batch
+    idx.compact(spark)
+    assert snap() == before
+    for store in (idx._bands_dir, idx._shingles_dir):  # pairs stay per-batch
+        assert not os.path.isdir(os.path.join(store, "_batch=1"))  # absorbed
+
+    # the engine replays the batch (checkpoint never saw it commit)
+    idx.apply_batch(b2, 1)
+    after = snap()
+    assert after == before, "absorb-then-replay changed the index"
+
+    # and a second compact() cleans the now-stale rewritten subdirs
+    # without changing anything either
+    idx.compact(spark)
+    assert snap() == before
