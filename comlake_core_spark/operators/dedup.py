@@ -1778,31 +1778,44 @@ def containment_candidates(
 def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
     """(doc shingle sets, prefix rows, postings) under the optional df
     stop-cap.  With ``max_df`` set, grams with corpus document frequency
-    above it are removed from the SHINGLE UNIVERSE itself — postings,
-    prefixes, AND the verification sets — so the operator stays EXACT
-    for the capped similarity (containment over non-boilerplate grams),
-    the same redefinition ``sparse_cosine_topk``'s max_df applies to its
-    vector space.  Required-overlap arithmetic uses an epsilon-guarded
-    ceil: ceil(t·gc − 1e−9) is the smallest integer ≥ t·gc even when the
-    double product rounds a hair above an exactly-integral value, which
-    plain ceil would overestimate by 1 — shortening the prefix and
-    breaking the recall guarantee at exact-threshold pairs (ADVICE r8)."""
+    above it are removed from the SHINGLE UNIVERSE itself — postings
+    feeding prefixes, AND the verification sets — so the operator stays
+    EXACT for the capped similarity (containment over non-boilerplate
+    grams), the same redefinition ``sparse_cosine_topk``'s max_df
+    applies to its vector space.  Required-overlap arithmetic uses an
+    epsilon-guarded ceil: ceil(t·gc − 1e−9) is the smallest integer ≥
+    t·gc even when the double product rounds a hair above an exactly-
+    integral value, which plain ceil would overestimate by 1 —
+    shortening the prefix and breaking the recall guarantee at exact-
+    threshold pairs (ADVICE r8).
+
+    Plan shape (the r9 first cut persisted the EXPLODED gram frame and
+    rebuilt verify arrays with a corpus-wide collect_list — 5× slower at
+    sf0.1; this shape keeps the r8 skeleton):
+    - the persisted frame is the DOC-LEVEL arrays (small cache);
+    - hot grams leave the verify sets by array_except against a per-doc
+      hot-gram list built from hot OCCURRENCES only (tiny when the cap
+      binds normally; the all-boilerplate worst case pays proportional
+      to what it removes);
+    - the candidate join probes prefixes against RAW postings: prefixes
+      never contain capped-out grams, so hot postings simply never
+      match — no postings-side filter materializes."""
     t = float(threshold)
     sh = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh"))
-        .select("_id", F.explode("_sh").alias("_g"))
+        .persist()  # doc-level arrays feed postings (×3) and verify sets
     )
-    dfreq = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    if max_df is not None:
-        dfreq = dfreq.filter(F.col("_df") <= int(max_df))
-    # inner join doubles as the universe filter: capped-out grams vanish
-    # from postings, prefixes, and (via the rebuild below) verify sets
-    pg = sh.join(dfreq, "_g").persist()
+    posts = sh.select("_id", F.explode("_sh").alias("_g"))
+    dfreq_all = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = dfreq_all.filter(F.col("_df") <= int(max_df)) if max_df is not None else dfreq_all
     wid = Window.partitionBy("_id")
     w = wid.orderBy(F.asc("_df"), F.asc("_g"))
+    # inner join doubles as the universe filter: capped-out grams never
+    # enter the ordering, the per-doc count, or the prefix
     pref = (
-        pg.withColumn("_rn", F.row_number().over(w))
+        posts.join(dfreq, "_g")
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn("_gce", F.count(F.lit(1)).over(wid))
         .withColumn(
             "_req", F.ceil(F.lit(t) * F.col("_gce") - F.lit(1e-9)).cast("long")
@@ -1810,10 +1823,26 @@ def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
         .filter(F.col("_rn") <= F.col("_gce") - F.col("_req") + F.lit(1))
         .select(F.col("_id").alias("_src"), "_g")
     )
-    sets = pg.groupBy("_id").agg(
-        F.collect_list("_g").alias("_sh"), F.count(F.lit(1)).alias("_gc")
-    )
-    return sets, pref, pg.select("_id", "_g")
+    if max_df is not None:
+        hot = dfreq_all.filter(F.col("_df") > int(max_df)).select("_g")
+        doc_hot = (
+            posts.join(hot, "_g")
+            .groupBy("_id")
+            .agg(F.collect_list("_g").alias("_hot"))
+        )
+        empty = F.array().cast("array<string>")
+        sets = (
+            sh.join(doc_hot, "_id", "left")
+            .select(
+                "_id",
+                F.array_except("_sh", F.coalesce("_hot", empty)).alias("_sh"),
+            )
+            .withColumn("_gc", F.size("_sh"))
+            .filter(F.col("_gc") > 0)
+        )
+    else:
+        sets = sh.withColumn("_gc", F.size("_sh"))
+    return sets, pref, posts
 
 
 def containment_pairs_prefix(
