@@ -916,3 +916,21 @@ def test_segment_entropy_dimension_sized_aggs(spark):
 def test_dau_wau_partial_aggs(spark):
     df = run(spark, "events_dau_wau_stickiness")
     assert P.has_partial_aggregate(df)
+
+
+def test_containment_prefix_no_cartesian_and_single_persist(spark):
+    """The containment join (r9: max_df cap active in the registered
+    form) must stay equi-join-shaped — prefixes vs postings on the gram,
+    never pair enumeration — and its one persist must be the DOC-LEVEL
+    array frame, not the exploded gram frame (the r9 first cut persisted
+    the explode and measured 5x slower)."""
+    df = REGISTRY["dedup_containment_prefix"].fn(spark, SF)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cached relation carries the array column, i.e. pre-explode
+    import re
+
+    caches = re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)
+    assert caches, "expected the doc-level shingle arrays to be persisted"
+    assert all("_sh" in c and "_df" not in c for c in caches), caches
