@@ -41,7 +41,7 @@ from collections import OrderedDict
 from typing import Any
 
 from comlake_core_spark.catalog.pointer import current_pointer
-from comlake_core_spark.qast.sqlgen import qast_to_sql
+from comlake_core_spark.qast.sqlgen import qast_to_sql_predicate
 
 #: fixed-column kinds of the merged catalog row, in response order —
 #: the sqlgen form of the type knowledge catalog.find's resolver takes
@@ -69,9 +69,14 @@ def _dyn_field(name: str) -> str:
 
 def render_find_where(ast: Any) -> str:
     """qast → DuckDB WHERE clause over the joined catalog table, with the
-    compiler's find-path semantics (partial-match regex, qast.clj:35).
-    Raises QastError on malformed ASTs, like the compiler."""
-    return qast_to_sql(ast, kinds=FIND_KINDS, regex_mode="partial", dynamic=_dyn_field)
+    compiler's find-path semantics: partial-match regex (qast.clj:35) and
+    compile_predicate's truthiness wrapper on non-boolean roots (a row
+    whose arithmetic root is 0 is KEPT — bare SQL WHERE would cast-drop
+    it; review r9 #1).  Raises QastError on malformed ASTs, like the
+    compiler."""
+    return qast_to_sql_predicate(
+        ast, kinds=FIND_KINDS, regex_mode="partial", dynamic=_dyn_field
+    )
 
 
 def _as_map(m: Any) -> dict:
@@ -79,7 +84,14 @@ def _as_map(m: Any) -> dict:
     [...]}; newer versions return a plain dict.  Normalize both."""
     if not m:
         return {}
-    if isinstance(m, dict) and set(m.keys()) == {"key", "value"}:
+    if (
+        isinstance(m, dict)
+        and set(m.keys()) == {"key", "value"}
+        and isinstance(m.get("key"), list)
+    ):
+        # 1.x columnar encoding — distinguished STRUCTURALLY from a real
+        # extras map whose keys happen to be {'key','value'}: extras
+        # values are always strings, never lists (review r9 #4)
         return dict(zip(m["key"], m["value"]))
     return dict(m)
 
@@ -117,12 +129,21 @@ class DuckFinder:
     def _refresh(self) -> tuple[int, int]:
         """Ensure find_joined reflects the current committed catalog;
         returns the (dataset, content) version pair served."""
-        dver, ddir = current_pointer(self.root, "dataset")
-        cver, cdir = current_pointer(self.root, "content")
-        key = (dver, cver)
+        key = (
+            current_pointer(self.root, "dataset")[0],
+            current_pointer(self.root, "content")[0],
+        )
         if key == self._versions:
             return key
         with self._lock:
+            # re-resolve INSIDE the lock: a thread that read a stale
+            # pointer before blocking must not re-materialize an older
+            # version over a newer one (and poison the cache under the
+            # newer key) — the committed version is whatever the tokens
+            # say NOW (review r9 #2)
+            dver, ddir = current_pointer(self.root, "dataset")
+            cver, cdir = current_pointer(self.root, "content")
+            key = (dver, cver)
             if key == self._versions:
                 return key
             import duckdb

@@ -1767,6 +1767,12 @@ def containment_candidates(
     the ``max_df`` stop-cap bounds) independent of verification.
     Returns distinct (_src, _dst) candidate pairs."""
     _, pref, posts = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
+    return _containment_cand(pref, posts)
+
+
+def _containment_cand(pref: DataFrame, posts: DataFrame) -> DataFrame:
+    """Prefix-vs-postings candidate equi-join, shared by the operator and
+    the volume-measuring helper so a future cap/fix lands in both."""
     return (
         pref.join(posts.select(F.col("_id").alias("_dst"), "_g"), "_g")
         .filter(F.col("_src") != F.col("_dst"))
@@ -1889,12 +1895,7 @@ def containment_pairs_prefix(
     bit-for-bit."""
     t = float(threshold)
     sets, pref, posts = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
-    cand = (
-        pref.join(posts.select(F.col("_id").alias("_dst"), "_g"), "_g")
-        .filter(F.col("_src") != F.col("_dst"))
-        .select("_src", "_dst")
-        .distinct()
-    )
+    cand = _containment_cand(pref, posts)
     a = sets.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"), F.col("_gc").alias("_gca"))
     b = sets.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))
     return (

@@ -243,12 +243,16 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec:
     shells out to an ffmpeg binary when one is present (MP4/H.264/webm —
     the external-codec seam; $COMLAKE_FFMPEG overrides the binary name),
     emitting gray sqrt(frame_size)² frames."""
-    ffmpeg_bin = None
+    ffmpeg_name = None
     if codec == "ffmpeg":
         import shutil as _shutil
 
-        ffmpeg_bin = _shutil.which(os.environ.get("COMLAKE_FFMPEG", "ffmpeg"))
-        if ffmpeg_bin is None:
+        # capture the CONFIG VALUE (name or path) at plan-build time —
+        # executors re-resolve it themselves (their PATH may differ and
+        # they don't see driver-time env mutations); the driver which()
+        # is the fast-fail convenience for the local case
+        ffmpeg_name = os.environ.get("COMLAKE_FFMPEG", "ffmpeg")
+        if _shutil.which(ffmpeg_name) is None:
             raise NotImplementedError(
                 "codec='ffmpeg' needs an ffmpeg binary on PATH (or "
                 "$COMLAKE_FFMPEG); none found — codec='y4m' demuxes real "
@@ -273,8 +277,22 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec:
             for _, row in pdf.iterrows():
                 data = bytes(row["content"] or b"")
                 if codec == "ffmpeg":
+                    # re-resolve on the EXECUTOR: the driver-side check
+                    # above is a fast-fail convenience, but on a real
+                    # cluster the binary may live elsewhere (or nowhere)
+                    # on worker nodes — surface the same clean contract
+                    # there instead of an opaque FileNotFoundError storm
+                    # (review r9 #5)
+                    import shutil as _sh
+
+                    exe = _sh.which(ffmpeg_name)
+                    if exe is None:
+                        raise NotImplementedError(
+                            "codec='ffmpeg': no ffmpeg binary on this "
+                            "executor's PATH (or $COMLAKE_FFMPEG)"
+                        )
                     side = max(int(frame_size ** 0.5), 1)
-                    for idx, fb, pts in _ffmpeg_demux(data, side, every_n, ffmpeg_bin):
+                    for idx, fb, pts in _ffmpeg_demux(data, side, every_n, exe):
                         rows.append(
                             {
                                 "id": row["id"],

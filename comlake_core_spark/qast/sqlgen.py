@@ -92,6 +92,25 @@ def qast_to_sql(
     return s.sql
 
 
+def qast_to_sql_predicate(
+    ast: Any,
+    kinds: dict[str, str] | None = None,
+    regex_mode: str = "full",
+    dynamic: Callable[[str], str] | None = None,
+) -> str:
+    """Render for use in a WHERE clause — the renderer's form of the
+    compiler's ``compile_predicate``: a boolean-rooted expression passes
+    through bare (SQL WHERE drops NULLs, matching Spark), any other root
+    takes the truthiness wrapper, under which every non-null value —
+    including 0 and '' — keeps the row.  Without this, DuckDB's implicit
+    WHERE cast would drop rows whose arithmetic root evaluates to 0
+    while the Spark and snapshot tiers keep them."""
+    s = _render(ast, _Ctx(kinds or {}, regex_mode, dynamic))
+    if isinstance(s, _Root):
+        raise QastError('bare ["$"] is not a predicate')
+    return s.sql if s.kind == _BOOL else _truthy(s)
+
+
 def _quote_str(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
 

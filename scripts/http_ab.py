@@ -79,6 +79,13 @@ finally:
 
 def run_trial(tree: str, client_script: str) -> float:
     env = dict(os.environ)
+    # PYTHONPATH pins the tree for EVERY process in the trial: the
+    # serving-tier worker subprocesses (`python -m comlake_core_spark.
+    # serving`) inherit the environment, and they serve most of the
+    # snapshot-path traffic — sys.path.insert in the primary alone would
+    # leave workers importing whatever the cwd resolves to, making both
+    # trials measure the same worker code (review r9 #3)
+    env["PYTHONPATH"] = tree
     out = subprocess.run(
         [sys.executable, "-c", WORKER_SRC, tree, client_script],
         capture_output=True, text=True, env=env, timeout=600,

@@ -87,6 +87,17 @@ DUCK_PREDICATES = [
     ["<", [".", ["$"], "props", "n"], 4],
     ["~", [".", ["$"], "props", "nested"], "x[0-9]"],
     ["&", [".", ["$"], "props", "deep"]],
+    # NON-BOOLEAN ROOTS (review r9 #1): compile_predicate's truthiness
+    # keeps every non-null value — including 0 — where a bare SQL WHERE
+    # would cast-drop it; these pin qast_to_sql_predicate's wrapper
+    ["%", [".", ["$"], "id"], 2],            # 0 for even ids — still kept
+    ["-", [".", ["$"], "length"], 3],        # 0 at length=3 — still kept
+    ["*", [".", ["$"], "length"], 0],        # 0 everywhere parseable
+    ["+", [".", ["$"], "length"], [".", ["$"], "nosuchfield"]],  # all-null root
+    [".", ["$"], "length"],                  # bare extras root ("false" drops)
+    [".", ["$"], "topics"],                  # array root: non-null → kept
+    "hello",                                 # literal root: every row
+    0,                                       # numeric 0 literal: truthy (non-null)
     # snapshot-safe shapes (over-cap catalogs route these here too)
     ["==", [".", ["$"], "type"], "text/csv"],
     [">", [".", ["$"], "length"], 2],
