@@ -232,7 +232,10 @@ def _pred():
     cmp = st.tuples(st.sampled_from(["==", "!=", "<", "<=", ">", ">="]), a, a).map(list)
     truthy = st.tuples(st.sampled_from(["&", "|"]), st.one_of(_efield, cmp), st.one_of(_efield, cmp)).map(list)
     neg = st.tuples(st.just("!"), st.one_of(_efield, cmp)).map(list)
-    return st.one_of(cmp, truthy, neg)
+    # NON-BOOLEAN roots (review r9 #1): arithmetic/field/literal-rooted
+    # predicates take compile_predicate's truthiness wrapper — 0 is
+    # truthy, null drops — which the renderer must mirror exactly
+    return st.one_of(cmp, truthy, neg, a)
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
