@@ -388,6 +388,16 @@ class ComlakeServer:
         # today) simply never get one.
         self._duck: Any = None
         self._duck_lock = threading.Lock()
+        # last-resort tier memo: results of SPARK-served finds (the class
+        # neither the snapshot nor the DuckDB gate admits — e.g. mixed
+        # known-kind comparisons) keyed by (catalog versions, AST).
+        # Version tokens are immutable and re-resolved per request, so a
+        # mutation changes the key and stale hits are impossible; bounded
+        # LRU, small results only — repeated identical queries stop
+        # paying the ~100 ms Spark-job floor.
+        self._spark_find_cache: dict[tuple, list] = {}
+        self._spark_find_order: list[tuple] = []
+        self._spark_find_lock = threading.Lock()
 
     def _invalidate_snapshot(self) -> None:
         with self._snap_lock:
@@ -551,16 +561,44 @@ class ComlakeServer:
             hits = self._duck_find(ast)
             if hits is not None:
                 return 200, hits
+        cache_key = None
+        try:
+            cache_key = (
+                self.catalog._current_pointer("dataset")[0],
+                self.catalog._current_pointer("content")[0],
+                json.dumps(ast, sort_keys=True, default=str),
+            )
+            with self._spark_find_lock:
+                hit = self._spark_find_cache.get(cache_key)
+                if hit is not None:
+                    return 200, hit
+        except Exception:
+            cache_key = None  # non-filesystem catalog or unserializable AST
         try:
             rows = self.catalog.find(ast).collect()
         except QastError:
             return 400, {"error": "malformed query"}
+        except Exception:
+            # execution-time failure — e.g. a type-invalid predicate like
+            # ["==", parent, ""] aborts under ANSI cast at constant
+            # folding.  Reference parity: PostgreSQL.search returns null
+            # on ANY SQLException and the handler answers 400 "failed
+            # query" (HttpHandler.java:173-175, PostgreSQL.java:157-176);
+            # previously this tore down the connection with no response.
+            return 400, {"error": "failed query"}
         out = []
         for r in rows:
             d = dict(r.asDict())
             extra = d.pop("extra", None) or {}
             merged = {**extra, **{k: d.get(k) for k in FIXED_KEYS}}
             out.append(merged)
+        if cache_key is not None and len(out) <= 10_000:
+            with self._spark_find_lock:
+                if cache_key not in self._spark_find_cache:
+                    self._spark_find_cache[cache_key] = out
+                    self._spark_find_order.append(cache_key)
+                    while len(self._spark_find_order) > 64:
+                        self._spark_find_cache.pop(self._spark_find_order.pop(0), None)
         return 200, out
 
     def op_ls(self, cid: str) -> tuple[int, Any]:

@@ -404,3 +404,14 @@ def test_extract_max_rows_cap(spark, tmp_path):
     status, payload = srv.op_extract(cid, True)
     assert status == 200
     assert sum(1 for _ in payload.rows) == 5
+
+
+def test_find_execution_error_is_400_failed_query(server, cids):
+    """A type-invalid predicate that aborts at Spark execution (ANSI cast
+    of '' to BIGINT under constant folding) must answer 400 "failed
+    query" — the reference's PostgreSQL.search returns null on ANY
+    SQLException and the handler 400s (HttpHandler.java:173-175) —
+    instead of tearing down the connection with no response."""
+    ast = json.dumps(["==", [".", ["$"], "parent"], ""]).encode()
+    status, err = jcall(server, "POST", "/find", ast)
+    assert status == 400 and err == {"error": "failed query"}

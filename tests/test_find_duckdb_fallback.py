@@ -254,3 +254,28 @@ def test_pointer_module_matches_catalog(rich_server):
 
     for table in ("dataset", "content"):
         assert current_pointer(rich_server.catalog.root, table) == rich_server.catalog._current_pointer(table)
+
+
+def test_spark_tier_result_cache_and_invalidation(rich_server):
+    """The last-resort Spark tier memoizes results per (catalog versions,
+    AST): a repeat of a mixed-kind predicate is served from the cache,
+    and a catalog mutation changes the version key so the next find
+    reflects the new data (never a stale hit)."""
+    ast = ["==", [".", ["$"], "id"], "1"]  # mixed known kinds → Spark tier
+    assert not snapshot_safe(ast) and not duckdb_find_safe(ast)
+    rich_server._spark_find_cache.clear()
+    status, first = rich_server.op_find(ast)
+    assert status == 200 and len(rich_server._spark_find_cache) == 1
+    status, again = rich_server.op_find(ast)
+    assert again == first
+    (key,) = rich_server._spark_find_cache
+    import io
+
+    cid = rich_server.store.add(io.BytesIO(b"cache-inv\n"))
+    rich_server.catalog.upsert_content(cid, "text/plain")
+    status, after = rich_server.op_find(ast)
+    assert status == 200 and after == first  # same predicate, same rows
+    # but served under a NEW version key — the old entry is unreachable
+    assert key not in rich_server._spark_find_cache or len(rich_server._spark_find_cache) == 2
+    newest = [k for k in rich_server._spark_find_cache if k != key]
+    assert newest and newest[0][1] > key[1]  # content version advanced
