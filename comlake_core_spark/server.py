@@ -398,10 +398,23 @@ class ComlakeServer:
         self._spark_find_cache: dict[tuple, list] = {}
         self._spark_find_order: list[tuple] = []
         self._spark_find_lock = threading.Lock()
+        # single-flight: concurrent misses on the SAME key wait for the
+        # first request's Spark job instead of stampeding the driver with
+        # identical jobs (measured: 16 concurrent cold clients each ran
+        # the job — a multi-second herd for one answer)
+        self._spark_find_inflight: dict[tuple, threading.Event] = {}
+        # catalog version pair memo for the cache key: resolving it from
+        # the token files costs two GIL-releasing listdirs, which convoy
+        # badly under concurrent handler threads (measured ~10 ms/req at
+        # 16 threads from ~0.5 ms sequential).  Invalidated with the
+        # snapshot on every mutation THIS primary performs — the same
+        # single-writer consistency class as the snapshot export itself.
+        self._find_versions: tuple[int, int] | None = None
 
     def _invalidate_snapshot(self) -> None:
         with self._snap_lock:
             self._find_snap = None
+            self._find_versions = None
             if self.snapshot_export is not None:
                 # make workers fall back to proxying /find until the next
                 # rebuild re-exports — never serve stale reads from a worker
@@ -562,44 +575,65 @@ class ComlakeServer:
             if hits is not None:
                 return 200, hits
         cache_key = None
+        leader_event = None
         try:
-            cache_key = (
-                self.catalog._current_pointer("dataset")[0],
-                self.catalog._current_pointer("content")[0],
-                json.dumps(ast, sort_keys=True, default=str),
-            )
-            with self._spark_find_lock:
-                hit = self._spark_find_cache.get(cache_key)
-                if hit is not None:
-                    return 200, hit
+            versions = self._find_versions
+            if versions is None:
+                versions = (
+                    self.catalog._current_pointer("dataset")[0],
+                    self.catalog._current_pointer("content")[0],
+                )
+                self._find_versions = versions
+            cache_key = (*versions, json.dumps(ast, sort_keys=True, default=str))
         except Exception:
             cache_key = None  # non-filesystem catalog or unserializable AST
+        if cache_key is not None:
+            while True:
+                with self._spark_find_lock:
+                    hit = self._spark_find_cache.get(cache_key)
+                    if hit is not None:
+                        return 200, hit
+                    waiting = self._spark_find_inflight.get(cache_key)
+                    if waiting is None:
+                        leader_event = threading.Event()
+                        self._spark_find_inflight[cache_key] = leader_event
+                        break  # we compute; followers wait on our event
+                waiting.wait(timeout=120)  # leader finished (or errored)
         try:
-            rows = self.catalog.find(ast).collect()
-        except QastError:
-            return 400, {"error": "malformed query"}
-        except Exception:
-            # execution-time failure — e.g. a type-invalid predicate like
-            # ["==", parent, ""] aborts under ANSI cast at constant
-            # folding.  Reference parity: PostgreSQL.search returns null
-            # on ANY SQLException and the handler answers 400 "failed
-            # query" (HttpHandler.java:173-175, PostgreSQL.java:157-176);
-            # previously this tore down the connection with no response.
-            return 400, {"error": "failed query"}
-        out = []
-        for r in rows:
-            d = dict(r.asDict())
-            extra = d.pop("extra", None) or {}
-            merged = {**extra, **{k: d.get(k) for k in FIXED_KEYS}}
-            out.append(merged)
-        if cache_key is not None and len(out) <= 10_000:
-            with self._spark_find_lock:
-                if cache_key not in self._spark_find_cache:
-                    self._spark_find_cache[cache_key] = out
-                    self._spark_find_order.append(cache_key)
-                    while len(self._spark_find_order) > 64:
-                        self._spark_find_cache.pop(self._spark_find_order.pop(0), None)
-        return 200, out
+            try:
+                rows = self.catalog.find(ast).collect()
+            except QastError:
+                return 400, {"error": "malformed query"}
+            except Exception:
+                # execution-time failure — e.g. a type-invalid predicate
+                # like ["==", parent, ""] aborts under ANSI cast at
+                # constant folding.  Reference parity: PostgreSQL.search
+                # returns null on ANY SQLException and the handler answers
+                # 400 "failed query" (HttpHandler.java:173-175,
+                # PostgreSQL.java:157-176); previously this tore down the
+                # connection with no response.
+                return 400, {"error": "failed query"}
+            out = []
+            for r in rows:
+                d = dict(r.asDict())
+                extra = d.pop("extra", None) or {}
+                merged = {**extra, **{k: d.get(k) for k in FIXED_KEYS}}
+                out.append(merged)
+            if cache_key is not None and len(out) <= 10_000:
+                with self._spark_find_lock:
+                    if cache_key not in self._spark_find_cache:
+                        self._spark_find_cache[cache_key] = out
+                        self._spark_find_order.append(cache_key)
+                        while len(self._spark_find_order) > 64:
+                            self._spark_find_cache.pop(
+                                self._spark_find_order.pop(0), None
+                            )
+            return 200, out
+        finally:
+            if leader_event is not None:
+                with self._spark_find_lock:
+                    self._spark_find_inflight.pop(cache_key, None)
+                leader_event.set()
 
     def op_ls(self, cid: str) -> tuple[int, Any]:
         entries = self.store.ls(cid)

