@@ -1814,6 +1814,11 @@ def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
     )
     posts = sh.select("_id", F.explode("_sh").alias("_g"))
     dfreq_all = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        # two consumers under the cap (kept side feeds prefixes, hot side
+        # feeds the verify-set filter) — persist the O(distinct grams)
+        # aggregate so the corpus-wide count shuffle runs once, not twice
+        dfreq_all = dfreq_all.persist()
     dfreq = dfreq_all.filter(F.col("_df") <= int(max_df)) if max_df is not None else dfreq_all
     wid = Window.partitionBy("_id")
     w = wid.orderBy(F.asc("_df"), F.asc("_g"))

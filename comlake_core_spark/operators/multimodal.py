@@ -272,27 +272,29 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_n: int = 2, codec:
 
         from comlake_core_spark.operators.codecs import y4m_decode
 
+        exe = None
+        if codec == "ffmpeg":
+            # resolve ONCE per task, on the EXECUTOR: its PATH may differ
+            # from the driver's (whose which() above is the local
+            # fast-fail convenience), and a per-row which() would stack a
+            # PATH stat-sweep onto every iteration of the decode loop
+            # (review r9 #5, pass 2 #5)
+            import shutil as _sh
+
+            exe = _sh.which(ffmpeg_name)
+            if exe is None:
+                raise NotImplementedError(
+                    "codec='ffmpeg': no ffmpeg binary on this "
+                    "executor's PATH (or $COMLAKE_FFMPEG)"
+                )
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row["content"] or b"")
                 if codec == "ffmpeg":
-                    # re-resolve on the EXECUTOR: the driver-side check
-                    # above is a fast-fail convenience, but on a real
-                    # cluster the binary may live elsewhere (or nowhere)
-                    # on worker nodes — surface the same clean contract
-                    # there instead of an opaque FileNotFoundError storm
-                    # (review r9 #5)
-                    import shutil as _sh
-
-                    exe = _sh.which(ffmpeg_name)
-                    if exe is None:
-                        raise NotImplementedError(
-                            "codec='ffmpeg': no ffmpeg binary on this "
-                            "executor's PATH (or $COMLAKE_FFMPEG)"
-                        )
-                    side = max(int(frame_size ** 0.5), 1)
-                    for idx, fb, pts in _ffmpeg_demux(data, side, every_n, exe):
+                    for idx, fb, pts in _ffmpeg_demux(
+                        data, max(int(frame_size ** 0.5), 1), every_n, exe
+                    ):
                         rows.append(
                             {
                                 "id": row["id"],

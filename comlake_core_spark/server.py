@@ -395,8 +395,12 @@ class ComlakeServer:
         # mutation changes the key and stale hits are impossible; bounded
         # LRU, small results only — repeated identical queries stop
         # paying the ~100 ms Spark-job floor.
-        self._spark_find_cache: dict[tuple, list] = {}
-        self._spark_find_order: list[tuple] = []
+        from collections import OrderedDict
+
+        self._spark_find_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        #: keys whose results a leader could not memoize (oversized /
+        #: error) — followers bypass single-flight for these
+        self._spark_find_nocache: "OrderedDict[tuple, None]" = OrderedDict()
         self._spark_find_lock = threading.Lock()
         # single-flight: concurrent misses on the SAME key wait for the
         # first request's Spark job instead of stampeding the driver with
@@ -577,13 +581,21 @@ class ComlakeServer:
         cache_key = None
         leader_event = None
         try:
-            versions = self._find_versions
-            if versions is None:
-                versions = (
-                    self.catalog._current_pointer("dataset")[0],
-                    self.catalog._current_pointer("content")[0],
-                )
-                self._find_versions = versions
+            # memo read AND (on miss) resolve+store both under _snap_lock:
+            # an unlocked store raced _invalidate_snapshot — a thread that
+            # resolved pre-mutation pointers could overwrite the
+            # invalidation and pin pre-mutation cache hits until the NEXT
+            # mutation (review r9 pass 2 #1).  Inside the lock, a
+            # concurrent invalidation either happened-before (we resolve
+            # fresh) or lands after our store (next request re-resolves).
+            with self._snap_lock:
+                versions = self._find_versions
+                if versions is None:
+                    versions = (
+                        self.catalog._current_pointer("dataset")[0],
+                        self.catalog._current_pointer("content")[0],
+                    )
+                    self._find_versions = versions
             cache_key = (*versions, json.dumps(ast, sort_keys=True, default=str))
         except Exception:
             cache_key = None  # non-filesystem catalog or unserializable AST
@@ -592,7 +604,15 @@ class ComlakeServer:
                 with self._spark_find_lock:
                     hit = self._spark_find_cache.get(cache_key)
                     if hit is not None:
+                        self._spark_find_cache.move_to_end(cache_key)
                         return 200, hit
+                    if cache_key in self._spark_find_nocache:
+                        # a leader already learned this key is uncacheable
+                        # (oversized result or execution error): run our
+                        # own job CONCURRENTLY — single-flighting it would
+                        # serialize the herd one full Spark job at a time
+                        # (review r9 pass 2 #2)
+                        break
                     waiting = self._spark_find_inflight.get(cache_key)
                     if waiting is None:
                         leader_event = threading.Event()
@@ -619,21 +639,32 @@ class ComlakeServer:
                 extra = d.pop("extra", None) or {}
                 merged = {**extra, **{k: d.get(k) for k in FIXED_KEYS}}
                 out.append(merged)
-            if cache_key is not None and len(out) <= 10_000:
+            if cache_key is not None:
                 with self._spark_find_lock:
-                    if cache_key not in self._spark_find_cache:
+                    if len(out) <= 10_000:
                         self._spark_find_cache[cache_key] = out
-                        self._spark_find_order.append(cache_key)
-                        while len(self._spark_find_order) > 64:
-                            self._spark_find_cache.pop(
-                                self._spark_find_order.pop(0), None
-                            )
+                        self._spark_find_cache.move_to_end(cache_key)
+                        while len(self._spark_find_cache) > 64:
+                            self._spark_find_cache.popitem(last=False)
+                    else:
+                        self._mark_nocache(cache_key)
             return 200, out
         finally:
             if leader_event is not None:
                 with self._spark_find_lock:
                     self._spark_find_inflight.pop(cache_key, None)
+                    if cache_key not in self._spark_find_cache:
+                        # leader finished without caching (error path or
+                        # oversized result): let followers fan out
+                        self._mark_nocache(cache_key)
                 leader_event.set()
+
+    def _mark_nocache(self, cache_key: tuple) -> None:
+        """Record (under _spark_find_lock) that this key's result cannot
+        be memoized, bounded like the cache itself."""
+        self._spark_find_nocache[cache_key] = None
+        while len(self._spark_find_nocache) > 256:
+            self._spark_find_nocache.popitem(last=False)
 
     def op_ls(self, cid: str) -> tuple[int, Any]:
         entries = self.store.ls(cid)

@@ -85,7 +85,8 @@ def run_trial(tree: str, client_script: str) -> float:
     # snapshot-path traffic — sys.path.insert in the primary alone would
     # leave workers importing whatever the cwd resolves to, making both
     # trials measure the same worker code (review r9 #3)
-    env["PYTHONPATH"] = tree
+    prior = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = tree + (os.pathsep + prior if prior else "")
     out = subprocess.run(
         [sys.executable, "-c", WORKER_SRC, tree, client_script],
         capture_output=True, text=True, env=env, timeout=600,

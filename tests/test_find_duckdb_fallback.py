@@ -282,3 +282,21 @@ def test_spark_tier_result_cache_and_invalidation(rich_server):
     # but served under a NEW version key — the old entry is unreachable
     newest = [k for k in rich_server._spark_find_cache if k != key]
     assert newest and newest[0][1] > key[1]  # content version advanced
+
+
+def test_spark_tier_marks_uncacheable_keys(rich_server):
+    """A Spark-tier query whose result cannot be memoized (here: an
+    execution error) records a nocache marker so concurrent followers
+    fan out instead of serializing one full Spark job at a time behind
+    the single-flight guard."""
+    rich_server._spark_find_cache.clear()
+    rich_server._spark_find_nocache.clear()
+    ast = ["==", [".", ["$"], "parent"], ""]  # ANSI cast abort → failed query
+    status, err = rich_server.op_find(ast)
+    assert status == 400 and err == {"error": "failed query"}
+    assert len(rich_server._spark_find_nocache) == 1
+    assert not rich_server._spark_find_cache
+    # and the marked key no longer takes the single-flight path (no
+    # inflight entry is ever created for it)
+    status, _ = rich_server.op_find(ast)
+    assert status == 400 and not rich_server._spark_find_inflight
