@@ -928,9 +928,12 @@ def test_containment_prefix_no_cartesian_and_single_persist(spark):
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the cached relation carries the array column, i.e. pre-explode
     import re
 
     caches = re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)
-    assert caches, "expected the doc-level shingle arrays to be persisted"
-    assert all("_sh" in c and "_df" not in c for c in caches), caches
+    # the doc-level array frame must be cached ...
+    assert any("_sh" in c for c in caches), caches
+    # ... and no cache may be the EXPLODED per-occurrence frame (one row
+    # per (doc, gram) — the r9 first-cut regression); the per-GRAM df
+    # aggregate (_g, _df — O(distinct grams)) is fine and intentional
+    assert not any("_id" in c and "_g," in c for c in caches), caches
