@@ -292,7 +292,7 @@ def leakage_safe_split(
     edge set (dup clusters are near-cliques, diameter ~2); the join of
     docs→component is one shuffle on id; everything after is a small
     per-split aggregate."""
-    from comlake_core_spark.operators.dedup import connected_components
+    from comlake_core_spark.operators.dedup.graph import connected_components
 
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)  # (node, component)
     docs = df.select(F.col(id_col).alias("_id"))

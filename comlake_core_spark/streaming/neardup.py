@@ -44,7 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from comlake_core_spark.operators.dedup import lsh_band_keys, lsh_doc_signatures
+from comlake_core_spark.operators.dedup.minhash import lsh_band_keys, lsh_doc_signatures
 
 
 class StreamingNearDupIndex:

@@ -36,7 +36,7 @@ from ._base import _t, dec, workload
     "dedup",
 )
 def dedup_exact_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comlake_core_spark.operators.dedup import exact_dedup
+    from comlake_core_spark.operators.dedup.exact import exact_dedup
 
     (docs,) = _t(spark, sf_dir, "documents")
     return exact_dedup(docs)
@@ -75,7 +75,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle can mirror the blocking deterministically. The operator's
     default blocking is now MinHash-banded (skew-safe; VERDICT r1 #8) and
     is oracle-checked by dedup_minhash_lsh's brute-force oracle."""
-    from comlake_core_spark.operators.dedup import ngram_jaccard_pairs
+    from comlake_core_spark.operators.dedup.jaccard import ngram_jaccard_pairs
     from comlake_core_spark.operators.text import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -134,7 +134,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagate along edges only downhill (comp < target), which reaches
     every node because a component's minimum is smaller than every member.
     Convergence/closure also pytest-pinned in test_operators.py."""
-    from comlake_core_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.graph import connected_components
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -181,7 +182,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with P(miss) = (1-s^4)^16 ~ 4e-8 per pair — and xxhash64 is
     deterministic, so the sf0.01 outcome is fixed and verified (8 bands
     empirically missed exactly one 0.9-pair there), not probabilistic."""
-    from comlake_core_spark.operators.dedup import minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
@@ -237,7 +238,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     units — the corpus is ASCII so unicode() == the UTF-8 byte), takes the
     same ±1 bit votes with multiplicity, packs sign bits, and mirrors the
     16-bit pigeonhole band join + Hamming verify."""
-    from comlake_core_spark.operators.dedup import simhash_dedup_pairs
+    from comlake_core_spark.operators.dedup.simhash import simhash_dedup_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     return simhash_dedup_pairs(docs, max_hamming=10)
@@ -273,7 +274,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 digits on both engines (float64 einsum vs DuckDB's
     float32 list_cosine_similarity agree to ~1e-7 on unit-identical
     pairs)."""
-    from comlake_core_spark.operators.dedup import embedding_dedup_pairs
+    from comlake_core_spark.operators.dedup.embedding import embedding_dedup_pairs
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding")
@@ -330,7 +331,7 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole sketch → df-capped postings → self-join pipeline is under
     the value-hash oracle. The xxhash64 path's coverage guarantee and
     planted-passage detection are pytest-verified in tests/test_operators.py."""
-    from comlake_core_spark.operators.dedup import winnow_dedup_pairs
+    from comlake_core_spark.operators.dedup.spans import winnow_dedup_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     return winnow_dedup_pairs(docs, min_shared=4, hasher="md5")
@@ -374,7 +375,7 @@ def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct'd and BROADCAST — at 100 TB the train side is a map-only
     explode + broadcast semi probe; the only shuffle is the per-doc count
     over matched grams (rare by construction)."""
-    from comlake_core_spark.operators.dedup import decontaminate_ngrams
+    from comlake_core_spark.operators.dedup.jaccard import decontaminate_ngrams
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -438,7 +439,8 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle brute-forces the same transitive closure with a recursive CTE
     and picks the survivor with a window — end-to-end verification of
     edges, clustering, and survivor choice in one gate."""
-    from comlake_core_spark.operators.dedup import canonical_docs, minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.exact import canonical_docs
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
@@ -481,7 +483,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving size-ratio prefilter), so equality again proves 100% LSH
     recall on the incremental path — same banding/recall argument as
     dedup_minhash_lsh (64 hashes × 16 bands at threshold 0.8)."""
-    from comlake_core_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs_incremental
 
     (docs,) = _t(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 2 == 0)
@@ -542,7 +544,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     every triangle counted exactly once, no cartesian. At 100 TB the
     edge set is the LSH output (≪ corpus²) and the joins shuffle on node
     ids; degree skew is bounded by the max_bucket/max_df caps upstream."""
-    from comlake_core_spark.operators.dedup import minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = (
@@ -641,7 +643,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies found prunes AND absence of false positives. See
     operators/dedup.semantic_dedup for the 100 TB shape (cluster id =
     partition key; max_cluster caps the worst bucket)."""
-    from comlake_core_spark.operators.dedup import semantic_dedup
+    from comlake_core_spark.operators.dedup.embedding import semantic_dedup
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding")
@@ -742,7 +744,7 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: bit-identical in both engines).  Plan: map-only explode,
     one hash shuffle on the line value (keep-first window), one keyed
     shuffle back to doc_id — shuffle volume O(#lines), never all-pairs."""
-    from comlake_core_spark.operators.dedup import dedup_lines
+    from comlake_core_spark.operators.dedup.exact import dedup_lines
 
     (docs,) = _t(spark, sf_dir, "documents")
     return dedup_lines(docs, words_per_line=10)
@@ -820,7 +822,8 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle brute-forces the same exact-Jaccard pairs (the LSH recall
     proof is dedup_minhash_lsh's own oracle).  Per round: one keyed join
     + one map-combined sum — same exchanges as connected components."""
-    from comlake_core_spark.operators.dedup import minhash_lsh_pairs, pagerank
+    from comlake_core_spark.operators.dedup.graph import pagerank
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
@@ -912,7 +915,8 @@ def dedup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.bfs_depth — integer depths, min() relaxation, one
     keyed join + map-combined min per round over the checkpointed edge
     list)."""
-    from comlake_core_spark.operators.dedup import bfs_depth, minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.graph import bfs_depth
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
@@ -966,7 +970,7 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/dedup.common_span_coverage for the plan shape (map-side
     sliding-window explode, one distinct-owner shuffle on the span text,
     one join back, per-doc window)."""
-    from comlake_core_spark.operators.dedup import common_span_coverage
+    from comlake_core_spark.operators.dedup.spans import common_span_coverage
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -1022,7 +1026,7 @@ def boilerplate_strip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined (source, line) df aggregate joined back on its own
     exchange, one keyed shuffle to doc_id — shuffle volume O(#lines);
     see operators/dedup.strip_boilerplate."""
-    from comlake_core_spark.operators.dedup import strip_boilerplate
+    from comlake_core_spark.operators.dedup.boilerplate import strip_boilerplate
 
     (docs,) = _t(spark, sf_dir, "documents")
     return strip_boilerplate(docs, words_per_line=2, min_docs=5)
@@ -1075,7 +1079,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= m) by construction — this workload is the small-scale audit that
     sizes m before trusting the filter at 100 TB.  See
     operators/dedup.bloom_decontaminate."""
-    from comlake_core_spark.operators.dedup import bloom_decontaminate
+    from comlake_core_spark.operators.dedup.bloom import bloom_decontaminate
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1135,7 +1139,7 @@ def dedup_lsh_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost at scale ∝ |candidates| x prefix² — the prefix caps the DP so a
     10 MB document cannot stall a task; see
     operators/dedup.lsh_edit_verify."""
-    from comlake_core_spark.operators.dedup import lsh_edit_verify
+    from comlake_core_spark.operators.dedup.editverify import lsh_edit_verify
 
     (docs,) = _t(spark, sf_dir, "documents")
     return lsh_edit_verify(docs, threshold=0.8, num_hashes=64, bands=16, prefix=120)
@@ -1203,7 +1207,7 @@ def lsh_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     band rollup, strictly cheaper than the join it protects).  The
     oracle recomputes the md5 signatures and buckets themselves.  See
     operators/dedup.lsh_bucket_skew."""
-    from comlake_core_spark.operators.dedup import lsh_bucket_skew
+    from comlake_core_spark.operators.dedup.portable import lsh_bucket_skew
 
     (docs,) = _t(spark, sf_dir, "documents")
     return lsh_bucket_skew(docs)
@@ -1250,7 +1254,7 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline applied to the dedup estimator itself.  Candidates come
     from bucket joins (never all-pairs); exact sets join back for
     candidate ids only.  See operators/dedup.minhash_calibration."""
-    from comlake_core_spark.operators.dedup import minhash_calibration
+    from comlake_core_spark.operators.dedup.portable import minhash_calibration
 
     (docs,) = _t(spark, sf_dir, "documents")
     return minhash_calibration(docs)
@@ -1350,7 +1354,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE r8) and equality proves both the prefix filter's 100% recall
     AND the verification arithmetic.  See
     operators/dedup.containment_pairs_prefix."""
-    from comlake_core_spark.operators.dedup import containment_pairs_prefix
+    from comlake_core_spark.operators.dedup.containment import containment_pairs_prefix
 
     (docs,) = _t(spark, sf_dir, "documents")
     return containment_pairs_prefix(docs, threshold=0.8, max_df=200)
@@ -1415,7 +1419,7 @@ def train_test_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-combined), the test side probes it with a gram equi-join +
     doc-distinct — no all-pairs, no broadcast of corpus-sized state;
     at 100 TB the gram join is the same shape as the LSH band join."""
-    from comlake_core_spark.operators.dedup import shingles
+    from comlake_core_spark.operators.dedup.minhash import shingles
     from comlake_core_spark.operators.sampling import split_assignment_portable
     from comlake_core_spark.session import ensure_parallelism
 

@@ -224,7 +224,8 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the pieces.  Scale: one scan feeds scoring+filtering (codegen),
     the exact pass is one fingerprint shuffle, near-dup runs only on
     filtered survivors, and the accounting is a partial agg."""
-    from comlake_core_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.graph import connected_components
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
     from comlake_core_spark.operators.sampling import split_assignment_portable
     from comlake_core_spark.operators.text import fingerprint, quality_score, token_count
     from comlake_core_spark.session import ensure_parallelism

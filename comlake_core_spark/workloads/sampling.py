@@ -398,7 +398,7 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable md5 split of the representative), and the output's
     cross_split_pairs column COMPUTES the leakage (must be 0) rather than
     assuming it. See operators/sampling.leakage_safe_split."""
-    from comlake_core_spark.operators.dedup import minhash_lsh_pairs
+    from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
     from comlake_core_spark.operators.sampling import leakage_safe_split
     from comlake_core_spark.session import ensure_parallelism
 

@@ -47,7 +47,7 @@ _ANN_ORACLE = """
 
 @workload("ann_cosine_topk", _ANN_ORACLE, "similarity", "ann")
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comlake_core_spark.operators.similarity import brute_force_topk
+    from comlake_core_spark.operators.similarity.core import brute_force_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -106,7 +106,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit with DuckDB's list_dot_product (same evidence as
     ann_cosine_topk), and bucket assignment / probe ranking tie-break on
     centroid id identically. Recall vs brute force is pytest-verified."""
-    from comlake_core_spark.operators.similarity import ivf_topk
+    from comlake_core_spark.operators.similarity.ivf import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -185,7 +185,7 @@ def hybrid_search_rrf_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence as ann_cosine_topk); the RRF sum itself is a fixed two-term
     expression over integer ranks. Leg-fusion behavior also pytest-pinned
     in test_bm25.py."""
-    from comlake_core_spark.operators.similarity import hybrid_search_rrf
+    from comlake_core_spark.operators.similarity.rrf import hybrid_search_rrf
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -305,7 +305,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM order differ only in the last ulp, which the 9-decimal grid
     absorbs, so both engines walk the IDENTICAL codebook trajectory and
     the final top-k matches bit-for-bit."""
-    from comlake_core_spark.operators.similarity import ivf_topk
+    from comlake_core_spark.operators.similarity.ivf import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -367,7 +367,7 @@ def jaccard_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties break on neighbour id in both engines.  max_df=100 (default) drops
     boilerplate stop-shingles on BOTH engines — the posting-list cap that
     keeps the inverted-index join skew-free at scale (VERDICT r2 #2)."""
-    from comlake_core_spark.operators.dedup import jaccard_topk_similar
+    from comlake_core_spark.operators.dedup.jaccard import jaccard_topk_similar
 
     (docs,) = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") % 29 == 0)
@@ -409,7 +409,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; verified through exact integer checksums of the quantized
     codes (floor(x·scale+0.5) — floor is exact in both engines where
     round-half rules differ)."""
-    from comlake_core_spark.operators.similarity import quantize_embeddings_int8
+    from comlake_core_spark.operators.similarity.pq import quantize_embeddings_int8
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return quantize_embeddings_int8(emb)
@@ -460,7 +460,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec × subvector × centroid cross product; the engine is MAP-ONLY —
     codebook baked as plan literals, zero shuffles. See
     operators/similarity.pq_quantize."""
-    from comlake_core_spark.operators.similarity import pq_quantize
+    from comlake_core_spark.operators.similarity.pq import pq_quantize
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pq_quantize(emb, m=8, n_centroids=16)
@@ -521,7 +521,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason PQ exists at 100 TB. Decimal LUT sums make the score addition-
     order-independent, so engine and oracle agree bitwise; ties break on
     neighbour id. See operators/similarity.pq_adc_topk."""
-    from comlake_core_spark.operators.similarity import pq_adc_topk
+    from comlake_core_spark.operators.similarity.pq import pq_adc_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -603,7 +603,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector costs one bigint read + m LUT lookups. Composed entirely from
     the already-oracle-proven pieces (seeded codebook, PQ assignment,
     quantized-decimal LUT sums); see operators/similarity.ivfpq_adc_topk."""
-    from comlake_core_spark.operators.similarity import ivfpq_adc_topk
+    from comlake_core_spark.operators.similarity.pq import ivfpq_adc_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -693,7 +693,8 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-derived, so the division is bit-identical in both engines;
     both legs are the already-oracled operators and the oracle recomputes
     the whole sweep, so the reported curve itself is hash-verified."""
-    from comlake_core_spark.operators.similarity import brute_force_topk, ivf_topk
+    from comlake_core_spark.operators.similarity.core import brute_force_topk
+    from comlake_core_spark.operators.similarity.ivf import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 25).select(
@@ -769,7 +770,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path swaps the candidate generator for IVF buckets while the
     k·N-row mutual-filter self-join is unchanged
     (operators/similarity.mutual_knn_graph)."""
-    from comlake_core_spark.operators.similarity import mutual_knn_graph
+    from comlake_core_spark.operators.similarity.knn import mutual_knn_graph
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return mutual_knn_graph(emb, k=4)
@@ -824,7 +825,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines).  One self-join builds the d×d Gram matrix; each round is
     then a broadcast-sized matrix-vector product
     (operators/similarity.pca_power_iteration)."""
-    from comlake_core_spark.operators.similarity import pca_power_iteration
+    from comlake_core_spark.operators.similarity.pca import pca_power_iteration
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return pca_power_iteration(emb, iterations=3)
@@ -902,7 +903,7 @@ def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_knn_graph bit-for-bit (pinned by test).
     See operators/similarity.mutual_knn_graph(candidate='ivf',
     target_bucket_size=...)."""
-    from comlake_core_spark.operators.similarity import mutual_knn_graph
+    from comlake_core_spark.operators.similarity.knn import mutual_knn_graph
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return mutual_knn_graph(
@@ -965,7 +966,7 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rankings; both top-k's ride WindowGroupLimit; double-fold
     cosine agrees with DuckDB's list_dot_product bit-for-bit (the
     ann_cosine_topk evidence).  See operators/similarity.matryoshka_topk."""
-    from comlake_core_spark.operators.similarity import matryoshka_topk
+    from comlake_core_spark.operators.similarity.matryoshka import matryoshka_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1024,7 +1025,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     each planted pair is a mutual rank-1 edge at cosine ~1, so it must
     vanish from the output, while natural mutual edges (max natural
     cosine ~0.51) survive."""
-    from comlake_core_spark.operators.similarity import hard_negatives
+    from comlake_core_spark.operators.similarity.knn import hard_negatives
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding")
@@ -1077,7 +1078,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused.  ONE 64-decimal-column map-combined aggregate (no explode) +
     a #labels-row join; the oracle rebuilds the same centroids via
     UNNEST WITH ORDINALITY.  See operators/similarity.centroid_drift."""
-    from comlake_core_spark.operators.similarity import centroid_drift
+    from comlake_core_spark.operators.similarity.drift import centroid_drift
     from comlake_core_spark.session import ensure_parallelism
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -1237,7 +1238,7 @@ def embedding_knn_graph_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe at 100 TB is itself value-hash-gated — not only its
     flat-assignment equivalence (which coarse_probe=None pins bitwise in
     pytest).  See operators/similarity.ivf_assign_two_level."""
-    from comlake_core_spark.operators.similarity import mutual_knn_graph
+    from comlake_core_spark.operators.similarity.knn import mutual_knn_graph
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return mutual_knn_graph(
@@ -1286,7 +1287,7 @@ def embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's list_dot_product), means fold rounded norms through
     exact decimal addition.  Plan: ONE map-combined aggregate over one
     scan — no explode, no join; shuffle volume is #labels rows."""
-    from comlake_core_spark.operators.similarity import dot
+    from comlake_core_spark.operators.similarity.core import dot
     from comlake_core_spark.session import ensure_parallelism
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -1390,7 +1391,7 @@ def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-gated end to end — alongside the coarse_probe=None ≡ flat
     bitwise pin in tests/test_r8_ivf_auto.py.  See
     operators/similarity.ivf_topk(assignment='two_level')."""
-    from comlake_core_spark.operators.similarity import ivf_topk
+    from comlake_core_spark.operators.similarity.ivf import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     n = emb.count()
