@@ -58,10 +58,17 @@ def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
     rebuilt verify arrays with a corpus-wide collect_list — 5× slower at
     sf0.1; this shape keeps the r8 skeleton):
     - the persisted frame is the DOC-LEVEL arrays (small cache);
-    - hot grams leave the verify sets by array_except against a per-doc
-      hot-gram list built from hot OCCURRENCES only (tiny when the cap
-      binds normally; the all-boilerplate worst case pays proportional
-      to what it removes);
+    - hot grams leave the verify sets by array_except against the
+      broadcast HOT-GRAM ARRAY (the jaccard_topk_similar stop-set
+      idiom): hot grams are tiny by construction — only boilerplate
+      exceeds the cap — so the one-row collect_list array broadcasts
+      for free and the prune is map-side.  (The r9 shape built a
+      per-doc hot list with a posts⋈hot aggregate + a doc-keyed left
+      join; when the cap does not bind that machinery was the entire
+      2.37→2.88 s round regression — VERDICT r9 #3 — and when it does
+      bind, the broadcast array costs O(|hot|) per doc, the same
+      array_except work the per-doc list paid after two extra
+      shuffles.);
     - the candidate join probes prefixes against RAW postings: prefixes
       never contain capped-out grams, so hot postings simply never
       match — no postings-side filter materializes."""
@@ -94,19 +101,17 @@ def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
         .select(F.col("_id").alias("_src"), "_g")
     )
     if max_df is not None:
-        hot = dfreq_all.filter(F.col("_df") > int(max_df)).select("_g")
-        doc_hot = (
-            posts.join(hot, "_g")
-            .groupBy("_id")
-            .agg(F.collect_list("_g").alias("_hot"))
+        # one-row hot-gram array, broadcast onto every doc: collect_list
+        # over zero matching grams yields [], so the no-hot-grams case
+        # (the cap admits everything) pays one empty array_except per doc
+        # and nothing else
+        stop_arr = (
+            dfreq_all.filter(F.col("_df") > int(max_df))
+            .agg(F.collect_list("_g").alias("_stop"))
         )
-        empty = F.array().cast("array<string>")
         sets = (
-            sh.join(doc_hot, "_id", "left")
-            .select(
-                "_id",
-                F.array_except("_sh", F.coalesce("_hot", empty)).alias("_sh"),
-            )
+            sh.crossJoin(F.broadcast(stop_arr))
+            .select("_id", F.array_except("_sh", "_stop").alias("_sh"))
             .withColumn("_gc", F.size("_sh"))
             .filter(F.col("_gc") > 0)
         )
