@@ -346,7 +346,19 @@ def _two_level_ranked(
     # downstream self-join.  Single-consumer corpus-side callers pass
     # False — pinning a corpus-sized (id, vector) copy in block storage
     # for one read is pure memory pressure (review r8 #4).
-    return out.localCheckpoint(eager=True) if checkpoint else out
+    #
+    # DISK_ONLY (VERDICT r9 #5): the ranked frame carries the FULL vector
+    # on each of its n_top rows per input vector, so for corpus-scaled
+    # callers the default MEMORY_AND_DISK level competes with execution
+    # memory exactly at the sizes where the frame stops being small —
+    # the r9 8x curve step.  Local disk is spill-safe at any size, the
+    # two downstream reads are sequential, and the OS page cache keeps
+    # the warm-read cost near memory speed.
+    if not checkpoint:
+        return out
+    from pyspark.storagelevel import StorageLevel
+
+    return out.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def resolve_ivf_assignment(
