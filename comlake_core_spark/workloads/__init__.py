@@ -447,63 +447,79 @@ del _snap, _n
 #          green row first — r1/r2-era greens on operator modules that
 #          changed in r7/r8).  42 of the 50 slots carry stale evidence;
 #          the remaining 66 stale names roll to r10's window.
+#   r10:   stale burn-down continues (VERDICT r9 "Next round" #1): 99 of
+#          239 are stale at rotation time — r9 went 50/50 green but the
+#          r10 split of operators/dedup.py and operators/similarity.py
+#          into per-family packages (commit 429fd38) re-dated every
+#          submodule, re-staling their consumers.  Workloads now import
+#          the SPECIFIC submodule (operators/dedup/containment.py, not
+#          the package __init__), so this is the last whole-family
+#          re-stale; future one-function edits stale only that file's
+#          consumers (VERDICT r9 #2).  Window = 6 must-verify slots —
+#          server_find_real (fresh, but r10 edits server.py/findsql.py
+#          for the residual find tier, VERDICT r9 #4) +
+#          dedup_containment_prefix (containment.py stop-array reshape,
+#          #3) + ann_ivf2_topk / ann_recall_at_k / embedding_knn_graph_
+#          ivf / _ivf2 (ivf.py DISK_ONLY checkpoint pin, #5) — + the 44
+#          oldest-green stale names (the complete t≤1786775878 backlog:
+#          temporal/streaming/sampling r3-era greens and the r4-era
+#          graph/pipeline/text families).  49/50 slots carry stale
+#          evidence; ~50 stale names roll to r11's window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- sentinels: one driver-green pin per major family --
-    "qast_eq_filter",            # qast predicate compiler
-    "catalog_find",              # catalog scan + broadcast join
-    "streaming_hourly_events",   # streaming≡batch
-    "dedup_minhash_lsh",         # MinHash+LSH banding (also stale: dedup.py r9)
-    "join_revenue_by_nation",    # TPC-H join/agg core
-    "ann_recall_at_k",           # ANN recall measurement
-    "semantic_dedup_embeddings", # SemDeDup clustering (also stale: dedup.py r9)
-    "multimodal_jpeg_decode",    # pure-Python codec path
-    "approx_quantiles_prices",   # sketch family
-    "catalog_find_real",         # catalog integration (_real) family
-    # -- engine code changed THIS round: re-verify first --
-    "dedup_containment_prefix",
-    "kneser_ney_logprob_docs",
-    "pretrain_pipeline_v2",
-    "server_find_real",
-    # -- stale backlog, oldest green row first (engine modules changed
-    #    in r7/r8 after these workloads' last driver evidence) --
-    "qast_division_negation",
-    "qast_json_path",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "array_higher_order",
-    "bm25_search",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_winnow",
-    "events_sessionize",
-    "hybrid_search_rrf",
-    "layout_partition_pruned_read",
-    "multimodal_decode_features",
-    "multimodal_png_decode",
-    "qast_arith_revenue",
-    "qast_string_concat",
-    "text_lang_id",
-    "text_pmi_bigrams",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "text_token_budget",
-    "text_top_bigrams",
-    "ann_cosine_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "asof_last_purchase",
-    "cdc_merge_orders",
-    "contrastive_negative_samples",
-    "dedup_incremental_batch",
-    "embedding_pq_codes",
-    "events_gapfill_locf",
-    "heavy_hitters_event_types",
-    "mixture_resample_corpus",
+    # -- engine code changed (or will change) THIS round: verify first --
+    "server_find_real",          # server.py/findsql.py residual-tier work
+    "dedup_containment_prefix",  # containment.py broadcast stop array
+    "ann_ivf2_topk",             # ivf.py DISK_ONLY checkpoint pin
+    "ann_recall_at_k",           # similarity/core.py + ivf.py consumer
+    "embedding_knn_graph_ivf",   # similarity/knn.py consumer
+    "embedding_knn_graph_ivf2",  # two-level path over the pinned checkpoint
+    # -- stale backlog, oldest green row first --
+    "range_join_clicks_after_purchase",
+    "scd2_event_type_history",
+    "stratified_sample_orders",
+    "streaming_dedup_users",
+    "streaming_interval_join",
+    "streaming_matview_events",
+    "streaming_running_totals",
+    "streaming_sessionize_users",
+    "text_stats",
+    "time_weighted_avg_value",
+    "train_test_split_counts",
+    "bloom_pruned_join",
+    "dedup_canonical_docs",
+    "explode_token_counts",
+    "leakage_safe_split_docs",
+    "pipeline_pretrain_corpus",
+    "salted_join_revenue",
+    "array_functions",
+    "bpe_apply_fertility",
+    "bpe_train_merges",
+    "chunk_documents",
+    "corpus_ngram_novelty",
+    "decontaminate_train_eval",
+    "dedup_common_spans",
+    "dedup_graph_bfs_depth",
+    "dedup_graph_triangles",
+    "dedup_lines_corpus",
+    "docs_length_buckets",
+    "dsir_importance_resampling",
+    "embedding_knn_graph",
+    "embedding_pca_power",
+    "embedding_quantize_int8",
+    "pack_sequences",
+    "pagerank_dedup_graph",
+    "pii_redact_customers",
+    "pipeline_chunk_dedup_pack",
+    "pipeline_clean_corpus",
+    "quality_gopher_rules",
+    "source_token_js",
+    "text_feature_hashing",
+    "text_repetition_filter",
+    "text_unigram_logprob",
+    "url_normalize_dedup",
+    "weighted_sample_docs",
 ]
 
 
