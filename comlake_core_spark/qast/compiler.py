@@ -319,7 +319,13 @@ def _op_regex(args, resolve, regex_mode):
     except _re.error as exc:
         raise QastError(f"malformed regex pattern: {exc}") from exc
     if regex_mode == "full":
-        pattern = f"^(?:{pattern})$"
+        # \A..\z, not ^..$: Java's default '$' also matches before a FINAL
+        # line terminator, so the ^$ wrap accepted 'abc\n' for pattern
+        # 'abc' while the reference's re-matches (Matcher.matches: entire
+        # region), the interpreter's re.fullmatch and the DuckDB
+        # renderer's regexp_full_match all reject it.  \z is exact
+        # end-of-input in Java — all four backends agree.
+        pattern = f"\\A(?:{pattern})\\z"
     return _Typed(s.col.rlike(pattern), _BOOL)
 
 

@@ -184,12 +184,22 @@ def _c_field(args, comp, mode) -> RowFn:
 
 
 def _c_regex(args, comp, mode) -> RowFn:
-    from comlake_core_spark.qast.regex_dialect import translate_posix_classes
+    from comlake_core_spark.qast.regex_dialect import to_python_re, translate_posix_classes
 
     if not isinstance(args[1], str):
         raise QastError("~ pattern must be a string literal")  # compiler parity
+    # Java-semantics re-spelling: '.'-excludes-all-terminators, partial
+    # trailing-$ forgives one final terminator, silently-divergent
+    # constructs ([a&&b], (?i), \Z …) have no spelling — the serving
+    # gates pre-screen those to the Spark path, so falling back to the
+    # translated original here only affects direct interp callers (the
+    # fuzz suites, which generate convergent patterns).  re.ASCII pins
+    # \w \d \s \b to Java's default ASCII classes.
+    pinned = to_python_re(args[1], mode)
     try:
-        rx = re.compile(translate_posix_classes(args[1]))
+        rx = re.compile(
+            translate_posix_classes(args[1]) if pinned is None else pinned, re.ASCII
+        )
     except re.error as exc:
         # malformed pattern (e.g. "(") must surface as a 400 "malformed
         # query" on the serving path, not kill the keep-alive connection

@@ -5,10 +5,9 @@ The reference's catalog backend compiles `~` to PostgreSQL POSIX regex
 bracket classes that Java (Spark ``rlike``) and Python (``re``) spell
 differently. These ASCII range expansions are what PG (C locale) and
 Java's non-UNICODE \\p{...} classes match, so one translation serves both
-the Spark compiler and the pure-Python interpreter. DuckDB's RE2 accepts
-the POSIX spelling natively, so the SQL generator passes patterns through
-untouched — all three qast backends agree (fuzzed in
-tests/test_qast_property.py).
+the Spark compiler and the pure-Python interpreter. The SQL generator
+renders the RE2 re-spelling from ``to_re2`` below, so all three qast
+backends see one concrete pattern (fuzzed in tests/test_qast_property.py).
 """
 
 from __future__ import annotations
@@ -39,3 +38,148 @@ def translate_posix_classes(pattern: str) -> str:
     Java and Python regex — PG-dialect parity for the find/extract paths
     (VERDICT r1 'What's missing' #4)."""
     return _POSIX_RE.sub(lambda m: POSIX_CLASSES[m.group(1)], pattern)
+
+
+# ---------------------------------------------------------------------------
+# Java ↔ RE2 convergence (ADVICE r9 #1)
+#
+# The Spark tier evaluates `~` with Java regex (rlike) while the DuckDB
+# find tier evaluates with RE2.  Patterns RE2 REJECTS are harmless — the
+# runtime error falls back to the Spark path — but several constructs
+# parse in BOTH engines with silently different semantics.  ``to_re2``
+# re-spells a Java-compiled pattern in RE2 so the two tiers match the
+# same rows, and returns None for the constructs that cannot be re-spelt
+# (callers route those to the Spark path, the semantics of record):
+#
+# - ``.``: Java's default dot excludes every line terminator
+#   (\n \r     ); RE2's excludes only \n → rewritten to
+#   an explicit negated class.
+# - a single trailing ``$`` in PARTIAL mode: Java (no MULTILINE) matches
+#   before a FINAL line terminator as well as at end-of-text; RE2
+#   matches end-of-text only → rewritten to optionally consume that
+#   final terminator (valid for boolean matching, which is all `~`
+#   returns).  In FULL mode the compiler's \A(?:…)\z wrap forces a
+#   trailing ``$`` to exact end-of-text in Java — RE2's reading — so no
+#   rewrite.  A ``$`` anywhere else diverges with no safe rewrite → None.
+# - ``\<digit>``: Java backreference vs RE2 octal-or-error → None.
+# - ``\p{...}``/``\P{...}``: Java accepts POSIX-ish names (\p{Alpha},
+#   ASCII-only) RE2 errors on or reads as Unicode → None.
+# - ``(?`` groups other than ``(?:``: inline flags ((?i) folds
+#   ASCII-only in Java, Unicode in RE2), named groups ((?P< parses in
+#   RE2, errors in Java), lookaround → None.
+# - inside a character class: a nested ``[`` (Java class union vs RE2
+#   literal), ``&&`` (Java intersection vs RE2 literals), and ``[]``
+#   (POSIX first-position literal ] in RE2, error in Java) → None.
+# - ``{,`` : ``a{,3}`` is {0,3} in Python (which validated the pattern),
+#   an error in Java and a literal in RE2 → None.
+# ---------------------------------------------------------------------------
+
+#: per-dialect spellings of Java's default-mode '.' (excludes every line
+#: terminator) and trailing '$' (matches before one FINAL terminator too)
+_JAVA_DOT = {
+    "re2": r"[^\n\r\x{85}\x{2028}\x{2029}]",
+    "python": "[^\n\r  ]",
+}
+_JAVA_TAIL_DOLLAR = {
+    # RE2's '$' (no multiline) is absolute end; Python's forgives ONE
+    # final \n, so the Python spelling re-anchors on \Z (absolute end)
+    # to avoid accepting two trailing terminators
+    "re2": r"(?:\r\n|[\n\r\x{85}\x{2028}\x{2029}])?$",
+    "python": "(?:\r\n|[\n\r  ])?\\Z",
+}
+#: escapes that PARSE in the target dialect with a different reading than
+#: Java's: digits (backreference vs octal), p/P (\p{Alpha} name dialects),
+#: v (Java vertical-whitespace CLASS vs literal \x0b in both targets);
+#: Python additionally reads \Z as absolute end where Java forgives a
+#: final terminator.  Divergent escapes the target REJECTS need no entry —
+#: a parse error falls back to the Spark path (RE2) or is pre-rejected by
+#: the compiler's eager Python validity check.
+_DIVERGENT_ESCAPES = {"re2": "0123456789pPv", "python": "0123456789pPvZ"}
+
+
+def _respell(pattern: str, mode: str, dialect: str) -> str | None:
+    """Re-spell a Java-regex pattern for ``dialect`` ('re2'|'python'),
+    or None when it contains a construct whose readings silently diverge
+    between Java and that dialect.  POSIX [[:class:]] names are expanded
+    first (every engine then sees the same concrete ranges).  ``mode`` is
+    the `~` dialect the compiler runs the pattern under ('partial' rlike
+    / 'full' \\A..\\z wrap) — it decides the trailing-$ rewrite."""
+    pattern = translate_posix_classes(pattern)
+    out: list[str] = []
+    in_class = False
+    esc = False
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if esc:
+            if ch in _DIVERGENT_ESCAPES[dialect]:
+                return None
+            out.append("\\" + ch)
+            esc = False
+            i += 1
+            continue
+        if ch == "\\":
+            esc = True
+            i += 1
+            continue
+        if in_class:
+            if ch == "[":
+                return None  # Java nested class union / residual [:class:]
+            if ch == "&" and i + 1 < n and pattern[i + 1] == "&":
+                return None  # Java class intersection vs literal &&
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            if i + 1 < n and pattern[i + 1] == "]":
+                return None  # []…] : POSIX first-position ], error in Java
+            if i + 2 < n and pattern[i + 1] == "^" and pattern[i + 2] == "]":
+                return None
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(" and i + 1 < n and pattern[i + 1] == "?":
+            if i + 2 < n and pattern[i + 2] == ":":
+                out.append("(?:")
+                i += 3
+                continue
+            return None  # inline flags / lookaround / named groups
+        if ch == ".":
+            out.append(_JAVA_DOT[dialect])
+            i += 1
+            continue
+        if ch == "$":
+            if i == n - 1:
+                out.append(_JAVA_TAIL_DOLLAR[dialect] if mode == "partial" else ch)
+                i += 1
+                continue
+            return None
+        if ch == "{" and i + 1 < n and pattern[i + 1] == ",":
+            return None  # a{,3}: {0,3} in Python, error in Java
+        out.append(ch)
+        i += 1
+    if esc or in_class:
+        # dangling escape / unterminated class: Python's validity check
+        # (compiler._op_regex) rejects these before any engine runs, but
+        # fail closed for direct callers
+        return None
+    return "".join(out)
+
+
+def to_re2(pattern: str, mode: str = "partial") -> str | None:
+    """RE2 re-spelling of ``pattern`` with Java-regex semantics pinned,
+    or None for silently-divergent constructs — the DuckDB find tier's
+    gate and renderer (ADVICE r9 #1)."""
+    return _respell(pattern, mode, "re2")
+
+
+def to_python_re(pattern: str, mode: str = "partial") -> str | None:
+    """Python-re re-spelling of ``pattern`` with Java-regex semantics
+    pinned, or None for silently-divergent constructs — the snapshot
+    tier's interpreter runs this under ``re.ASCII`` (Java's \\w \\d \\s
+    \\b are ASCII-only by default; Python's are Unicode-wide)."""
+    return _respell(pattern, mode, "python")

@@ -224,7 +224,16 @@ def _op_regex(args, ctx):
         raise QastError("~ expects (expr, string-literal pattern)")
     (s,) = _args(args[:1], ctx)
     fn = "regexp_full_match" if ctx.mode == "full" else "regexp_matches"
-    return _S(f"{fn}({s.sql}, {_quote_str(args[1])})", _BOOL)
+    # re-spell the Java-compiled pattern in RE2 ('.'/'$'/POSIX-class
+    # pinning); constructs with silently-divergent readings are refused —
+    # the find tier's gate pre-screens them, this raise is the backstop
+    # for direct callers (ADVICE r9 #1)
+    from comlake_core_spark.qast.regex_dialect import to_re2
+
+    re2 = to_re2(args[1], ctx.mode)
+    if re2 is None:
+        raise QastError("regex pattern has no RE2 spelling with Java semantics")
+    return _S(f"{fn}({s.sql}, {_quote_str(re2)})", _BOOL)
 
 
 def _fold(op: str, parts: list[str]) -> str:

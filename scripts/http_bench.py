@@ -130,19 +130,25 @@ def main() -> None:
         find_spark_body = json.dumps(
             [">", ["+", [".", ["$"], "length"], 1], 2]
         ).encode()
-        # mixed known-kind comparison: neither snapshot- nor duckdb-safe →
-        # the last-resort Spark tier on the primary, behind its
-        # (catalog-version, AST) memo (r9) — workers proxy these
-        find_residual_body = json.dumps(["==", [".", ["$"], "id"], "1"]).encode()
+        # the r9 residual-bench shape ["==", id, "1"]: normalize_find_ast
+        # folds the literal cast (r10), so it is SNAPSHOT-served now —
+        # kept as its own metric to show the class moved tiers
+        find_mixed_body = json.dumps(["==", [".", ["$"], "id"], "1"]).encode()
+        # a TRUE residual predicate (multi-operand mixed chain — pairwise
+        # coercion defeats normalization): last-resort Spark tier on the
+        # primary; workers answer from their (catalog-version, AST)
+        # response memo after one proxied miss each (r10)
+        find_residual_body = json.dumps(["==", [".", ["$"], "id"], "1", "1"]).encode()
         warm = hammer(port, "POST", "/find", find_body)  # warm sockets + page cache
-        # one cold pass populates the Spark tier's (version, AST) memo so
-        # the residual timing measures the steady state (the cold miss is
-        # one ~1.5 s Spark job behind the single-flight guard)
+        # one cold pass populates the Spark tier's memo and each worker's
+        # proxy memo so the residual timing measures the steady state
+        # (the cold miss is one ~1.5 s Spark job behind single-flight)
         hammer(port, "POST", "/find", find_residual_body)
         out = {
             "find_rps": round(hammer(port, "POST", "/find", find_body), 1),
             "find_extras_rps": round(hammer(port, "POST", "/find", find_extras_body), 1),
             "find_spark_fallback_rps": round(hammer(port, "POST", "/find", find_spark_body), 1),
+            "find_mixed_literal_rps": round(hammer(port, "POST", "/find", find_mixed_body), 1),
             "find_spark_residual_rps": round(hammer(port, "POST", "/find", find_residual_body), 1),
             "get_rps": round(hammer(port, "GET", f"/file/{cid}", None), 1),
             "control_rps": round(hammer(port, "GET", "/nope", None), 1),

@@ -11,7 +11,13 @@ from hypothesis import strategies as st
 
 from comlake_core_spark.catalog import Catalog
 from comlake_core_spark.findsql import DuckFinder
-from comlake_core_spark.server import ComlakeServer, duckdb_find_safe, snapshot_safe
+from comlake_core_spark.server import (
+    ComlakeServer,
+    duckdb_find_safe,
+    find_static_status,
+    normalize_find_ast,
+    snapshot_safe,
+)
 from comlake_core_spark.store import LocalStore
 
 FIXED = ("id", "cid", "type", "description", "source", "topics", "parent")
@@ -193,14 +199,30 @@ def test_malformed_ast_still_400_through_fallback(rich_server):
 
 
 def test_duckdb_runtime_error_falls_back_to_spark(rich_server):
-    """A Java-regex construct RE2 rejects (backreference) passes the gate,
-    errors inside DuckDB, and lands on the Spark path with the right
-    answer instead of a 500."""
-    ast = ["~", [".", ["$"], "description"], r"(d)\1"]
+    """A Java-regex construct RE2 rejects at parse time (\\Z) passes the
+    convergence gate (RE2 can't read it differently — it can't read it at
+    all), errors inside DuckDB, and lands on the Spark path with the
+    right answer instead of a 500."""
+    ast = ["~", [".", ["$"], "description"], r"d\Z"]
     assert duckdb_find_safe(ast)
     status, hits = rich_server.op_find(ast)
     assert status == 200
     assert sorted(hits, key=lambda d: d["id"]) == _spark_find(rich_server, ast)
+
+
+def test_divergent_regex_rejected_statically(rich_server):
+    """Constructs that PARSE in both engines with different readings —
+    backreference-vs-octal, inline flags, unknown POSIX classes, Java
+    class intersection — are refused by the gate so the Spark reading is
+    the only one ever served (ADVICE r9 #1)."""
+    for pat in (r"(d)\1", "(?i)abc", "[[:ascii:]]", "[a-z&&b]", "a$b"):
+        ast = ["~", [".", ["$"], "description"], pat]
+        assert not duckdb_find_safe(ast), pat
+        status, hits = rich_server.op_find(ast)  # Spark path still serves it
+        assert status == 200
+        assert sorted(hits, key=lambda d: d["id"]) == _spark_find(rich_server, ast)
+    # convergent spellings still take the DuckDB tier
+    assert duckdb_find_safe(["~", [".", ["$"], "description"], "[[:alpha:]]+$"])
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +285,13 @@ def test_spark_tier_result_cache_and_invalidation(rich_server):
     the snapshot AND the version memo) changes the key so the next find
     reflects the new data — the same single-writer consistency class as
     the snapshot export."""
-    ast = ["==", [".", ["$"], "id"], "1"]  # mixed known kinds → Spark tier
+    # a multi-operand mixed chain: each PAIR coerces independently in
+    # Spark ("1" acts as a number against id and as a string against
+    # "1"), so normalize_find_ast deliberately leaves it alone and it
+    # lands on the Spark tier (the 2-operand form is normalized and
+    # snapshot-served — test_mixed_literal_normalization)
+    ast = ["==", [".", ["$"], "id"], "1", "1"]
+    assert normalize_find_ast(ast) == ast
     assert not snapshot_safe(ast) and not duckdb_find_safe(ast)
     rich_server._spark_find_cache.clear()
     rich_server._invalidate_snapshot()
@@ -300,3 +328,86 @@ def test_spark_tier_marks_uncacheable_keys(rich_server):
     # inflight entry is ever created for it)
     status, _ = rich_server.op_find(ast)
     assert status == 400 and not rich_server._spark_find_inflight
+
+
+def test_failed_queries_negative_cached(rich_server):
+    """ADVICE r9 #3: a deterministic 400 is memoized under its
+    version-scoped key, so a client retrying one bad query answers from
+    memory instead of re-running a full Spark job per retry."""
+    rich_server._spark_find_cache.clear()
+    rich_server._spark_find_err_cache.clear()
+    ast = ["==", [".", ["$"], "parent"], ""]  # ANSI cast abort
+    status, err = rich_server.op_find(ast)
+    assert status == 400 and len(rich_server._spark_find_err_cache) == 1
+    # second call must not reach Spark: poison catalog.find to prove it
+    real = rich_server.catalog.find
+    rich_server.catalog.find = lambda *_: (_ for _ in ()).throw(AssertionError("spark reached"))
+    try:
+        status, again = rich_server.op_find(ast)
+    finally:
+        rich_server.catalog.find = real
+    assert status == 400 and again == err
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 #4: the two former residual classes
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_literal_normalization(rich_server):
+    """A 2-operand comparison of a numeric node against a string LITERAL
+    folds the literal exactly like Catalyst's ANSI constant fold, making
+    the predicate single-kind (snapshot/DuckDB-servable). Unfoldable
+    literals and string COLUMNS against numbers stay on the Spark path."""
+    # folded: bigint side → toLongExact syntax
+    assert normalize_find_ast(["==", [".", ["$"], "id"], "1"]) == [
+        "==", [".", ["$"], "id"], 1]
+    assert normalize_find_ast(["<", " +42 ", [".", ["$"], "parent"]]) == [
+        "<", 42, [".", ["$"], "parent"]]
+    # folded: double side (arithmetic / float literal)
+    assert normalize_find_ast([">", ["/", [".", ["$"], "id"], 2], "1.5"]) == [
+        ">", ["/", [".", ["$"], "id"], 2], 1.5]
+    # NOT folded: decimal syntax against a BIGINT side (toLongExact rejects
+    # '5.0'; DuckDB's cast would round — the class that cannot be served
+    # off-Spark), underscores, overflow, empty
+    for lit in ("5.0", "1_0", "9223372036854775808", "", "abc"):
+        ast = ["==", [".", ["$"], "id"], lit]
+        assert normalize_find_ast(ast) == ast, lit
+        assert not snapshot_safe(ast) and not duckdb_find_safe(ast)
+    # NOT folded: string COLUMN vs number (per-row error depends on data)
+    ast = ["==", [".", ["$"], "description"], 5]
+    assert normalize_find_ast(ast) == ast
+    # NOT folded: multi-operand chain (pairwise coercion)
+    ast = ["<", 1, "2", "10"]
+    assert normalize_find_ast(ast) == ast
+    # end-to-end: the folded form is snapshot-servable and matches Spark
+    ast = ["==", [".", ["$"], "id"], "1"]
+    norm = normalize_find_ast(ast)
+    assert snapshot_safe(norm)
+    status, hits = rich_server.op_find(ast)
+    assert status == 200
+    assert sorted(hits, key=lambda d: d["id"]) == _spark_find(rich_server, ast)
+
+
+def test_nested_fixed_path_static_400(rich_server):
+    """A nested path under a fixed scalar column AnalysisExceptions on
+    the Spark path no matter where it sits in the predicate — the static
+    gate answers the same 400 without a Spark job on both the primary
+    and the read workers."""
+    for ast in (
+        ["==", [".", ["$"], "description", "x"], "v"],
+        ["==", [".", ["$"], "id", "x"], 1],
+        ["|", True, ["==", [".", ["$"], "parent", "deep", "er"], 1]],
+    ):
+        assert find_static_status(ast) == (400, {"error": "failed query"})
+        # parity with what Spark itself produces (the AnalysisException
+        # fires while BUILDING the plan — before any execution)
+        with pytest.raises(Exception):
+            rich_server.catalog.find(ast).collect()
+        assert rich_server.op_find(ast) == (400, {"error": "failed query"})
+    # malformed ASTs keep their QastError body (compile-before-analysis)
+    bad = ["%", [".", ["$"], "id", "x"], 1, 2]  # wrong arity + nested fixed
+    assert find_static_status(bad) == (400, {"error": "malformed query"})
+    # dynamic extras paths and plain fixed columns are untouched
+    assert find_static_status(["==", [".", ["$"], "props", "n"], "1"]) is None
+    assert find_static_status(["==", [".", ["$"], "id"], 1]) is None

@@ -197,3 +197,66 @@ def test_workers_serve_duckdb_fallback_locally_and_fresh(tier):
         status, hits = jcall(tier, "POST", "/find", ast)
         assert status == 200
         assert sorted(h["id"] for h in hits) == sorted([d1["id"], d2["id"]])
+
+
+def test_residual_find_memoized_and_mutation_fresh(tier):
+    """Residual predicates (no worker tier serves them — here a
+    multi-operand mixed chain normalization skips) proxy to the primary
+    ONCE per (catalog versions, AST) per worker, then answer from the
+    worker memo; a mutation changes the version tokens so the next
+    request re-proxies and reflects the new data (VERDICT r9 #4)."""
+    status, doc = jcall(tier, "POST", "/file", b"resid-tier", content_type="text/plain")
+    assert status == 200
+    cid = doc["cid"]
+    status, d1 = jcall(tier, "POST", "/dataset", json.dumps({
+        "file": cid, "description": "resid", "source": "rs", "topics": [],
+    }).encode())
+    assert status == 200
+    ast = ["==", [".", ["$"], "id"], str(d1["id"]), str(d1["id"])]
+    from comlake_core_spark.server import duckdb_find_safe, snapshot_safe
+    assert not snapshot_safe(ast) and not duckdb_find_safe(ast)
+    body = json.dumps(ast).encode()
+    for _ in range(REPEAT):
+        status, hits = jcall(tier, "POST", "/find", body)
+        assert status == 200 and [h["id"] for h in hits] == [d1["id"]]
+
+    # the deterministic-400 classes answer identically from every process
+    for bad, msg in (
+        (["==", [".", ["$"], "description", "x"], "v"], "failed query"),
+        (["==", [".", ["$"], "parent"], ""], "failed query"),
+    ):
+        for _ in range(REPEAT):
+            status, err = jcall(tier, "POST", "/find", json.dumps(bad).encode())
+            assert status == 400 and err == {"error": msg}
+
+    # mutation → version tokens advance → memo key changes → fresh rows
+    status, d2 = jcall(tier, "POST", "/dataset", json.dumps({
+        "file": cid, "description": "resid2", "source": "rs", "topics": [],
+    }).encode())
+    assert status == 200
+    # id >= d1 chained with a string-equal pair: still a mixed chain
+    # (residual), result now includes the new row
+    ast2 = [">=", [".", ["$"], "id"], str(d1["id"]), str(d1["id"])]
+    assert not snapshot_safe(ast2) and not duckdb_find_safe(ast2)
+    for _ in range(REPEAT):
+        status, hits = jcall(tier, "POST", "/find", json.dumps(ast2).encode())
+        assert status == 200
+        assert sorted(h["id"] for h in hits) == sorted([d1["id"], d2["id"]])
+
+
+def test_mixed_literal_comparison_snapshot_served_by_workers(tier):
+    """The r9 residual-bench predicate shape ["==", id, "1"] normalizes
+    to a single-kind comparison and is served snapshot-locally by every
+    process — no proxy, no Spark job (VERDICT r9 #4)."""
+    status, doc = jcall(tier, "POST", "/file", b"mixed-tier", content_type="text/plain")
+    cid = doc["cid"]
+    status, d1 = jcall(tier, "POST", "/dataset", json.dumps({
+        "file": cid, "description": "mixed", "source": "mx", "topics": [],
+    }).encode())
+    assert status == 200
+    ast = ["==", [".", ["$"], "id"], str(d1["id"])]
+    from comlake_core_spark.server import normalize_find_ast, snapshot_safe
+    assert snapshot_safe(normalize_find_ast(ast))
+    for _ in range(REPEAT):
+        status, hits = jcall(tier, "POST", "/find", json.dumps(ast).encode())
+        assert status == 200 and [h["id"] for h in hits] == [d1["id"]]
