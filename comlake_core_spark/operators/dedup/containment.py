@@ -20,12 +20,15 @@ def containment_candidates(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     max_df: int | None = None,
+    hot_strategy: str = "broadcast",
 ) -> DataFrame:
     """Candidate-pair generation for ``containment_pairs_prefix`` —
     exposed separately so tests can measure candidate VOLUME (the thing
     the ``max_df`` stop-cap bounds) independent of verification.
     Returns distinct (_src, _dst) candidate pairs."""
-    _, pref, posts = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
+    _, pref, posts = _containment_stages(
+        df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy
+    )
     return _containment_cand(pref, posts)
 
 
@@ -40,7 +43,9 @@ def _containment_cand(pref: DataFrame, posts: DataFrame) -> DataFrame:
     )
 
 
-def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
+def _containment_stages(
+    df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy="broadcast"
+):
     """(doc shingle sets, prefix rows, postings) under the optional df
     stop-cap.  With ``max_df`` set, grams with corpus document frequency
     above it are removed from the SHINGLE UNIVERSE itself — postings
@@ -100,11 +105,15 @@ def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
         .filter(F.col("_rn") <= F.col("_gce") - F.col("_req") + F.lit(1))
         .select(F.col("_id").alias("_src"), "_g")
     )
-    if max_df is not None:
+    if max_df is not None and hot_strategy == "broadcast":
         # one-row hot-gram array, broadcast onto every doc: collect_list
         # over zero matching grams yields [], so the no-hot-grams case
         # (the cap admits everything) pays one empty array_except per doc
-        # and nothing else
+        # and nothing else.  Right when the hot set is small (a cap set
+        # for BOILERPLATE — the intended use); a fixed low cap over a
+        # web-scale vocabulary makes every common shingle hot and the
+        # one-row array corpus-sized → use hot_strategy='join'
+        # (review r10 #5).
         stop_arr = (
             dfreq_all.filter(F.col("_df") > int(max_df))
             .agg(F.collect_list("_g").alias("_stop"))
@@ -112,6 +121,24 @@ def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
         sets = (
             sh.crossJoin(F.broadcast(stop_arr))
             .select("_id", F.array_except("_sh", "_stop").alias("_sh"))
+            .withColumn("_gc", F.size("_sh"))
+            .filter(F.col("_gc") > 0)
+        )
+    elif max_df is not None:
+        if hot_strategy != "join":
+            raise ValueError(f"hot_strategy must be 'broadcast' or 'join', got {hot_strategy!r}")
+        # shuffle-bounded hot handling for corpus-scale hot sets: per-doc
+        # hot lists from hot OCCURRENCES only (posts⋈hot + doc-keyed
+        # left join).  Costs two extra shuffles even when the cap does
+        # not bind — the r9 default and the measured 2.37→2.88 s bench
+        # regression — but never materializes the hot set on one task,
+        # so it is the right shape when |hot| rivals the vocabulary.
+        hot = dfreq_all.filter(F.col("_df") > int(max_df)).select("_g")
+        doc_hot = posts.join(hot, "_g").groupBy("_id").agg(F.collect_list("_g").alias("_hot"))
+        empty = F.array().cast("array<string>")
+        sets = (
+            sh.join(doc_hot, "_id", "left")
+            .select("_id", F.array_except("_sh", F.coalesce("_hot", empty)).alias("_sh"))
             .withColumn("_gc", F.size("_sh"))
             .filter(F.col("_gc") > 0)
         )
@@ -127,6 +154,7 @@ def containment_pairs_prefix(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     max_df: int | None = None,
+    hot_strategy: str = "broadcast",
 ) -> DataFrame:
     """One-sided set-CONTAINMENT join: all ordered pairs (src, dst) with
     C(src→dst) = |S_src ∩ S_dst| / |S_src| >= threshold — the near-
@@ -163,7 +191,9 @@ def containment_pairs_prefix(
     family (operators/dedup.shingles), so the SQL oracle twin matches
     bit-for-bit."""
     t = float(threshold)
-    sets, pref, posts = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
+    sets, pref, posts = _containment_stages(
+        df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy
+    )
     cand = _containment_cand(pref, posts)
     a = sets.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"), F.col("_gc").alias("_gca"))
     b = sets.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))

@@ -95,6 +95,10 @@ _JAVA_TAIL_DOLLAR = {
 #: a parse error falls back to the Spark path (RE2) or is pre-rejected by
 #: the compiler's eager Python validity check.
 _DIVERGENT_ESCAPES = {"re2": "0123456789pPv", "python": "0123456789pPvZ"}
+#: Java's default \s is [ \t\n\x0B\f\r]; RE2's excludes \x0B (vertical
+#: tab), so \s/\S re-spell explicitly for RE2 (review r10 #3).  Python's
+#: re.ASCII \s is exactly Java's set — no rewrite needed there.
+_JAVA_S_CHARS = " \\t\\n\\x0B\\f\\r"
 
 
 def _respell(pattern: str, mode: str, dialect: str) -> str | None:
@@ -115,6 +119,22 @@ def _respell(pattern: str, mode: str, dialect: str) -> str | None:
         if esc:
             if ch in _DIVERGENT_ESCAPES[dialect]:
                 return None
+            if ch == "b" and in_class:
+                # [\b] is a backspace class in Python/POSIX but a
+                # PatternSyntaxException in Java — serving it off-Spark
+                # would 200 a query the pinned path 400s (review r10 #4);
+                # RE2 also rejects it, so both targets bail
+                return None
+            if dialect == "re2" and ch in "sS":
+                if ch == "s":
+                    out.append(_JAVA_S_CHARS if in_class else "[" + _JAVA_S_CHARS + "]")
+                elif in_class:
+                    return None  # no negated set inside a class
+                else:
+                    out.append("[^" + _JAVA_S_CHARS + "]")
+                esc = False
+                i += 1
+                continue
             out.append("\\" + ch)
             esc = False
             i += 1
@@ -170,16 +190,23 @@ def _respell(pattern: str, mode: str, dialect: str) -> str | None:
     return "".join(out)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=512)
 def to_re2(pattern: str, mode: str = "partial") -> str | None:
     """RE2 re-spelling of ``pattern`` with Java-regex semantics pinned,
     or None for silently-divergent constructs — the DuckDB find tier's
-    gate and renderer (ADVICE r9 #1)."""
+    gate and renderer (ADVICE r9 #1).  Cached: the serving gates and the
+    renderer re-spell the same (pattern, mode) on every request."""
     return _respell(pattern, mode, "re2")
 
 
+@functools.lru_cache(maxsize=512)
 def to_python_re(pattern: str, mode: str = "partial") -> str | None:
     """Python-re re-spelling of ``pattern`` with Java-regex semantics
     pinned, or None for silently-divergent constructs — the snapshot
     tier's interpreter runs this under ``re.ASCII`` (Java's \\w \\d \\s
-    \\b are ASCII-only by default; Python's are Unicode-wide)."""
+    \\b are ASCII-only by default; Python's are Unicode-wide).  Cached
+    like ``to_re2``."""
     return _respell(pattern, mode, "python")

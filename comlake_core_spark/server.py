@@ -47,6 +47,31 @@ from comlake_core_spark.store.base import ContentStore
 FIXED_KEYS = ("id", "cid", "type", "description", "source", "topics", "parent")
 
 
+def _deterministic_find_error(exc: Exception) -> bool:
+    """True iff a /find execution failure is a pure function of
+    (catalog version, AST) and may therefore be negative-cached:
+    analysis errors and ANSI cast/arithmetic aborts re-raise identically
+    on every retry.  Everything else — executor loss, py4j/network
+    failures, OOM (Py4JJavaError/UnknownException/PythonException) —
+    must stay uncached so a retry re-executes (review r10 #1)."""
+    import pyspark.errors as pe
+
+    return isinstance(
+        exc,
+        (
+            pe.AnalysisException,
+            pe.ArithmeticException,
+            pe.ArrayIndexOutOfBoundsException,
+            pe.DateTimeException,
+            pe.IllegalArgumentException,
+            pe.NumberFormatException,
+            pe.ParseException,
+            pe.SparkRuntimeException,
+            pe.UnsupportedOperationException,
+        ),
+    )
+
+
 def _json_default(value: Any) -> Any:
     """JSON spelling for extraction-row values outside the JSON
     vocabulary: timestamps/dates render ISO-8601 (the session TZ is
@@ -833,15 +858,21 @@ class ComlakeServer:
                 rows = self.catalog.find(ast).collect()
             except QastError:
                 return self._find_fail(cache_key, {"error": "malformed query"})
-            except Exception:
+            except Exception as exc:
                 # execution-time failure — e.g. a type-invalid predicate
                 # like ["==", parent, ""] aborts under ANSI cast at
                 # constant folding.  Reference parity: PostgreSQL.search
                 # returns null on ANY SQLException and the handler answers
                 # 400 "failed query" (HttpHandler.java:173-175,
                 # PostgreSQL.java:157-176); previously this tore down the
-                # connection with no response.
-                return self._find_fail(cache_key, {"error": "failed query"})
+                # connection with no response.  Only DETERMINISTIC error
+                # classes feed the negative cache — a transient infra
+                # failure (executor loss, py4j/network, OOM) must stay
+                # uncached so a retry re-executes (review r10 #1).
+                return self._find_fail(
+                    cache_key if _deterministic_find_error(exc) else None,
+                    {"error": "failed query"},
+                )
             out = []
             for r in rows:
                 d = dict(r.asDict())

@@ -102,6 +102,7 @@ def _make_worker_handler(
 
     find_memo: "OrderedDict[tuple, tuple[int, str, bytes]]" = OrderedDict()
     find_memo_lock = threading.Lock()
+    _MALFORMED_BODY = json.dumps({"error": "malformed query"}).encode()
 
     class WorkerHandler(BaseHTTPRequestHandler):
         # same socket discipline as the primary (server.py): keep-alive,
@@ -116,6 +117,9 @@ def _make_worker_handler(
         def _send(self, status: int, payload, raw: bool = False):
             body = payload if raw else json.dumps(payload).encode()
             ctype = "application/octet-stream" if raw else "application/json"
+            self._send_raw(status, ctype, body)
+
+        def _send_raw(self, status: int, ctype: str, body: bytes):
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
@@ -173,17 +177,22 @@ def _make_worker_handler(
                     proxy_local.conn = None
                     self.close_connection = True
                 return
-            if memo_key is not None and status in (200, 400) and len(payload) <= 1_000_000:
+            # memoize 200s and the QastError 400 (deterministic by
+            # construction); a "failed query" 400 may be a transient
+            # primary-side failure the worker cannot distinguish, so those
+            # keep proxying — the primary's own deterministic negative
+            # cache still answers them without a Spark job (review r10 #2)
+            if (
+                memo_key is not None
+                and len(payload) <= 1_000_000
+                and (status == 200 or (status == 400 and payload == _MALFORMED_BODY))
+            ):
                 with find_memo_lock:
                     find_memo[memo_key] = (status, rtype, payload)
                     find_memo.move_to_end(memo_key)
                     while len(find_memo) > 128:
                         find_memo.popitem(last=False)
-            self.send_response(status)
-            self.send_header("Content-Type", rtype)
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
+            self._send_raw(status, rtype, payload)
 
         def _find_memo_key(self, ast) -> tuple | None:
             """(dataset version, content version, canonical AST) — version
@@ -242,13 +251,7 @@ def _make_worker_handler(
                         if hit is not None:
                             find_memo.move_to_end(key)
                     if hit is not None:
-                        status, rtype, payload = hit
-                        self.send_response(status)
-                        self.send_header("Content-Type", rtype)
-                        self.send_header("Content-Length", str(len(payload)))
-                        self.end_headers()
-                        self.wfile.write(payload)
-                        return
+                        return self._send_raw(*hit)
                 return self._proxy(body, memo_key=key)
             if self.path in ("/dir", "/file", "/cp", "/dataset", "/update") or self.path.startswith(
                 "/extract/"

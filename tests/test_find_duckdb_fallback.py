@@ -223,6 +223,15 @@ def test_divergent_regex_rejected_statically(rich_server):
         assert sorted(hits, key=lambda d: d["id"]) == _spark_find(rich_server, ast)
     # convergent spellings still take the DuckDB tier
     assert duckdb_find_safe(["~", [".", ["$"], "description"], "[[:alpha:]]+$"])
+    # \s re-spells for RE2 (Java's includes \x0B, RE2's doesn't) and
+    # [\b] (Java error / Python backspace) is refused — review r10 #3/#4
+    from comlake_core_spark.qast.regex_dialect import to_python_re, to_re2
+
+    assert duckdb_find_safe(["~", [".", ["$"], "description"], r"d\s?"])
+    assert "x0B" in to_re2(r"a\sb", "partial")
+    assert to_re2(r"[\b]", "partial") is None
+    assert to_python_re(r"[\b]", "partial") is None
+    assert not snapshot_safe(["~", [".", ["$"], "description"], r"[\b]"])
 
 
 # ---------------------------------------------------------------------------

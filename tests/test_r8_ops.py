@@ -162,6 +162,27 @@ def test_containment_max_df_bounds_candidates_and_stays_exact(spark):
                 want[(a, b)] = round(len(sa & sb) / len(sa), 9)
     assert got == want and (200, 201) in got
 
+    # hot_strategy='join' (the shuffle-bounded shape for corpus-scale
+    # hot sets, review r10 #5) must produce the identical capped answer
+    # on a BINDING cap — and on a non-binding one
+    got_join = {
+        (r["src_id"], r["dst_id"]): round(r["containment"], 9)
+        for r in containment_pairs_prefix(
+            docs, threshold=0.8, max_df=5, hot_strategy="join"
+        ).collect()
+    }
+    assert got_join == want
+    nb_b = {tuple(r) for r in containment_pairs_prefix(docs, threshold=0.8, max_df=500).collect()}
+    nb_j = {
+        tuple(r)
+        for r in containment_pairs_prefix(
+            docs, threshold=0.8, max_df=500, hot_strategy="join"
+        ).collect()
+    }
+    assert nb_b == nb_j
+    with pytest.raises(ValueError, match="hot_strategy"):
+        containment_pairs_prefix(docs, threshold=0.8, max_df=5, hot_strategy="nope").collect()
+
 
 def test_containment_exact_threshold_pair_survives_float_ceil(spark):
     """ADVICE r8: a pair at EXACTLY the threshold must be found — the
