@@ -280,6 +280,48 @@ def test_fuzz_duckdb_equals_spark(rich_server, preds):
         assert sorted(got, key=lambda d: d["id"]) == _spark_find(rich_server, ast), ast
 
 
+#: numeric-ish string literals, the parse-edge zoo: Spark's ANSI
+#: toLongExact/double-cast semantics must survive the fold verbatim
+_numish = st.sampled_from(
+    ["1", "3", " 9", "+2", "-7", "0003", "2.5", ".5", "1e2", "1.5e-1",
+     "9223372036854775807"]
+)
+_numside = st.one_of(
+    st.sampled_from([[".", ["$"], "id"], [".", ["$"], "parent"]]),
+    st.sampled_from([0, 1, 3, 2.5]),
+    st.tuples(st.sampled_from(["+", "-", "*", "/"]),
+              st.just([".", ["$"], "id"]), st.sampled_from([1, 2, 2.0])).map(list),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+    _numside,
+    _numish,
+    st.booleans(),
+)
+def test_fuzz_normalize_preserves_spark_semantics(rich_server, op, numside, lit, flip):
+    """normalize_find_ast's literal fold must be Catalyst's own constant
+    fold verbatim: the Spark path run on the ORIGINAL ast and on the
+    NORMALIZED ast must return identical rows (or both fail), and when
+    the fold fires, the served op_find answer must match Spark's."""
+    ast = [op, lit, numside] if flip else [op, numside, lit]
+    norm = normalize_find_ast(ast)
+    try:
+        want = _spark_find(rich_server, ast)
+    except Exception:
+        # original errors (e.g. bigint side vs decimal literal) → the
+        # fold must NOT have fired, and the endpoint answers 400
+        assert norm == ast, ast
+        assert rich_server.op_find(ast)[0] == 400
+        return
+    assert _spark_find(rich_server, norm) == want, (ast, norm)
+    status, hits = rich_server.op_find(ast)
+    assert status == 200
+    assert sorted(hits, key=lambda d: d["id"]) == want, (ast, norm)
+
+
 def test_pointer_module_matches_catalog(rich_server):
     from comlake_core_spark.catalog.pointer import current_pointer
 
