@@ -1,0 +1,144 @@
+"""Per-line language segmentation of multilingual documents.
+
+Web corpora routinely interleave languages inside one document
+(navigation chrome around body text, quoted passages, code-switching
+forums); corpus pipelines split such documents into contiguous
+same-language runs and filter/route each run independently — the
+paragraph-level language splitting CCNet applies before its LM quality
+filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020).  The reference has no text
+analysis at all (extension surface, SURVEY.md §2.4); the language
+heuristic is the engine's own ``lang_id`` (operators/text.py) applied
+per LINE instead of per document, so doc- and segment-level decisions
+can never disagree about what a language "is".
+
+Spark shape — one shuffle, never all-pairs:
+
+1. ``posexplode`` the line split (map-side; line numbers are the split
+   positions, so no window is needed to assign them);
+2. line-level ``lang_id`` (pure Column expression — marker-word hits +
+   CJK script regex, no UDF);
+3. gaps-and-islands run grouping: ``island = line_no − row_number()
+   OVER (PARTITION BY doc, lang ORDER BY line_no)`` is constant exactly
+   along a contiguous same-language run — the standard
+   islands idiom, ONE sort-exchange on doc_id;
+4. per-(doc, lang, island) aggregate rebuilds the segment text and
+   bounds; the final per-doc segment numbering is a second window over
+   the SAME doc_id partitioning (no extra exchange under Catalyst's
+   subset rule).
+
+At 100 TB: segments ∝ lines, the only exchange is hash(doc_id), and a
+skewed giant document concentrates one partition's worth of lines —
+the same bound every per-doc window in the engine carries (AQE skew
+split applies).  Blank lines are kept and classify 'und', so the
+operator is total and its DuckDB oracle (same split, same markers, same
+windows — staged in tests/test_langseg.py for r11 registration) is
+bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from comlake_core_spark.operators.text import lang_id
+from comlake_core_spark.session import ensure_parallelism
+
+
+def language_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_lines: int = 1,
+) -> DataFrame:
+    """Contiguous same-language line runs per document.
+
+    Returns (id_col, seg_no, lang, start_line, end_line, n_lines,
+    seg_text): seg_no is 1-based in document order, start/end_line are
+    0-based inclusive line indexes, seg_text re-joins the run's lines
+    with '\\n'.  ``min_lines`` drops runs shorter than the floor AFTER
+    numbering, so surviving seg_no values still reveal their position
+    among all runs (callers filtering chrome usually keep the numbering
+    of what they kept — pass the default 1 for the total segmentation).
+    """
+    lines = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+        )
+        .withColumn("_lang", lang_id(F.col("_line")))
+    )
+    run = Window.partitionBy("_id", "_lang").orderBy("_ln")
+    segs = (
+        lines.withColumn("_island", F.col("_ln") - F.row_number().over(run))
+        .groupBy("_id", "_lang", "_island")
+        .agg(
+            F.min("_ln").alias("start_line"),
+            F.max("_ln").alias("end_line"),
+            F.count(F.lit(1)).alias("n_lines"),
+            # line order within a group is not guaranteed by groupBy —
+            # sort the collected (pos, line) structs so seg_text is
+            # deterministic under any partitioning
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("seg_text"),
+        )
+    )
+    number = Window.partitionBy("_id").orderBy("start_line")
+    return (
+        segs.withColumn("seg_no", F.row_number().over(number))
+        .filter(F.col("n_lines") >= int(min_lines))
+        .select(
+            F.col("_id").alias(id_col),
+            "seg_no",
+            F.col("_lang").alias("lang"),
+            "start_line",
+            "end_line",
+            "n_lines",
+            "seg_text",
+        )
+    )
+
+
+def dominant_language_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document language mixture summary over the LINE segmentation:
+    (id_col, n_langs, dominant_lang, dominant_line_share) — the routing
+    statistic corpus pipelines threshold to decide 'monolingual enough'
+    vs 'segment and route'.  Ties on line count break by language code
+    ascending (deterministic, oracle-mirrorable).  Blank/'und' lines
+    count toward the total but never win dominance unless nothing else
+    is present."""
+    segs = language_segments(df, text_col=text_col, id_col=id_col)
+    per_lang = segs.groupBy(id_col, "lang").agg(F.sum("n_lines").alias("_n"))
+    total = per_lang.groupBy(id_col).agg(
+        F.sum("_n").alias("_total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    ranked = Window.partitionBy(id_col).orderBy(
+        # 'und' loses every tie (and only wins alone): rank real
+        # languages first, then by line count desc, then code asc
+        F.when(F.col("lang") == "und", F.lit(1)).otherwise(F.lit(0)).asc(),
+        F.col("_n").desc(),
+        F.col("lang").asc(),
+    )
+    return (
+        per_lang.withColumn("_rk", F.row_number().over(ranked))
+        .filter(F.col("_rk") == 1)
+        .join(total, id_col)
+        .select(
+            id_col,
+            "n_langs",
+            F.col("lang").alias("dominant_lang"),
+            (F.col("_n").cast("double") / F.col("_total")).alias("dominant_line_share"),
+        )
+    )
