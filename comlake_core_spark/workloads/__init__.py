@@ -465,6 +465,12 @@ del _snap, _n
 #          temporal/streaming/sampling r3-era greens and the r4-era
 #          graph/pipeline/text families).  49/50 slots carry stale
 #          evidence; ~50 stale names roll to r11's window.
+#   r11 STAGING (built during r10, ships as code + pytest — the r7
+#          pattern): language_segments / dominant_language_share
+#          (operators/langseg.py, CCNet-style per-line language
+#          segmentation; the DuckDB oracle is staged bit-exact in
+#          tests/test_langseg.py STAGED_ORACLE_SQL — registration is
+#          copy-paste once CORRECTNESS_r10 lands).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
