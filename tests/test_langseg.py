@@ -164,6 +164,29 @@ FROM segs
 """
 
 
+STAGED_DOMINANCE_SQL = f"""
+WITH segs AS ({STAGED_ORACLE_SQL}),
+per_lang AS (
+  SELECT doc_id, lang, SUM(n_lines) AS n
+  FROM segs GROUP BY doc_id, lang
+), tot AS (
+  SELECT doc_id, SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per_lang GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CASE WHEN lang = 'und' THEN 1 ELSE 0 END ASC,
+                    n DESC, lang ASC) AS rk
+  FROM per_lang
+)
+SELECT r.doc_id, t.n_langs, r.lang AS dominant_lang,
+       CAST(r.n AS DOUBLE) / t.total AS dominant_line_share
+FROM ranked r JOIN tot t ON r.doc_id = t.doc_id
+WHERE r.rk = 1
+"""
+
+
 def test_staged_duckdb_oracle_bit_exact(spark):
     import duckdb
 
@@ -175,3 +198,7 @@ def test_staged_duckdb_oracle_bit_exact(spark):
     want = sorted(tuple(r) for r in con.sql(STAGED_ORACLE_SQL).fetchall())
     assert len(got) > 0
     assert got == want
+    got_dom = sorted(tuple(r) for r in dominant_language_share(docs).collect())
+    want_dom = sorted(tuple(r) for r in con.sql(STAGED_DOMINANCE_SQL).fetchall())
+    assert len(got_dom) == docs.count()
+    assert got_dom == want_dom
