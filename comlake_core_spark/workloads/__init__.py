@@ -308,6 +308,9 @@ _REGISTRATION_ORDER: list[str] = [
     "text_code_detection",
     "dedup_header_footer_boilerplate",
     "ann_ivf2_topk",
+    # -- r11 registrations (staged during r10, tests/test_langseg.py) --
+    "language_segments",
+    "dominant_language_share",
 ]
 
 _snap = dict(REGISTRY)
@@ -460,7 +463,9 @@ del _snap, _n
 #          for the residual find tier, VERDICT r9 #4) +
 #          dedup_containment_prefix (containment.py stop-array reshape,
 #          #3) + ann_ivf2_topk / ann_recall_at_k / embedding_knn_graph_
-#          ivf / _ivf2 (ivf.py DISK_ONLY checkpoint pin, #5) — + the 44
+#          ivf / _ivf2 (ivf.py checkpoint storage-level change — the
+#          DISK_ONLY pin, measured worse and REVERTED to MEMORY_AND_DISK
+#          within r10, #5) — + the 44
 #          oldest-green stale names (the complete t≤1786775878 backlog:
 #          temporal/streaming/sampling r3-era greens and the r4-era
 #          graph/pipeline/text families).  49/50 slots carry stale
@@ -471,61 +476,85 @@ del _snap, _n
 #          segmentation; the DuckDB oracle is staged bit-exact in
 #          tests/test_langseg.py STAGED_ORACLE_SQL — registration is
 #          copy-paste once CORRECTNESS_r10 lands).
+#   r11:   CORRECTNESS_r10 landed 50/50, so the staged pair REGISTERS
+#          (registry 239 → 241; the 2 never-driver-seen post-window names
+#          are language_segments / dominant_language_share, both in this
+#          window by construction).  Stale burn-down continues: 54 of 239
+#          prior names are stale at rotation time (r10's artifact greened
+#          its window; the backlog is the r5+/r8-era tail).  Window = the
+#          2 langseg first-timers + 5 must-verify slots whose engine code
+#          r11 itself changes — dedup_containment_prefix (containment.py
+#          hot-gram pass fused into the shingling aggregate, VERDICT r10
+#          #4) and the 4 qast compiler consumers (qast_arith_revenue /
+#          _string_concat / _division_negation / _json_path — compiler.py
+#          regex-probe FutureWarning wrap, #8; all 4 already stale) — +
+#          the 43 oldest-green remaining stale names.  50/50 slots carry
+#          stale-or-never-seen evidence; 7 stale names roll to r12
+#          (dedup_simhash, dedup_winnow, embedding_pq_codes,
+#          hybrid_search_rrf, mixture_resample_corpus,
+#          pretrain_pipeline_v2, semantic_dedup_embeddings).
+#          operators/text.py (46 consumers, the one remaining monolith)
+#          is deliberately FROZEN this round so the backlog shrinks
+#          monotonically; its per-family split + the Kneser-Ney type-fold
+#          are r12 work where the window can absorb the one-time
+#          re-stale (VERDICT r10 #5 fallback path: SCALING.md carries the
+#          measured KN analysis instead).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- engine code changed (or will change) THIS round: verify first --
-    "server_find_real",          # server.py/findsql.py residual-tier work
-    "dedup_containment_prefix",  # containment.py broadcast stop array
-    "ann_ivf2_topk",             # ivf.py DISK_ONLY checkpoint pin
-    "ann_recall_at_k",           # similarity/core.py + ivf.py consumer
-    "embedding_knn_graph_ivf",   # similarity/knn.py consumer
-    "embedding_knn_graph_ivf2",  # two-level path over the pinned checkpoint
+    # -- never driver-seen: the r11-registered langseg pair --
+    "language_segments",
+    "dominant_language_share",
+    # -- engine code changes THIS round: verify first --
+    "dedup_containment_prefix",  # containment.py fused hot-gram df pass
+    "qast_arith_revenue",        # qast/compiler.py FutureWarning wrap
+    "qast_string_concat",        # qast/compiler.py FutureWarning wrap
+    "qast_division_negation",    # qast/compiler.py FutureWarning wrap
+    "qast_json_path",            # qast/compiler.py FutureWarning wrap
     # -- stale backlog, oldest green row first --
-    "range_join_clicks_after_purchase",
-    "scd2_event_type_history",
-    "stratified_sample_orders",
-    "streaming_dedup_users",
-    "streaming_interval_join",
-    "streaming_matview_events",
-    "streaming_running_totals",
-    "streaming_sessionize_users",
-    "text_stats",
-    "time_weighted_avg_value",
-    "train_test_split_counts",
-    "bloom_pruned_join",
-    "dedup_canonical_docs",
-    "explode_token_counts",
-    "leakage_safe_split_docs",
-    "pipeline_pretrain_corpus",
-    "salted_join_revenue",
-    "array_functions",
-    "bpe_apply_fertility",
-    "bpe_train_merges",
-    "chunk_documents",
-    "corpus_ngram_novelty",
-    "decontaminate_train_eval",
-    "dedup_common_spans",
-    "dedup_graph_bfs_depth",
-    "dedup_graph_triangles",
-    "dedup_lines_corpus",
-    "docs_length_buckets",
-    "dsir_importance_resampling",
-    "embedding_knn_graph",
-    "embedding_pca_power",
-    "embedding_quantize_int8",
-    "pack_sequences",
-    "pagerank_dedup_graph",
-    "pii_redact_customers",
-    "pipeline_chunk_dedup_pack",
-    "pipeline_clean_corpus",
-    "quality_gopher_rules",
-    "source_token_js",
-    "text_feature_hashing",
-    "text_repetition_filter",
-    "text_unigram_logprob",
-    "url_normalize_dedup",
-    "weighted_sample_docs",
+    "embedding_centroid_drift",
+    "image_phash_neardup",
+    "multimodal_wav_audio_stats",
+    "multimodal_y4m_frame_sample",
+    "orders_pareto_revenue_share",
+    "packing_efficiency_stats",
+    "quality_calibration_bins",
+    "sparse_cosine_topk_docs",
+    "boilerplate_strip_source",
+    "curriculum_order_docs",
+    "decontaminate_bloom",
+    "dedup_lsh_edit_verify",
+    "doremi_source_weights",
+    "embedding_hard_negatives",
+    "embedding_matryoshka_topk",
+    "embedding_norm_health",
+    "jaccard_topk_similar_docs",
+    "lsh_bucket_skew_audit",
+    "minhash_estimate_calibration",
+    "ngram_diversity_by_source",
+    "pii_pseudonymize_consistent",
+    "shard_assign_balanced",
+    "streaming_neardup_index",
+    "temperature_mixture_langs",
+    "text_bigram_backoff_logprob",
+    "text_mattr_by_source",
+    "train_test_ngram_leakage",
+    "unigram_lm_seed",
+    "vocab_coverage_thresholds",
+    "vocab_oov_rate",
+    "zipf_slope_by_source",
+    "ann_cosine_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "contrastive_negative_samples",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -1859,3 +1859,129 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("indent_ratio").cast("decimal(28,9)")).cast("double") / n, 9
         ).alias("mean_indent_ratio"),
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Per-line language segmentation (operators/langseg.py) — registered r11
+# after the r10 staging round (oracle proven bit-exact in
+# tests/test_langseg.py before registration; the r6/r7 staging pattern).
+# ---------------------------------------------------------------------------
+
+
+def _langseg_markers_sql(lang: str) -> str:
+    from comlake_core_spark.operators.text import LANG_MARKERS
+
+    return "[" + ", ".join("'" + m + "'" for m in LANG_MARKERS[lang]) + "]"
+
+
+_LANGSEG_ORACLE_SQL = f"""
+WITH lines AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(1, len(string_split(text, chr(10))) + 1)) - 1 AS ln
+  FROM documents
+), langd AS (
+  SELECT doc_id, ln, line,
+         CASE
+           WHEN regexp_matches(line, '[一-鿿]') THEN 'zh'
+           ELSE (
+             WITH h AS (
+               SELECT
+                 len(list_filter(string_split_regex(trim(line), '\\s+'),
+                     t -> list_contains({_langseg_markers_sql("en")}, lower(t)))) AS en,
+                 len(list_filter(string_split_regex(trim(line), '\\s+'),
+                     t -> list_contains({_langseg_markers_sql("de")}, lower(t)))) AS de,
+                 len(list_filter(string_split_regex(trim(line), '\\s+'),
+                     t -> list_contains({_langseg_markers_sql("fr")}, lower(t)))) AS fr,
+                 len(list_filter(string_split_regex(trim(line), '\\s+'),
+                     t -> list_contains({_langseg_markers_sql("es")}, lower(t)))) AS es
+             )
+             SELECT CASE
+               WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+               WHEN en = greatest(en, de, fr, es) THEN 'en'
+               WHEN de = greatest(en, de, fr, es) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+               ELSE 'es' END
+             FROM h
+           )
+         END AS lang
+  FROM lines
+), runs AS (
+  SELECT doc_id, ln, line, lang,
+         ln - row_number() OVER (PARTITION BY doc_id, lang ORDER BY ln) AS island
+  FROM langd
+), segs AS (
+  SELECT doc_id, lang,
+         MIN(ln) AS start_line, MAX(ln) AS end_line,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         string_agg(line, chr(10) ORDER BY ln) AS seg_text
+  FROM runs GROUP BY doc_id, lang, island
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_line) AS INT) AS seg_no,
+       lang, start_line, end_line, n_lines, seg_text
+FROM segs
+"""
+
+
+_LANGSEG_DOMINANCE_SQL = f"""
+WITH segs AS ({_LANGSEG_ORACLE_SQL}),
+per_lang AS (
+  SELECT doc_id, lang, SUM(n_lines) AS n
+  FROM segs GROUP BY doc_id, lang
+), tot AS (
+  SELECT doc_id, SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per_lang GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CASE WHEN lang = 'und' THEN 1 ELSE 0 END ASC,
+                    n DESC, lang ASC) AS rk
+  FROM per_lang
+)
+SELECT r.doc_id, t.n_langs, r.lang AS dominant_lang,
+       CAST(r.n AS DOUBLE) / t.total AS dominant_line_share
+FROM ranked r JOIN tot t ON r.doc_id = t.doc_id
+WHERE r.rk = 1
+"""
+
+
+@workload(
+    "language_segments",
+    _LANGSEG_ORACLE_SQL,
+    "text",
+    "langseg",
+    "ccnet",
+)
+def language_segments_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-line language segmentation (Wenzek et al., LREC
+    2020): posexplode the line split, line-level lang_id (pure Column —
+    marker hits + CJK regex, no UDF), gaps-and-islands run grouping with
+    ONE sort-exchange on doc_id, per-run aggregate rebuilding segment
+    text/bounds.  Segments ∝ lines at 100 TB; the only exchange is
+    hash(doc_id)."""
+    from comlake_core_spark.operators.langseg import language_segments
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return language_segments(docs)
+
+
+@workload(
+    "dominant_language_share",
+    _LANGSEG_DOMINANCE_SQL,
+    "text",
+    "langseg",
+    "routing",
+)
+def dominant_language_share_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-mixture routing statistic over the line
+    segmentation: (n_langs, dominant_lang, dominant_line_share).  Ties
+    break real-language-first then line count desc then code asc —
+    deterministic and oracle-mirrorable; 'und' only wins alone."""
+    from comlake_core_spark.operators.langseg import dominant_language_share
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dominant_language_share(docs)

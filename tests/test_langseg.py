@@ -1,10 +1,9 @@
-"""Per-line language segmentation (operators/langseg.py) — r11 STAGING.
+"""Per-line language segmentation (operators/langseg.py).
 
-New operators built after the r10 window froze ship as code + pytest and
-register in r11 (the r6/r7 staging pattern): the DuckDB oracle staged at
-the bottom is proven bit-exact here so registration is copy-paste once
-CORRECTNESS_r10 lands.
-"""
+Staged during r10 (code + pytest, the r6/r7 pattern) and REGISTERED in
+r11 once CORRECTNESS_r10 landed: the DuckDB oracles proven bit-exact at
+the bottom are now the registry oracles verbatim
+(test_registered_oracle_matches_staged pins the copy-paste)."""
 
 from __future__ import annotations
 
@@ -18,10 +17,15 @@ from comlake_core_spark.operators.text import LANG_MARKERS
 
 
 def _py_lang_id(line: str) -> str:
-    """Python twin of operators/text.lang_id for the brute-force oracle."""
+    """Python twin of operators/text.lang_id for the brute-force oracle.
+
+    Tokenization is pinned to ASCII whitespace (Java's \\s) after a
+    space-only trim, matching the engine's F.trim + split exactly — a
+    Python-Unicode \\s here would disagree on lines containing NBSP /
+    U+2028-class whitespace even though both readings are 'correct'."""
     if re.search(r"[一-鿿]", line):
         return "zh"
-    toks = re.split(r"\s+", line.strip())
+    toks = re.split(r"[ \t\n\x0b\f\r]+", line.strip(" "))
     hits = {
         lang: sum(1 for t in toks if t.lower() in set(LANG_MARKERS[lang]))
         for lang in ("en", "de", "fr", "es")
@@ -185,6 +189,18 @@ SELECT r.doc_id, t.n_langs, r.lang AS dominant_lang,
 FROM ranked r JOIN tot t ON r.doc_id = t.doc_id
 WHERE r.rk = 1
 """
+
+
+def test_registered_oracle_matches_staged():
+    """r11 registration is the copy-paste of the staged oracles: pin the
+    registry strings to the proven-bit-exact ones so they cannot drift."""
+    from comlake_core_spark.workloads import REGISTRY
+
+    assert REGISTRY["language_segments"].oracle.strip() == STAGED_ORACLE_SQL.strip()
+    assert (
+        REGISTRY["dominant_language_share"].oracle.strip()
+        == STAGED_DOMINANCE_SQL.strip()
+    )
 
 
 def test_staged_duckdb_oracle_bit_exact(spark):
