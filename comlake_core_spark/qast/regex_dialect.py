@@ -52,7 +52,7 @@ def translate_posix_classes(pattern: str) -> str:
 # (callers route those to the Spark path, the semantics of record):
 #
 # - ``.``: Java's default dot excludes every line terminator
-#   (\n \r     ); RE2's excludes only \n → rewritten to
+#   (\n \r \x85 \u2028 \u2029); RE2's excludes only \n → rewritten to
 #   an explicit negated class.
 # - a single trailing ``$`` in PARTIAL mode: Java (no MULTILINE) matches
 #   before a FINAL line terminator as well as at end-of-text; RE2
@@ -78,14 +78,14 @@ def translate_posix_classes(pattern: str) -> str:
 #: terminator) and trailing '$' (matches before one FINAL terminator too)
 _JAVA_DOT = {
     "re2": r"[^\n\r\x{85}\x{2028}\x{2029}]",
-    "python": "[^\n\r  ]",
+    "python": "[^\n\r\x85\u2028\u2029]",
 }
 _JAVA_TAIL_DOLLAR = {
     # RE2's '$' (no multiline) is absolute end; Python's forgives ONE
     # final \n, so the Python spelling re-anchors on \Z (absolute end)
     # to avoid accepting two trailing terminators
     "re2": r"(?:\r\n|[\n\r\x{85}\x{2028}\x{2029}])?$",
-    "python": "(?:\r\n|[\n\r  ])?\\Z",
+    "python": "(?:\r\n|[\n\r\x85\u2028\u2029])?\\Z",
 }
 #: escapes that PARSE in the target dialect with a different reading than
 #: Java's: digits (backreference vs octal), p/P (\p{Alpha} name dialects),

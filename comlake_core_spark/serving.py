@@ -197,7 +197,16 @@ def _make_worker_handler(
         def _find_memo_key(self, ast) -> tuple | None:
             """(dataset version, content version, canonical AST) — version
             tokens are immutable, so a mutation changes the key and stale
-            hits are impossible (the consistency class of DuckFinder)."""
+            hits are impossible (the consistency class of DuckFinder).
+
+            The key is read BEFORE proxying, so a mutation committing
+            mid-flight can store the primary's NEWER-version response
+            under the older key: readers still resolving the old pointer
+            then see fresher data than the pointer promises.  That race
+            direction is fresh-over-stale and self-heals once the new
+            pointer is visible — do NOT "fix" it by re-reading the
+            pointer after the proxy returns, which would flip it into
+            serving STALE data under the new key (ADVICE r10 #4)."""
             if duck is None:
                 return None
             try:
