@@ -271,6 +271,45 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def session_metrics(spark) -> dict:
+    """Compact JVM/session snapshot recorded every SNAP_EVERY timed
+    queries into BENCH_DETAIL's `session_metrics` series (VERDICT r10
+    #3: make the in-session residue measurable from the artifact).  The
+    r11 instrumented 60-query session showed code cache, metaspace,
+    loaded classes, local-dir bytes, persistent RDDs and thread count
+    all FLAT while heavy probes drifted +15-24% — this series keeps
+    that attribution possible every round without a separate rig."""
+    import glob
+
+    mf = spark._jvm.java.lang.management.ManagementFactory
+    out = {"heap_mb": mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() // 1048576}
+    code = meta = 0
+    for pool in mf.getMemoryPoolMXBeans():
+        n = pool.getName()
+        if "CodeHeap" in n or "Code Cache" in n:
+            code += pool.getUsage().getUsed()
+        elif n == "Metaspace":
+            meta = pool.getUsage().getUsed()
+    out["codecache_mb"] = code // 1048576
+    out["metaspace_mb"] = meta // 1048576
+    out["gc_ms_cum"] = sum(
+        g.getCollectionTime() for g in mf.getGarbageCollectorMXBeans()
+    )
+    out["classes"] = mf.getClassLoadingMXBean().getLoadedClassCount()
+    out["threads"] = mf.getThreadMXBean().getThreadCount()
+    total = 0
+    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+        for root, _, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    out["localdir_mb"] = total // 1048576
+    out["persistent_rdds"] = spark.sparkContext._jsc.getPersistentRDDs().size()
+    return out
+
+
 def reset_session_state(spark) -> None:
     """Inter-rep isolation, shared with scripts/bench_reconcile.py so the
     reconcile measurements run under the SAME session conditions as the
@@ -289,6 +328,23 @@ def reset_session_state(spark) -> None:
         _jrdd.unpersist(False)
     # collect the garbage the dropped cache blocks left behind
     # now, not as a full-GC pause inside the next timing
+    spark._jvm.System.gc()
+    # r11 residue finding (VERDICT r10 #3): the instrumented 60-query
+    # session showed code cache / metaspace / classes / local-dir /
+    # persistent RDDs / threads all FLAT while heavy probes drifted
+    # +15-24% — the remaining residue is DRIVER-SIDE GC REACHABILITY,
+    # not a Spark-resource leak: broadcast blocks and cleaner-tracked
+    # shuffle deps are reclaimed only after their driver anchors are
+    # collected, and those anchors are py4j handles kept alive by
+    # PYTHON garbage.  Collect Python first, then give the async
+    # ContextCleaner a beat and sweep again: with this sequence the
+    # same 60-query rig measured containment flat (+4% vs +15%) and
+    # leakage −13%.  The pause is outside every timed region.
+    import gc as _pygc
+
+    _pygc.collect()
+    spark._jvm.System.gc()
+    time.sleep(0.3)
     spark._jvm.System.gc()
 
 
@@ -316,8 +372,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    snaps: list[dict] = []
+    SNAP_EVERY = 10
 
     def time_query(name: str) -> None:
+        if len(timings) % SNAP_EVERY == 0:
+            snaps.append({"after_n_queries": len(timings), **session_metrics(spark)})
         samples = []
         for _ in range(reps):
             # Reps must be cold w.r.t. each other but run the plan the
@@ -393,6 +453,9 @@ def main() -> None:
                 },
                 "family_canary": family_canary,
                 "normalized": normalized,
+                "session_metrics": snaps + [
+                    {"after_n_queries": len(timings), **session_metrics(spark)}
+                ],
                 "reps": reps,
                 "sf": sf_val,
                 "total": total,
