@@ -142,3 +142,76 @@ def dominant_language_share(
             (F.col("_n").cast("double") / F.col("_total")).alias("dominant_line_share"),
         )
     )
+
+
+def langseg_quality_route(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_tokens_per_line: float = 3.0,
+) -> DataFrame:
+    """CCNet's segment-then-filter composition closed into one operator
+    (Wenzek et al., LREC 2020 §3: language-split paragraphs are quality-
+    filtered independently, and only the surviving runs feed the corpus):
+    segment each document with :func:`language_segments`, drop runs that
+    are unidentifiable ('und' — blank or marker-free lines) or too thin
+    (mean whitespace tokens per line below the floor), and reassemble
+    what survives in segment order.
+
+    Returns one row per document that keeps at least one segment:
+    (id_col, kept_langs, kept_lines, total_lines, kept_line_frac,
+    clean_text).  ``kept_line_frac`` is the routing statistic — a doc
+    whose clean fraction is low is chrome/boilerplate-dominated and a
+    candidate for dropping outright.
+
+    Spark shape: the segmentation's one doc-keyed exchange, a map-side
+    token-count filter on the segment rows, and one per-doc aggregate
+    over the SAME doc_id partitioning (no extra exchange under
+    Catalyst's subset rule).  The thin-segment rule compares integer
+    token counts against min*n_lines (no float-division threshold), so
+    the DuckDB oracle (staged in tests/test_r12_staged.py for the r12
+    registration) is bit-exact."""
+    segs = language_segments(df, text_col=text_col, id_col=id_col)
+    seg_tok = F.size(
+        F.filter(F.split(F.trim(F.col("seg_text")), r"\s+"), lambda x: x != "")
+    )
+    flagged = segs.withColumn(
+        "_keep",
+        (F.col("lang") != "und")
+        & (
+            seg_tok.cast("double")
+            >= F.lit(float(min_mean_tokens_per_line)) * F.col("n_lines").cast("double")
+        ),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count_distinct(F.when(F.col("_keep"), F.col("lang"))).alias("kept_langs"),
+            F.sum(F.when(F.col("_keep"), F.col("n_lines")).otherwise(F.lit(0))).alias(
+                "kept_lines"
+            ),
+            F.sum("n_lines").alias("total_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("seg_no", "seg_text"))
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .filter(F.col("kept_lines") > 0)
+        .select(
+            id_col,
+            "kept_langs",
+            "kept_lines",
+            "total_lines",
+            (F.col("kept_lines").cast("double") / F.col("total_lines")).alias(
+                "kept_line_frac"
+            ),
+            "clean_text",
+        )
+    )

@@ -499,6 +499,20 @@ del _snap, _n
 #          are r12 work where the window can absorb the one-time
 #          re-stale (VERDICT r10 #5 fallback path: SCALING.md carries the
 #          measured KN analysis instead).
+#   r12 STAGING (built during r11, ships as code + pytest — the r7/r11
+#          pattern): langseg_quality_route (operators/langseg.py — the
+#          CCNet segment→filter→reassemble composition) and
+#          token_budget_fill (operators/budget_fill.py — deterministic
+#          greedy prefix fill of an absolute token budget with
+#          per-source caps, global phase via global_running_sum); both
+#          DuckDB oracles staged bit-exact in tests/test_r12_staged.py —
+#          registration is copy-paste once CORRECTNESS_r11 lands.  The
+#          r12 plan beyond registration: split operators/text.py into
+#          per-family submodules (the last monolith; its one-time
+#          re-stale of ~31 out-of-window consumers fits the r12 window
+#          together with the 7 r11 rollovers), folding in the KN
+#          single-pass LM explode + count-1 type fold measured in
+#          SCALING.md r11.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
