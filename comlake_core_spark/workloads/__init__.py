@@ -311,6 +311,9 @@ _REGISTRATION_ORDER: list[str] = [
     # -- r11 registrations (staged during r10, tests/test_langseg.py) --
     "language_segments",
     "dominant_language_share",
+    # -- r12 registrations (staged during r11, tests/test_r12_staged.py) --
+    "langseg_quality_route",
+    "token_budget_fill",
 ]
 
 _snap = dict(REGISTRY)

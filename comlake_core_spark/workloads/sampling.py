@@ -1005,3 +1005,56 @@ def doremi_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_domain_weights(
         docs, ["source"], loss, rounds=3, eta=2.0, smoothing=0.02
     )
+
+
+# ---------------------------------------------------------------------------
+# Absolute-token-budget corpus assembly (operators/budget_fill.py) —
+# registered r12 after the r11 staging round (oracle proven bit-exact in
+# tests/test_r12_staged.py before registration; the r7/r11 staging
+# pattern — the test pins this SQL identical to its staged copy).
+# ---------------------------------------------------------------------------
+
+_BUDGET_FILL_TOKENS = 12000
+_BUDGET_FILL_CAP_FRAC = 0.25
+
+
+@workload(
+    "token_budget_fill",
+    f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), src AS (
+  SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cs
+  FROM base
+), kept AS (SELECT * FROM src WHERE cs <= {int(_BUDGET_FILL_CAP_FRAC * _BUDGET_FILL_TOKENS)}),
+g AS (
+  SELECT *, SUM(tok) OVER (ORDER BY h ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cg
+  FROM kept
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+FROM g WHERE cg <= {_BUDGET_FILL_TOKENS} GROUP BY source
+""",
+    "sampling",
+    "training-data",
+    "budget",
+)
+def token_budget_fill_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy prefix fill of an absolute token budget with
+    per-source caps — the mixture-table contract behind published
+    per-source budgets (the Pile / LLaMA / Dolma style).  Priority is
+    md5(doc_id) (portable, recomputable in SQL); the per-source cap and
+    the global budget are both strict-prefix window rules over integer
+    token counts, so the result is exact at any scale.  The global pass
+    rides operators/sampling.global_running_sum (range shuffle + O(P)
+    offsets + map-only cumsum), NOT a single-partition window.  See
+    operators/budget_fill.token_budget_fill."""
+    from comlake_core_spark.operators.budget_fill import token_budget_fill
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return token_budget_fill(docs, _BUDGET_FILL_TOKENS, _BUDGET_FILL_CAP_FRAC)

@@ -1985,3 +1985,60 @@ def dominant_language_share_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return dominant_language_share(docs)
+
+
+# ---------------------------------------------------------------------------
+# CCNet segment→filter→reassemble routing (operators/langseg.py) —
+# registered r12 after the r11 staging round (oracle proven bit-exact in
+# tests/test_r12_staged.py before registration; the r7/r11 staging
+# pattern — the test pins this SQL identical to its staged copy).
+# ---------------------------------------------------------------------------
+
+_LANGSEG_ROUTE_MIN_MEAN = 3.0
+
+_LANGSEG_ROUTE_SQL = f"""
+WITH segs AS ({_LANGSEG_ORACLE_SQL}),
+flagged AS (
+  SELECT *,
+         (lang <> 'und' AND
+          CAST(len(list_filter(string_split_regex(trim(seg_text), '\\s+'),
+                               x -> x <> '')) AS DOUBLE)
+            >= {_LANGSEG_ROUTE_MIN_MEAN} * CAST(n_lines AS DOUBLE)) AS keep
+  FROM segs
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT CASE WHEN keep THEN lang END) AS BIGINT) AS kept_langs,
+         CAST(SUM(CASE WHEN keep THEN n_lines ELSE 0 END) AS BIGINT) AS kept_lines,
+         CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+         string_agg(CASE WHEN keep THEN seg_text END, chr(10) ORDER BY seg_no) AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, kept_langs, kept_lines, total_lines,
+       CAST(kept_lines AS DOUBLE) / total_lines AS kept_line_frac, clean_text
+FROM agg WHERE kept_lines > 0
+"""
+
+
+@workload(
+    "langseg_quality_route",
+    _LANGSEG_ROUTE_SQL,
+    "text",
+    "langseg",
+    "ccnet",
+    "routing",
+)
+def langseg_quality_route_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's segment-then-filter composition (Wenzek et al., LREC 2020
+    §3): per-line language segmentation, drop 'und' or too-thin runs
+    (mean whitespace tokens/line below the floor — compared as integer
+    token count >= floor*n_lines, no float-division threshold), and
+    reassemble the survivors in segment order with routing stats.  One
+    doc-keyed exchange total: the filter is map-side on segment rows and
+    the reassembly aggregate reuses the segmentation's partitioning
+    under Catalyst's subset rule."""
+    from comlake_core_spark.operators.langseg import langseg_quality_route
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return langseg_quality_route(
+        docs, min_mean_tokens_per_line=_LANGSEG_ROUTE_MIN_MEAN
+    )

@@ -188,8 +188,10 @@ def test_token_budget_fill_prefix_rule_is_strict(spark):
 
 
 # ---------------------------------------------------------------------------
-# staged DuckDB oracles (r12 registration): bit-exact vs the Spark side on
-# the real documents table
+# staged DuckDB oracles: proven bit-exact vs the Spark side on the real
+# documents table BEFORE registration (r11), and now that the pair IS
+# registered (r12) the registry copies are pinned identical to these
+# staged originals — the same discipline the langseg pair used in r11.
 # ---------------------------------------------------------------------------
 
 
@@ -249,6 +251,13 @@ g AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
 FROM g WHERE cg <= {BUDGET_TOKENS} GROUP BY source
 """
+
+
+def test_registered_oracles_match_staged_copies():
+    from comlake_core_spark.workloads import REGISTRY
+
+    assert REGISTRY["langseg_quality_route"].oracle == staged_route_sql()
+    assert REGISTRY["token_budget_fill"].oracle == staged_budget_sql()
 
 
 def test_staged_duckdb_oracles_bit_exact(spark):
