@@ -297,8 +297,25 @@ def session_metrics(spark) -> dict:
     )
     out["classes"] = mf.getClassLoadingMXBean().getLoadedClassCount()
     out["threads"] = mf.getThreadMXBean().getThreadCount()
+    # scope the walk to THIS session's local dirs (ADVICE r11: globbing
+    # all of /tmp attributed other/leftover Spark processes' local-dir
+    # bytes to this session, skewing the residue series).  The driver's
+    # DiskBlockManager names this app's blockmgr-* dirs (the shuffle/
+    # cache residue the series watches), and SparkFiles' root sits under
+    # this app's own spark-<uuid> staging dir — together the exact set
+    # the old /tmp glob over-approximated.
     total = 0
-    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+    try:
+        env = spark._jvm.org.apache.spark.SparkEnv.get()
+        local_dirs = [
+            str(d) for d in env.blockManager().diskBlockManager().localDirs()
+        ]
+        local_dirs.append(
+            os.path.dirname(spark._jvm.org.apache.spark.SparkFiles.getRootDirectory())
+        )
+    except Exception:
+        local_dirs = glob.glob("/tmp/blockmgr-*")  # degraded: old behavior
+    for d in local_dirs:
         for root, _, files in os.walk(d):
             for f in files:
                 try:

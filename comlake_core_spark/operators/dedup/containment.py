@@ -108,30 +108,37 @@ def _containment_stages(
         .select(F.col("_id").alias("_src"), "_g")
     )
     if max_df is not None and hot_strategy == "broadcast":
-        # r11: an O(1) driver probe decides whether the cap binds AT ALL.
+        # r12 (VERDICT r11 #4): ONE action both decides whether the cap
+        # binds AND returns the hot grams — collecting the filtered df
+        # aggregate evaluates EVERY partition of dfreq_all, so the
+        # persist fills COMPLETELY in this job and the stop array, the
+        # prefix join's dfreq, and the verify path all read pure cache.
+        # The r11 probe was take(1): it materialized only a fraction of
+        # the reduce partitions, so the stop-array aggregate and the
+        # prefix join each re-ran the df explode over the remaining
+        # partitions — the "exact-df pre-pass as a separate job" premium
+        # the r11 verdict flagged (capped 40.6 s vs uncapped 33.9 s at
+        # the binding x10 step).  One scan now feeds both the doc arrays
+        # (the sh persist fills under the same action) and the stop set.
         # Empty hot set (the common case until boilerplate appears) →
         # the sets ARE the raw arrays: no crossJoin, no array_except, no
         # per-doc work, and the main job pipelines like the uncapped
-        # plan; the probe's only cost is materializing the dfreq_all
-        # persist the prefix join needs anyway.  Non-empty hot → the
-        # one-row collect_list stop array broadcast onto every doc (the
-        # r10 shape).  A first r11 cut instead COLLECTED the hot grams
-        # and inlined them as an array LITERAL — at the 10x sf1 step,
-        # where copy-scaling multiplies every gram's df past the cap and
-        # the hot set goes corpus-vocabulary-sized, the giant literal
-        # blew the plan up 22 s → 116 s (BENCH_SF1 r11 bisect); the
-        # broadcast array ships ONCE per executor and keeps the binding
-        # path at its measured ~22 s.  Cap-never-binds parity at sf0.1
-        # was measured IDENTICAL between the two non-empty shapes
-        # (order-alternating A/B, SCALING.md r11), so the short-circuit
-        # is the only win worth keeping.
-        has_hot = bool(
-            dfreq_all.filter(F.col("_df") > int(max_df)).select("_g").take(1)
-        )
-        if has_hot:
-            stop_arr = (
-                dfreq_all.filter(F.col("_df") > int(max_df))
-                .agg(F.collect_list("_g").alias("_stop"))
+        # plan.  Non-empty hot → a one-row stop-array DataFrame built
+        # from the collected grams, broadcast onto every doc: the
+        # broadcast ships ONCE per executor — NOT an array literal,
+        # which re-ships per task and blew the binding-cap 10x step
+        # 22 s → 116 s when an r11 first cut tried it (BENCH_SF1 r11
+        # bisect).  The driver-side hot list is bounded by the
+        # boilerplate vocabulary; when |hot| rivals the corpus
+        # vocabulary use hot_strategy='join', which never materializes
+        # the hot set on one node.
+        hot_grams = [
+            r["_g"]
+            for r in dfreq_all.filter(F.col("_df") > int(max_df)).select("_g").collect()
+        ]
+        if hot_grams:
+            stop_arr = df.sparkSession.createDataFrame(
+                [(hot_grams,)], "_stop array<string>"
             )
             # persist the CAPPED arrays: the verify join reads `sets` on
             # BOTH sides, and leaving each side to re-evaluate the
@@ -225,7 +232,21 @@ def containment_pairs_prefix(
     (df count, per-doc prefix window) + the candidate equi-join;
     verification joins are id-keyed.  Same shingle machinery as the LSH
     family (operators/dedup.shingles), so the SQL oracle twin matches
-    bit-for-bit."""
+    bit-for-bit.
+
+    Build-time contract (ADVICE r11): with ``max_df`` set, CONSTRUCTING
+    the returned DataFrame runs Spark actions — one job collects the
+    hot-gram stop set (freezing the cap-binding decision against the
+    data as of build time), and when the cap binds a second job eagerly
+    materializes the capped verify arrays (the lazy fill measured 90-137
+    s vs 36 s eager at the binding 10x step — BENCH_SF1 r11 bisect).
+    The builds persist the doc-array, gram-df, and (binding only) capped-
+    set caches for the lifetime of the returned plan; they are NOT
+    unpersisted here because the result reads them on every execution.
+    Long-lived sessions building repeatedly should bound cache growth
+    with ``spark.catalog.clearCache()`` between builds (bench.py's
+    reset_session_state does exactly this) or rebuild against a fresh
+    session."""
     t = float(threshold)
     sets, pref, posts = _containment_stages(
         df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.operators.dedup.graph import connected_components
-from comlake_core_spark.operators.text import fingerprint
+from comlake_core_spark.operators.text.core import fingerprint
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from comlake_core_spark.operators.text import tokens
+from comlake_core_spark.operators.text.core import tokens
 from comlake_core_spark.session import ensure_parallelism
 
 

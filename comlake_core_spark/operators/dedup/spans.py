@@ -35,7 +35,7 @@ def winnow_dedup_pairs(
     many documents (boilerplate n-grams), the standard posting-list cap that
     bounds the worst bucket to max_df^2 candidate pairs and keeps the
     self-join skew-free at 100 TB."""
-    from comlake_core_spark.operators.text import winnow_fingerprints
+    from comlake_core_spark.operators.text.winnow import winnow_fingerprints
 
     # persist: the postings feed the df-cap aggregate AND both sides of the
     # fingerprint self-join — without it the O(n·w) winnowing sketch is

@@ -8,7 +8,7 @@ paragraph-level language splitting CCNet applies before its LM quality
 filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
 Datasets from Web Crawl Data", LREC 2020).  The reference has no text
 analysis at all (extension surface, SURVEY.md §2.4); the language
-heuristic is the engine's own ``lang_id`` (operators/text.py) applied
+heuristic is the engine's own ``lang_id`` (operators/text/core.py) applied
 per LINE instead of per document, so doc- and segment-level decisions
 can never disagree about what a language "is".
 
@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from comlake_core_spark.operators.text import lang_id
+from comlake_core_spark.operators.text.core import lang_id
 from comlake_core_spark.session import ensure_parallelism
 
 

@@ -39,7 +39,7 @@ def hybrid_search_rrf(
 
     Deterministic: both legs tie-break on doc id, and the final order
     tie-breaks (rrf desc, doc id)."""
-    from comlake_core_spark.operators.text import bm25_search
+    from comlake_core_spark.operators.text.retrieval import bm25_search
 
     spark = docs.sparkSession
     # bm25_quantize=d makes the lexical scores (and so the ranks the fusion

@@ -41,6 +41,7 @@ Deliberate semantic pins (SURVEY.md §2.1 "divergent reference semantics"):
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from functools import reduce
 from typing import Any
@@ -48,6 +49,13 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType, StringType, StructType
+
+# Python re's advisory FutureWarning family for [a&&b]-class patterns
+# (valid Java-dialect input on the ~ paths) — filtered once at import
+# instead of per-call catch_warnings, which mutates process-global state
+# and races under ThreadingHTTPServer request threads (ADVICE r11).
+_REGEX_ADVISORY = r"Possible (nested set|set (difference|intersection|union))"
+warnings.filterwarnings("ignore", message=_REGEX_ADVISORY, category=FutureWarning)
 
 
 class QastError(ValueError):
@@ -313,17 +321,17 @@ def _op_regex(args, resolve, regex_mode):
     # collect time (ADVICE r2 #4).  Python's `re` approximates the PG
     # POSIX dialect's validity judgement the same way the interpreter does.
     import re as _re
-    import warnings as _warnings
 
     try:
         # [a&&b]-class patterns are VALID here (Java intersection reads
         # that the dialect layer handles); Python's re only warns about
-        # them ("possible nested set" FutureWarning).  The probe exists
-        # for validity, not semantics — suppress the advisory so the
-        # serving hot path stays warning-clean (VERDICT r10 #8).
-        with _warnings.catch_warnings():
-            _warnings.simplefilter("ignore", FutureWarning)
-            _re.compile(pattern)
+        # them (the "Possible nested set"-family FutureWarning).  The
+        # probe exists for validity, not semantics — the advisory is
+        # filtered ONCE at module import (_REGEX_ADVISORY below; a
+        # per-call catch_warnings() mutates process-global filter state,
+        # not thread-safe under ThreadingHTTPServer — ADVICE r11;
+        # VERDICT r10 #8 introduced the suppression).
+        _re.compile(pattern)
     except _re.error as exc:
         raise QastError(f"malformed regex pattern: {exc}") from exc
     if regex_mode == "full":

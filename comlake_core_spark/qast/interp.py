@@ -48,6 +48,17 @@ from typing import Any, Callable
 
 from comlake_core_spark.qast.compiler import QastError
 
+# [a&&b]-class patterns are VALID input on the regex paths (Java set
+# intersection the dialect layer handles); Python's re only raises the
+# advisory "Possible nested set / set intersection / ..." FutureWarning
+# family about them.  Install the filter ONCE at import: the previous
+# per-call warnings.catch_warnings() mutates process-global filter state
+# and is documented as not thread-safe, and these compiles run on
+# ThreadingHTTPServer request threads (ADVICE r11).  Message-anchored so
+# no other FutureWarning is swallowed.
+_REGEX_ADVISORY = r"Possible (nested set|set (difference|intersection|union))"
+warnings.filterwarnings("ignore", message=_REGEX_ADVISORY, category=FutureWarning)
+
 
 def _truthy(v: Any) -> bool:
     return v is not None and v is not False
@@ -198,16 +209,15 @@ def _c_regex(args, comp, mode) -> RowFn:
     # \w \d \s \b to Java's default ASCII classes.
     pinned = to_python_re(args[1], mode)
     try:
-        # the divergent-construct fallback can hit Python's advisory
-        # "possible nested set" FutureWarning ([a&&b]-class patterns are
-        # valid input here) — suppress it like the compiler's validity
-        # probe so -W error runs stay clean (VERDICT r10 #8)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", FutureWarning)
-            rx = re.compile(
-                translate_posix_classes(args[1]) if pinned is None else pinned,
-                re.ASCII,
-            )
+        # the "Possible nested set"-family FutureWarning is pre-filtered
+        # at module import (see _REGEX_ADVISORY below) — a per-call
+        # catch_warnings() here would mutate process-global filter state
+        # on a path ThreadingHTTPServer request threads hit concurrently
+        # (ADVICE r11; VERDICT r10 #8 introduced the suppression)
+        rx = re.compile(
+            translate_posix_classes(args[1]) if pinned is None else pinned,
+            re.ASCII,
+        )
     except re.error as exc:
         # malformed pattern (e.g. "(") must surface as a 400 "malformed
         # query" on the serving path, not kill the keep-alive connection

@@ -251,7 +251,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     to JVM expressions evaluated inline over the token array (no explode,
     no shuffle, no Python): the map-only shape for per-document feature
     extraction at scan speed."""
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -709,7 +709,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARRAY<STRING>: the driver's canonicalizer sorts result rows with pandas,
     which cannot hash numpy arrays (r4's one red CORRECTNESS row). The array
     ops under test are identical; only the output shape is scalar."""
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
     vocab = F.array_sort(F.array_distinct(tokens("text")))

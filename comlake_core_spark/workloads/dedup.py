@@ -76,7 +76,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     default blocking is now MinHash-banded (skew-safe; VERDICT r1 #8) and
     is oracle-checked by dedup_minhash_lsh's brute-force oracle."""
     from comlake_core_spark.operators.dedup.jaccard import ngram_jaccard_pairs
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
     first_tok = F.lower(tokens("text").getItem(0))
@@ -689,7 +689,7 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines — the operator under test is the normalize + groupBy
     dedup, which is one map-combined exchange on the normalized key (at
     100 TB: ~#distinct-urls shuffle rows, never #docs)."""
-    from comlake_core_spark.operators.text import normalize_url
+    from comlake_core_spark.operators.text.core import normalize_url
 
     (docs,) = _t(spark, sf_dir, "documents")
     url = F.concat(

@@ -47,7 +47,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup shuffle; this is the template a 100 TB corpus-cleaning job
     follows, with the near-dup stages (minhash/simhash) slotting in after
     the exact pass."""
-    from comlake_core_spark.operators.text import fingerprint, token_count
+    from comlake_core_spark.operators.text.core import fingerprint, token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     scored = docs.select(
@@ -116,7 +116,8 @@ def pipeline_chunk_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number over fingerprint with WindowGroupLimit), one
     range-partitioned running sum. This is the composite job a 100 TB
     corpus-prep run executes; every stage is the already-oracled operator."""
-    from comlake_core_spark.operators.text import chunk_documents, pack_sequences, token_count
+    from comlake_core_spark.operators.text.chunking import chunk_documents, pack_sequences
+    from comlake_core_spark.operators.text.core import token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_chars=500, overlap=100)
@@ -227,7 +228,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from comlake_core_spark.operators.dedup.graph import connected_components
     from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs
     from comlake_core_spark.operators.sampling import split_assignment_portable
-    from comlake_core_spark.operators.text import fingerprint, quality_score, token_count
+    from comlake_core_spark.operators.text.core import fingerprint, quality_score, token_count
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -479,11 +480,9 @@ def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_r7_pipeline_ops.py::test_pretrain_pipeline_v2_composition
     for the staged composition test this registration promotes."""
     from comlake_core_spark.operators.sampling import doremi_domain_weights, mixture_resample
-    from comlake_core_spark.operators.text import (
-        chunk_documents,
-        kneser_ney_trigram_logprob,
-        token_count,
-    )
+    from comlake_core_spark.operators.text.chunking import chunk_documents
+    from comlake_core_spark.operators.text.core import token_count
+    from comlake_core_spark.operators.text.kneser_ney import kneser_ney_trigram_logprob
 
     (docs,) = _t(spark, sf_dir, "documents")
     lm = docs.filter(F.col("doc_id") % 2 == 0)

@@ -532,7 +532,7 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode/unnest + count + top-k: the word-count shape. At scale the
     explode multiplies rows ~n_tokens×, but partial aggregation collapses
     them map-side before the shuffle."""
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
     return (

@@ -325,7 +325,7 @@ def mixture_resample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     document in or out of the mixture. See
     operators/sampling.mixture_resample."""
     from comlake_core_spark.operators.sampling import mixture_resample
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
@@ -491,7 +491,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  The rank filter rides WindowGroupLimit: each map task forwards
     at most 5 rows per source before the single shuffle."""
     from comlake_core_spark.operators.sampling import weighted_sample
-    from comlake_core_spark.operators.text import token_count
+    from comlake_core_spark.operators.text.core import token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     return weighted_sample(
@@ -641,7 +641,7 @@ def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n_shards) summary rows with an exact membership fingerprint.  See
     operators/sampling.global_row_number / assign_shards."""
     from comlake_core_spark.operators.sampling import assign_shards
-    from comlake_core_spark.operators.text import token_count
+    from comlake_core_spark.operators.text.core import token_count
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -716,7 +716,7 @@ def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-hash selection, and kept_id_sum pins the exact membership.
     See operators/sampling.mixture_resample (alpha parameter)."""
     from comlake_core_spark.operators.sampling import mixture_resample
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(tokens(F.col("text")), lambda t: t != ""))
@@ -861,7 +861,7 @@ def curriculum_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the oracle states the same total order declaratively.  See
     operators/sampling.curriculum_order."""
     from comlake_core_spark.operators.sampling import curriculum_order
-    from comlake_core_spark.operators.text import token_count
+    from comlake_core_spark.operators.text.core import token_count
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -928,7 +928,7 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     only as a ranking.  One id-join of two per-doc rollups + one ≤10-key
     aggregate.  See operators/quality.calibration_bins."""
     from comlake_core_spark.operators.quality import calibration_bins, lr_quality_logit
-    from comlake_core_spark.operators.text import gopher_quality
+    from comlake_core_spark.operators.text.docquality import gopher_quality
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")

@@ -1139,7 +1139,7 @@ def sparse_cosine_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit.  The lexical doc-to-doc twin of ann_cosine_topk
     (dense) and jaccard_topk_similar_docs (set-based).  See
     operators/text.sparse_cosine_topk."""
-    from comlake_core_spark.operators.text import sparse_cosine_topk
+    from comlake_core_spark.operators.text.retrieval import sparse_cosine_topk
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")

@@ -20,7 +20,7 @@ from ._base import _t, dec, workload
 
 
 # ---------------------------------------------------------------------------
-# Text analysis (operators/text.py) — LLM-pipeline extensions
+# Text analysis (operators/text/) — LLM-pipeline extensions
 # ---------------------------------------------------------------------------
 
 
@@ -43,7 +43,7 @@ from ._base import _t, dec, workload
     "text",
 )
 def text_stats_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comlake_core_spark.operators.text import text_stats
+    from comlake_core_spark.operators.text.core import text_stats
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -65,7 +65,7 @@ def text_stats_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text",
 )
 def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comlake_core_spark.operators.text import bpe_ish_token_count
+    from comlake_core_spark.operators.text.core import bpe_ish_token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", bpe_ish_token_count("text").alias("n_tokens_bpe"))
@@ -99,7 +99,7 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "langid",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comlake_core_spark.operators.text import lang_id
+    from comlake_core_spark.operators.text.core import lang_id
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -127,7 +127,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from comlake_core_spark.operators.text import quality_score
+    from comlake_core_spark.operators.text.core import quality_score
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -168,7 +168,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise engine-portable — see operators/text.top_terms_tfidf). Scale:
     explode → map-combined tf agg → O(vocab) df agg joined back →
     WindowGroupLimit top-5; no all-pairs stage."""
-    from comlake_core_spark.operators.text import top_terms_tfidf
+    from comlake_core_spark.operators.text.retrieval import top_terms_tfidf
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -204,7 +204,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted; the final top-20 is TakeOrderedAndProject — each task
     forwards 20 rows, the driver merges. Deterministic tiebreak on the
     bigram string keeps the limit stable across engines."""
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -272,7 +272,7 @@ def bm25_search_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term rounding (exact decimal sum after), so Java Math.log vs
     DuckDB ln — equal to ~1 ulp — lands on the same 9-decimal grid and
     the value hash matches. See operators/text.bm25_search."""
-    from comlake_core_spark.operators.text import bm25_search
+    from comlake_core_spark.operators.text.retrieval import bm25_search
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -322,7 +322,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     each for unigrams and bigrams (both map-side combined), two broadcast
     joins of the O(vocab) unigram counts onto the bigram counts, TakeOrdered
     top-20."""
-    from comlake_core_spark.operators.text import tokens
+    from comlake_core_spark.operators.text.core import tokens
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -392,7 +392,7 @@ def chunk_documents_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap) — the pretraining/RAG prep step before tokenization. Map-only
     sequence + posexplode + substring; the oracle enumerates the same
     starts with a bounded range filter."""
-    from comlake_core_spark.operators.text import chunk_documents
+    from comlake_core_spark.operators.text.chunking import chunk_documents
 
     (docs,) = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_chars=500, overlap=100)
@@ -425,7 +425,8 @@ def pack_sequences_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     can exceed budget by at most one document; the exact stateful variant
     is the streaming admission-control operator). One range-partitioned
     shuffle for the running sum."""
-    from comlake_core_spark.operators.text import pack_sequences, token_count
+    from comlake_core_spark.operators.text.chunking import pack_sequences
+    from comlake_core_spark.operators.text.core import token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", token_count("text").alias("n_tokens"))
@@ -476,7 +477,7 @@ def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     category actually fires. Map-only: codegen'd regexp expressions over
     one scan; the patterns are RE2-and-Java-compatible so Spark and the
     oracle run the SAME regex (see operators/text.PII_PATTERNS)."""
-    from comlake_core_spark.operators.text import pii_redact
+    from comlake_core_spark.operators.text.pii import pii_redact
 
     (cust,) = _t(spark, sf_dir, "customer")
     base = cust.select(
@@ -537,7 +538,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction > 1/2 or one token > 20% of the doc). All-integer metrics —
     the flag is integer cross-multiplication, bitwise oracle-safe. Scale:
     explode → map-combined (doc, token) counts → tiny doc-level rollup."""
-    from comlake_core_spark.operators.text import repetition_stats
+    from comlake_core_spark.operators.text.docquality import repetition_stats
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -573,7 +574,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-style boilerplate signal — catches shared passages whole-doc
     dedup misses). One explode + two map-combined shuffles; see
     operators/text.ngram_novelty for the 100 TB argument."""
-    from comlake_core_spark.operators.text import ngram_novelty
+    from comlake_core_spark.operators.text.corpus_stats import ngram_novelty
 
     (docs,) = _t(spark, sf_dir, "documents")
     return ngram_novelty(docs, n=8)
@@ -611,7 +612,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pretraining-data quality (junk-token documents score far below
     prose). ln on a 9-decimal grid + exact decimal sums make the score
     hash-checkable; see operators/text.unigram_logprob."""
-    from comlake_core_spark.operators.text import unigram_logprob
+    from comlake_core_spark.operators.text.lm import unigram_logprob
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -652,7 +653,7 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is md5-portable, so the oracle recomputes exact bucket
     counts; the emitted scalars (nnz/l1/l2²/checksum) pin every count.
     See operators/text.feature_hashing."""
-    from comlake_core_spark.operators.text import feature_hashing
+    from comlake_core_spark.operators.text.vectorize import feature_hashing
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -699,7 +700,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count bounds, mean word length, alphabetic fraction, stopword
     floor, composite keep flag.  Zero shuffles — the quality gate runs at
     scan speed ahead of every heavier corpus stage."""
-    from comlake_core_spark.operators.text import gopher_quality
+    from comlake_core_spark.operators.text.docquality import gopher_quality
 
     (docs,) = _t(spark, sf_dir, "documents")
     return gopher_quality(docs)
@@ -730,7 +731,7 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes to size its bins (packing docs of similar length minimizes
     padding waste).  One map-combined exchange on the bucket key; the
     shuffle carries O(buckets x mappers) rows."""
-    from comlake_core_spark.operators.text import token_count
+    from comlake_core_spark.operators.text.core import token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     wc = docs.select(token_count("text").alias("word_count"))
@@ -793,7 +794,7 @@ def source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     × 1024 buckets) regardless of vocabulary size; per-cell
     contributions are quantized to integers before the per-source sum
     (operators/text.js_divergence_by_group)."""
-    from comlake_core_spark.operators.text import js_divergence_by_group
+    from comlake_core_spark.operators.text.vectorize import js_divergence_by_group
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -869,7 +870,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast → map-side replace (operators/text.bpe_merges; the
     space-delimited replace semantics are pinned identical across
     engines by test)."""
-    from comlake_core_spark.operators.text import bpe_merges
+    from comlake_core_spark.operators.text.bpe import bpe_merges
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -954,7 +955,7 @@ def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language word counts against the merged dictionary + one
     map-combined aggregate; fertility is exact integer micro-division
     (operators/text.bpe_fertility)."""
-    from comlake_core_spark.operators.text import bpe_fertility
+    from comlake_core_spark.operators.text.bpe import bpe_fertility
 
     from comlake_core_spark.session import ensure_parallelism
 
@@ -998,7 +999,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, token asc) tie-break; the rate is one double division
     rounded once.  See operators/text.oov_rate for the two-shuffle
     plan."""
-    from comlake_core_spark.operators.text import oov_rate
+    from comlake_core_spark.operators.text.corpus_stats import oov_rate
 
     (docs,) = _t(spark, sf_dir, "documents")
     return oov_rate(docs, vocab_size=20)
@@ -1064,7 +1065,7 @@ def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM slice, MAP-ONLY (pos, term, prev) explode on the scoring side (no
     lag window — prev comes from the token array), three keyed joins,
     1-row broadcast totals; see operators/text.bigram_backoff_logprob."""
-    from comlake_core_spark.operators.text import bigram_backoff_logprob
+    from comlake_core_spark.operators.text.lm import bigram_backoff_logprob
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1110,7 +1111,7 @@ def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the output).  Map-only md5 tokenization over each scan;
     the token join hashes a uniform high-entropy key, so skew behavior
     is no worse than the raw-key join.  See operators/text.pseudonymize."""
-    from comlake_core_spark.operators.text import pseudonymize
+    from comlake_core_spark.operators.text.pii import pseudonymize
 
     cust, od = _t(spark, sf_dir, "customer", "orders")
     pc = pseudonymize(
@@ -1177,7 +1178,7 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds all three gram lists row-locally (sequence+transform, no UDF),
     one explode feeds one map-combined count.  See
     operators/text.ngram_diversity."""
-    from comlake_core_spark.operators.text import ngram_diversity
+    from comlake_core_spark.operators.text.corpus_stats import ngram_diversity
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1230,7 +1231,7 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source with a map-side top-500 cut; ln on a 9-decimal grid +
     exact decimal OLS sums make slope/intercept hash-checkable (the
     unigram_logprob discipline).  See operators/text.zipf_fit."""
-    from comlake_core_spark.operators.text import zipf_fit
+    from comlake_core_spark.operators.text.corpus_stats import zipf_fit
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1275,7 +1276,7 @@ def vocab_coverage_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window at any vocabulary size); the oracle states
     the same curve with a SQL window.  Integer cumsums are exact, so the
     crossing ranks hash-match.  See operators/text.vocab_coverage."""
-    from comlake_core_spark.operators.text import vocab_coverage
+    from comlake_core_spark.operators.text.corpus_stats import vocab_coverage
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1321,7 +1322,7 @@ def text_mattr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence/array_distinct arithmetic inside codegen (no UDF, no
     explode), then one map-combined 9-decimal-grid rollup.  See
     operators/text.mattr."""
-    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.operators.text.corpus_stats import mattr
     from comlake_core_spark.session import ensure_parallelism
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1402,7 +1403,8 @@ def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 100% mean truncation under a hard cap).  Cumulative-division
     packing bounds overshoot by one document, which this histogram makes
     visible.  All-integer arithmetic over the pack rollup."""
-    from comlake_core_spark.operators.text import pack_sequences, token_count
+    from comlake_core_spark.operators.text.chunking import pack_sequences
+    from comlake_core_spark.operators.text.core import token_count
 
     (docs,) = _t(spark, sf_dir, "documents")
     packed = pack_sequences(
@@ -1515,7 +1517,7 @@ def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all model tables are rollups of it), map-only scoring explode +
     five keyed joins, one 1-row broadcast total.  See
     operators/text.kneser_ney_trigram_logprob."""
-    from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+    from comlake_core_spark.operators.text.kneser_ney import kneser_ney_trigram_logprob
 
     (docs,) = _t(spark, sf_dir, "documents")
     lm = docs.filter(F.col("doc_id") % 2 == 0)
@@ -1567,7 +1569,7 @@ def unigram_lm_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed model is where the corpus-scale work lives — the dictionary
     saturates as data grows, so the EM rounds are dictionary-sized.  See
     operators/text.unigram_lm_train."""
-    from comlake_core_spark.operators.text import unigram_lm_train
+    from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train
 
     (docs,) = _t(spark, sf_dir, "documents")
     return unigram_lm_train(docs, em_rounds=0, seed_vocab=200, max_piece_len=4)
@@ -1871,7 +1873,7 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langseg_markers_sql(lang: str) -> str:
-    from comlake_core_spark.operators.text import LANG_MARKERS
+    from comlake_core_spark.operators.text.core import LANG_MARKERS
 
     return "[" + ", ".join("'" + m + "'" for m in LANG_MARKERS[lang]) + "]"
 

@@ -5,7 +5,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from comlake_core_spark.operators.text import bm25_search
+from comlake_core_spark.operators.text.retrieval import bm25_search
 
 DOCS = [
     (1, "spark shuffle join join join"),

@@ -52,7 +52,7 @@ def test_global_running_sum_no_single_partition_window(spark):
 
 
 def test_ngram_diversity_hand_case(spark):
-    from comlake_core_spark.operators.text import ngram_diversity
+    from comlake_core_spark.operators.text.corpus_stats import ngram_diversity
 
     # "a b a b": unigrams a,b,a,b -> 2/4; bigrams "a b","b a","a b" -> 2/3;
     # trigrams "a b a","b a b" -> 2/2
@@ -65,7 +65,7 @@ def test_ngram_diversity_hand_case(spark):
 
 
 def test_ngram_diversity_short_doc_emits_no_long_grams(spark):
-    from comlake_core_spark.operators.text import ngram_diversity
+    from comlake_core_spark.operators.text.corpus_stats import ngram_diversity
 
     df = spark.createDataFrame([(1, "solo", "s")], "doc_id long, text string, source string")
     got = {r["n"]: r for r in ngram_diversity(df).collect()}
@@ -78,7 +78,7 @@ def test_ngram_diversity_short_doc_emits_no_long_grams(spark):
 
 
 def test_zipf_fit_recovers_planted_slope(spark):
-    from comlake_core_spark.operators.text import zipf_fit
+    from comlake_core_spark.operators.text.corpus_stats import zipf_fit
 
     # counts c(r) = round(1000 * r^-1): ln c ~ ln 1000 - 1 * ln r, so the
     # OLS slope over the exact planted points sits near -1.
@@ -98,7 +98,7 @@ def test_zipf_fit_recovers_planted_slope(spark):
 
 
 def test_vocab_coverage_crossings(spark):
-    from comlake_core_spark.operators.text import vocab_coverage
+    from comlake_core_spark.operators.text.corpus_stats import vocab_coverage
 
     # freqs 50, 30, 15, 5 (total 100): shares .5, .8, .95, 1.0
     text = " ".join(["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5)
@@ -116,7 +116,7 @@ def test_vocab_coverage_crossings(spark):
 
 
 def test_mattr_short_doc_equals_ttr(spark):
-    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.operators.text.corpus_stats import mattr
 
     df = spark.createDataFrame([(1, "x y x", "s")], "doc_id long, text string, source string")
     row = mattr(df, window=50).collect()[0]
@@ -125,7 +125,7 @@ def test_mattr_short_doc_equals_ttr(spark):
 
 
 def test_mattr_windows_average(spark):
-    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.operators.text.corpus_stats import mattr
 
     # window=2 over "a a b": windows (a,a)->1/2, (a,b)->2/2; mattr = 3/4.
     # plain TTR = 2/3 — the two diverge exactly as designed.
@@ -136,7 +136,7 @@ def test_mattr_windows_average(spark):
 
 
 def test_mattr_repetition_detected_where_ttr_saturates(spark):
-    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.operators.text.corpus_stats import mattr
 
     # looped generation: 30 distinct tokens repeated 10x. Plain TTR = 0.1
     # only because the doc is long; MATTR(window=10) stays high (each
@@ -417,7 +417,7 @@ def test_centroid_drift_exact_decimal_sums_no_precision_loss(spark):
 
 
 def test_sparse_cosine_identical_docs_score_one(spark):
-    from comlake_core_spark.operators.text import sparse_cosine_topk
+    from comlake_core_spark.operators.text.retrieval import sparse_cosine_topk
 
     rows = [
         (0, "alpha beta gamma delta"),
@@ -431,7 +431,7 @@ def test_sparse_cosine_identical_docs_score_one(spark):
 
 
 def test_sparse_cosine_df_cap_drops_stopword_only_pairs(spark):
-    from comlake_core_spark.operators.text import sparse_cosine_topk
+    from comlake_core_spark.operators.text.retrieval import sparse_cosine_topk
 
     # 'the' appears in every doc; with max_df=2 it is dropped, so docs
     # sharing ONLY 'the' are never candidates

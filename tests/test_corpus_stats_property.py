@@ -42,7 +42,7 @@ def _frame(spark, docs):
 @given(corpus_strategy)
 @SLOW
 def test_ngram_diversity_matches_reference(spark, docs):
-    from comlake_core_spark.operators.text import ngram_diversity
+    from comlake_core_spark.operators.text.corpus_stats import ngram_diversity
 
     got = {r["n"]: (r["distinct_grams"], r["total_grams"]) for r in ngram_diversity(_frame(spark, docs)).collect()}
     for n in (1, 2, 3):
@@ -59,7 +59,7 @@ def test_ngram_diversity_matches_reference(spark, docs):
 @given(corpus_strategy, st.integers(min_value=1, max_value=5))
 @SLOW
 def test_mattr_matches_reference(spark, docs, window):
-    from comlake_core_spark.operators.text import mattr
+    from comlake_core_spark.operators.text.corpus_stats import mattr
 
     per_doc = []
     for d in docs:
@@ -86,7 +86,7 @@ def test_mattr_matches_reference(spark, docs, window):
 @given(corpus_strategy)
 @SLOW
 def test_vocab_coverage_matches_reference(spark, docs):
-    from comlake_core_spark.operators.text import vocab_coverage
+    from comlake_core_spark.operators.text.corpus_stats import vocab_coverage
 
     counts = Counter()
     for d in docs:

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from comlake_core_spark.operators.langseg import dominant_language_share, language_segments
-from comlake_core_spark.operators.text import LANG_MARKERS
+from comlake_core_spark.operators.text.core import LANG_MARKERS
 
 
 def _py_lang_id(line: str) -> str:

@@ -712,7 +712,7 @@ def test_semantic_dedup_reclusters_oversized_and_prunes(spark):
 
 
 def test_normalize_url_canonicalization(spark):
-    from comlake_core_spark.operators.text import normalize_url
+    from comlake_core_spark.operators.text.core import normalize_url
 
     cases = [
         # www + tracking params stripped, case folded, real param kept
@@ -730,7 +730,7 @@ def test_normalize_url_canonicalization(spark):
 
 
 def test_gopher_quality_rules_flag_planted_docs(spark):
-    from comlake_core_spark.operators.text import gopher_quality
+    from comlake_core_spark.operators.text.docquality import gopher_quality
 
     good = "the quick brown fox jumps over that lazy dog with style " * 6  # 66 words
     short = "too short to pass the floor"                 # < 50 words

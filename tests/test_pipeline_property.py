@@ -271,7 +271,7 @@ def _ref_bpe(texts, merges):
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(bpe_corpus_strategy, st.sampled_from([1, 2, 3]))
 def test_bpe_merges_matches_python_reference(spark, texts, merges):
-    from comlake_core_spark.operators.text import bpe_merges
+    from comlake_core_spark.operators.text.bpe import bpe_merges
 
     df = spark.createDataFrame(list(enumerate(texts, 1)), "doc_id long, text string")
     got = [

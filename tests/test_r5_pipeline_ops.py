@@ -27,7 +27,7 @@ def docs_df(spark, rows):
 
 
 def test_bpe_learns_most_frequent_pair_and_reuses_merged_symbol(spark):
-    from comlake_core_spark.operators.text import bpe_merges
+    from comlake_core_spark.operators.text.bpe import bpe_merges
 
     # "ababab" x3 docs: pair (a, b) dominates; after merging 'a b'→'ab',
     # the next round must count pairs over the MERGED symbols ('ab ab').
@@ -44,7 +44,7 @@ def test_bpe_learns_most_frequent_pair_and_reuses_merged_symbol(spark):
 
 
 def test_bpe_greedy_leftmost_on_repeats(spark):
-    from comlake_core_spark.operators.text import bpe_merges
+    from comlake_core_spark.operators.text.bpe import bpe_merges
 
     # word "bbb": symbols b b b </w>; merging 'b b' greedy-LEFTMOST gives
     # (bb, b), so round 2 counts {bb b: 5, b </w>: 5} — the tie-break
@@ -184,7 +184,7 @@ def test_dsir_ranks_target_like_docs_first(spark):
 
 
 def test_js_divergence_bounds_and_ordering(spark):
-    from comlake_core_spark.operators.text import js_divergence_by_group
+    from comlake_core_spark.operators.text.vectorize import js_divergence_by_group
 
     same = "the quick brown fox jumps over the lazy dog"
     rows = (
@@ -340,7 +340,7 @@ def test_mutual_knn_ivf_kmeans_refined_buckets_raise_recall(spark, t):
 
 
 def test_bpe_fertility_counts_on_planted_corpus(spark):
-    from comlake_core_spark.operators.text import bpe_fertility
+    from comlake_core_spark.operators.text.bpe import bpe_fertility
 
     # en words fully merge ("aa" -> one symbol after merges), zz words
     # don't share pairs as often — fertility must reflect the learned

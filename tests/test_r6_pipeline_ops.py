@@ -128,7 +128,7 @@ def test_lsh_edit_verify_scores_candidates(spark):
 
 
 def test_oov_rate_against_pruned_vocab(spark):
-    from comlake_core_spark.operators.text import oov_rate
+    from comlake_core_spark.operators.text.corpus_stats import oov_rate
 
     rows = [
         (1, "a a a b b c", "s1"),   # freq: a=3(+2 below)=5? counts are global
@@ -144,7 +144,7 @@ def test_oov_rate_against_pruned_vocab(spark):
 
 
 def test_oov_rate_tie_breaks_on_token(spark):
-    from comlake_core_spark.operators.text import oov_rate
+    from comlake_core_spark.operators.text.corpus_stats import oov_rate
 
     # b and c tie at 2; vocab_size=2 must pick {a, b} (token asc)
     df = spark.createDataFrame(
@@ -160,7 +160,7 @@ def test_oov_rate_tie_breaks_on_token(spark):
 
 
 def test_bigram_backoff_paths(spark):
-    from comlake_core_spark.operators.text import bigram_backoff_logprob
+    from comlake_core_spark.operators.text.lm import bigram_backoff_logprob
 
     lm = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
     # LM: uni x=2 y=2 N=4 V=2; bigrams: (x,y)=2, (y,x)=1
@@ -178,7 +178,7 @@ def test_bigram_backoff_paths(spark):
 
 
 def test_bigram_backoff_self_scoring_never_backs_off(spark):
-    from comlake_core_spark.operators.text import bigram_backoff_logprob
+    from comlake_core_spark.operators.text.lm import bigram_backoff_logprob
 
     df = spark.createDataFrame(
         [(0, "p q r p q"), (1, "q r p")], "doc_id long, text string"
@@ -293,7 +293,7 @@ def test_assign_shards_balances_and_partitions_fully(spark):
 
 
 def test_pseudonymize_stable_and_domain_separated(spark):
-    from comlake_core_spark.operators.text import pseudonymize
+    from comlake_core_spark.operators.text.pii import pseudonymize
 
     df = spark.createDataFrame(
         [(1, "alice"), (2, "alice"), (3, "bob")], "k long, name string"
@@ -311,7 +311,7 @@ def test_pseudonymize_stable_and_domain_separated(spark):
 
 
 def test_pseudonymize_preserves_joins(spark):
-    from comlake_core_spark.operators.text import pseudonymize
+    from comlake_core_spark.operators.text.pii import pseudonymize
 
     left = spark.createDataFrame([(1, "x"), (2, "y")], "ck long, v string")
     right = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "ck long, amt long")
@@ -346,7 +346,7 @@ def test_hard_negatives_excludes_dups_lsh_would_miss(spark):
 
 
 def test_pseudonymize_null_stays_null(spark):
-    from comlake_core_spark.operators.text import pseudonymize
+    from comlake_core_spark.operators.text.pii import pseudonymize
 
     df = spark.createDataFrame(
         [(1, "x"), (2, None), (3, None)], "k long, v string"
@@ -398,7 +398,7 @@ def test_strip_boilerplate_and_oov_explode_corpus_once(spark):
     """Review findings #5/#6: the corpus must be scanned+exploded exactly
     once — the df side must not re-derive the token/line stream."""
     from comlake_core_spark.operators.dedup import strip_boilerplate
-    from comlake_core_spark.operators.text import oov_rate
+    from comlake_core_spark.operators.text.corpus_stats import oov_rate
 
     df = spark.createDataFrame(
         [(1, "a b c d", "s"), (2, "a b x y", "s")],

@@ -216,7 +216,7 @@ class TestKneserNeyTrigram:
         return train, score
 
     def test_matches_python_reference(self, spark, frames):
-        from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+        from comlake_core_spark.operators.text.kneser_ney import kneser_ney_trigram_logprob
 
         train, score = frames
         got = {
@@ -234,7 +234,7 @@ class TestKneserNeyTrigram:
         """Σ_c P(c|a,b) over the train VOCAB must be ~1 for a context seen
         in training — the property that distinguishes real smoothing from
         an ad-hoc score (stupid backoff deliberately fails this)."""
-        from comlake_core_spark.operators.text import _kn_trigram_scores
+        from comlake_core_spark.operators.text.kneser_ney import _kn_trigram_scores
 
         train, _ = frames
         vocab = sorted({w for _, t in self.TRAIN for w in t.split()})
@@ -251,7 +251,7 @@ class TestKneserNeyTrigram:
         LOW continuation weight.  'francisco' appears 3x (always after
         'san'); 'mat' appears 2x after two different words — Pcont must
         rank mat > francisco despite the raw counts saying otherwise."""
-        from comlake_core_spark.operators.text import _kn_trigram_scores
+        from comlake_core_spark.operators.text.kneser_ney import _kn_trigram_scores
 
         train = spark.createDataFrame(
             [
@@ -270,7 +270,7 @@ class TestKneserNeyTrigram:
         assert p["mat"] > p["francisco"]
 
     def test_deterministic(self, spark, frames):
-        from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+        from comlake_core_spark.operators.text.kneser_ney import kneser_ney_trigram_logprob
 
         train, score = frames
         a = sorted(map(tuple, kneser_ney_trigram_logprob(score, train).collect()))
@@ -294,7 +294,7 @@ class TestUnigramLmTokenizer:
         )
 
     def test_every_word_coverable_at_seed(self, spark, docs):
-        from comlake_core_spark.operators.text import unigram_lm_train, unigram_viterbi_segment
+        from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train, unigram_viterbi_segment
 
         pieces = unigram_lm_train(docs, em_rounds=0, seed_vocab=20)
         seg = unigram_viterbi_segment(docs, pieces)
@@ -305,7 +305,7 @@ class TestUnigramLmTokenizer:
             assert "".join(r["pieces"]) == r["word"]
 
     def test_hard_em_loglikelihood_non_decreasing(self, spark, docs):
-        from comlake_core_spark.operators.text import unigram_lm_train, unigram_viterbi_segment
+        from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train, unigram_viterbi_segment
 
         lls = []
         for rounds in (0, 1, 2):
@@ -316,7 +316,7 @@ class TestUnigramLmTokenizer:
         assert lls[2] >= lls[1] - 1e-6, lls
 
     def test_em_prunes_unused_pieces(self, spark, docs):
-        from comlake_core_spark.operators.text import unigram_lm_train
+        from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train
 
         seed = unigram_lm_train(docs, em_rounds=0, seed_vocab=60)
         trained = unigram_lm_train(docs, em_rounds=2, seed_vocab=60)
@@ -326,7 +326,7 @@ class TestUnigramLmTokenizer:
         assert {r["piece"] for r in trained.collect()} <= seed_set
 
     def test_frequent_morphemes_become_pieces(self, spark, docs):
-        from comlake_core_spark.operators.text import unigram_lm_train, unigram_viterbi_segment
+        from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train, unigram_viterbi_segment
 
         pieces = unigram_lm_train(docs, em_rounds=2, seed_vocab=60)
         seg = {r["word"]: r["pieces"] for r in unigram_viterbi_segment(docs, pieces).collect()}
@@ -335,7 +335,7 @@ class TestUnigramLmTokenizer:
         assert seg["new"] == ["new"]
 
     def test_deterministic(self, spark, docs):
-        from comlake_core_spark.operators.text import unigram_lm_train
+        from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train
 
         a = sorted(map(tuple, unigram_lm_train(docs, em_rounds=2).collect()))
         b = sorted(map(tuple, unigram_lm_train(docs, em_rounds=2).collect()))
@@ -486,7 +486,7 @@ def test_kneser_ney_duckdb_oracle_staged(spark):
     tables and the interpolation must match the operator bit-for-bit."""
     import duckdb
 
-    from comlake_core_spark.operators.text import kneser_ney_trigram_logprob
+    from comlake_core_spark.operators.text.kneser_ney import kneser_ney_trigram_logprob
 
     docs = tables(spark, SF_DIR)["documents"]
     lm = docs.filter(F.col("doc_id") % 2 == 0)
@@ -644,7 +644,7 @@ def test_unigram_seed_duckdb_oracle_staged(spark):
     genuinely non-SQL step)."""
     import duckdb
 
-    from comlake_core_spark.operators.text import unigram_lm_train
+    from comlake_core_spark.operators.text.unigram_lm import unigram_lm_train
 
     docs = tables(spark, SF_DIR)["documents"]
     sdf = unigram_lm_train(docs, em_rounds=0, seed_vocab=200, max_piece_len=4)
@@ -666,7 +666,8 @@ def test_pretrain_pipeline_v2_composition(spark):
     Sanity invariants only here (each stage's oracle is staged
     separately); the point is that the stages COMPOSE on real tables."""
     from comlake_core_spark.operators.sampling import doremi_domain_weights, mixture_resample
-    from comlake_core_spark.operators.text import chunk_documents, kneser_ney_trigram_logprob
+    from comlake_core_spark.operators.text.chunking import chunk_documents
+    from comlake_core_spark.operators.text.kneser_ney import kneser_ney_trigram_logprob
 
     docs = tables(spark, SF_DIR)["documents"]
     lm = docs.filter(F.col("doc_id") % 2 == 0)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from comlake_core_spark.operators.text import _unigram_viterbi
+from comlake_core_spark.operators.text.unigram_lm import _unigram_viterbi
 
 MAX_LEN = 4
 
