@@ -516,62 +516,87 @@ del _snap, _n
 #          together with the 7 r11 rollovers), folding in the KN
 #          single-pass LM explode + count-1 type fold measured in
 #          SCALING.md r11.
+#   r12:   CORRECTNESS_r11 landed 50/50, so the staged pair REGISTERS
+#          (registry 241 → 243; the 2 never-driver-seen post-window
+#          names are langseg_quality_route / token_budget_fill, both in
+#          this window by construction).  The text split landed as
+#          planned and the stale set at rotation time is 75 of 243 —
+#          larger than the r11 projection because the round's OWN
+#          engine edits re-staled 7 just-greened names (the qast
+#          regex-advisory fix touched compiler.py/interp.py → 4 qast
+#          consumers; the containment cap-probe reshape →
+#          dedup_containment_prefix; langseg.py's submodule-import line
+#          → the 2 langseg names), all judge-directed ADVICE/verdict
+#          work.  Window = the 2 first-timers + those 7 must-verify
+#          names + the complete 16-name oldest wave (the r11 mid-round
+#          re-stales incl. all 7 named rollovers and the KN-fold
+#          consumers kneser_ney_logprob_docs / pretrain_pipeline_v2) +
+#          25 of the 28-name middle wave.  25 stale names roll to r13
+#          (3 middle-wave split-only re-stales: array_functions,
+#          explode_token_counts, weighted_sample_docs — their text
+#          import is `tokens` alone — plus the 22 newest-wave names
+#          whose engine change is the split move itself); the r11
+#          "stale ≤ 20 at r12 HEAD" target is missed by 5, traceable
+#          exactly to the ADVICE-fix re-stale wave above.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-seen: the r11-registered langseg pair --
-    "language_segments",
-    "dominant_language_share",
-    # -- engine code changes THIS round: verify first --
-    "dedup_containment_prefix",  # containment.py fused hot-gram df pass
-    "qast_arith_revenue",        # qast/compiler.py FutureWarning wrap
-    "qast_string_concat",        # qast/compiler.py FutureWarning wrap
-    "qast_division_negation",    # qast/compiler.py FutureWarning wrap
-    "qast_json_path",            # qast/compiler.py FutureWarning wrap
-    # -- stale backlog, oldest green row first --
-    "embedding_centroid_drift",
-    "image_phash_neardup",
-    "multimodal_wav_audio_stats",
-    "multimodal_y4m_frame_sample",
-    "orders_pareto_revenue_share",
-    "packing_efficiency_stats",
-    "quality_calibration_bins",
-    "sparse_cosine_topk_docs",
-    "boilerplate_strip_source",
-    "curriculum_order_docs",
-    "decontaminate_bloom",
-    "dedup_lsh_edit_verify",
-    "doremi_source_weights",
-    "embedding_hard_negatives",
-    "embedding_matryoshka_topk",
-    "embedding_norm_health",
-    "jaccard_topk_similar_docs",
-    "lsh_bucket_skew_audit",
-    "minhash_estimate_calibration",
-    "ngram_diversity_by_source",
-    "pii_pseudonymize_consistent",
-    "shard_assign_balanced",
-    "streaming_neardup_index",
-    "temperature_mixture_langs",
-    "text_bigram_backoff_logprob",
-    "text_mattr_by_source",
-    "train_test_ngram_leakage",
-    "unigram_lm_seed",
-    "vocab_coverage_thresholds",
-    "vocab_oov_rate",
-    "zipf_slope_by_source",
-    "ann_cosine_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "contrastive_negative_samples",
-    "dedup_clusters",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # -- never driver-seen: the r12-registered staged pair --
+    "langseg_quality_route",
+    "token_budget_fill",
+    # -- engine logic changes THIS round: verify first --
+    "dedup_containment_prefix",  # containment.py one-action cap probe
+    "kneser_ney_logprob_docs",   # kneser_ney.py one-explode LM fold
+    "pretrain_pipeline_v2",      # composes the folded KN scorer
+    "qast_arith_revenue",        # qast compiler/interp advisory filter
+    "qast_string_concat",        # qast compiler/interp advisory filter
+    "qast_division_negation",    # qast compiler/interp advisory filter
+    "qast_json_path",            # qast compiler/interp advisory filter
+    "language_segments",         # langseg.py submodule-import line
+    "dominant_language_share",   # langseg.py submodule-import line
+    # -- stale backlog, oldest green row first: the r11 mid-round wave
+    #    (all 7 named rollovers ride here) --
+    "text_token_budget",
+    "dedup_simhash",
+    "text_top_bigrams",
+    "hybrid_search_rrf",
+    "array_higher_order",
+    "text_pmi_bigrams",
+    "mixture_resample_corpus",
+    "dedup_winnow",
+    "bm25_search",
+    "embedding_pq_codes",
+    "text_tfidf_top_terms",
+    "text_lang_id",
+    "semantic_dedup_embeddings",
+    "text_quality",
+    # -- the r11 late-round wave (25 of 28; the 3 whose only text import
+    #    is `tokens` roll to r13) --
+    "text_repetition_filter",
+    "chunk_documents",
+    "dedup_canonical_docs",
+    "corpus_ngram_novelty",
+    "dedup_common_spans",
+    "pipeline_clean_corpus",
+    "pipeline_chunk_dedup_pack",
+    "docs_length_buckets",
+    "text_feature_hashing",
+    "text_stats",
+    "decontaminate_train_eval",
+    "quality_gopher_rules",
+    "pagerank_dedup_graph",
+    "pipeline_pretrain_corpus",
+    "url_normalize_dedup",
+    "dedup_graph_triangles",
+    "bpe_train_merges",
+    "leakage_safe_split_docs",
+    "dedup_lines_corpus",
+    "text_unigram_logprob",
+    "pii_redact_customers",
+    "dedup_graph_bfs_depth",
+    "pack_sequences",
+    "source_token_js",
+    "bpe_apply_fertility",
 ]
 
 
