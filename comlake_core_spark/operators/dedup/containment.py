@@ -93,20 +93,22 @@ def _containment_stages(
         # aggregate so the corpus-wide count shuffle runs once, not twice
         dfreq_all = dfreq_all.persist()
     dfreq = dfreq_all.filter(F.col("_df") <= int(max_df)) if max_df is not None else dfreq_all
-    wid = Window.partitionBy("_id")
-    w = wid.orderBy(F.asc("_df"), F.asc("_g"))
-    # inner join doubles as the universe filter: capped-out grams never
-    # enter the ordering, the per-doc count, or the prefix
-    pref = (
-        posts.join(dfreq, "_g")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_gce", F.count(F.lit(1)).over(wid))
-        .withColumn(
-            "_req", F.ceil(F.lit(t) * F.col("_gce") - F.lit(1e-9)).cast("long")
+
+    def _prefixes(from_posts: DataFrame) -> DataFrame:
+        wid = Window.partitionBy("_id")
+        w = wid.orderBy(F.asc("_df"), F.asc("_g"))
+        # inner join doubles as the universe filter: capped-out grams
+        # never enter the ordering, the per-doc count, or the prefix
+        return (
+            from_posts.join(dfreq, "_g")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_gce", F.count(F.lit(1)).over(wid))
+            .withColumn(
+                "_req", F.ceil(F.lit(t) * F.col("_gce") - F.lit(1e-9)).cast("long")
+            )
+            .filter(F.col("_rn") <= F.col("_gce") - F.col("_req") + F.lit(1))
+            .select(F.col("_id").alias("_src"), "_g")
         )
-        .filter(F.col("_rn") <= F.col("_gce") - F.col("_req") + F.lit(1))
-        .select(F.col("_id").alias("_src"), "_g")
-    )
     if max_df is not None and hot_strategy == "broadcast":
         # r12 (VERDICT r11 #4): ONE action both decides whether the cap
         # binds AND returns the hot grams — collecting the filtered df
@@ -161,6 +163,19 @@ def _containment_stages(
             # with identical plans (BENCH_SF1 r11 bisect).  The count is
             # O(docs) and runs once per build.
             sets.count()
+            # r12: with the capped universe materialized, postings and
+            # prefixes derive from it instead of the raw arrays — the
+            # candidate join then never shuffles a hot-gram posting row
+            # (each hot gram drags a near-corpus-sized posting list into
+            # the _g exchange and can never match a prefix gram), and
+            # the raw-array cache is fully superseded, so it is released
+            # (ADVICE r11: bound cache growth across repeated builds).
+            # Results are identical: prefixes were already built from
+            # the capped universe (the dfreq inner join), an all-hot dst
+            # can only match via hot grams — which never reach prefixes
+            # — and capped-empty docs generate no prefix rows either.
+            posts = sets.select("_id", F.explode("_sh").alias("_g"))
+            sh.unpersist(False)
         else:
             sets = sh.withColumn("_gc", F.size("_sh"))
     elif max_df is not None:
@@ -185,9 +200,12 @@ def _containment_stages(
             .persist()
         )
         sets.count()  # eager fill — same race as the broadcast branch
+        # capped postings + cache release, same as the broadcast branch
+        posts = sets.select("_id", F.explode("_sh").alias("_g"))
+        sh.unpersist(False)
     else:
         sets = sh.withColumn("_gc", F.size("_sh"))
-    return sets, pref, posts
+    return sets, _prefixes(posts), posts
 
 
 def containment_pairs_prefix(

@@ -57,9 +57,17 @@ QUERIES = [
 
 #: the knn-ivf pair had the steepest x10/x8 ratios in BENCH_SF1_r10
 #: (1.35 / 1.42) — extend THEM one more step to confirm the curve
-#: flattens under the MEMORY_AND_DISK checkpoint pin (VERDICT r10 #6):
-#: linear behavior at x12/x10 is 1.2, PASS_RATIO slack still applies
-EXTRA_STEP = {"embedding_knn_graph_ivf": 12, "embedding_knn_graph_ivf2": 12}
+#: flattens under the MEMORY_AND_DISK checkpoint pin (VERDICT r10 #6);
+#: r12 extends the next-steepest BENCH_SF1_r11 names the same way
+#: (minhash_estimate_calibration 1.181, dedup_simhash 1.183 — VERDICT
+#: r11 #5).  Linear behavior at x12/x10 is 1.2, PASS_RATIO slack still
+#: applies.
+EXTRA_STEP = {
+    "embedding_knn_graph_ivf": 12,
+    "embedding_knn_graph_ivf2": 12,
+    "minhash_estimate_calibration": 12,
+    "dedup_simhash": 12,
+}
 
 
 def main() -> None:
