@@ -68,5 +68,6 @@ from comlake_core_spark.operators.dedup.simhash import (  # noqa: F401
 )
 from comlake_core_spark.operators.dedup.spans import (  # noqa: F401
     common_span_coverage,
+    exact_substring_cut,
     winnow_dedup_pairs,
 )

@@ -163,3 +163,106 @@ def common_span_coverage(
         )
     )
 
+
+
+def exact_substring_cut(
+    df: DataFrame,
+    span: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span CUTTING (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    the remove-the-substring variant their suffix-array pipeline ships):
+    where ``common_span_coverage`` only ACCOUNTS for duplicated text,
+    this operator performs the dedup action — every token covered by a
+    duplicated ``span``-token run is excised from the document UNLESS
+    the document is that run's canonical owner (min ``id_col`` among the
+    documents containing it), so exactly one copy of each duplicated
+    passage survives corpus-wide and quoting documents keep their
+    original prose around the cut.
+
+    Returns one row per document: (id_col, n_tokens, n_cut, cut_frac,
+    clean_text) — total over the input (nothing cut → the original
+    token stream; empty doc → empty text, cut_frac 0.0).  Token runs
+    are case-sensitive original tokens ("exact" means verbatim), and
+    ownership/coverage are pure integer/string decisions, so a SQL
+    oracle replays the operator bit-for-bit (cut_frac is one double
+    division of identical integers).
+
+    Scale shape: one sliding-window gram explode (∝ tokens, row-local
+    construction), ONE gram-keyed aggregate for (distinct-doc count,
+    owner), a join back on the gram, position-range expansion of the
+    foreign hits only (duplicated text is the minority at any healthy
+    corpus), and a doc-keyed rebuild aggregate — every exchange is
+    keyed on the gram or the doc, no all-pairs stage.  At 100 TB the
+    gram table is the bounded artifact (types saturate); the rebuild
+    shuffle carries the corpus once, the same class as the chunking /
+    language-segmentation rebuilds."""
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), toks.alias("_ts"))
+        .persist()  # feeds the gram explode, the token rebuild, and stats
+    )
+    n = F.size("_ts")
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), n - span),
+        lambda s: F.struct(
+            s.cast("long").alias("s"),
+            F.array_join(F.slice("_ts", s + 1, span), " ").alias("g"),
+        ),
+    )
+    grams = (
+        base.filter(n >= span)
+        .select("_id", F.explode(gram_structs).alias("_e"))
+        .select("_id", F.col("_e.s").alias("_s"), F.col("_e.g").alias("_g"))
+    )
+    gt = (
+        grams.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_nd"), F.min("_id").alias("_owner"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_g", "_owner")
+    )
+    covered = (
+        grams.join(gt, "_g")
+        .filter(F.col("_owner") != F.col("_id"))
+        .select("_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + span - 1)).alias("_p"))
+        .distinct()
+    )
+    tokpos = base.select("_id", F.posexplode("_ts").alias("_p", "_tok"))
+    kept = (
+        tokpos.join(covered, ["_id", "_p"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("_id", n.cast("long").alias("n_tokens"))
+        .join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_cut"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("cut_frac"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
