@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def chunk_documents(
@@ -59,18 +58,28 @@ def pack_sequences(
     (packs can exceed budget by at most one document's tokens; the exact
     stateful variant is streaming/budget.py's admission control).
 
-    One shuffle (the global running sum's range partitioning); everything
-    else is map-side. At 100 TB, pack WITHIN shards (add the shard to the
-    window partition) so no global ordering is needed."""
+    The global prefix sum rides
+    :func:`~comlake_core_spark.operators.sampling.global_running_sum`
+    (range shuffle + O(P) offsets + map-only Arrow cumsum) — r12 replaced
+    the original ``sum().over(Window.orderBy(...))``, which degenerates
+    to a SINGLE-PARTITION window: fine at sf0.1, the textbook bottleneck
+    at 100 TB.  Token counts accumulate as integers, so the values (and
+    the SQL window oracle) are unchanged.  Construction runs an eager
+    layout-pinning job (global_running_sum's contract)."""
     ids = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = F.col(token_count) if isinstance(token_count, str) else token_count
-    w = Window.orderBy(*[F.col(c) for c in ids]).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from comlake_core_spark.operators.sampling import global_running_sum
+
+    staged = df.select(
+        *[F.col(c) for c in ids], tok.cast("long").alias("n_tokens")
     )
-    cum_incl = F.sum(tok).over(w)
-    return df.select(
+    cum = global_running_sum(
+        staged, [F.col(c).asc() for c in ids], "n_tokens", out="_cum"
+    )
+    before = F.col("_cum") - F.col("n_tokens")
+    return cum.select(
         *[F.col(c) for c in ids],
-        tok.cast("long").alias("n_tokens"),
-        ((cum_incl - tok) / F.lit(budget)).cast("long").alias("pack_id"),
-        (cum_incl - tok).cast("long").alias("tokens_before"),
+        "n_tokens",
+        (before / F.lit(budget)).cast("long").alias("pack_id"),
+        before.cast("long").alias("tokens_before"),
     )
