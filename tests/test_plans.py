@@ -944,3 +944,51 @@ def test_containment_prefix_no_cartesian_and_single_persist(spark):
     # per (doc, gram) — the r9 first-cut regression); the per-GRAM df
     # aggregate (_g, _df — O(distinct grams)) is fine and intentional
     assert not any("_id" in c and "_g," in c for c in caches), caches
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    # r12: the pack prefix sum rides global_running_sum (range shuffle +
+    # O(P) offsets + Arrow map pass) — the original global Window
+    # degenerated to a single partition, the textbook 100 TB bottleneck
+    df = run(spark, "pack_sequences")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_kneser_ney_lm_single_combined_cache(spark):
+    """r12 one-explode fold: the ONLY persisted LM frames are the
+    combined (w1, w2, nullable-w3) type aggregate and the continuation
+    rollup — the r11 shape additionally persisted a separate bigram-type
+    frame (a, b) built from a SECOND corpus explode.  A reappearing
+    two-column bigram cache means the fold regressed to the double
+    scan."""
+    import re
+
+    df = run(spark, "kneser_ney_logprob_docs")
+    plan = P.executed_plan(df)
+    caches = {c for c in re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)}
+    assert any("w1" in c and "w2" in c and "w3" in c and "_c3" in c for c in caches), caches
+    assert any("_n1bw" in c for c in caches), caches
+    assert not any(re.match(r"^a#\d+, b#\d+$", c) for c in caches), caches
+
+
+def test_exact_substring_cut_gram_keyed_no_pairs(spark):
+    """r13-staged ExactSubstr cutting: every exchange is keyed on the
+    gram or the doc — no pair enumeration of any kind — and the one
+    persisted frame is the DOC-LEVEL token-array base (the same
+    cache-class rule as containment's)."""
+    import re
+
+    from comlake_core_spark.operators.dedup.spans import exact_substring_cut
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF, ["documents"])["documents"]
+    df = exact_substring_cut(docs, span=8, min_docs=2)
+    df.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregate(df)
+    caches = {c for c in re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)}
+    assert caches and all("_ts" in c for c in caches), caches
