@@ -197,6 +197,20 @@ def _unigram_lm_2rounds(spark, sf_dir):
     return unigram_lm_train(docs, em_rounds=2, seed_vocab=200)
 
 
+def _exact_substring_cut(spark, sf_dir):
+    from comlake_core_spark.operators.dedup.spans import exact_substring_cut
+
+    docs = tables(spark, sf_dir)["documents"]
+    return exact_substring_cut(docs, span=8, min_docs=2)
+
+
+def _kn_singleton_stats(spark, sf_dir):
+    from comlake_core_spark.operators.text.kneser_ney import kn_singleton_stats
+
+    docs = tables(spark, sf_dir)["documents"]
+    return kn_singleton_stats(docs)
+
+
 CUSTOM_OPS = {
     "jaccard_topk_shuffle_strategy": _jaccard_variant(False),
     "jaccard_topk_auto_strategy": _jaccard_variant("auto"),
@@ -209,6 +223,10 @@ CUSTOM_OPS = {
     "doremi_source_weights": _doremi_source_weights,
     "kneser_ney_logprob": _kneser_ney_logprob,
     "unigram_lm_2rounds": _unigram_lm_2rounds,
+    # r13-staged operators: curves measured before registration so the
+    # registrations land with SCALING evidence attached (the r7 pattern)
+    "exact_substring_cut_staged": _exact_substring_cut,
+    "kn_singleton_stats_staged": _kn_singleton_stats,
 }
 
 
