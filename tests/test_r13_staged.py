@@ -93,6 +93,37 @@ def test_exact_substring_cut_matches_bruteforce(spark):
     assert got[7][1] == 0 and got[8][1] > 0  # 8-token window inside 7/8
 
 
+def test_exact_substring_cut_random_fixtures_match_twin(spark):
+    # the r11 budget-fill lesson (ADVICE r11): verify the twin on seeded
+    # random corpora, not just the one hand-built fixture — planted
+    # shared runs at random offsets exercise owner ties, overlapping
+    # coverage, and partial-window edges the fixture may miss by luck
+    import random
+
+    rng = random.Random(1301)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        shared_runs = [
+            [rng.choice(vocab) for _ in range(rng.randrange(4, 7))] for _ in range(3)
+        ]
+        rows = []
+        for d in range(1, rng.randrange(8, 14)):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(0, 15))]
+            for run in shared_runs:
+                if rng.random() < 0.5:
+                    at = rng.randrange(0, len(words) + 1)
+                    words = words[:at] + run + words[at:]
+            rows.append((trial * 100 + d, " ".join(words)))
+        span = rng.choice([4, 5])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_cut"], r["cut_frac"], r["clean_text"])
+            for r in exact_substring_cut(df, span=span, min_docs=2).collect()
+        }
+        want = _py_cut(rows, span, 2)
+        assert got == want, (trial, span)
+
+
 def test_exact_substring_cut_total_and_deterministic(spark):
     df = spark.createDataFrame(CUT_DOCS, "doc_id long, text string")
     out = exact_substring_cut(df, span=CUT_SPAN, min_docs=CUT_MIN_DOCS)
