@@ -538,6 +538,23 @@ del _snap, _n
 #          whose engine change is the split move itself); the r11
 #          "stale ≤ 20 at r12 HEAD" target is missed by 5, traceable
 #          exactly to the ADVICE-fix re-stale wave above.
+#   r13 STAGING (built during r12, ships as code + pytest — the
+#          r7/r11/r12 pattern): exact_substring_cut
+#          (operators/dedup/spans.py — Lee et al. 2022 ExactSubstr span
+#          CUTTING, the dedup action common_span_coverage only accounts
+#          for) and kn_discount_estimate (operators/text/kneser_ney.py
+#          kn_singleton_stats — trigram count-of-counts + Chen &
+#          Goodman discount); both DuckDB oracles staged bit-exact in
+#          tests/test_r13_staged.py with seeded random-fixture twins,
+#          plan pins in test_plans.py, and x8/x10 scale points in
+#          SCALING.md (scale_curve CUSTOM_OPS `*_staged` entries) —
+#          registration is copy-paste once CORRECTNESS_r12 lands.
+#          Also queued for r13, where the sampling family can ride the
+#          window: replace dsir_weights' corpus-sized single-partition
+#          row_number (operators/sampling.py:463) with
+#          global_row_number — deferred from r12 because editing
+#          sampling.py would have re-staled ~10 r11-greened direct
+#          importers outside the frozen window.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
