@@ -314,7 +314,11 @@ def session_metrics(spark) -> dict:
             os.path.dirname(spark._jvm.org.apache.spark.SparkFiles.getRootDirectory())
         )
     except Exception:
-        local_dirs = glob.glob("/tmp/blockmgr-*")  # degraded: old behavior
+        # degraded: old behavior — blockmgr dirs AND spark-* staging dirs
+        # (ADVICE r12: dropping the spark-* component made the fallback
+        # series incomparable with both the old series and the primary
+        # path, which includes the app's own staging dir)
+        local_dirs = glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*")
     for d in local_dirs:
         for root, _, files in os.walk(d):
             for f in files:

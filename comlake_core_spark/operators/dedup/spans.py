@@ -199,7 +199,16 @@ def exact_substring_cut(
     keyed on the gram or the doc, no all-pairs stage.  At 100 TB the
     gram table is the bounded artifact (types saturate); the rebuild
     shuffle carries the corpus once, the same class as the chunking /
-    language-segmentation rebuilds."""
+    language-segmentation rebuilds.
+
+    Cache lifetime (same contract as ``containment_pairs_prefix``): the
+    doc-level token-array base is persisted for the build's duration —
+    it feeds the gram explode, the position rebuild, and the stats join,
+    so there is no safe point inside this function to release it (the
+    returned frame still reads it lazily).  The blocks are dropped when
+    the returned DataFrame goes unreachable (ContextCleaner); a
+    long-lived session rebuilding repeatedly should bound growth with
+    ``spark.catalog.clearCache()`` between builds."""
     if span < 1:
         raise ValueError("span must be >= 1")
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")

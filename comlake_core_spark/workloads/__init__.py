@@ -314,6 +314,9 @@ _REGISTRATION_ORDER: list[str] = [
     # -- r12 registrations (staged during r11, tests/test_r12_staged.py) --
     "langseg_quality_route",
     "token_budget_fill",
+    # -- r13 registrations (staged during r12, tests/test_r13_staged.py) --
+    "exact_substring_cut",
+    "kn_discount_estimate",
 ]
 
 _snap = dict(REGISTRY)
@@ -555,65 +558,89 @@ del _snap, _n
 #          global_row_number — deferred from r12 because editing
 #          sampling.py would have re-staled ~10 r11-greened direct
 #          importers outside the frozen window.
+#   r13:   CORRECTNESS_r12 landed 50/50, so the staged pair REGISTERS
+#          (registry 243 → 245; the 2 never-driver-seen post-window
+#          names are exact_substring_cut / kn_discount_estimate, both in
+#          this window by construction).  The queued dsir swap landed:
+#          dsir_weights' single-partition row_number is replaced by
+#          global_row_number (operators/sampling.py — the last named
+#          scale-killer, VERDICT r12 #2), re-staling the 15 sampling.py
+#          consumers; the round's other judge-directed engine edits
+#          re-stale their consumers too (kneser_ney.py discount zero
+#          guard → 2 KN names; spans.py cache-lifetime contract → 2
+#          span names; qast compiler/interp advisory filter → lock +
+#          catch_warnings helper → 4 qast names; containment.py premium
+#          work → dedup_containment_prefix; server.py find-tier work →
+#          server_find_real).  Window = the 2 first-timers + those 24
+#          must-verify re-stales (19 outside the rollover set) + the
+#          complete 25-name r12 rollover (5 of them double as sampling
+#          re-stales) = 46 forced names + 4 family sentinels
+#          (qast_eq_filter, catalog_find, join_revenue_by_nation,
+#          multimodal_jpeg_decode).  A green round leaves stale = 0 for
+#          the first time since the freshness rotation began in r9.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-seen: the r12-registered staged pair --
-    "langseg_quality_route",
-    "token_budget_fill",
+    # -- never driver-seen: the r13-registered staged pair --
+    "exact_substring_cut",
+    "kn_discount_estimate",
     # -- engine logic changes THIS round: verify first --
-    "dedup_containment_prefix",  # containment.py one-action cap probe
-    "kneser_ney_logprob_docs",   # kneser_ney.py one-explode LM fold
-    "pretrain_pipeline_v2",      # composes the folded KN scorer
-    "qast_arith_revenue",        # qast compiler/interp advisory filter
-    "qast_string_concat",        # qast compiler/interp advisory filter
-    "qast_division_negation",    # qast compiler/interp advisory filter
-    "qast_json_path",            # qast compiler/interp advisory filter
-    "language_segments",         # langseg.py submodule-import line
-    "dominant_language_share",   # langseg.py submodule-import line
-    # -- stale backlog, oldest green row first: the r11 mid-round wave
-    #    (all 7 named rollovers ride here) --
-    "text_token_budget",
-    "dedup_simhash",
-    "text_top_bigrams",
-    "hybrid_search_rrf",
-    "array_higher_order",
-    "text_pmi_bigrams",
-    "mixture_resample_corpus",
-    "dedup_winnow",
-    "bm25_search",
-    "embedding_pq_codes",
-    "text_tfidf_top_terms",
-    "text_lang_id",
-    "semantic_dedup_embeddings",
-    "text_quality",
-    # -- the r11 late-round wave (25 of 28; the 3 whose only text import
-    #    is `tokens` roll to r13) --
-    "text_repetition_filter",
-    "chunk_documents",
-    "dedup_canonical_docs",
-    "corpus_ngram_novelty",
-    "dedup_common_spans",
-    "pipeline_clean_corpus",
-    "pipeline_chunk_dedup_pack",
-    "docs_length_buckets",
-    "text_feature_hashing",
-    "text_stats",
-    "decontaminate_train_eval",
-    "quality_gopher_rules",
-    "pagerank_dedup_graph",
-    "pipeline_pretrain_corpus",
-    "url_normalize_dedup",
-    "dedup_graph_triangles",
-    "bpe_train_merges",
+    # sampling.py (dsir global_row_number swap, VERDICT r12 #2)
+    "dsir_importance_resampling",
+    "contrastive_negative_samples",
+    "doremi_source_weights",
     "leakage_safe_split_docs",
-    "dedup_lines_corpus",
-    "text_unigram_logprob",
-    "pii_redact_customers",
-    "dedup_graph_bfs_depth",
-    "pack_sequences",
-    "source_token_js",
-    "bpe_apply_fertility",
+    "mixture_resample_corpus",
+    "orders_pareto_revenue_share",
+    "pipeline_pretrain_corpus",
+    "pretrain_pipeline_v2",       # also composes the KN scorer
+    "stratified_sample_orders",
+    "train_test_split_counts",
+    # kneser_ney.py (discount zero guard, ADVICE r12)
+    "kneser_ney_logprob_docs",
+    # spans.py (cache-lifetime contract, ADVICE r12)
+    "dedup_common_spans",
+    "dedup_winnow",
+    # qast compiler/interp (advisory filter -> locked helper, VERDICT r12 #7)
+    "qast_arith_revenue",
+    "qast_string_concat",
+    "qast_division_negation",
+    "qast_json_path",
+    # containment.py (cap-premium fold, VERDICT r12 #4)
+    "dedup_containment_prefix",
+    # server.py (find fallback tier, VERDICT r12 #6)
+    "server_find_real",
+    # -- the complete 25-name r12 rollover (5 double as sampling re-stales) --
+    "array_functions",
+    "curriculum_order_docs",
+    "decontaminate_bloom",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "explode_token_counts",
+    "jaccard_topk_similar_docs",
+    "ngram_diversity_by_source",
+    "packing_efficiency_stats",
+    "pii_pseudonymize_consistent",
+    "quality_calibration_bins",
+    "shard_assign_balanced",
+    "sparse_cosine_topk_docs",
+    "temperature_mixture_langs",
+    "text_bigram_backoff_logprob",
+    "text_mattr_by_source",
+    "train_test_ngram_leakage",
+    "unigram_lm_seed",
+    "vocab_coverage_thresholds",
+    "vocab_oov_rate",
+    "weighted_sample_docs",
+    "zipf_slope_by_source",
+    # -- family sentinels --
+    "qast_eq_filter",
+    "catalog_find",
+    "join_revenue_by_nation",
+    "multimodal_jpeg_decode",
 ]
 
 

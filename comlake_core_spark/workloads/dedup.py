@@ -1534,3 +1534,79 @@ def dedup_header_footer_boilerplate(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     return clusters("head_fp", "head").unionByName(clusters("tail_fp", "tail"))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span CUTTING (operators/dedup/spans.py) — registered r13
+# after the r12 staging round (oracle proven bit-exact in
+# tests/test_r13_staged.py before registration; the r7/r11/r12 staging
+# pattern — the test pins this SQL identical to its staged copy).
+# ---------------------------------------------------------------------------
+
+_EXACT_CUT_SPAN = 8
+_EXACT_CUT_MIN_DOCS = 2
+
+_EXACT_CUT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         UNNEST(range(len(ts) - {_EXACT_CUT_SPAN} + 1)) AS s,
+         UNNEST(list_transform(range(len(ts) - {_EXACT_CUT_SPAN} + 1),
+                i -> array_to_string(ts[i+1 : i+{_EXACT_CUT_SPAN}], ' '))) AS g
+  FROM base WHERE len(ts) >= {_EXACT_CUT_SPAN}
+), gt AS (
+  SELECT g, MIN(doc_id) AS owner
+  FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {_EXACT_CUT_MIN_DOCS}
+), covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT gr.doc_id, UNNEST(range(gr.s, gr.s + {_EXACT_CUT_SPAN})) AS p
+    FROM grams gr JOIN gt ON gr.g = gt.g
+    WHERE gt.owner <> gr.doc_id
+  )
+), tokpos AS (
+  SELECT doc_id, UNNEST(ts) AS tok, UNNEST(range(len(ts))) AS p FROM base
+), kept AS (
+  SELECT t.doc_id, t.tok, t.p FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.p = t.p)
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.ts) AS BIGINT) AS n_tokens,
+       CAST(len(b.ts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_cut,
+       CASE WHEN len(b.ts) = 0 THEN 0.0
+            ELSE CAST(len(b.ts) - COALESCE(r.n_kept, 0) AS DOUBLE) / len(b.ts)
+       END AS cut_frac,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
+@workload(
+    "exact_substring_cut",
+    _EXACT_CUT_SQL,
+    "dedup",
+    "spans",
+    "exactsubstr",
+)
+def exact_substring_cut_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span CUTTING (Lee et al. 2022 §4.1 — the
+    dedup ACTION their suffix-array pipeline ships, where
+    dedup_common_spans only accounts for coverage): every token covered
+    by a duplicated 8-token run is excised unless the document is the
+    run's canonical owner (min doc_id), so exactly one copy of each
+    duplicated passage survives corpus-wide while quoting documents keep
+    their surrounding prose.  Gram-keyed aggregate for ownership,
+    foreign-hit-only position expansion, doc-keyed rebuild — no
+    all-pairs stage (operators/dedup/spans.py exact_substring_cut)."""
+    from comlake_core_spark.operators.dedup.spans import exact_substring_cut
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return exact_substring_cut(
+        docs, span=_EXACT_CUT_SPAN, min_docs=_EXACT_CUT_MIN_DOCS
+    )

@@ -2044,3 +2044,55 @@ def langseg_quality_route_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langseg_quality_route(
         docs, min_mean_tokens_per_line=_LANGSEG_ROUTE_MIN_MEAN
     )
+
+
+# ---------------------------------------------------------------------------
+# Chen & Goodman discount estimate (operators/text/kneser_ney.py
+# kn_singleton_stats) — registered r13 after the r12 staging round
+# (oracle proven bit-exact in tests/test_r13_staged.py before
+# registration; the test pins this SQL identical to its staged copy).
+# ---------------------------------------------------------------------------
+
+_KN_DISCOUNT_SQL = """
+WITH base AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), tri AS (
+  SELECT UNNEST(list_transform(range(len(ts) - 2),
+                i -> array_to_string(ts[i+1 : i+3], ' '))) AS g
+  FROM base WHERE len(ts) >= 3
+), c AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g)
+SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_types,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_types,
+       CAST(COUNT(*) AS BIGINT) AS total_types,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CASE WHEN (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)) > 0
+            THEN CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+            ELSE NULL END AS discount_estimate
+FROM c
+"""
+
+
+@workload(
+    "kn_discount_estimate",
+    _KN_DISCOUNT_SQL,
+    "text",
+    "lm",
+    "kneser-ney",
+)
+def kn_discount_estimate_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram count-of-counts N1/N2 and the Chen & Goodman (1999)
+    leave-one-out discount estimate D = N1 / (N1 + 2·N2) — the number
+    that replaces kneser_ney_trigram_logprob's fixed discount=0.75 when
+    fitting to a real corpus; NULL on degenerate corpora with no
+    singleton/doubleton evidence (ADVICE r12).  One corpus explode into
+    the (w1, w2, w3) type aggregate, then a 1-row count-of-counts
+    rollup (operators/text/kneser_ney.py kn_singleton_stats)."""
+    from comlake_core_spark.operators.text.kneser_ney import kn_singleton_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return kn_singleton_stats(docs)

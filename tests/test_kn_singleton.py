@@ -68,3 +68,22 @@ def test_kn_singleton_stats_real_corpus(spark):
     # web-text regularity the operator exists to measure: the singleton
     # tail is the dominant share of the type table
     assert row["n1_types"] / row["total_types"] > 0.3
+
+
+def test_kn_singleton_stats_degenerate_corpus_yields_null(spark):
+    """ADVICE r12: a corpus with N1 + 2*N2 = 0 (every trigram type occurs
+    >= 3 times, or no trigrams at all) must yield a well-defined NULL
+    discount_estimate, not a NaN / division-by-zero artifact."""
+    # one trigram type repeated 3x across docs -> N1 = N2 = 0
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")], "doc_id long, text string"
+    )
+    row = kn_singleton_stats(df).collect()[0]
+    assert (row["n1_types"], row["n2_types"], row["total_types"]) == (0, 0, 1)
+    assert row["discount_estimate"] is None
+
+    # no trigrams at all: the count-of-counts frame is EMPTY
+    empty = spark.createDataFrame([(1, "a b"), (2, "x")], "doc_id long, text string")
+    row = kn_singleton_stats(empty).collect()[0]
+    assert row["total_types"] == 0
+    assert row["discount_estimate"] is None

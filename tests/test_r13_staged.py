@@ -198,9 +198,12 @@ SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_types,
        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_types,
        CAST(COUNT(*) AS BIGINT) AS total_types,
        CAST(SUM(c) AS BIGINT) AS total_tokens,
-       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         / (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
-            + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)) AS discount_estimate
+       CASE WHEN (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)) > 0
+            THEN CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    + 2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+            ELSE NULL END AS discount_estimate
 FROM c
 """
 
@@ -227,3 +230,13 @@ def test_staged_duckdb_oracles_bit_exact(spark):
     got_k = sorted(tuple(r) for r in kn_singleton_stats(docs).collect())
     want_k = sorted(tuple(r) for r in con.sql(staged_kn_discount_sql()).fetchall())
     assert got_k == want_k
+
+
+def test_registered_oracles_match_staged_copies():
+    """r13 registration pin: the registry copies of the staged oracles
+    must stay byte-identical to the versions proven bit-exact above —
+    the same discipline the r11/r12 staged pairs used."""
+    from comlake_core_spark.workloads import REGISTRY
+
+    assert REGISTRY["exact_substring_cut"].oracle == staged_cut_sql()
+    assert REGISTRY["kn_discount_estimate"].oracle == staged_kn_discount_sql()
