@@ -62,6 +62,9 @@ from comlake_core_spark.operators.dedup.portable import (  # noqa: F401
     minhash_calibration,
     minhash_signature_portable,
 )
+from comlake_core_spark.operators.dedup.paragraphs import (  # noqa: F401
+    paragraph_dedup,
+)
 from comlake_core_spark.operators.dedup.simhash import (  # noqa: F401
     simhash,
     simhash_dedup_pairs,

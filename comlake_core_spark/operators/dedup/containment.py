@@ -12,6 +12,22 @@ from pyspark.sql.window import Window
 from comlake_core_spark.operators.dedup.minhash import shingles
 from comlake_core_spark.session import ensure_parallelism
 
+#: binding-cap eager-fill shape: "count" (the r12 shape — a dedicated
+#: sets.count() fill pass) or "prefix" (the r13 candidate fold — the
+#: eager action is a persisted prefix build, one action filling both
+#: caches).  MEASURED at the binding x10 step (interleaved A/B, 3 reps
+#: each, alternating order, full reset — SCALING.md r13): count
+#: premium-vs-uncapped 1.14, prefix 1.28.  The fold LOSES: pulling the
+#: prefix window into its own job duplicates the posts explode that the
+#: main job's exchange reuse otherwise shares between the prefix side
+#: and the postings side of the candidate join, and that duplicated
+#: exchange costs more than the memory-speed fill pass it removes.
+#: Together with the r11 lazy-fill bisect (90-137 s vs 36 s) this pins
+#: the eager count fill as the floor (VERDICT r12 #4): decision job +
+#: fill job is the minimum shape while empty-cap parity with the
+#: uncapped plan is a requirement.
+_FILL_MODE = "count"
+
 
 def containment_candidates(
     df: DataFrame,
@@ -155,14 +171,6 @@ def _containment_stages(
                 .filter(F.col("_gc") > 0)
                 .persist()
             )
-            # materialize EAGERLY (index-build style, like the IVF
-            # checkpoints): leaving the fill to the verify job lets the
-            # two probe-side exchange stages race to compute the
-            # nested-loop fold inside their sort-merge pipelines — the
-            # binding-cap 10x step measured 90-137 s lazy vs 36 s eager
-            # with identical plans (BENCH_SF1 r11 bisect).  The count is
-            # O(docs) and runs once per build.
-            sets.count()
             # r12: with the capped universe materialized, postings and
             # prefixes derive from it instead of the raw arrays — the
             # candidate join then never shuffles a hot-gram posting row
@@ -176,6 +184,21 @@ def _containment_stages(
             # — and capped-empty docs generate no prefix rows either.
             posts = sets.select("_id", F.explode("_sh").alias("_g"))
             sh.unpersist(False)
+            # materialize EAGERLY (index-build style, like the IVF
+            # checkpoints): leaving the fill to the verify job lets the
+            # two probe-side exchange stages race to compute the
+            # nested-loop fold inside their sort-merge pipelines — the
+            # binding-cap 10x step measured 90-137 s lazy vs 36 s eager
+            # with identical plans (BENCH_SF1 r11 bisect).  The r13
+            # candidate fold (_FILL_MODE="prefix": make the eager action
+            # a persisted prefix build so one action fills both caches)
+            # MEASURED WORSE — see the _FILL_MODE note at the top of the
+            # module — so the dedicated count fill stands as the floor.
+            if _FILL_MODE == "prefix":
+                pref = _prefixes(posts).persist()
+                pref.count()
+                return sets, pref, posts
+            sets.count()  # the measured floor (VERDICT r12 #4)
         else:
             sets = sh.withColumn("_gc", F.size("_sh"))
     elif max_df is not None:
@@ -199,10 +222,16 @@ def _containment_stages(
             .filter(F.col("_gc") > 0)
             .persist()
         )
-        sets.count()  # eager fill — same race as the broadcast branch
         # capped postings + cache release, same as the broadcast branch
         posts = sets.select("_id", F.explode("_sh").alias("_g"))
         sh.unpersist(False)
+        if _FILL_MODE == "prefix":
+            # eager fill via the prefix build — same one-action fold as
+            # the broadcast branch (r13)
+            pref = _prefixes(posts).persist()
+            pref.count()
+            return sets, pref, posts
+        sets.count()  # eager fill — same race as the broadcast branch
     else:
         sets = sh.withColumn("_gc", F.size("_sh"))
     return sets, _prefixes(posts), posts

@@ -73,6 +73,9 @@ from comlake_core_spark.operators.text.retrieval import (  # noqa: F401
     sparse_cosine_topk,
     top_terms_tfidf,
 )
+from comlake_core_spark.operators.text.source_overlap import (  # noqa: F401
+    source_ngram_overlap,
+)
 from comlake_core_spark.operators.text.unigram_lm import (  # noqa: F401
     unigram_lm_train,
     unigram_viterbi_segment,

@@ -249,7 +249,13 @@ def _make_worker_handler(
                 # scales with worker count (VERDICT r8 #2)
                 if duck is not None and duckdb_find_safe(ast):
                     try:
-                        return self._send(200, duck.find(ast))
+                        # encoded-bytes path: repeats of a (version, AST)
+                        # pair send the SAME cached byte string — no SQL
+                        # render, no per-request re-serialization of a
+                        # many-row hit list (VERDICT r12 #6)
+                        return self._send_raw(
+                            200, "application/json", duck.find_encoded(ast)
+                        )
                     except Exception:
                         pass  # Spark path on the primary decides
                 # residual tier: memoized proxy to the primary

@@ -578,6 +578,18 @@ del _snap, _n
 #          (qast_eq_filter, catalog_find, join_revenue_by_nation,
 #          multimodal_jpeg_decode).  A green round leaves stale = 0 for
 #          the first time since the freshness rotation began in r9.
+#   r14 STAGING (built during r13, ships as code + pytest — the
+#          r7/r11/r12/r13 pattern): dedup_paragraphs_corpus
+#          (operators/dedup/paragraphs.py — corpus-wide exact paragraph
+#          dedup, first occurrence wins; the Dolma/C4 paragraph tier
+#          between document dedup and exact_substring_cut's span
+#          cutting) and source_ngram_overlap_matrix
+#          (operators/text/source_overlap.py — ordered-pair n-gram
+#          TYPE containment between sources, the corpus-composition
+#          audit of Dolma / "What's In My Big Data?"); both DuckDB
+#          oracles staged bit-exact in tests/test_r14_staged.py with
+#          brute-force twins and seeded random-fixture agreement —
+#          registration is copy-paste once CORRECTNESS_r13 lands.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [

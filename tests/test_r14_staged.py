@@ -1,0 +1,284 @@
+"""r14 STAGING: operators built after the r13 window froze ship as code +
+pytest and register in r14 (the r7/r11/r12/r13 staging pattern).
+
+- ``dedup_paragraphs_corpus`` (operators/dedup/paragraphs.py) — corpus-
+  wide exact paragraph dedup, first occurrence wins (the Dolma/C4
+  paragraph tier between document dedup and span cutting);
+- ``source_ngram_overlap_matrix`` (operators/text/source_overlap.py) —
+  ordered-pair n-gram TYPE containment between sources (the corpus-
+  composition audit of Dolma / "What's In My Big Data?").
+
+The DuckDB oracles staged at the bottom are proven bit-exact here so the
+r14 registration is copy-paste once CORRECTNESS_r13 lands.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from comlake_core_spark.operators.dedup.paragraphs import paragraph_dedup
+from comlake_core_spark.operators.text.source_overlap import source_ngram_overlap
+
+SF_DIR = "/root/testdata/sf0.001"
+
+OVERLAP_N = 3
+
+
+# ---------------------------------------------------------------------------
+# brute-force Python twins
+# ---------------------------------------------------------------------------
+
+
+def _paras(text: str) -> list[str]:
+    return [p.strip(" ") for p in re.split(r"\n{2,}", text) if p.strip(" ") != ""]
+
+
+def _py_paragraph_dedup(rows):
+    first: dict[str, tuple] = {}
+    split = {d: _paras(t) for d, t in rows}
+    for d, ps in sorted(split.items()):
+        for pos, p in enumerate(ps):
+            if p not in first or (d, pos) < first[p]:
+                first[p] = (d, pos)
+    out = {}
+    for d, ps in split.items():
+        kept = [p for pos, p in enumerate(ps) if first[p] == (d, pos)]
+        n = len(ps)
+        out[d] = (
+            n,
+            len(kept),
+            0.0 if n == 0 else len(kept) / n,
+            "\n\n".join(kept),
+        )
+    return out
+
+
+def _tok(s: str) -> list[str]:
+    return [t for t in re.split(r"[ \t\n\x0b\f\r]+", s.strip(" ")) if t != ""]
+
+
+def _py_overlap(rows, n):
+    types: dict[str, set] = defaultdict(set)
+    for src, text in rows:
+        ts = _tok(text.lower())
+        for i in range(len(ts) - n + 1):
+            types[src].add(" ".join(ts[i : i + n]))
+    out = {}
+    for a, ta in types.items():
+        for b, tb in types.items():
+            if a == b:
+                continue
+            shared = len(ta & tb)
+            if shared:
+                out[(a, b)] = (len(ta), shared, shared / len(ta))
+    return out
+
+
+PARA_DOCS = [
+    # docs 1/2 share a boilerplate footer; 1 owns it (smaller id)
+    (1, "unique intro one\n\nSHARED FOOTER BLOCK\n\ntail one"),
+    (2, "unique intro two\n\n\nSHARED FOOTER BLOCK"),
+    # doc 3 repeats its own paragraph: only the first survives
+    (3, "dup para\n\ndup para\n\nother"),
+    # doc 4: single paragraph, no blank lines at all
+    (4, "just one paragraph with\na single inner newline"),
+    (5, ""),
+    # doc 6: leading/trailing blank-line runs produce empty segments
+    (6, "\n\nbody paragraph six\n\n"),
+    # doc 7 quotes doc 3's paragraph (owner is doc 3, pos 0)
+    (7, "dup para\n\nseven's own text"),
+]
+
+
+def test_paragraph_dedup_matches_bruteforce(spark):
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_frac"], r["clean_text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    want = _py_paragraph_dedup(PARA_DOCS)
+    assert got == want
+    # semantics pins, independent of the twin
+    assert "SHARED FOOTER" in got[1][3] and "SHARED FOOTER" not in got[2][3]
+    assert got[3][3] == "dup para\n\nother"          # self-dup collapsed
+    assert got[4] == (1, 1, 1.0, PARA_DOCS[3][1])    # inner \n not a boundary
+    assert got[5] == (0, 0, 0.0, "")
+    assert got[6] == (1, 1, 1.0, "body paragraph six")
+    assert "dup para" not in got[7][3]               # quoted para cut
+
+
+def test_paragraph_dedup_random_fixtures_match_twin(spark):
+    import random
+
+    rng = random.Random(1401)
+    pool = [f"para {i} body text" for i in range(12)]
+    for trial in range(5):
+        rows = []
+        for d in range(1, rng.randrange(6, 12)):
+            ps = [rng.choice(pool) for _ in range(rng.randrange(0, 6))]
+            rows.append((trial * 100 + d, "\n\n".join(ps)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_frac"], r["clean_text"])
+            for r in paragraph_dedup(df).collect()
+        }
+        assert got == _py_paragraph_dedup(rows), trial
+
+
+def test_paragraph_dedup_total_and_deterministic(spark):
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    out = paragraph_dedup(df)
+    assert out.count() == len(PARA_DOCS)
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in paragraph_dedup(df.repartition(5)).collect())
+    assert a == b
+
+
+OVERLAP_DOCS = [
+    ("web", "the quick brown fox jumps over the lazy dog"),
+    ("web", "a second web document with more tokens in it"),
+    # mirror: contains one of web's trigram runs verbatim
+    ("mirror", "quick brown fox jumps straight home"),
+    # books: disjoint vocabulary
+    ("books", "call me ishmael some years ago never mind how long"),
+    # short: too short for a trigram, contributes no types
+    ("short", "two tokens"),
+]
+
+
+def test_source_ngram_overlap_matches_bruteforce(spark):
+    df = spark.createDataFrame(OVERLAP_DOCS, "source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): (r["types_a"], r["shared_types"], r["containment"])
+        for r in source_ngram_overlap(df, n=OVERLAP_N).collect()
+    }
+    want = _py_overlap(OVERLAP_DOCS, OVERLAP_N)
+    assert got == want
+    # semantics pins
+    assert ("mirror", "web") in got and ("web", "mirror") in got
+    # containment is DIRECTIONAL: the small mirror is more contained in
+    # web than web is in the mirror
+    assert got[("mirror", "web")][2] > got[("web", "mirror")][2]
+    assert not any("books" in k for k in got)   # disjoint -> no row
+    assert not any("short" in k for k in got)   # no trigrams -> no row
+
+
+def test_source_ngram_overlap_random_fixtures_match_twin(spark):
+    import random
+
+    rng = random.Random(1402)
+    vocab = [f"w{i}" for i in range(15)]
+    for trial in range(4):
+        rows = []
+        for s in range(rng.randrange(2, 5)):
+            for _ in range(rng.randrange(1, 4)):
+                rows.append(
+                    (
+                        f"s{s}",
+                        " ".join(
+                            rng.choice(vocab) for _ in range(rng.randrange(0, 12))
+                        ),
+                    )
+                )
+        n = rng.choice([2, 3])
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): (
+                r["types_a"],
+                r["shared_types"],
+                r["containment"],
+            )
+            for r in source_ngram_overlap(df, n=n).collect()
+        }
+        assert got == _py_overlap(rows, n), (trial, n)
+
+
+# ---------------------------------------------------------------------------
+# staged DuckDB oracles (r14 registration): bit-exact vs the Spark side on
+# the real documents table
+# ---------------------------------------------------------------------------
+
+
+def staged_paragraph_sql() -> str:
+    return r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\n{2,}'),
+                                    s -> trim(s, ' ')),
+                     x -> x <> '') AS ps
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         UNNEST(range(len(ps))) AS pos,
+         UNNEST(ps) AS para
+  FROM base
+), own AS (
+  SELECT para, MIN(ROW(doc_id, pos)) AS o FROM occ GROUP BY para
+), kept AS (
+  SELECT o.doc_id, o.pos, o.para
+  FROM occ o JOIN own w ON o.para = w.para
+  WHERE w.o = ROW(o.doc_id, o.pos)
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.ps) AS BIGINT) AS n_paras,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CASE WHEN len(b.ps) = 0 THEN 0.0
+            ELSE CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / len(b.ps)
+       END AS kept_frac,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
+def staged_overlap_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), types AS (
+  SELECT DISTINCT src, g FROM (
+    SELECT source AS src,
+           UNNEST(list_transform(range(len(ts) - {OVERLAP_N} + 1),
+                  i -> array_to_string(ts[i+1 : i+{OVERLAP_N}], ' '))) AS g
+    FROM base WHERE len(ts) >= {OVERLAP_N}
+  )
+), per_source AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS types_a FROM types GROUP BY src
+), shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_types
+  FROM types a JOIN types b ON a.g = b.g AND a.src <> b.src
+  GROUP BY a.src, b.src
+)
+SELECT s.src_a, s.src_b, p.types_a, s.shared_types,
+       CAST(s.shared_types AS DOUBLE) / p.types_a AS containment
+FROM shared s JOIN per_source p ON s.src_a = p.src
+"""
+
+
+def test_staged_duckdb_oracles_bit_exact(spark):
+    import duckdb
+
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF_DIR, ["documents"])["documents"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+
+    got = sorted(tuple(r) for r in paragraph_dedup(docs).collect())
+    want = sorted(tuple(r) for r in con.sql(staged_paragraph_sql()).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+    got_o = sorted(
+        tuple(r) for r in source_ngram_overlap(docs, n=OVERLAP_N).collect()
+    )
+    want_o = sorted(tuple(r) for r in con.sql(staged_overlap_sql()).fetchall())
+    assert len(got_o) > 0, "no cross-source overlap at sf0.001 — pick a binding n"
+    assert got_o == want_o
