@@ -211,6 +211,20 @@ def _kn_singleton_stats(spark, sf_dir):
     return kn_singleton_stats(docs)
 
 
+def _paragraph_dedup(spark, sf_dir):
+    from comlake_core_spark.operators.dedup.paragraphs import paragraph_dedup
+
+    docs = tables(spark, sf_dir)["documents"]
+    return paragraph_dedup(docs)
+
+
+def _source_ngram_overlap(spark, sf_dir):
+    from comlake_core_spark.operators.text.source_overlap import source_ngram_overlap
+
+    docs = tables(spark, sf_dir)["documents"]
+    return source_ngram_overlap(docs, n=3)
+
+
 CUSTOM_OPS = {
     "jaccard_topk_shuffle_strategy": _jaccard_variant(False),
     "jaccard_topk_auto_strategy": _jaccard_variant("auto"),
@@ -227,6 +241,9 @@ CUSTOM_OPS = {
     # registrations land with SCALING evidence attached (the r7 pattern)
     "exact_substring_cut_staged": _exact_substring_cut,
     "kn_singleton_stats_staged": _kn_singleton_stats,
+    # r14-staged operators: same pattern, measured during r13
+    "paragraph_dedup_staged": _paragraph_dedup,
+    "source_ngram_overlap_staged": _source_ngram_overlap,
 }
 
 
