@@ -1012,3 +1012,43 @@ def test_exact_substring_cut_gram_keyed_no_pairs(spark):
     assert P.has_partial_aggregate(df)
     caches = {c for c in re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)}
     assert caches and all("_ts" in c for c in caches), caches
+
+
+def test_paragraph_dedup_keyed_exchanges_only(spark):
+    """r14-staged paragraph dedup: the canonical-occurrence choice is a
+    map-combined MIN-struct aggregate (no window, so hot boilerplate
+    paragraphs cannot pivot a single task), exchanges are keyed on the
+    paragraph or the doc, and the one persisted frame is the DOC-LEVEL
+    paragraph-array base."""
+    import re
+
+    from comlake_core_spark.operators.dedup.paragraphs import paragraph_dedup
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF, ["documents"])["documents"]
+    df = paragraph_dedup(docs)
+    df.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert P.has_partial_aggregate(df)
+    caches = {c for c in re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)}
+    assert caches and all("_ps" in c for c in caches), caches
+
+
+def test_source_overlap_broadcast_counts_no_pairs(spark):
+    """r14-staged source overlap: the S-row per-source type counts join
+    by BROADCAST, the only self-join is gram-keyed (worst bucket S**2
+    rows per gram type), and no document-pair stage exists."""
+    from comlake_core_spark.operators.text.source_overlap import source_ngram_overlap
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF, ["documents"])["documents"]
+    df = source_ngram_overlap(docs, n=3)
+    df.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
