@@ -1530,25 +1530,46 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, the classic marketing-analytics rollup): per-customer stats,
     ntile(4) per metric with the customer key as tie-break (a TOTAL order
     — ntile on ties is engine-defined otherwise), segments = the 3-digit
-    code.  Exact-decimal monetary sums.  Note the ntile windows are
-    corpus-wide: at 100 TB the quartile CUTS would come from
-    approx-quantile sketches (approx_quantiles_prices) and scoring would
-    be a map-side lookup — the window formulation is the exact
-    small-dimension shape (customers ≪ facts) and the sketch path is the
-    documented swap."""
+    code.  Exact-decimal monetary sums.
+
+    r13: the three corpus-wide `ntile(4).over(Window.orderBy(...))`
+    windows (each a single-partition funnel at 100 TB — the same class
+    the dsir swap removed) are replaced by `global_row_number` ranks +
+    the EXACT ntile arithmetic: with n rows, base = n div 4 and
+    rem = n mod 4, SQL NTILE assigns the first rem tiles base+1 rows and
+    the rest base — tile(rank) = ceil(rank/(base+1)) while
+    rank <= rem·(base+1), else rem + ceil((rank−cut)/base).  Pure
+    integer expressions of the exact rank, so the unchanged SQL-ntile
+    oracle still matches hash-for-hash; three range shuffles replace
+    three single-task sorts, exact at any customer count (the
+    approx-quantile sketch remains the documented swap where exact
+    quartile identity is not required)."""
     od = _t(spark, sf_dir, "orders")[0]
+    from comlake_core_spark.operators.sampling import global_row_number
+
     per_cust = od.groupBy(F.col("o_custkey").alias("c")).agg(
         F.max("o_orderdate").alias("r"),
         F.count(F.lit(1)).alias("f"),
         F.sum(dec("o_totalprice", 18, 2)).alias("m"),
     )
-    scored = per_cust.select(
-        "c",
-        "m",
-        F.ntile(4).over(Window.orderBy(F.col("r").asc(), F.col("c").asc())).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.col("f").asc(), F.col("c").asc())).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("m").asc(), F.col("c").asc())).alias("m_score"),
-    )
+    n_row = per_cust.agg(F.count(F.lit(1)).alias("_n"))
+    scored = per_cust.crossJoin(F.broadcast(n_row))
+
+    def quartile(df: DataFrame, key: str, out: str) -> DataFrame:
+        ranked = global_row_number(
+            df, [F.col(key).asc(), F.col("c").asc()], out="_rk"
+        )
+        tile = F.expr(
+            "CASE WHEN _rk <= (_n % 4) * (_n div 4 + 1) "
+            "THEN (_rk + (_n div 4)) div (_n div 4 + 1) "
+            "ELSE (_n % 4) + (_rk - (_n % 4) * (_n div 4 + 1) "
+            "      + (_n div 4) - 1) div (_n div 4) END"
+        )
+        return ranked.withColumn(out, tile.cast("int")).drop("_rk")
+
+    scored = quartile(scored, "r", "r_score")
+    scored = quartile(scored, "f", "f_score")
+    scored = quartile(scored, "m", "m_score")
     return scored.groupBy(
         F.concat(
             F.col("r_score").cast("string"),
