@@ -893,12 +893,17 @@ def test_burst_detection_single_user_exchange(spark):
     assert P.has_partial_aggregate(df)
 
 
-def test_rfm_windows_over_dimension_rollup_only(spark):
-    # ntile windows run over the per-CUSTOMER rollup (dim cardinality),
-    # never the orders fact scan
+def test_rfm_quartiles_no_single_partition_window(spark):
+    # r13: the three ntile windows are replaced by global_row_number
+    # ranks + exact NTILE arithmetic — the final plan must show the
+    # map-side rank decomposition and NO window at all (the same
+    # no-funnel rule as dsir/shard_assign/curriculum)
     df = run(spark, "orders_rfm_segmentation")
+    plan = P.executed_plan(df)
+    assert "Window" not in plan
+    assert "shiftright(_mid" in plan
     assert P.has_partial_aggregate(df)
-    assert "CartesianProduct" not in P.executed_plan(df)
+    assert "CartesianProduct" not in plan
 
 
 def test_wav_and_y4m_pipelines_are_arrow_map_only(spark):
