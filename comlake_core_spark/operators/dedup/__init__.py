@@ -69,6 +69,9 @@ from comlake_core_spark.operators.dedup.simhash import (  # noqa: F401
     simhash,
     simhash_dedup_pairs,
 )
+from comlake_core_spark.operators.dedup.softdedup import (  # noqa: F401
+    soft_dedup_weights,
+)
 from comlake_core_spark.operators.dedup.spans import (  # noqa: F401
     common_span_coverage,
     exact_substring_cut,

@@ -55,6 +55,9 @@ from comlake_core_spark.operators.text.docquality import (  # noqa: F401
     gopher_quality,
     repetition_stats,
 )
+from comlake_core_spark.operators.text.entropy import (  # noqa: F401
+    char_entropy,
+)
 from comlake_core_spark.operators.text.kneser_ney import (  # noqa: F401
     kn_singleton_stats,
     kneser_ney_trigram_logprob,

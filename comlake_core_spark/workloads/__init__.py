@@ -586,10 +586,17 @@ del _snap, _n
 #          cutting) and source_ngram_overlap_matrix
 #          (operators/text/source_overlap.py — ordered-pair n-gram
 #          TYPE containment between sources, the corpus-composition
-#          audit of Dolma / "What's In My Big Data?"); both DuckDB
-#          oracles staged bit-exact in tests/test_r14_staged.py with
-#          brute-force twins and seeded random-fixture agreement —
-#          registration is copy-paste once CORRECTNESS_r13 lands.
+#          audit of Dolma / "What's In My Big Data?"), plus a second
+#          pair: text_char_entropy (operators/text/entropy.py —
+#          row-local character-entropy quality scoring, log2 on the
+#          1e-12 quantize grid) and dedup_soft_weights
+#          (operators/dedup/softdedup.py — SoftDeDup inverse-
+#          duplication sampling weights over exact clusters); all four
+#          DuckDB oracles staged bit-exact in tests/test_r14_staged.py
+#          with brute-force twins and seeded random-fixture agreement —
+#          registration is copy-paste once CORRECTNESS_r13 lands, and
+#          the r14 window (stale ~0 after a green r13) has capacity for
+#          four first-timers plus re-greens.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [

@@ -211,6 +211,20 @@ def _kn_singleton_stats(spark, sf_dir):
     return kn_singleton_stats(docs)
 
 
+def _char_entropy(spark, sf_dir):
+    from comlake_core_spark.operators.text.entropy import char_entropy
+
+    docs = tables(spark, sf_dir)["documents"]
+    return char_entropy(docs)
+
+
+def _soft_dedup_weights(spark, sf_dir):
+    from comlake_core_spark.operators.dedup.softdedup import soft_dedup_weights
+
+    docs = tables(spark, sf_dir)["documents"]
+    return soft_dedup_weights(docs)
+
+
 def _paragraph_dedup(spark, sf_dir):
     from comlake_core_spark.operators.dedup.paragraphs import paragraph_dedup
 
@@ -244,6 +258,8 @@ CUSTOM_OPS = {
     # r14-staged operators: same pattern, measured during r13
     "paragraph_dedup_staged": _paragraph_dedup,
     "source_ngram_overlap_staged": _source_ngram_overlap,
+    "char_entropy_staged": _char_entropy,
+    "soft_dedup_weights_staged": _soft_dedup_weights,
 }
 
 

