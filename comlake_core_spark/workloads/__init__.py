@@ -591,12 +591,16 @@ del _snap, _n
 #          row-local character-entropy quality scoring, log2 on the
 #          1e-12 quantize grid) and dedup_soft_weights
 #          (operators/dedup/softdedup.py — SoftDeDup inverse-
-#          duplication sampling weights over exact clusters); all four
-#          DuckDB oracles staged bit-exact in tests/test_r14_staged.py
+#          duplication sampling weights over exact clusters), and the
+#          composition capstone dedup_survivorship_funnel
+#          (operators/dedup/funnel.py — the per-tier exact/paragraph/
+#          span accounting report of Lee et al. 2022 / the Dolma
+#          datasheet, each tier independent on the raw corpus); all
+#          five DuckDB oracles staged bit-exact in tests/test_r14_staged.py
 #          with brute-force twins and seeded random-fixture agreement —
 #          registration is copy-paste once CORRECTNESS_r13 lands, and
 #          the r14 window (stale ~0 after a green r13) has capacity for
-#          four first-timers plus re-greens.
+#          five first-timers plus re-greens.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [

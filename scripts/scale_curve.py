@@ -225,6 +225,13 @@ def _soft_dedup_weights(spark, sf_dir):
     return soft_dedup_weights(docs)
 
 
+def _dedup_funnel(spark, sf_dir):
+    from comlake_core_spark.operators.dedup.funnel import dedup_survivorship_funnel
+
+    docs = tables(spark, sf_dir)["documents"]
+    return dedup_survivorship_funnel(docs, span=8, min_docs=2)
+
+
 def _paragraph_dedup(spark, sf_dir):
     from comlake_core_spark.operators.dedup.paragraphs import paragraph_dedup
 
@@ -260,6 +267,7 @@ CUSTOM_OPS = {
     "source_ngram_overlap_staged": _source_ngram_overlap,
     "char_entropy_staged": _char_entropy,
     "soft_dedup_weights_staged": _soft_dedup_weights,
+    "dedup_funnel_staged": _dedup_funnel,
 }
 
 

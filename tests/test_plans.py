@@ -1091,3 +1091,19 @@ def test_soft_dedup_weights_exact_dedup_class(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert P.has_partial_aggregate(df)
+
+
+def test_funnel_union_of_tier_plans_no_pairs(spark):
+    """r14-staged survivorship funnel: the union of the three tier
+    aggregates adds nothing beyond the tiers' own exchanges — no pair
+    stage, no nested loop anywhere in the combined plan."""
+    from comlake_core_spark.operators.dedup.funnel import dedup_survivorship_funnel
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF, ["documents"])["documents"]
+    df = dedup_survivorship_funnel(docs, span=8, min_docs=2)
+    df.write.mode("overwrite").format("noop").save()
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert P.has_partial_aggregate(df)

@@ -11,7 +11,11 @@ pytest and register in r14 (the r7/r11/r12/r13 staging pattern).
   character-entropy quality scoring, row-local/map-only, log2 bridged
   to the 1e-12 decimal grid;
 - ``dedup_soft_weights`` (operators/dedup/softdedup.py) — SoftDeDup
-  inverse-duplication sampling weights over exact clusters.
+  inverse-duplication sampling weights over exact clusters;
+- ``dedup_survivorship_funnel`` (operators/dedup/funnel.py) — the
+  per-tier accounting report (exact / paragraph / span), each tier
+  measured independently on the raw corpus, the framing Lee et al.
+  2022 and the Dolma datasheet tabulate.
 
 The DuckDB oracles staged at the bottom are proven bit-exact here so the
 r14 registration is copy-paste once CORRECTNESS_r13 lands.
@@ -444,3 +448,161 @@ def test_staged_entropy_soft_oracles_bit_exact(spark):
     want_s = sorted(tuple(r) for r in con.sql(staged_soft_sql()).fetchall())
     assert got_s == want_s
     assert any(r[0] > 1 for r in (x[1:2] for x in got_s)) or True
+
+
+# ---------------------------------------------------------------------------
+# fifth r14-staged entry: the dedup survivorship funnel (composes the
+# exact / paragraph / span tiers into the per-tier accounting report)
+# ---------------------------------------------------------------------------
+
+
+FUNNEL_SPAN = 8
+
+
+def _py_funnel(rows, span=FUNNEL_SPAN, min_docs=2):
+    from test_r13_staged import _py_cut
+
+    # exact tier
+    fps = {}
+    for d, t in rows:
+        fps.setdefault(" ".join(_tok(t.lower())), []).append(d)
+    docs_in = len(rows)
+    ntok = {d: len(_tok(t)) for d, t in rows}
+    tokens_in = sum(ntok.values())
+    exact_kept_docs = {min(ds) for ds in fps.values()}
+    exact = (
+        docs_in,
+        len(exact_kept_docs),
+        tokens_in,
+        sum(ntok[d] for d in exact_kept_docs),
+    )
+    # paragraph tier
+    pd = _py_paragraph_dedup(rows)
+    para = (
+        docs_in,
+        sum(1 for v in pd.values() if v[3] != ""),
+        tokens_in,
+        sum(len(_tok(v[3])) for v in pd.values()),
+    )
+    # span tier
+    pc = _py_cut(rows, span, min_docs)
+    span_row = (
+        docs_in,
+        sum(1 for v in pc.values() if v[3] != ""),
+        sum(v[0] for v in pc.values()),
+        sum(v[0] - v[1] for v in pc.values()),
+    )
+    out = {}
+    for name, r in (("exact", exact), ("paragraph", para), ("span", span_row)):
+        out[name] = (*r, 0.0 if r[2] == 0 else r[3] / r[2])
+    return out
+
+
+def test_funnel_matches_bruteforce(spark):
+    from comlake_core_spark.operators.dedup.funnel import dedup_survivorship_funnel
+
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel india"),  # exact dup
+        (3, "intro\n\nshared paragraph block\n\nend"),
+        (4, "other\n\nshared paragraph block"),
+        (5, ""),
+        (6, "one two three four five six seven eight nine ten"),
+        (7, "pre one two three four five six seven eight nine post"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["stage"]: (
+            r["docs_in"], r["docs_kept"], r["tokens_in"], r["tokens_kept"],
+            r["token_kept_frac"],
+        )
+        for r in dedup_survivorship_funnel(df, span=FUNNEL_SPAN, min_docs=2).collect()
+    }
+    assert got == _py_funnel(rows)
+    assert got["exact"][1] == len(rows) - 1          # one exact dup removed
+    assert got["paragraph"][3] < got["paragraph"][2]  # shared para removed once
+    assert got["span"][3] < got["span"][2]            # 8-run cut from doc 2/7
+
+
+def staged_funnel_sql() -> str:
+    from test_r13_staged import staged_cut_sql
+
+    para = staged_paragraph_sql()
+    cut = staged_cut_sql()
+    return rf"""
+WITH exact_base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'),
+                             ' ')) AS fp
+  FROM documents
+), exact_canon AS (
+  SELECT fp, MIN(doc_id) AS keep FROM exact_base GROUP BY fp
+), exact_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN b.doc_id = c.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(b.nt) AS BIGINT) AS tokens_in,
+         CAST(SUM(CASE WHEN b.doc_id = c.keep THEN b.nt ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+  FROM exact_base b JOIN exact_canon c ON b.fp = c.fp
+), para_out AS ({para}
+), para_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN p.clean_text <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(e.nt) AS BIGINT) AS tokens_in,
+         CAST(SUM(len(list_filter(string_split_regex(trim(p.clean_text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS tokens_kept
+  FROM para_out p JOIN exact_base e ON p.doc_id = e.doc_id
+), cut_out AS ({cut}
+), cut_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN clean_text <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+         CAST(SUM(n_tokens - n_cut) AS BIGINT) AS tokens_kept
+  FROM cut_out
+)
+SELECT 'exact' AS stage, docs_in, docs_kept, tokens_in, tokens_kept,
+       CASE WHEN tokens_in > 0
+            THEN CAST(tokens_kept AS DOUBLE) / tokens_in ELSE 0.0 END
+         AS token_kept_frac
+FROM exact_row
+UNION ALL
+SELECT 'paragraph', docs_in, docs_kept, tokens_in, tokens_kept,
+       CASE WHEN tokens_in > 0
+            THEN CAST(tokens_kept AS DOUBLE) / tokens_in ELSE 0.0 END
+FROM para_row
+UNION ALL
+SELECT 'span', docs_in, docs_kept, tokens_in, tokens_kept,
+       CASE WHEN tokens_in > 0
+            THEN CAST(tokens_kept AS DOUBLE) / tokens_in ELSE 0.0 END
+FROM cut_row
+"""
+
+
+def test_staged_funnel_oracle_bit_exact(spark):
+    import duckdb
+
+    from comlake_core_spark.operators.dedup.funnel import dedup_survivorship_funnel
+    from comlake_core_spark.session import tables
+
+    docs = tables(spark, SF_DIR, ["documents"])["documents"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    got = sorted(
+        tuple(r)
+        for r in dedup_survivorship_funnel(docs, span=FUNNEL_SPAN, min_docs=2).collect()
+    )
+    want = sorted(tuple(r) for r in con.sql(staged_funnel_sql()).fetchall())
+    assert len(got) == 3
+    assert got == want
+    # the span tier must actually bind on the synthetic near-dup corpus
+    # (the corpus plants shared RUNS, not exact whole-document copies,
+    # so exact/paragraph legitimately keep everything at sf0.001 — the
+    # hand-built fixture above proves those tiers bind)
+    by = {r[0]: r for r in got}
+    assert by["span"][5] < 1.0
+    assert by["exact"][5] <= 1.0 and by["paragraph"][5] <= 1.0
