@@ -240,3 +240,46 @@ def test_registered_oracles_match_staged_copies():
 
     assert REGISTRY["exact_substring_cut"].oracle == staged_cut_sql()
     assert REGISTRY["kn_discount_estimate"].oracle == staged_kn_discount_sql()
+
+
+def test_cut_and_kn_duckdb_fuzz_random_corpora(spark):
+    """Oracle-level fuzz (beyond the Python-twin fuzz above): seeded
+    random corpora with planted shared runs, loaded into BOTH engines,
+    must hash-agree under the exact registered SQL — catches DuckDB
+    dialect divergence the fixed documents table could miss by luck."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(1302)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(3):
+        runs = [
+            [rng.choice(vocab) for _ in range(rng.randrange(8, 11))]
+            for _ in range(2)
+        ]
+        rows = []
+        for d in range(1, rng.randrange(10, 16)):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(0, 20))]
+            for run in runs:
+                if rng.random() < 0.4:
+                    at = rng.randrange(0, len(words) + 1)
+                    words = words[:at] + run + words[at:]
+            rows.append((trial * 1000 + d, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        got = sorted(
+            tuple(r)
+            for r in exact_substring_cut(
+                df, span=CUT_SPAN, min_docs=CUT_MIN_DOCS
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in con.sql(staged_cut_sql()).fetchall())
+        assert got == want, trial
+        got_k = sorted(tuple(r) for r in kn_singleton_stats(df).collect())
+        want_k = sorted(tuple(r) for r in con.sql(staged_kn_discount_sql()).fetchall())
+        assert got_k == want_k, trial

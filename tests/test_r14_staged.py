@@ -606,3 +606,36 @@ def test_staged_funnel_oracle_bit_exact(spark):
     by = {r[0]: r for r in got}
     assert by["span"][5] < 1.0
     assert by["exact"][5] <= 1.0 and by["paragraph"][5] <= 1.0
+
+
+def test_paragraph_and_soft_duckdb_fuzz_random_corpora(spark):
+    """Oracle-level fuzz for the staged r14 pair most sensitive to
+    dialect details (regex split boundaries, trim semantics, struct MIN
+    ordering): seeded random corpora in BOTH engines under the exact
+    staged SQL."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from comlake_core_spark.operators.dedup.softdedup import soft_dedup_weights
+
+    rng = random.Random(1403)
+    pool = [f"para {i} text body" for i in range(10)] + ["", "  ", "x\ny"]
+    for trial in range(3):
+        rows = []
+        for d in range(1, rng.randrange(8, 14)):
+            ps = [rng.choice(pool) for _ in range(rng.randrange(0, 6))]
+            sep = rng.choice(["\n\n", "\n\n\n", "\n  \n"])
+            # NOTE "\n  \n" is NOT a paragraph boundary (\n{2,} only
+            # matches consecutive newlines) — it exercises the negative
+            rows.append((trial * 1000 + d, sep.join(ps)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = sorted(tuple(r) for r in paragraph_dedup(df).collect())
+        want = sorted(tuple(r) for r in con.sql(staged_paragraph_sql()).fetchall())
+        assert got == want, trial
+        got_s = sorted(tuple(r) for r in soft_dedup_weights(df).collect())
+        want_s = sorted(tuple(r) for r in con.sql(staged_soft_sql()).fetchall())
+        assert got_s == want_s, trial
