@@ -639,3 +639,27 @@ def test_paragraph_and_soft_duckdb_fuzz_random_corpora(spark):
         got_s = sorted(tuple(r) for r in soft_dedup_weights(df).collect())
         want_s = sorted(tuple(r) for r in con.sql(staged_soft_sql()).fetchall())
         assert got_s == want_s, trial
+
+
+def test_paragraph_dedup_global_invariants(spark):
+    """Corpus-level invariants independent of any twin: across all
+    clean_texts, every distinct input paragraph appears EXACTLY once
+    (the operator's whole point), and totals are conserved."""
+    import random
+
+    rng = random.Random(1404)
+    pool = [f"p{i} body" for i in range(8)]
+    rows = [
+        (d, "\n\n".join(rng.choice(pool) for _ in range(rng.randrange(0, 7))))
+        for d in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df).collect()
+    kept_all = []
+    for r in out:
+        if r["clean_text"]:
+            kept_all.extend(r["clean_text"].split("\n\n"))
+        assert r["n_kept"] <= r["n_paras"]
+    distinct_in = {p for _, t in rows for p in _paras(t)}
+    # exactly-once survival: the kept multiset IS the distinct input set
+    assert sorted(kept_all) == sorted(distinct_in)
