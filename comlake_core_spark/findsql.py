@@ -184,9 +184,14 @@ class DuckFinder:
         ~100-row responses re-encoded per request were the gap to the
         snapshot tier).  Same exceptions as ``find``."""
         entry = self._find_entry(ast)
-        if entry[1] is None:
-            entry[1] = json.dumps(entry[0]).encode()
-        return entry[1]
+        # the None-check-and-fill runs under the lock (ADVICE r13): the
+        # bare mutation was benign under CPython (an idempotent write of
+        # equal bytes) but inconsistent with the locking discipline every
+        # other _cache access follows
+        with self._lock:
+            if entry[1] is None:
+                entry[1] = json.dumps(entry[0]).encode()
+            return entry[1]
 
     def _find_entry(self, ast: Any) -> list:
         """[rows, encoded_bytes|None] cache entry for the predicate —

@@ -183,7 +183,6 @@ def _containment_stages(
             # can only match via hot grams — which never reach prefixes
             # — and capped-empty docs generate no prefix rows either.
             posts = sets.select("_id", F.explode("_sh").alias("_g"))
-            sh.unpersist(False)
             # materialize EAGERLY (index-build style, like the IVF
             # checkpoints): leaving the fill to the verify job lets the
             # two probe-side exchange stages race to compute the
@@ -194,11 +193,16 @@ def _containment_stages(
             # a persisted prefix build so one action fills both caches)
             # MEASURED WORSE — see the _FILL_MODE note at the top of the
             # module — so the dedicated count fill stands as the floor.
+            # `sh` is released only AFTER the fill (ADVICE r13): the
+            # fill pass reads the cached raw arrays; unpersisting first
+            # made it recompute the shingle lineage from the scan.
             if _FILL_MODE == "prefix":
                 pref = _prefixes(posts).persist()
                 pref.count()
+                sh.unpersist(False)
                 return sets, pref, posts
             sets.count()  # the measured floor (VERDICT r12 #4)
+            sh.unpersist(False)
         else:
             sets = sh.withColumn("_gc", F.size("_sh"))
     elif max_df is not None:
@@ -222,16 +226,18 @@ def _containment_stages(
             .filter(F.col("_gc") > 0)
             .persist()
         )
-        # capped postings + cache release, same as the broadcast branch
+        # capped postings + fill-then-release, same as the broadcast
+        # branch (ADVICE r13: the fill reads the sh cache, then drops it)
         posts = sets.select("_id", F.explode("_sh").alias("_g"))
-        sh.unpersist(False)
         if _FILL_MODE == "prefix":
             # eager fill via the prefix build — same one-action fold as
             # the broadcast branch (r13)
             pref = _prefixes(posts).persist()
             pref.count()
+            sh.unpersist(False)
             return sets, pref, posts
         sets.count()  # eager fill — same race as the broadcast branch
+        sh.unpersist(False)
     else:
         sets = sh.withColumn("_gc", F.size("_sh"))
     return sets, _prefixes(posts), posts

@@ -51,8 +51,11 @@ def char_entropy(
     text = F.col(text_col)
     n = F.length(text)
     chars = F.array_sort(F.array_distinct(F.split(text, "")))
-    # F.split("abc", "") yields ["a","b","c"] (no empty tail in Spark);
-    # guard the empty-string row where split yields [""]
+    # F.split(text, "") keeps a trailing empty element (split's default
+    # limit=-1 preserves it: "abc" -> ["a","b","c",""]), and an empty
+    # document splits to [""] — this filter guards BOTH, so it is load-
+    # bearing, not redundant (ADVICE r13 fixed the comment that said
+    # Spark drops the empty tail; the CODE was always right)
     chars = F.filter(chars, lambda c: c != "")
 
     def term(c: Column) -> Column:

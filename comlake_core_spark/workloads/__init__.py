@@ -317,6 +317,12 @@ _REGISTRATION_ORDER: list[str] = [
     # -- r13 registrations (staged during r12, tests/test_r13_staged.py) --
     "exact_substring_cut",
     "kn_discount_estimate",
+    # -- r14 registrations (staged during r13, tests/test_r14_staged.py) --
+    "dedup_paragraphs_corpus",
+    "dedup_soft_weights",
+    "dedup_survivorship_funnel",
+    "text_char_entropy",
+    "source_ngram_overlap_matrix",
 ]
 
 _snap = dict(REGISTRY)
@@ -601,69 +607,87 @@ del _snap, _n
 #          registration is copy-paste once CORRECTNESS_r13 lands, and
 #          the r14 window (stale ~0 after a green r13) has capacity for
 #          five first-timers plus re-greens.
+#   r14:   CORRECTNESS_r13 landed 50/50, so the five staged operators
+#          REGISTER (registry 245 → 250; the 5 never-driver-seen post-window
+#          names are dedup_paragraphs_corpus /
+#          dedup_soft_weights / dedup_survivorship_funnel /
+#          text_char_entropy / source_ngram_overlap_matrix, all in this
+#          window by construction).  Stale burn-down is COMPLETE but for
+#          one name: orders_rfm_segmentation's ntile→global_row_number
+#          swap (commit c93eaf9) landed after the r13 window froze, so
+#          it LEADS this window (VERDICT r13 #3).  The round's own
+#          engine edits re-stale two more: containment.py (ADVICE r13
+#          eager-fill cache order) → dedup_containment_prefix, and
+#          findsql.py (ADVICE r13 cache-mutation lock) →
+#          server_find_real.  With no other stale names, the remaining
+#          42 slots switch to LONGEST-UNVERIFIED re-greens: the complete
+#          r2-green and r3-green cohorts (18 + 21 names — qast regex/
+#          maths, TPC-H suite, events/aggregation core) plus the 3
+#          oldest r4-era names (agg_argmax_order, agg_corr_price_qty,
+#          agg_cube_status), so the oldest evidence in the registry
+#          advances from r2 to r4.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-seen: the r13-registered staged pair --
-    "exact_substring_cut",
-    "kn_discount_estimate",
-    # -- engine logic changes THIS round: verify first --
-    # sampling.py (dsir global_row_number swap, VERDICT r12 #2)
-    "dsir_importance_resampling",
-    "contrastive_negative_samples",
-    "doremi_source_weights",
-    "leakage_safe_split_docs",
-    "mixture_resample_corpus",
-    "orders_pareto_revenue_share",
-    "pipeline_pretrain_corpus",
-    "pretrain_pipeline_v2",       # also composes the KN scorer
-    "stratified_sample_orders",
-    "train_test_split_counts",
-    # kneser_ney.py (discount zero guard, ADVICE r12)
-    "kneser_ney_logprob_docs",
-    # spans.py (cache-lifetime contract, ADVICE r12)
-    "dedup_common_spans",
-    "dedup_winnow",
-    # qast compiler/interp (advisory filter -> locked helper, VERDICT r12 #7)
-    "qast_arith_revenue",
-    "qast_string_concat",
-    "qast_division_negation",
-    "qast_json_path",
-    # containment.py (cap-premium fold, VERDICT r12 #4)
+    # -- the sole stale name: sampling.py's ntile->global_row_number swap
+    #    (commit c93eaf9) landed after the r13 window froze (VERDICT r13 #3)
+    "orders_rfm_segmentation",
+    # -- never driver-seen: the five r14-registered staged operators --
+    "dedup_paragraphs_corpus",
+    "dedup_soft_weights",
+    "dedup_survivorship_funnel",
+    "text_char_entropy",
+    "source_ngram_overlap_matrix",
+    # -- engine edits THIS round: verify first --
+    # containment.py (ADVICE r13: eager fill runs off-cache — order fixed)
     "dedup_containment_prefix",
-    # server.py (find fallback tier, VERDICT r12 #6)
+    # findsql.py (ADVICE r13: cache-entry mutation moved under the lock)
     "server_find_real",
-    # -- the complete 25-name r12 rollover (5 double as sampling re-stales) --
-    "array_functions",
-    "curriculum_order_docs",
-    "decontaminate_bloom",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "explode_token_counts",
-    "jaccard_topk_similar_docs",
-    "ngram_diversity_by_source",
-    "packing_efficiency_stats",
-    "pii_pseudonymize_consistent",
-    "quality_calibration_bins",
-    "shard_assign_balanced",
-    "sparse_cosine_topk_docs",
-    "temperature_mixture_langs",
-    "text_bigram_backoff_logprob",
-    "text_mattr_by_source",
-    "train_test_ngram_leakage",
-    "unigram_lm_seed",
-    "vocab_coverage_thresholds",
-    "vocab_oov_rate",
-    "weighted_sample_docs",
-    "zipf_slope_by_source",
-    # -- family sentinels --
-    "qast_eq_filter",
-    "catalog_find",
-    "join_revenue_by_nation",
-    "multimodal_jpeg_decode",
+    # -- longest-unverified re-greens: the complete r2 cohort... --
+    "agg_grouping_sets",
+    "agg_rollup_flag_status",
+    "anti_join_customers_no_final",
+    "catalog_latest_revision",
+    "distinct_event_users",
+    "events_hourly",
+    "events_props_sum",
+    "events_props_variant",
+    "extract_json_field",
+    "multimodal_bytes_meta",
+    "part_brand_stats",
+    "qast_array_overlap",
+    "qast_extract_regex",
+    "qast_find_regex",
+    "qast_maths_composite",
+    "semi_join_orders_shipped_late",
+    "topk_orders",
+    "topk_orders_per_segment",
+    # -- ...the complete r3 cohort... --
+    "agg_pricing_summary",
+    "approx_distinct_users",
+    "customer_order_distribution",
+    "disjunctive_filter_revenue",
+    "excess_volume_suppliers",
+    "idle_rich_customers",
+    "important_part_values",
+    "incremental_rollup_events",
+    "join_local_supplier_volume",
+    "large_order_customers",
+    "late_lines_by_priority",
+    "market_share_by_year",
+    "min_unit_price_supplier",
+    "profit_by_nation_year",
+    "promo_revenue_ratio",
+    "shipping_priority",
+    "small_qty_order_revenue",
+    "sole_returning_supplier",
+    "top_supplier_by_revenue",
+    "volume_shipping_pairs",
+    "window_running_sum",
+    # -- ...and the three oldest r4-era names --
+    "agg_argmax_order",
+    "agg_corr_price_qty",
+    "agg_cube_status",
 ]
 
 

@@ -1610,3 +1610,189 @@ def exact_substring_cut_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_cut(
         docs, span=_EXACT_CUT_SPAN, min_docs=_EXACT_CUT_MIN_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 registrations (staged during r13, oracles proven bit-exact in
+# tests/test_r14_staged.py before registration — the r7/r11/r12/r13
+# staging pattern; the test pins each SQL identical to its staged copy).
+# ---------------------------------------------------------------------------
+
+_PARAGRAPH_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\n{2,}'),
+                                    s -> trim(s, ' ')),
+                     x -> x <> '') AS ps
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         UNNEST(range(len(ps))) AS pos,
+         UNNEST(ps) AS para
+  FROM base
+), own AS (
+  SELECT para, MIN(ROW(doc_id, pos)) AS o FROM occ GROUP BY para
+), kept AS (
+  SELECT o.doc_id, o.pos, o.para
+  FROM occ o JOIN own w ON o.para = w.para
+  WHERE w.o = ROW(o.doc_id, o.pos)
+), rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.ps) AS BIGINT) AS n_paras,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CASE WHEN len(b.ps) = 0 THEN 0.0
+            ELSE CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / len(b.ps)
+       END AS kept_frac,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
+@workload(
+    "dedup_paragraphs_corpus",
+    _PARAGRAPH_SQL,
+    "dedup",
+    "paragraphs",
+)
+def dedup_paragraphs_corpus_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, first occurrence wins — the
+    Dolma/C4 paragraph tier between whole-document dedup and
+    exact_substring_cut's span cutting (Soldaini et al. 2024 §4; Raffel
+    et al. 2020): each distinct paragraph survives exactly once
+    corpus-wide (min (doc_id, position) owns it) and every document is
+    reassembled from its surviving paragraphs in order.  Paragraph-keyed
+    min-struct aggregate for ownership — NO window, so hot boilerplate
+    paragraphs cannot pivot a skewed window partition — then an
+    equi-join back and a doc-keyed rebuild
+    (operators/dedup/paragraphs.py paragraph_dedup)."""
+    from comlake_core_spark.operators.dedup.paragraphs import paragraph_dedup
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs)
+
+
+_SOFT_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'),
+                             ' ')) AS fp
+  FROM documents
+), sizes AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM base GROUP BY fp
+)
+SELECT b.doc_id, s.cluster_size,
+       1.0 / s.cluster_size AS weight,
+       b.n_tokens,
+       CAST(b.n_tokens AS DOUBLE) / s.cluster_size AS eff_tokens
+FROM base b JOIN sizes s ON b.fp = s.fp
+"""
+
+
+@workload(
+    "dedup_soft_weights",
+    _SOFT_SQL,
+    "dedup",
+    "softdedup",
+    "sampling",
+)
+def dedup_soft_weights_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup inverse-duplication sampling weights (He et al. 2024;
+    the duplicate-aware sampling of Muennighoff et al. 2023): every
+    document keeps weight 1/cluster_size over its exact-duplicate
+    cluster (dedup_exact's md5 fingerprint), so the EXPECTED number of
+    times a distinct text is sampled is one, and eff_tokens = n_tokens /
+    cluster_size sums to the cluster's distinct token mass.  One
+    map-side fingerprint, one map-combined size aggregate, one
+    fingerprint equi-join (operators/dedup/softdedup.py
+    soft_dedup_weights)."""
+    from comlake_core_spark.operators.dedup.softdedup import soft_dedup_weights
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return soft_dedup_weights(docs)
+
+
+_FUNNEL_SPAN = 8
+_FUNNEL_MIN_DOCS = 2
+
+_FUNNEL_SQL = rf"""
+WITH exact_base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'),
+                             ' ')) AS fp
+  FROM documents
+), exact_canon AS (
+  SELECT fp, MIN(doc_id) AS keep FROM exact_base GROUP BY fp
+), exact_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN b.doc_id = c.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(b.nt) AS BIGINT) AS tokens_in,
+         CAST(SUM(CASE WHEN b.doc_id = c.keep THEN b.nt ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+  FROM exact_base b JOIN exact_canon c ON b.fp = c.fp
+), para_out AS ({_PARAGRAPH_SQL}
+), para_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN p.clean_text <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(e.nt) AS BIGINT) AS tokens_in,
+         CAST(SUM(len(list_filter(string_split_regex(trim(p.clean_text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS tokens_kept
+  FROM para_out p JOIN exact_base e ON p.doc_id = e.doc_id
+), cut_out AS ({_EXACT_CUT_SQL}
+), cut_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN clean_text <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+         CAST(SUM(n_tokens - n_cut) AS BIGINT) AS tokens_kept
+  FROM cut_out
+)
+SELECT 'exact' AS stage, docs_in, docs_kept, tokens_in, tokens_kept,
+       CASE WHEN tokens_in > 0
+            THEN CAST(tokens_kept AS DOUBLE) / tokens_in ELSE 0.0 END
+         AS token_kept_frac
+FROM exact_row
+UNION ALL
+SELECT 'paragraph', docs_in, docs_kept, tokens_in, tokens_kept,
+       CASE WHEN tokens_in > 0
+            THEN CAST(tokens_kept AS DOUBLE) / tokens_in ELSE 0.0 END
+FROM para_row
+UNION ALL
+SELECT 'span', docs_in, docs_kept, tokens_in, tokens_kept,
+       CASE WHEN tokens_in > 0
+            THEN CAST(tokens_kept AS DOUBLE) / tokens_in ELSE 0.0 END
+FROM cut_row
+"""
+
+
+@workload(
+    "dedup_survivorship_funnel",
+    _FUNNEL_SQL,
+    "dedup",
+    "funnel",
+    "report",
+)
+def dedup_survivorship_funnel_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship funnel — the per-tier accounting report (Lee
+    et al. 2022 tabulate exactly this for C4/RealNews; Dolma's datasheet
+    publishes the same removal rates): for each tier (exact document /
+    paragraph / duplicated-span), measured INDEPENDENTLY on the raw
+    corpus, the documents and tokens that tier alone would keep.  The
+    composition capstone of the dedup family: three bounded tier plans
+    (each documented in its operator) plus three 1-row aggregates and a
+    3-row union (operators/dedup/funnel.py dedup_survivorship_funnel)."""
+    from comlake_core_spark.operators.dedup.funnel import dedup_survivorship_funnel
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup_survivorship_funnel(
+        docs, span=_FUNNEL_SPAN, min_docs=_FUNNEL_MIN_DOCS
+    )

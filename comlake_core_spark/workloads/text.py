@@ -2096,3 +2096,106 @@ def kn_discount_estimate_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return kn_singleton_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# r14 registrations (staged during r13, oracles proven bit-exact in
+# tests/test_r14_staged.py before registration — the r7/r11/r12/r13
+# staging pattern; the test pins each SQL identical to its staged copy).
+# ---------------------------------------------------------------------------
+
+_CHAR_ENTROPY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(list_sort(list_distinct(string_split(text, ''))),
+                     c -> c <> '') AS cs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(cs) AS BIGINT) AS distinct_chars,
+       CASE WHEN length(text) > 0 THEN CAST(COALESCE(list_aggregate(
+         list_transform(cs, c -> CAST(round(
+            -(CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)
+              / length(text))
+            * log2(CAST(length(text) - length(replace(text, c, '')) AS DOUBLE)
+                   / length(text)), 12) AS DECIMAL(24,12))),
+         'sum'), 0) AS DOUBLE) ELSE 0.0 END AS entropy_bits
+FROM base
+"""
+
+
+@workload(
+    "text_char_entropy",
+    _CHAR_ENTROPY_SQL,
+    "text",
+    "quality",
+    "entropy",
+)
+def text_char_entropy_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality scoring — the
+    compressibility proxy of the CCNet/RefinedWeb filter family without
+    a compressor dependency: Shannon entropy (bits/char) of each
+    document's character distribution, computed ROW-LOCALLY (sorted
+    distinct chars, counts via the length-difference trick, −p·log2(p)
+    terms quantized to the 1e-12 grid and summed as exact decimals).
+    Map-only: no explode, no shuffle, no per-doc state outside the row
+    (operators/text/entropy.py char_entropy)."""
+    from comlake_core_spark.operators.text.entropy import char_entropy
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+_OVERLAP_N = 3
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH base AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), types AS (
+  SELECT DISTINCT src, g FROM (
+    SELECT source AS src,
+           UNNEST(list_transform(range(len(ts) - {_OVERLAP_N} + 1),
+                  i -> array_to_string(ts[i+1 : i+{_OVERLAP_N}], ' '))) AS g
+    FROM base WHERE len(ts) >= {_OVERLAP_N}
+  )
+), per_source AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS types_a FROM types GROUP BY src
+), shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_types
+  FROM types a JOIN types b ON a.g = b.g AND a.src <> b.src
+  GROUP BY a.src, b.src
+)
+SELECT s.src_a, s.src_b, p.types_a, s.shared_types,
+       CAST(s.shared_types AS DOUBLE) / p.types_a AS containment
+FROM shared s JOIN per_source p ON s.src_a = p.src
+"""
+
+
+@workload(
+    "source_ngram_overlap_matrix",
+    _SOURCE_OVERLAP_SQL,
+    "text",
+    "corpus-stats",
+    "overlap",
+)
+def source_ngram_overlap_matrix_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pair n-gram TYPE containment between sources — the
+    corpus-composition audit of Dolma (Soldaini et al. 2024) and
+    "What's In My Big Data?" (Elazar et al. 2024) that surfaces mirror
+    sites and re-crawls before mixture weights are chosen: C(a→b) =
+    |types(a) ∩ types(b)| / |types(a)| over distinct lowercased
+    whitespace trigrams.  Gram explode → one map-combined distinct TYPE
+    table (the bounded artifact), a gram-keyed self-join whose worst
+    bucket is S² rows per gram (S = #sources), and a broadcast join of
+    the S-row type counts (operators/text/source_overlap.py
+    source_ngram_overlap)."""
+    from comlake_core_spark.operators.text.source_overlap import (
+        source_ngram_overlap,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs, n=_OVERLAP_N)

@@ -663,3 +663,16 @@ def test_paragraph_dedup_global_invariants(spark):
     distinct_in = {p for _, t in rows for p in _paras(t)}
     # exactly-once survival: the kept multiset IS the distinct input set
     assert sorted(kept_all) == sorted(distinct_in)
+
+
+def test_registered_oracles_match_staged_copies():
+    """r14 registration pin: the registry copies of the five staged
+    oracles must stay byte-identical to the versions proven bit-exact
+    above — the same discipline as the r11/r12/r13 staged entries."""
+    from comlake_core_spark.workloads import REGISTRY
+
+    assert REGISTRY["dedup_paragraphs_corpus"].oracle == staged_paragraph_sql()
+    assert REGISTRY["dedup_soft_weights"].oracle == staged_soft_sql()
+    assert REGISTRY["dedup_survivorship_funnel"].oracle == staged_funnel_sql()
+    assert REGISTRY["text_char_entropy"].oracle == staged_entropy_sql()
+    assert REGISTRY["source_ngram_overlap_matrix"].oracle == staged_overlap_sql()
