@@ -266,6 +266,45 @@ FAMILY_CANARY = {
 }
 assert all(c in CANARY for c in set(FAMILY_CANARY.values()))
 
+# INDEX-BUILD exemption, now an EXPLICIT allowlist (VERDICT r13 #1): the
+# r8 ADVICE pin started every query's timer after fn() returned, so that
+# amortized index/model builds (codebook collects, IVF checkpoint
+# materializations) stay out of the per-query medians — a serving
+# deployment pays them once, not per query.  But the same blanket rule
+# let the r13 global_row_number swaps move a RANK THAT IS THE QUERY
+# (range shuffle + eager localCheckpoint) into the untimed build phase:
+# dsir/curriculum/shard_assign reported 0.02-0.09 s medians over an
+# already-checkpointed frame.  The rule is now: ONLY the names below
+# keep the build-excluded timing, and their fn() build time is recorded
+# as build_sec in BENCH_DETAIL so nothing is invisible; every other
+# workload times fn()+force (for plan-construction fn()s the difference
+# is the eager-resolution cost PySpark pays per transformation — a real
+# per-query driver constant, included on purpose).  Membership test: the
+# eager work constructs a REUSABLE search/model structure (kmeans/PQ
+# codebooks, IVF assignments + checkpoints, the containment fill of a
+# persisted capped-postings cache) that many distinct queries would
+# share; a global rank/sort/checkpoint whose output IS the query result
+# does not qualify.  Deliberately NOT here, so their eager build now
+# counts (warmed sf0.01 fn() probe, r14): the global_row_number rank
+# family (dsir 1.3 s / rfm 1.6 / curriculum 0.5 / shard 0.6 — the
+# VERDICT r13 #1 offenders), the iterative trainings whose result IS
+# the model the query returns (bpe_train_merges, doremi_source_weights,
+# pagerank_dedup_graph), the split/report compositions
+# (leakage_safe_split_docs, the two pretrain pipelines), and every
+# plan-analysis-heavy fn() (embedding_centroid_drift,
+# dedup_canonical_docs).
+INDEX_BUILD = {
+    "ann_ivf_topk",
+    "ann_ivf2_topk",
+    "ann_pq_adc_topk",
+    "embedding_pq_codes",
+    "embedding_knn_graph_ivf",
+    "embedding_knn_graph_ivf2",
+    "dedup_containment_prefix",
+    "semantic_dedup_embeddings",
+}
+assert INDEX_BUILD <= set(HEADLINE)
+
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -317,9 +356,24 @@ def session_metrics(spark) -> dict:
         # degraded: old behavior — blockmgr dirs AND spark-* staging dirs
         # (ADVICE r12: dropping the spark-* component made the fallback
         # series incomparable with both the old series and the primary
-        # path, which includes the app's own staging dir)
+        # path, which includes the app's own staging dir).  The glob is
+        # not app-scoped (ADVICE r13): concurrent apps' dirs can inflate
+        # the fallback metric, and an app-id filter is impossible here —
+        # the dir names carry a random uuid, not the app id, and the JVM
+        # handle that could map them is exactly what just failed — so
+        # the residual over-approximation is bounded by the nested-path
+        # dedupe below instead.
         local_dirs = glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*")
-    for d in local_dirs:
+    # dedupe nested/repeated paths so no tree is walked twice (ADVICE
+    # r13: a blockmgr dir nested under a spark-* local dir was counted
+    # once by its own glob and again by the parent's walk); applies to
+    # the primary path too, where the staging parent could contain a
+    # listed blockmgr dir under SPARK_LOCAL_DIRS-style configs
+    roots: list[str] = []
+    for d in sorted(os.path.realpath(p) for p in local_dirs):
+        if not any(d == r or d.startswith(r + os.sep) for r in roots):
+            roots.append(d)
+    for d in roots:
         for root, _, files in os.walk(d):
             for f in files:
                 try:
@@ -396,10 +450,13 @@ def main() -> None:
     snaps: list[dict] = []
     SNAP_EVERY = 10
 
+    build_sec: dict[str, float] = {}
+
     def time_query(name: str) -> None:
         if len(timings) % SNAP_EVERY == 0:
             snaps.append({"after_n_queries": len(timings), **session_metrics(spark)})
         samples = []
+        builds = []
         for _ in range(reps):
             # Reps must be cold w.r.t. each other but run the plan the
             # engine actually executes.  r4 called clearCache() on a df
@@ -410,23 +467,28 @@ def main() -> None:
             # rep's cache blocks first, then rebuild the DataFrame so its
             # persist() markers are fresh and intact for the timed force.
             reset_session_state(spark)
-            # NOTE (ADVICE r8): the timer starts AFTER fn() returns, so
-            # build-time eager work some builders do (ann_ivf2_topk's
-            # emb.count(), the two-level IVF path's eager localCheckpoint
-            # materializations, codebook collects) is untimed BY DESIGN:
-            # those are amortized index/model builds a serving deployment
-            # pays once, not per query — the timed region is the query
-            # over the built structures.  Workloads without eager builders
-            # are unaffected (their fn() is pure plan construction).
+            # Timing regions (VERDICT r13 #1): fn() and force are timed
+            # SEPARATELY.  Only the INDEX_BUILD allowlist reports the
+            # force alone (their fn()'s eager work is an amortized
+            # reusable structure — see the note at the allowlist); every
+            # other workload's median includes fn(), so eager build-phase
+            # work (global_row_number's range shuffle + localCheckpoint)
+            # counts in the number the round is graded on.  build_sec
+            # lands in BENCH_DETAIL for every query either way.
+            t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
-            start = time.perf_counter()
+            t1 = time.perf_counter()
             force(df)
-            samples.append(time.perf_counter() - start)
+            t2 = time.perf_counter()
+            builds.append(t1 - t0)
+            samples.append((t2 - t1) if name in INDEX_BUILD else (t2 - t0))
         samples.sort()
+        builds.sort()
         med = samples[len(samples) // 2]
         timings[name] = round(med, 2)
         medians[name] = round(med, 4)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        build_sec[name] = round(builds[len(builds) // 2], 4)
 
     # canary FIRST — same queries, same session position, every round
     for name in CANARY:
@@ -474,6 +536,11 @@ def main() -> None:
                 },
                 "family_canary": family_canary,
                 "normalized": normalized,
+                # per-query fn() build-phase medians + the allowlist of
+                # names whose reported median EXCLUDES that build
+                # (VERDICT r13 #1: no untimed work is invisible)
+                "build_sec": build_sec,
+                "index_build_excluded": sorted(INDEX_BUILD),
                 "session_metrics": snaps + [
                     {"after_n_queries": len(timings), **session_metrics(spark)}
                 ],
