@@ -451,12 +451,14 @@ def main() -> None:
     SNAP_EVERY = 10
 
     build_sec: dict[str, float] = {}
+    exec_sec: dict[str, float] = {}
 
     def time_query(name: str) -> None:
         if len(timings) % SNAP_EVERY == 0:
             snaps.append({"after_n_queries": len(timings), **session_metrics(spark)})
         samples = []
         builds = []
+        execs = []
         for _ in range(reps):
             # Reps must be cold w.r.t. each other but run the plan the
             # engine actually executes.  r4 called clearCache() on a df
@@ -481,19 +483,27 @@ def main() -> None:
             force(df)
             t2 = time.perf_counter()
             builds.append(t1 - t0)
+            execs.append(t2 - t1)
             samples.append((t2 - t1) if name in INDEX_BUILD else (t2 - t0))
         samples.sort()
         builds.sort()
+        execs.sort()
         med = samples[len(samples) // 2]
         timings[name] = round(med, 2)
         medians[name] = round(med, 4)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         build_sec[name] = round(builds[len(builds) // 2], 4)
+        exec_sec[name] = round(execs[len(execs) // 2], 4)
 
-    # canary FIRST — same queries, same session position, every round
+    # canary FIRST — same queries, same session position, every round.
+    # canary_sec sums the EXEC-ONLY medians: the canary is the frozen
+    # cross-round comparator, so its timed region must stay frozen too —
+    # the r14 build-inclusive convention (VERDICT r13 #1) applies to the
+    # headline medians but would have silently re-based the canary
+    # series (r13 clean 11.10 s would read ~17.6 s on identical code).
     for name in CANARY:
         time_query(name)
-    canary_sec = round(sum(medians[c] for c in CANARY), 3)
+    canary_sec = round(sum(exec_sec[c] for c in CANARY), 3)
     for name in HEADLINE:
         if name not in timings:  # canary entries keep their early-session time
             time_query(name)
@@ -532,7 +542,10 @@ def main() -> None:
                 "canary": {
                     "queries": CANARY,
                     "sec": canary_sec,
-                    "per_query": {c: medians[c] for c in CANARY},
+                    # exec-only, matching `sec` (the frozen comparator);
+                    # the same queries' build-inclusive medians are in
+                    # `medians` like every other query
+                    "per_query": {c: exec_sec[c] for c in CANARY},
                 },
                 "family_canary": family_canary,
                 "normalized": normalized,
@@ -540,6 +553,7 @@ def main() -> None:
                 # names whose reported median EXCLUDES that build
                 # (VERDICT r13 #1: no untimed work is invisible)
                 "build_sec": build_sec,
+                "exec_sec": exec_sec,
                 "index_build_excluded": sorted(INDEX_BUILD),
                 "session_metrics": snaps + [
                     {"after_n_queries": len(timings), **session_metrics(spark)}

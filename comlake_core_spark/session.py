@@ -89,6 +89,18 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
             else str(64 * 1024 * 1024),
         )
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when a side's estimate
+        # fits a per-partition hash map (broadcast decisions are made
+        # earlier and are unaffected; genuinely big-big joins still get
+        # SMJ via the size gate).  Measured on the r14 containment x12
+        # diagnosis: once the verify joins' build side outgrows the
+        # 64 MB broadcast advisory, SMJ sorts the 37.8M-row candidate
+        # frame WITH its attached shingle arrays twice — interleaved
+        # same-session A/B at the x12 step: SMJ 98-185 s vs SHJ
+        # 74-101 s, x10 unchanged (SCALING.md r14).  The hash side of
+        # every such join in this engine is a bounded doc/dim table
+        # slice, exactly what the local-hash gate admits.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in tables().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1142,7 +1142,9 @@ def test_semantic_decon_broadcast_eval_single_agg(spark):
 
     emb = tables(spark, SF, ["embeddings"])["embeddings"]
     df = semantic_decontaminate(
-        emb, lambda d: F.col("vec_id") % 25 == 0, threshold=0.35
+        emb,
+        lambda d: (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500),
+        threshold=0.35,
     )
     df.write.mode("overwrite").format("noop").save()
     plan = P.executed_plan(df)
