@@ -37,14 +37,33 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # materialize the edge list ONCE (the same cut pagerank and bfs_depth
+    # below already carry): sym is referenced by the label seed and by
+    # EVERY propagation round's join, and without a cut each reference
+    # re-runs the upstream pair pipeline — for an LSH edge set that is
+    # the whole shingle/band/verify cascade per round (measured r14,
+    # together with the fused seed below: dedup_clusters fn()+force
+    # 7.45 s → 3.30 s, leakage_safe_split_docs 8.95 s → 3.29 s,
+    # dedup_canonical_docs 6.99 s → 3.60 s).  Lazy localCheckpoint: computed at
+    # first use (the label seed), truncates lineage so each round's plan
+    # stays one round deep, immune to clearCache/LRU eviction; blocks are
+    # released by the ContextCleaner when the loop's frames go
+    # unreachable.  On a cluster: checkpoint to reliable storage.
+    sym = sym.localCheckpoint(eager=False)
+    # seed = round 1, fused (r14): with initial labels label(v)=v, the
+    # first propagation round computes least(v, min(N(v))) — which is
+    # exactly ONE aggregate over the symmetrized edges (every node
+    # appears as src).  The old shape paid a distinct (same exchange as
+    # this aggregate) just to seed identity labels, then spent a full
+    # join+agg+checkpoint round recomputing what the seed could carry —
+    # one whole edge-set pass saved at any scale.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("node"), F.min("dst")).alias("component"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["node"])
             .groupBy("dst")

@@ -294,6 +294,14 @@ def leakage_safe_split(
     per-split aggregate."""
     from comlake_core_spark.operators.dedup.graph import connected_components
 
+    # the edge list is consumed TWICE here — by the component propagation
+    # and by the cross-split leakage count below — and for an LSH edge set
+    # its lineage is the whole shingle/band/verify cascade.  Cut it once
+    # so both consumers read materialized blocks instead of re-running the
+    # cascade (connected_components checkpoints its own symmetrized view,
+    # but the crossing count would still replay the raw pairs without
+    # this).  Lazy: materialized by the components' first action.
+    pairs = pairs.localCheckpoint(eager=False)
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)  # (node, component)
     docs = df.select(F.col(id_col).alias("_id"))
     with_rep = docs.join(comp, docs["_id"] == comp["node"], "left").select(

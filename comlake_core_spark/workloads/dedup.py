@@ -550,7 +550,13 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16)
         .select("id_a", "id_b")
-        .persist()
+        # localCheckpoint, not persist (r14, guide §3.3): the edge set is
+        # referenced five times (e1/e2/e3 + both degree legs) and persist
+        # leaves the full LSH cascade in the logical plan per reference —
+        # Catalyst analyzed a 112-Exchange / 73-scan tree
+        # (plans/r14/dedup_graph_triangles_before.txt).  The checkpoint
+        # truncates lineage at the edges; same rows, one materialization.
+        .localCheckpoint(eager=False)
     )
     e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = pairs.select(F.col("id_a").alias("a2"), F.col("id_b").alias("c"))

@@ -492,7 +492,17 @@ def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(scored, "doc_id")
         .filter(F.col("avg_logprob") > -18.0)
         .select("doc_id", "source", "text", "avg_logprob")
-        .persist()  # feeds DoReMi + mixture + chunking
+        # localCheckpoint, not persist (r14, guide §3.3): flagged feeds
+        # DoReMi + mixture + chunking and is referenced ~10× through
+        # their internals.  persist() dedupes EXECUTION but not the
+        # LOGICAL plan — every reference re-inlines the whole KN scoring
+        # chain, and Catalyst analyzed a 1053-Exchange / 422-scan tree
+        # (plans/r14/pretrain_pipeline_v2_before.txt) for 8.6 s of
+        # driver time per run.  The checkpoint truncates lineage at the
+        # survivor frame (plan now 60 Exchanges), same rows, same cache
+        # semantics for the downstream stages; materialized by DoReMi's
+        # first eager round exactly like the persist was.
+        .localCheckpoint(eager=False)
     )
     w = doremi_domain_weights(flagged, ["source"], -F.col("avg_logprob"), rounds=2)
     mix = mixture_resample(
