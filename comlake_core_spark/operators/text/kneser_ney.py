@@ -110,7 +110,15 @@ def _kn_trigram_scores(
     # run on the type table and the big stream shuffles ONCE, in the
     # final type→token join.  Per-type arithmetic is unchanged, so the
     # quantized probabilities (and the SQL oracle) are identical.
-    stream = grams(score_df, 3, ["w1", "w2", "w3"])
+    # parallelize the SCORING side too (r14): the LM side always went
+    # through ensure_parallelism, but score_df arrived raw — a small
+    # single-file parquet read is ONE partition, so the whole scoring
+    # explode (and the distinct's map side) ran on one core.  Measured at
+    # sf0.1: the stream explode alone was 4.5 s serial vs 0.5 s spread
+    # (the LM-side explode of the same corpus half).  At real scale the
+    # input has splits and this is a no-op (ensure_parallelism only
+    # repartitions when partitions < slots).
+    stream = grams(ensure_parallelism(score_df), 3, ["w1", "w2", "w3"])
     stypes = stream.select("w1", "w2", "w3").distinct()
     scored = (
         stypes.join(c3, ["w1", "w2", "w3"], "left")
