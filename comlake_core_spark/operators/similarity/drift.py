@@ -36,43 +36,68 @@ def centroid_drift(
     then a #labels-row self-join.  At 100 TB the whole reduction is the
     cost of one scan."""
 
-    def comp(i: int) -> Column:
-        return F.round(F.element_at(F.col(vec_col), i + 1).cast("double"), quantize)
+    # Wide generated expressions are built as SQL strings through ONE
+    # F.expr each (r14): the Column-API construction of 64-dim sums,
+    # 130 pivot picks, 128 divisions and 64 product structs cost ~32k
+    # py4j round trips — 3.3 s of pure driver latency per run (cProfile:
+    # 32,458 socket recv calls inside fn()).  One parsed SQL string per
+    # output column is the identical expression tree at ~200 round trips.
+    q = quantize
+
+    def comp(i: int) -> str:
+        return f"round(cast(element_at({vec_col}, {i + 1}) as double), {q})"
 
     g = df.groupBy(F.col(label_col).alias("label"), split.alias("_par")).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(comp(i).cast(f"decimal(20,{quantize})")).alias(f"_s{i}")
+            F.expr(f"sum(cast({comp(i)} as decimal(20,{q}))) as _s{i}")
             for i in range(dim)
         ],
     )
 
-    def side(par: int, tag: str) -> DataFrame:
-        c = [
-            (F.col(f"_s{i}").cast("double") / F.col("_n")).alias(f"_{tag}{i}")
-            for i in range(dim)
-        ]
-        return g.filter(F.col("_par") == par).select(
-            "label", F.col("_n").alias(f"n_{tag}"), *c
-        )
+    # pivot the two splits side-by-side with ONE #labels-row aggregate
+    # instead of a self-join of two filters of g (r14, guide §3.3): the
+    # join shape duplicated g's 64-sum subtree in the logical plan and
+    # re-analyzed ~130 aliased columns per side — 3.3 s of constant
+    # driver time per run at any data size (the r14-entry A/B pinned the
+    # build as plan analysis: 100× data moved it 3.28 → 3.60 s only).
+    # max(when) over the (label, split) rows carries each split's exact
+    # decimal sums unchanged, so centroids, products, and the cosine are
+    # bit-identical; labels missing either split drop exactly as the
+    # inner join dropped them.
+    def pick(par: int, col: str, out: str) -> str:
+        return f"max(case when _par = {par} then {col} end) as {out}"
 
-    joined = side(0, "a").join(side(1, "b"), "label")
+    wide = g.groupBy("label").agg(
+        F.expr(pick(0, "_n", "n_a")),
+        F.expr(pick(1, "_n", "n_b")),
+        *[F.expr(pick(0, f"_s{i}", f"_sa{i}")) for i in range(dim)],
+        *[F.expr(pick(1, f"_s{i}", f"_sb{i}")) for i in range(dim)],
+    ).filter("n_a is not null and n_b is not null")
+    joined = wide.selectExpr(
+        "label",
+        "n_a",
+        "n_b",
+        *[f"cast(_sa{i} as double) / n_a as _a{i}" for i in range(dim)],
+        *[f"cast(_sb{i} as double) / n_b as _b{i}" for i in range(dim)],
+    )
 
     # Dot products fold through F.sum over exploded per-dimension terms:
     # a CHAINED decimal `+` hits Spark's 38-digit precision cap after a
     # few dozen adds and silently sheds scale (allowPrecisionLoss), while
     # an aggregate sum widens precision without touching scale — the only
     # exact way to add 64 decimals in one expression tree.
-    def term(i: int) -> Column:
-        def p(x: str, y: str) -> Column:
-            return F.round(F.col(f"_{x}{i}") * F.col(f"_{y}{i}"), quantize).cast(
-                f"decimal(20,{quantize})"
-            )
+    def term(i: int) -> str:
+        def p(x: str, y: str) -> str:
+            return f"cast(round(_{x}{i} * _{y}{i}, {q}) as decimal(20,{q}))"
 
-        return F.struct(p("a", "b").alias("ab"), p("a", "a").alias("aa"), p("b", "b").alias("bb"))
+        return (
+            f"struct({p('a', 'b')} as ab, {p('a', 'a')} as aa, {p('b', 'b')} as bb)"
+        )
 
+    terms = ", ".join(term(i) for i in range(dim))
     prods = joined.select(
-        "label", "n_a", "n_b", F.explode(F.array(*[term(i) for i in range(dim)])).alias("_p")
+        "label", "n_a", "n_b", F.expr(f"explode(array({terms}))").alias("_p")
     )
     dots = prods.groupBy("label").agg(
         F.first("n_a").alias("n_a"),

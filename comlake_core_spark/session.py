@@ -111,6 +111,21 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # the comlake Python Data Source implements pushFilters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # r14 (measured with cProfile on wide generated plans): PySpark 4
+        # wraps EVERY DataFrame/Column op in a call-site capture — one
+        # extra py4j round trip (PySparkCurrentOrigin.set) plus a Python
+        # stack walk per op — purely to decorate error messages with the
+        # user's source line.  On expression-generated operators (64-dim
+        # centroid sums, 64-hash minhash, unrolled graph rounds) that is
+        # thousands of round trips of pure driver latency per query:
+        # plan-construction medians with the capture off measured
+        # embedding_centroid_drift 3.70 -> 1.28 s, pagerank_dedup_graph
+        # 2.68 -> 2.25 s, market_basket_lift 0.22 -> 0.16 s, identical
+        # plans.  A data engine's error surface keeps the JVM-side
+        # exception (operator + expression); the Python source line is
+        # notebook affordance, not worth a per-op RPC at any scale.
+        # Static conf: must be set before the session exists.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
