@@ -79,7 +79,14 @@ def _kn_trigram_scores(
     # singleton tail is scanned exactly once per rollup and never
     # re-materialized (the count-1 fold; kn_singleton_stats exposes the
     # count-of-counts from the same aggregate).
-    cw = base.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3")).persist()
+    # lazy localCheckpoint, not persist (r14 A/B, median-of-3 at sf0.1:
+    # persist 3.04 s vs checkpoint 2.17 s for the full scoring query):
+    # the deserialized columnar cache write is pure overhead for a frame
+    # every rollup scans exactly once per run, and the lineage cut also
+    # stops the rollups' plans from re-inlining the corpus explode.  The
+    # materialize-once guarantee is unchanged — stronger, in fact: a
+    # checkpoint cannot be silently recomputed under cache eviction.
+    cw = base.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3")).localCheckpoint(eager=False)
     c3 = cw.filter(F.col("w3").isNotNull())
     # highest-order context totals + distinct-continuation counts (both
     # rollups of the already-aggregated c3 — no second corpus pass)
@@ -99,7 +106,7 @@ def _kn_trigram_scores(
     cont = (
         cw.groupBy(F.col("w2").alias("w3c"))
         .agg(F.count_distinct(F.col("w1")).alias("_n1bw"))
-        .persist()
+        .localCheckpoint(eager=False)  # same rationale as cw above
     )
     n1all = cont.agg(F.sum("_n1bw").cast("double").alias("_n1all"))
 

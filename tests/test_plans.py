@@ -982,20 +982,28 @@ def test_pack_sequences_no_single_partition_window(spark):
 
 
 def test_kneser_ney_lm_single_combined_cache(spark):
-    """r12 one-explode fold: the ONLY persisted LM frames are the
-    combined (w1, w2, nullable-w3) type aggregate and the continuation
-    rollup — the r11 shape additionally persisted a separate bigram-type
-    frame (a, b) built from a SECOND corpus explode.  A reappearing
-    two-column bigram cache means the fold regressed to the double
-    scan."""
+    """r12 one-explode fold, r14 form: the ONLY materialized LM frames
+    are the combined (w1, w2, nullable-w3) type aggregate and the
+    continuation rollup — since r14 they are lazy localCheckpoints (the
+    A/B measured the columnar cache write as pure overhead), so they
+    appear as Scan ExistingRDD cuts instead of InMemoryRelations.  The
+    r11 regression this pins against materialized a separate bigram-type
+    frame (a, b) from a SECOND corpus explode — a reappearing two-column
+    (a, b) cut means the fold regressed to the double scan.  The only
+    Generates left in the final plan must be the scoring-side explodes
+    (the LM explode lives behind the combined cut and runs once)."""
     import re
 
     df = run(spark, "kneser_ney_logprob_docs")
     plan = P.executed_plan(df)
-    caches = {c for c in re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)}
-    assert any("w1" in c and "w2" in c and "w3" in c and "_c3" in c for c in caches), caches
-    assert any("_n1bw" in c for c in caches), caches
-    assert not any(re.match(r"^a#\d+, b#\d+$", c) for c in caches), caches
+    cuts = {c for c in re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)}
+    norm = [re.sub(r"#\d+L?", "", c) for c in cuts]
+    assert any(c.startswith("w1,w2,w3,_c3") for c in norm), cuts
+    assert any("_n1bw" in c for c in norm), cuts
+    assert not any(re.match(r"^a,b$", c) for c in norm), cuts
+    caches = re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)
+    assert not caches, caches  # the LM tables are checkpoint cuts, not caches
+    assert len(re.findall(r"\bGenerate ", plan)) <= 2, plan[:2000]
 
 
 def test_exact_substring_cut_gram_keyed_no_pairs(spark):
