@@ -79,7 +79,11 @@ def minhash_lsh_pairs(
     docs = (
         base.select("_id", shingles("_txt", k_shingle).alias("_sh"))
         .select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
-        .persist()
+        # r14: lazy localCheckpoint, not persist — same deliberate
+        # materialization of the signature index, minus the columnar
+        # cache-write overhead (measured pattern: market_basket A/B
+        # persist 2.49 s / checkpoint 1.73 s)
+        .localCheckpoint(eager=False)
     )
 
     banded = docs.select(
@@ -105,6 +109,9 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        # r14: cut — consumed by the id fanout below AND the verify join;
+        # each reference would otherwise re-run the banded self-join
+        .localCheckpoint(eager=False)
     )
 
     # exact-Jaccard verify over candidate docs only: semi-join the corpus
@@ -212,7 +219,11 @@ def minhash_lsh_pairs_incremental(
         return lsh_band_keys(sigs.drop("_sh"), num_hashes, bands)
 
     old_b = _banded(old_df).withColumnRenamed("_id", "_oid")
-    new_b = _banded(new_df).persist()
+    # lazy localCheckpoint, not persist (r14: the KN A/B measured the
+    # columnar cache write as pure overhead for once-per-run readers,
+    # and the cut keeps the downstream plans from re-inlining the
+    # signature cascade per reference)
+    new_b = _banded(new_df).localCheckpoint(eager=False)
 
     # new × old: every bucket collision across the index boundary
     vs_old = new_b.join(
@@ -229,7 +240,10 @@ def minhash_lsh_pairs_incremental(
         & (new_b._bkey == F.col("_bkey2"))
         & (new_b._id < F.col("_nid2")),
     ).select(F.col("_id").alias("new_id"), F.col("_nid2").alias("match_id"))
-    candidates = vs_old.unionByName(vs_new).distinct()
+    # cut the candidate set once (r14): it is consumed by the id fanout
+    # below AND by the verify join, and each reference would otherwise
+    # re-run BOTH banded joins (vs_old and vs_new) end to end
+    candidates = vs_old.unionByName(vs_new).distinct().localCheckpoint(eager=False)
 
     # exact-Jaccard verify on candidates only (same discipline as the
     # batch operator: re-shingle only docs that appear in a candidate)
@@ -239,9 +253,11 @@ def minhash_lsh_pairs_incremental(
     cand_ids = candidates.select(
         F.explode(F.array(F.col("new_id"), F.col("match_id"))).alias("_id")
     ).distinct()
+    # sh is joined twice (new side / match side): cut it so the corpus
+    # semi-join + candidate re-shingle runs once, not per join leg
     sh = corpus.join(cand_ids, "_id", "left_semi").select(
         "_id", shingles("_txt", k_shingle).alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
     return (
         candidates.join(sh.withColumnsRenamed({"_id": "new_id", "_sh": "_sh_a"}), "new_id")
         .join(sh.withColumnsRenamed({"_id": "match_id", "_sh": "_sh_b"}), "match_id")

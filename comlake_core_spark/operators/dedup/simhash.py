@@ -33,7 +33,7 @@ def simhash_dedup_pairs(
     when bands > max_hamming), bucket-join on chunks, verify Hamming."""
     # persist: the banded frame feeds BOTH sides of the self-join — without
     # it the Pandas-UDF signature pass runs twice
-    sigs = simhash(df, text_col, id_col).persist()
+    sigs = simhash(df, text_col, id_col).localCheckpoint(eager=False)  # r14: checkpoint, not cache — one Pandas-UDF pass either way, no cache-write
     n_bands = 64 // band_bits
     banded = sigs.select(
         F.col(id_col).alias("_id"),

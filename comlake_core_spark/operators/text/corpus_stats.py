@@ -101,7 +101,10 @@ def oov_rate(
         .filter(F.col("_t") != "")
         .groupBy(source_col, "_t")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .persist()
+        # lazy localCheckpoint, not persist (r14 A/B: the columnar cache
+        # write is overhead for once-per-run readers; the cut also
+        # truncates both readers' plans)
+        .localCheckpoint(eager=False)
     )
     top = (
         per.groupBy("_t")

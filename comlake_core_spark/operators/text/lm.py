@@ -36,7 +36,9 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.col("term") != "")
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c")).persist()
+    # r14: lazy localCheckpoint, not persist (cache write is overhead
+    # for once-per-run readers; cut truncates the scoring join's plan)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=False)
     total = vocab.agg(F.sum("_c").cast("double").alias("_t"))
     contrib = F.round(F.log(F.col("_c").cast("double") / F.col("_t")), quantize).cast(
         f"decimal(20,{quantize})"
@@ -100,7 +102,7 @@ def bigram_backoff_logprob(
     toks_arr = F.filter(tokens(lowered), lambda x: x != "")
 
     lm_toks = ensure_parallelism(lm_df).select(F.explode(toks_arr).alias("_w"))
-    uni = lm_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).persist()
+    uni = lm_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=False)  # r14: same rationale as unigram_logprob's vocab cut
     totals = uni.agg(
         F.sum("_c").cast("double").alias("_n"),
         F.count(F.lit(1)).cast("double").alias("_v"),

@@ -1442,7 +1442,9 @@ def train_test_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         shingles(F.col("text"), 5).alias("_sh"),
         split_assignment_portable(F.col("doc_id"), 0.125).alias("_is_test"),
-    ).persist()
+        # r14: checkpoint, not cache — train/test filters + the per-split
+        # aggs each read it once per run
+    ).localCheckpoint(eager=False)
     train = base.filter(~F.col("_is_test"))
     testd = base.filter(F.col("_is_test"))
     train_grams = train.select(F.explode("_sh").alias("g")).distinct()

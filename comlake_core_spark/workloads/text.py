@@ -335,7 +335,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the O(vocab) unigram counts: they feed BOTH broadcast sides
     # (u1, u2) AND — as a sum — the total-token scalar, so the corpus is
     # tokenized twice total (unigram + bigram pass), not four times.
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)  # r14: checkpoint, not cache
     tot = ucnt.agg(F.sum("c").alias("n"))
 
     idx = F.sequence(F.lit(0), F.size("t") - 2)
