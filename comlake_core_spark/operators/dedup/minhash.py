@@ -23,17 +23,31 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 32) -> Column:
     """num_hashes seeded xxhash64 min-hashes over the shingle set.
 
     xxhash64(shingle, seed_i) is a JVM intrinsic — the whole signature is
     one codegen'd expression per row.
 
-    The per-hash lambda MUST be unary: F.transform passes the element
-    index as a second argument when the lambda accepts two, so a
-    ``lambda s, i=i`` closure silently receives the ARRAY POSITION as
-    ``i`` and every "hash" collapses to one position-dependent function
-    (found via the dedup_minhash_lsh brute-force oracle in round 2)."""
+    When given a column NAME the expression is built as ONE parsed SQL
+    string (r14): the Column-API construction made ~6 py4j round trips
+    per hash function — ~0.44 s of driver latency per LSH plan at 64
+    hashes (cProfile on pagerank_dedup_graph's fn) — for an identical
+    expression tree.  The SQL literal seed is an IntegerType literal,
+    exactly what F.lit(i) produced, so signatures are bit-identical.
+
+    The per-hash lambda MUST be unary (Column path) / single-argument
+    (SQL path): F.transform passes the element index as a second
+    argument when the lambda accepts two, so a ``lambda s, i=i`` closure
+    silently receives the ARRAY POSITION as ``i`` and every "hash"
+    collapses to one position-dependent function (found via the
+    dedup_minhash_lsh brute-force oracle in round 2)."""
+    if isinstance(shingle_col, str):
+        mins = ", ".join(
+            f"array_min(transform({shingle_col}, s -> xxhash64(s, {i})))"
+            for i in range(num_hashes)
+        )
+        return F.expr(f"array({mins})")
 
     def _hash_with_seed(i: int):
         return lambda s: F.xxhash64(s, F.lit(i))
@@ -78,7 +92,7 @@ def minhash_lsh_pairs(
     # cuts the cache-write cost of materializing fat arrays).
     docs = (
         base.select("_id", shingles("_txt", k_shingle).alias("_sh"))
-        .select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        .select("_id", minhash_signature("_sh", num_hashes).alias("_sig"))
         # r14: lazy localCheckpoint, not persist — same deliberate
         # materialization of the signature index, minus the columnar
         # cache-write overhead (measured pattern: market_basket A/B
@@ -163,7 +177,7 @@ def lsh_doc_signatures(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
     )
     return base.select("_id", shingles("_txt", k_shingle).alias("_sh")).select(
-        "_id", "_sh", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+        "_id", "_sh", minhash_signature("_sh", num_hashes).alias("_sig")
     )
 
 
