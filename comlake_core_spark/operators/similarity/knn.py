@@ -192,23 +192,40 @@ def mutual_knn_graph(
         raise ValueError(f"unknown candidate strategy {candidate!r}")
     w = Window.partitionBy("_src").orderBy(F.desc("cosine"), F.asc("_dst"))
     knn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    fwd = knn.select(
-        F.col("_src").alias("id_a"),
-        F.col("_dst").alias("id_b"),
-        "cosine",
-        F.col("rn").alias("rank_ab"),
-    ).filter(F.col("id_a") < F.col("id_b"))
-    rev = knn.select(
-        F.col("_dst").alias("id_a"),
-        F.col("_src").alias("id_b"),
-        F.col("rn").alias("rank_ba"),
-    ).filter(F.col("id_a") < F.col("id_b"))
-    return fwd.join(rev, ["id_a", "id_b"]).select(
-        "id_a",
-        "id_b",
-        "cosine",
-        F.col("rank_ab").cast("long").alias("rank_ab"),
-        F.col("rank_ba").cast("long").alias("rank_ba"),
+    # mutual filter as ONE pair-keyed aggregate (r14): the old shape
+    # derived fwd/rev edge lists from knn and self-joined them — two full
+    # consumptions of the k·N edge list, which re-executed the whole
+    # candidate-scoring pipeline + window per leg (the second pass
+    # additionally ran in an AQE-coalesced 5-partition layout: 9.8 s of
+    # task time at sf0.1).  Folding each directed edge onto its
+    # undirected (least, greatest) key and aggregating consumes knn once
+    # with one shuffle; a pair is mutual exactly when both direction
+    # slots are filled.  Each direction appears at most once in knn, so
+    # max() over the singleton IS the value; cosine is taken from the
+    # a<b leg exactly as fwd carried it (it is bit-identical from either
+    # leg — same dims, same fold order — but the pin stays strict).
+    e = knn.select(
+        F.least("_src", "_dst").alias("id_a"),
+        F.greatest("_src", "_dst").alias("id_b"),
+        F.when(F.col("_src") < F.col("_dst"), F.col("cosine")).alias("_cf"),
+        F.when(F.col("_src") < F.col("_dst"), F.col("rn")).alias("_rab"),
+        F.when(F.col("_src") > F.col("_dst"), F.col("rn")).alias("_rba"),
+    )
+    return (
+        e.groupBy("id_a", "id_b")
+        .agg(
+            F.max("_cf").alias("cosine"),
+            F.max("_rab").alias("rank_ab"),
+            F.max("_rba").alias("rank_ba"),
+        )
+        .filter(F.col("rank_ab").isNotNull() & F.col("rank_ba").isNotNull())
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.col("rank_ab").cast("long").alias("rank_ab"),
+            F.col("rank_ba").cast("long").alias("rank_ba"),
+        )
     )
 
 

@@ -123,7 +123,10 @@ def pq_quantize(
     recon = errs[0]
     for e in errs[1:]:
         recon = recon + e
-    return corpus.select(
+    # r14: the code pass is map-only, so a single-file local input would
+    # run it on one core (ann_pq_adc's scoring stage measured 1-task
+    # serial); no-op at scale where the scan has splits
+    return ensure_parallelism(corpus).select(
         F.col(id_col),
         pq_code.alias("pq_code"),
         recon.cast("double").alias("recon_err"),
