@@ -250,7 +250,11 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text", "n_tokens")
-        .persist()  # feeds the LSH pair stage AND the final labeling
+        # feeds the LSH pair stage AND the final labeling; lazy
+        # localCheckpoint, not persist (r14 measured pattern: no columnar
+        # cache write, and the readers' plans stop re-inlining the
+        # score+filter+window lineage)
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_lsh_pairs(exact_kept, threshold=0.8, num_hashes=64, bands=16).select(
         "id_a", "id_b"
