@@ -126,6 +126,17 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         # notebook affordance, not worth a per-op RPC at any scale.
         # Static conf: must be set before the session exists.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # r14: materialized-once frames are lazy localCheckpoints now (see
+        # OPTIMIZATION_r14.md Change 5) and their blocks are spill-only —
+        # NOT LRU-evictable like cache blocks — so in a long-lived session
+        # they are reclaimed only when the ContextCleaner's weak refs get
+        # processed, i.e. after a JVM GC happens to run.  The default
+        # periodic-GC interval (30min) let an unreset multi-query sweep
+        # accumulate dead blocks until random queries paid the GC/spill
+        # churn (measured: pretrain_pipeline_v2 x8 reps [10.3, 45.4, 10.6]
+        # in the unreset sf1 sweep).  5 minutes bounds the dead-block
+        # window at negligible GC cost for any long-lived deployment.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,6 +34,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import reset_session_state
 from comlake_core_spark.session import get_spark
 from comlake_core_spark.workloads import REGISTRY
 from scripts.scale_curve import CUSTOM_OPS, build
@@ -129,6 +130,19 @@ def main() -> None:
         samples: dict[int, list[float]] = {f: [] for f in steps}
         for _ in range(REPS):
             for f in steps:
+                # r14: reset session state before every timed rep, exactly
+                # like bench.py's per-rep discipline (this script claims to
+                # extend the bench's methodology to sf1 and must share its
+                # session conditions).  Without it, each rep's materialized
+                # frames (cache blocks and — since the r14 checkpoint sweep
+                # — localCheckpoint blocks, which are spill-only, NOT
+                # LRU-evictable) linger until a JVM GC happens to run the
+                # ContextCleaner, and late queries in the sweep time GC/spill
+                # churn instead of their own plan: the unreset r14 sweep
+                # measured pretrain_pipeline_v2 x8 reps of [10.3, 45.4, 10.6]
+                # and containment x12 reps of [125, 92, 124] vs 74-101 in the
+                # r14-entry record.
+                reset_session_state(spark)
                 t0 = time.time()
                 fn(spark, dirs[f]).write.mode("overwrite").format("noop").save()
                 samples[f].append(time.time() - t0)
