@@ -406,11 +406,14 @@ def test_strip_boilerplate_and_oov_explode_corpus_once(spark):
     )
     plan = strip_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1
-    # oov_rate: the explode lives only inside the persisted (source, term)
-    # count relation — materialized once, read twice via InMemoryTableScan
+    # oov_rate: the explode lives only inside the materialized (source,
+    # term) count relation — since r14 a lazy localCheckpoint cut rather
+    # than a cache (OPTIMIZATION_r14.md Change 5), so it appears as a
+    # Scan ExistingRDD read twice, and NO Generate survives in the final
+    # plan (the one explode runs behind the cut, exactly once)
     plan2 = oov_rate(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan2.count("InMemoryTableScan") == 2
-    assert plan2.count("Generate") == plan2.count("InMemoryRelation")
+    assert plan2.count("Scan ExistingRDD") == 2, plan2
+    assert plan2.count("Generate") == 0, plan2
 
 
 # ---------------------------------------------------------------------------
