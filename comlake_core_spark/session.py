@@ -126,17 +126,22 @@ def get_spark(app_name: str = "comlake_core_spark", shuffle_partitions: int | No
         # notebook affordance, not worth a per-op RPC at any scale.
         # Static conf: must be set before the session exists.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        # r14: materialized-once frames are lazy localCheckpoints now (see
-        # OPTIMIZATION_r14.md Change 5) and their blocks are spill-only —
-        # NOT LRU-evictable like cache blocks — so in a long-lived session
-        # they are reclaimed only when the ContextCleaner's weak refs get
-        # processed, i.e. after a JVM GC happens to run.  The default
-        # periodic-GC interval (30min) let an unreset multi-query sweep
-        # accumulate dead blocks until random queries paid the GC/spill
-        # churn (measured: pretrain_pipeline_v2 x8 reps [10.3, 45.4, 10.6]
-        # in the unreset sf1 sweep).  5 minutes bounds the dead-block
-        # window at negligible GC cost for any long-lived deployment.
-        .config("spark.cleaner.periodicGC.interval", "5min")
+        # r14 NOTE on checkpoint-block lifetime: materialized-once frames
+        # are lazy localCheckpoints now (OPTIMIZATION_r14.md Change 5) and
+        # their blocks are spill-only — NOT LRU-evictable like cache
+        # blocks — so in a long-lived session they are reclaimed only when
+        # the ContextCleaner's weak refs get processed after a JVM GC.
+        # Sweeps/benches handle this with bench.reset_session_state's
+        # explicit per-rep GC (the unreset r14 sf1 sweep measured
+        # pretrain_pipeline_v2 x8 reps of [10.3, 45.4, 10.6] before that
+        # fix).  A lower spark.cleaner.periodicGC.interval (default 30min)
+        # is the deployment-side knob for sessions that run untrimmed for
+        # hours; it is deliberately NOT set here — the engine's own
+        # harnesses reset explicitly, and a background System.gc can land
+        # inside a timed query (back-to-back full benches with and without
+        # 5min read 112.25 s/canary 6.63 vs 115.14 s/canary 7.93 — the
+        # canary attributes that spread to the machine, not the knob, so
+        # the default stays and the knob stays documented, not set).
     )
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
