@@ -583,6 +583,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "canary_sec": canary_sec,
+                # exec-only total across ALL timed queries (VERDICT r14 #7):
+                # `value` follows the r14 build-inclusive convention, so a
+                # cross-round or cross-convention comparison needs the
+                # exec-only sum in the SAME stdout artifact — the r13→r14
+                # convention change produced four phantom "regressions"
+                # because only `value` was visible to the comparator.
+                # ADDITIVE: no existing key changes meaning.
+                "exec_total": round(sum(exec_sec.values()), 3),
                 "queries_timed": len(timings),
                 "queries": qdict,
                 "sf": sf_val,

@@ -1,32 +1,176 @@
 """One-sided set-containment join via AllPairs/PPJoin prefix filtering
 (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the near-superset detector
 Jaccard-threshold dedup structurally misses.
+
+r15 redesign (VERDICT r14 #1 — the capped verify join was the engine's one
+measured scale-killer: sf1 x8/x10/x12 = 16.0/26.3/97.5 s, fitted exponent
+4.37).  The r8-r14 shape attached each doc's STRING shingle array to every
+candidate pair through two verify joins; once the doc-array frame outgrew
+the 64 MB broadcast advisory (exactly the x10→x12 step), 37.8M candidates
+× ~1.7 KB of attached arrays went through a shuffle — tens of GB for a
+3 MB answer.  The redesign bounds every stage:
+
+  1. ONE ranked-postings frame (gram df join + per-doc (df asc, id asc)
+     window) is the only materialization; prefixes, the dst-side postings,
+     and the verify arrays are all views of it.
+  2. Candidates carry the exact PPJoin LENGTH filter (|S_dst| >= ceil(t·
+     |S_src|) — the oracle's own prefilter) and the POSITIONAL filter
+     (for the globally-first shared gram at positions (i, j):
+     overlap <= 1 + min(gc_src − i, gc_dst − j)), applied BEFORE the
+     verify.  Both are recall-preserving for any global gram order;
+     measured together at the sf1 x12 step they cut candidates
+     37.8M → 21.7M.
+  3. Verify arrays are DICTIONARY-ENCODED gram ids (long), not strings —
+     ~4x fewer bytes per candidate in the shuffle regime, and the
+     broadcast regime holds to ~4x more docs.  Ids ride the df join that
+     already exists (monotonically_increasing_id over the kept-gram
+     aggregate); they are an arbitrary bijection, so intersection COUNTS
+     — the only thing verification reads — are exactly the string-array
+     counts.  (Id assignment is per-evaluation; every consumer reads the
+     one checkpointed ranked frame, and Spark's indeterminate-stage
+     recompute machinery guards the assignment under task retries.)
+
+The max_df cap is now a plain df filter on the kept-gram aggregate (grams
+above the cap leave postings, prefixes, and verify sets alike — the same
+capped-universe semantics as before, same oracle).  The r9-r14 eager-fill
+/ stop-array / hot-strategy machinery existed to build CAPPED STRING
+ARRAYS cheaply; encoded sets come straight from the kept postings, so that
+machinery is gone.  Measured (interleaved, fn+force medians): sf0.1
+2.2 → ~1.5 s; sf1 x8 13.5 → 12.2 s, x10 20.2 → 14.2 s, x12 88 → ~18 s —
+results bit-identical at every step (512/312704/501100/732720 rows).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.operators.dedup.minhash import shingles
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
-#: binding-cap eager-fill shape: "count" (the r12 shape — a dedicated
-#: sets.count() fill pass) or "prefix" (the r13 candidate fold — the
-#: eager action is a persisted prefix build, one action filling both
-#: caches).  MEASURED at the binding x10 step (interleaved A/B, 3 reps
-#: each, alternating order, full reset — SCALING.md r13): count
-#: premium-vs-uncapped 1.14, prefix 1.28.  The fold LOSES: pulling the
-#: prefix window into its own job duplicates the posts explode that the
-#: main job's exchange reuse otherwise shares between the prefix side
-#: and the postings side of the candidate join, and that duplicated
-#: exchange costs more than the memory-speed fill pass it removes.
-#: Together with the r11 lazy-fill bisect (90-137 s vs 36 s) this pins
-#: the eager count fill as the floor (VERDICT r12 #4): decision job +
-#: fill job is the minimum shape while empty-cap parity with the
-#: uncapped plan is a requirement.
-_FILL_MODE = "count"
+#: packing base for the positional-filter min aggregate: (i << 32) | j is
+#: ordered exactly like struct(i, j) while staying a single codegen'd
+#: long min — valid while per-doc gram counts stay below 2^31 (a 2-billion
+#: -gram single document).
+_PACK = 1 << 32
+
+
+def _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df):
+    """(ranked postings, encoded sets) under the optional df stop-cap.
+
+    ranked: one row per (doc, kept gram) with the gram's dictionary id,
+    the doc's rank of the gram in the global (df asc, gid asc) order, the
+    doc's kept-gram count, and the required overlap ceil(t·gc − 1e−9)
+    (epsilon-guarded so an exactly-integral t·gc never rounds up and
+    shortens the prefix — ADVICE r8).  isets: per-doc long-id arrays +
+    counts for verification.  ranked is the single lazy localCheckpoint:
+    it is consumed three times (prefix side, postings side, encoded sets)
+    and its lineage is the corpus explode + df aggregate."""
+    t = float(threshold)
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh")
+    )
+    # explode_outer + isnotnull, NOT explode: InferFiltersFromGenerate
+    # turns a plain explode into a `size(<input>) > 0` filter, and
+    # predicate pushdown inlines the WHOLE shingle expression through the
+    # projection and the parallelism exchange down to the scan side —
+    # measured at sf0.1 as two concurrent single-task 3 s stages (the
+    # full tokenize+shingle pipeline evaluated serially per scan split,
+    # then AGAIN in the parallel projection).  An outer explode implies
+    # no such filter; the explicit isnotnull on the GENERATE OUTPUT
+    # cannot be pushed below the generate, and empty/null shingle arrays
+    # drop exactly as explode dropped them.
+    posts = sh.select("_id", F.explode_outer("_sh").alias("_g")).filter(
+        F.col("_g").isNotNull()
+    )
+    dfreq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        # the cap IS the universe filter: grams above it leave postings,
+        # prefixes, and verify sets alike, so the operator stays EXACT
+        # for the capped similarity (containment over non-boilerplate
+        # grams) — the same redefinition sparse_cosine_topk's max_df
+        # applies to its vector space, and the oracle mirrors it.
+        dfreq = dfreq.filter(F.col("_df") <= int(max_df))
+    # dictionary ids ride the df join that exists anyway — no extra
+    # shuffle, no separate dict materialization (a checkpointed dict was
+    # measured: it broke the explode's exchange reuse AND the join's
+    # broadcast estimate, +3 s at sf0.1)
+    dic = dfreq.withColumn("_gid", F.monotonically_increasing_id())
+    cposts = posts.join(dic, "_g").select("_id", "_gid", "_df")
+    wid = Window.partitionBy("_id")
+    w = wid.orderBy(F.asc("_df"), F.asc("_gid"))
+    # (df asc, gid asc) is a total order over kept grams shared by every
+    # doc — prefix recall (pigeonhole over the rarest-first prefix) and
+    # the positional bound only need the order to be GLOBAL, not any
+    # particular one, so swapping the r8-r14 string tie-break for the id
+    # changes which pairs are CANDIDATES but provably not which pairs
+    # VERIFY (oracle-checked bit-identical at sf0.1 and sf1 x8/x10/x12).
+    ranked = (
+        cposts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_gc", F.count(F.lit(1)).over(wid))
+        .drop("_df")
+        .transform(materialize)
+        .withColumn("_req", F.ceil(F.lit(t) * F.col("_gc") - F.lit(1e-9)).cast("long"))
+    )
+    isets = ranked.groupBy("_id").agg(
+        F.collect_list("_gid").alias("_sh"), F.first("_gc").alias("_gc")
+    )
+    return ranked, isets
+
+
+def _containment_cand(ranked: DataFrame) -> DataFrame:
+    """Prefix-vs-postings candidate equi-join with the exact LENGTH and
+    POSITIONAL prunes, shared by the operator and the volume-measuring
+    helper so a future cap/fix lands in both.
+
+    - prefix side: each doc's first (gc − req + 1) grams in the global
+      order — by pigeonhole any dst reaching overlap req shares at least
+      one of them (100% recall, exact);
+    - length: |S_dst| >= req(src), else containment < t regardless of
+      overlap (the oracle's own prefilter);
+    - positional: the group-min of the packed (i, j) position pair is the
+      globally-FIRST shared gram (both docs order by the same global
+      key), and every other shared gram sits strictly after it in BOTH
+      docs, so overlap <= 1 + min(gc_src − i, gc_dst − j); pairs whose
+      bound cannot reach req are pruned before any array is attached.
+
+    Returns one row per surviving candidate: (_src, _dst, _gca)."""
+    pref = ranked.filter(F.col("_rn") <= F.col("_gc") - F.col("_req") + F.lit(1)).select(
+        F.col("_id").alias("_src"),
+        "_gid",
+        F.col("_rn").alias("_i"),
+        F.col("_gc").alias("_gca"),
+        F.col("_req").alias("_reqa"),
+    )
+    post = ranked.select(
+        F.col("_id").alias("_dst"), "_gid", F.col("_rn").alias("_j"), F.col("_gc").alias("_gcb")
+    )
+    return (
+        pref.join(post, "_gid")
+        .filter((F.col("_src") != F.col("_dst")) & (F.col("_gcb") >= F.col("_reqa")))
+        .groupBy("_src", "_dst")
+        .agg(
+            F.min(F.col("_i") * F.lit(_PACK) + F.col("_j")).alias("_p"),
+            F.min("_gca").alias("_gca"),
+            F.min("_gcb").alias("_gcb"),
+            F.min("_reqa").alias("_reqa"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("_gca") - F.shiftright("_p", 32),
+                F.col("_gcb") - F.col("_p").bitwiseAND(F.lit(_PACK - 1)),
+            )
+            >= F.col("_reqa")
+        )
+        .select("_src", "_dst", "_gca")
+    )
+
+
+def _check_hot_strategy(hot_strategy: str) -> None:
+    if hot_strategy not in ("broadcast", "join"):
+        raise ValueError(f"hot_strategy must be 'broadcast' or 'join', got {hot_strategy!r}")
 
 
 def containment_candidates(
@@ -40,207 +184,11 @@ def containment_candidates(
 ) -> DataFrame:
     """Candidate-pair generation for ``containment_pairs_prefix`` —
     exposed separately so tests can measure candidate VOLUME (the thing
-    the ``max_df`` stop-cap bounds) independent of verification.
-    Returns distinct (_src, _dst) candidate pairs."""
-    _, pref, posts = _containment_stages(
-        df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy
-    )
-    return _containment_cand(pref, posts)
-
-
-def _containment_cand(pref: DataFrame, posts: DataFrame) -> DataFrame:
-    """Prefix-vs-postings candidate equi-join, shared by the operator and
-    the volume-measuring helper so a future cap/fix lands in both."""
-    return (
-        pref.join(posts.select(F.col("_id").alias("_dst"), "_g"), "_g")
-        .filter(F.col("_src") != F.col("_dst"))
-        .select("_src", "_dst")
-        .distinct()
-    )
-
-
-def _containment_stages(
-    df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy="broadcast"
-):
-    """(doc shingle sets, prefix rows, postings) under the optional df
-    stop-cap.  With ``max_df`` set, grams with corpus document frequency
-    above it are removed from the SHINGLE UNIVERSE itself — postings
-    feeding prefixes, AND the verification sets — so the operator stays
-    EXACT for the capped similarity (containment over non-boilerplate
-    grams), the same redefinition ``sparse_cosine_topk``'s max_df
-    applies to its vector space.  Required-overlap arithmetic uses an
-    epsilon-guarded ceil: ceil(t·gc − 1e−9) is the smallest integer ≥
-    t·gc even when the double product rounds a hair above an exactly-
-    integral value, which plain ceil would overestimate by 1 —
-    shortening the prefix and breaking the recall guarantee at exact-
-    threshold pairs (ADVICE r8).
-
-    Plan shape (the r9 first cut persisted the EXPLODED gram frame and
-    rebuilt verify arrays with a corpus-wide collect_list — 5× slower at
-    sf0.1; this shape keeps the r8 skeleton):
-    - the persisted frame is the DOC-LEVEL arrays (small cache);
-    - an O(1) driver probe decides whether any gram exceeds the cap:
-      when none does (the common case), the sets are the raw arrays
-      with no per-doc work at all; when the cap binds, hot grams leave
-      the verify sets by map-side array_except against the one-row
-      broadcast stop array.  (Lineage of this spot: the r9 shape built
-      per-doc hot lists with a posts⋈hot aggregate + doc-keyed left
-      join — the 2.37→2.88 s regression, VERDICT r9 #3; the r10 shape
-      always paid the stop-array fold, VERDICT r10 #4; an r11 first cut
-      inlined driver-collected hot grams as an array LITERAL, which the
-      extended sf1 validation caught blowing the binding-cap 10x step
-      22 s → 116 s — the literal re-ships per task where the broadcast
-      ships once per executor.  The probe+broadcast shape keeps empty-
-      cap parity with uncapped AND the r10 binding-cap scale curve.);
-    - the candidate join probes prefixes against RAW postings: prefixes
-      never contain capped-out grams, so hot postings simply never
-      match — no postings-side filter materializes."""
-    t = float(threshold)
-    sh = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k_shingle).alias("_sh"))
-        .persist()  # doc-level arrays feed postings (×3) and verify sets
-    )
-    posts = sh.select("_id", F.explode("_sh").alias("_g"))
-    dfreq_all = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    if max_df is not None:
-        # two consumers under the cap (kept side feeds prefixes, hot side
-        # feeds the verify-set filter) — persist the O(distinct grams)
-        # aggregate so the corpus-wide count shuffle runs once, not twice
-        dfreq_all = dfreq_all.persist()
-    dfreq = dfreq_all.filter(F.col("_df") <= int(max_df)) if max_df is not None else dfreq_all
-
-    def _prefixes(from_posts: DataFrame) -> DataFrame:
-        wid = Window.partitionBy("_id")
-        w = wid.orderBy(F.asc("_df"), F.asc("_g"))
-        # inner join doubles as the universe filter: capped-out grams
-        # never enter the ordering, the per-doc count, or the prefix
-        return (
-            from_posts.join(dfreq, "_g")
-            .withColumn("_rn", F.row_number().over(w))
-            .withColumn("_gce", F.count(F.lit(1)).over(wid))
-            .withColumn(
-                "_req", F.ceil(F.lit(t) * F.col("_gce") - F.lit(1e-9)).cast("long")
-            )
-            .filter(F.col("_rn") <= F.col("_gce") - F.col("_req") + F.lit(1))
-            .select(F.col("_id").alias("_src"), "_g")
-        )
-    if max_df is not None and hot_strategy == "broadcast":
-        # r12 (VERDICT r11 #4): ONE action both decides whether the cap
-        # binds AND returns the hot grams — collecting the filtered df
-        # aggregate evaluates EVERY partition of dfreq_all, so the
-        # persist fills COMPLETELY in this job and the stop array, the
-        # prefix join's dfreq, and the verify path all read pure cache.
-        # The r11 probe was take(1): it materialized only a fraction of
-        # the reduce partitions, so the stop-array aggregate and the
-        # prefix join each re-ran the df explode over the remaining
-        # partitions — the "exact-df pre-pass as a separate job" premium
-        # the r11 verdict flagged (capped 40.6 s vs uncapped 33.9 s at
-        # the binding x10 step).  One scan now feeds both the doc arrays
-        # (the sh persist fills under the same action) and the stop set.
-        # Empty hot set (the common case until boilerplate appears) →
-        # the sets ARE the raw arrays: no crossJoin, no array_except, no
-        # per-doc work, and the main job pipelines like the uncapped
-        # plan.  Non-empty hot → a one-row stop-array DataFrame built
-        # from the collected grams, broadcast onto every doc: the
-        # broadcast ships ONCE per executor — NOT an array literal,
-        # which re-ships per task and blew the binding-cap 10x step
-        # 22 s → 116 s when an r11 first cut tried it (BENCH_SF1 r11
-        # bisect).  The driver-side hot list is bounded by the
-        # boilerplate vocabulary; when |hot| rivals the corpus
-        # vocabulary use hot_strategy='join', which never materializes
-        # the hot set on one node.
-        hot_grams = [
-            r["_g"]
-            for r in dfreq_all.filter(F.col("_df") > int(max_df)).select("_g").collect()
-        ]
-        if hot_grams:
-            stop_arr = df.sparkSession.createDataFrame(
-                [(hot_grams,)], "_stop array<string>"
-            )
-            # persist the CAPPED arrays: the verify join reads `sets` on
-            # BOTH sides, and leaving each side to re-evaluate the
-            # nested-loop stop-array fold inside the sort-merge pipeline
-            # measured 136 s where the materialized cache measures 36 s
-            # at the binding-cap 10x step (BENCH_SF1 r11 bisect) — same
-            # O(docs) cache class as `sh`, only paid when the cap binds
-            sets = (
-                sh.crossJoin(F.broadcast(stop_arr))
-                .select("_id", F.array_except("_sh", "_stop").alias("_sh"))
-                .withColumn("_gc", F.size("_sh"))
-                .filter(F.col("_gc") > 0)
-                .persist()
-            )
-            # r12: with the capped universe materialized, postings and
-            # prefixes derive from it instead of the raw arrays — the
-            # candidate join then never shuffles a hot-gram posting row
-            # (each hot gram drags a near-corpus-sized posting list into
-            # the _g exchange and can never match a prefix gram), and
-            # the raw-array cache is fully superseded, so it is released
-            # (ADVICE r11: bound cache growth across repeated builds).
-            # Results are identical: prefixes were already built from
-            # the capped universe (the dfreq inner join), an all-hot dst
-            # can only match via hot grams — which never reach prefixes
-            # — and capped-empty docs generate no prefix rows either.
-            posts = sets.select("_id", F.explode("_sh").alias("_g"))
-            # materialize EAGERLY (index-build style, like the IVF
-            # checkpoints): leaving the fill to the verify job lets the
-            # two probe-side exchange stages race to compute the
-            # nested-loop fold inside their sort-merge pipelines — the
-            # binding-cap 10x step measured 90-137 s lazy vs 36 s eager
-            # with identical plans (BENCH_SF1 r11 bisect).  The r13
-            # candidate fold (_FILL_MODE="prefix": make the eager action
-            # a persisted prefix build so one action fills both caches)
-            # MEASURED WORSE — see the _FILL_MODE note at the top of the
-            # module — so the dedicated count fill stands as the floor.
-            # `sh` is released only AFTER the fill (ADVICE r13): the
-            # fill pass reads the cached raw arrays; unpersisting first
-            # made it recompute the shingle lineage from the scan.
-            if _FILL_MODE == "prefix":
-                pref = _prefixes(posts).persist()
-                pref.count()
-                sh.unpersist(False)
-                return sets, pref, posts
-            sets.count()  # the measured floor (VERDICT r12 #4)
-            sh.unpersist(False)
-        else:
-            sets = sh.withColumn("_gc", F.size("_sh"))
-    elif max_df is not None:
-        if hot_strategy != "join":
-            raise ValueError(f"hot_strategy must be 'broadcast' or 'join', got {hot_strategy!r}")
-        # shuffle-bounded hot handling for corpus-scale hot sets: per-doc
-        # hot lists from hot OCCURRENCES only (posts⋈hot + doc-keyed
-        # left join).  Costs two extra shuffles even when the cap does
-        # not bind — the r9 default and the measured 2.37→2.88 s bench
-        # regression — but never materializes the hot set on one task,
-        # so it is the right shape when |hot| rivals the vocabulary.
-        hot = dfreq_all.filter(F.col("_df") > int(max_df)).select("_g")
-        doc_hot = posts.join(hot, "_g").groupBy("_id").agg(F.collect_list("_g").alias("_hot"))
-        empty = F.array().cast("array<string>")
-        # persisted for the same both-sides-of-verify reason as the
-        # broadcast branch (the binding-cap 10x bisect, r11)
-        sets = (
-            sh.join(doc_hot, "_id", "left")
-            .select("_id", F.array_except("_sh", F.coalesce("_hot", empty)).alias("_sh"))
-            .withColumn("_gc", F.size("_sh"))
-            .filter(F.col("_gc") > 0)
-            .persist()
-        )
-        # capped postings + fill-then-release, same as the broadcast
-        # branch (ADVICE r13: the fill reads the sh cache, then drops it)
-        posts = sets.select("_id", F.explode("_sh").alias("_g"))
-        if _FILL_MODE == "prefix":
-            # eager fill via the prefix build — same one-action fold as
-            # the broadcast branch (r13)
-            pref = _prefixes(posts).persist()
-            pref.count()
-            sh.unpersist(False)
-            return sets, pref, posts
-        sets.count()  # eager fill — same race as the broadcast branch
-        sh.unpersist(False)
-    else:
-        sets = sh.withColumn("_gc", F.size("_sh"))
-    return sets, _prefixes(posts), posts
+    the ``max_df`` stop-cap and the length/positional prunes bound)
+    independent of verification.  Returns distinct (_src, _dst) pairs."""
+    _check_hot_strategy(hot_strategy)
+    ranked, _ = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
+    return _containment_cand(ranked).select("_src", "_dst")
 
 
 def containment_pairs_prefix(
@@ -263,50 +211,45 @@ def containment_pairs_prefix(
     Algorithm: AllPairs/PPJoin-style PREFIX FILTERING (Bayardo et al.
     WWW'07; Xiao et al. WWW'08), the exact-recall counterpart to LSH:
 
-      1. one corpus pass computes shingle document frequencies;
-      2. each doc orders its shingles by (df asc, shingle asc) — the
-         canonical global order that puts the RAREST shingles first —
-         and keeps only its PREFIX of size |S| - ceil(t·|S|) + 1: by
+      1. one corpus pass computes shingle document frequencies (grams
+         above ``max_df`` leave the universe — the 100 TB boilerplate
+         lever, VERDICT r8 #3 — and the surviving grams get dictionary
+         ids on the same join);
+      2. each doc orders its kept grams by (df asc, id asc) — the
+         canonical global order that puts the RAREST grams first — and
+         keeps only its PREFIX of size |S| − ceil(t·|S|) + 1: by
          pigeonhole, any dst reaching overlap ceil(t·|S_src|) must share
-         at least one prefix shingle, so joining src PREFIXES against
-         the FULL posting list loses nothing (100% recall, exact);
-      3. candidates are verified with the exact intersection from the
-         stored shingle arrays.
+         at least one prefix gram (100% recall, exact);
+      3. candidates that survive the exact LENGTH and POSITIONAL bounds
+         (see _containment_cand) are verified with the exact
+         intersection of the two docs' encoded-id arrays.
 
     Scale: no all-pairs anywhere — candidate volume is Σ_gram
-    |prefix postings| × |postings|, and frequency-ascending prefix
-    ordering makes prefix postings the rare grams.  ``max_df`` is the
-    100 TB lever for the df tail's worst case (VERDICT r8 #3): grams
-    above the cap leave the shingle UNIVERSE (postings, prefixes, and
-    verify sets alike — see _containment_stages), so a boilerplate gram
-    shared by the whole corpus can no longer meet a corpus-sized posting
-    list; the operator stays exact for the capped similarity, and the
-    oracle mirrors the same universe filter.  Two aggregate shuffles
-    (df count, per-doc prefix window) + the candidate equi-join;
-    verification joins are id-keyed.  Same shingle machinery as the LSH
-    family (operators/dedup.shingles), so the SQL oracle twin matches
-    bit-for-bit.
+    |prefix postings| × |postings|, bounded per gram by the df cap; the
+    length/positional prunes then drop pairs that cannot reach the
+    threshold BEFORE the verify joins attach anything, and what the
+    verify attaches is a compact long-id array per side.  Two aggregate
+    shuffles (df count, per-doc window — both corpus-pass-shaped), the
+    candidate equi-join, one pair-keyed aggregate, and two id-keyed
+    verify joins whose small side is the per-doc encoded-set frame (AQE
+    broadcasts it while it fits; past that it is a shuffled-hash join of
+    ~40-byte rows per gram, not ~1.7 KB string arrays).  Same shingle
+    machinery as the LSH family (operators/dedup.shingles), so the SQL
+    oracle twin matches bit-for-bit.
 
-    Build-time contract (ADVICE r11): with ``max_df`` set, CONSTRUCTING
-    the returned DataFrame runs Spark actions — one job collects the
-    hot-gram stop set (freezing the cap-binding decision against the
-    data as of build time), and when the cap binds a second job eagerly
-    materializes the capped verify arrays (the lazy fill measured 90-137
-    s vs 36 s eager at the binding 10x step — BENCH_SF1 r11 bisect).
-    The builds persist the doc-array, gram-df, and (binding only) capped-
-    set caches for the lifetime of the returned plan; they are NOT
-    unpersisted here because the result reads them on every execution.
-    Long-lived sessions building repeatedly should bound cache growth
-    with ``spark.catalog.clearCache()`` between builds (bench.py's
-    reset_session_state does exactly this) or rebuild against a fresh
-    session."""
+    ``hot_strategy`` is kept for API compatibility (r9-r14 had two hot-
+    gram materialization shapes; the encoded-set design has no hot-gram
+    materialization at all — the cap is a filter on the df aggregate —
+    so both accepted values run the identical plan).  Construction runs
+    no Spark action; the ranked-postings frame materializes lazily (one
+    localCheckpoint) at the first action and is released by the
+    ContextCleaner when the returned plan goes unreachable."""
+    _check_hot_strategy(hot_strategy)
     t = float(threshold)
-    sets, pref, posts = _containment_stages(
-        df, threshold, text_col, id_col, k_shingle, max_df, hot_strategy
-    )
-    cand = _containment_cand(pref, posts)
-    a = sets.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"), F.col("_gc").alias("_gca"))
-    b = sets.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))
+    ranked, isets = _containment_stages(df, threshold, text_col, id_col, k_shingle, max_df)
+    cand = _containment_cand(ranked)
+    a = isets.select(F.col("_id").alias("_src"), F.col("_sh").alias("_sha"))
+    b = isets.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_shb"))
     return (
         cand.join(a, "_src")
         .join(b, "_dst")
@@ -321,4 +264,3 @@ def containment_pairs_prefix(
             "containment",
         )
     )
-

@@ -8,9 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from comlake_core_spark.session import materialize
+
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+    edges_cut: bool = False,
 ) -> DataFrame:
     """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
     components by min-label propagation. Returns (node, component) where
@@ -32,7 +38,21 @@ def connected_components(
     dedup similarity edges don't produce. Convergence is checked with a
     cheap sum(label) aggregate (strictly decreasing until fixpoint), and
     each round localCheckpoints to keep the plan from growing with the
-    iteration count (on a cluster: checkpoint to reliable storage)."""
+    iteration count (on a cluster: checkpoint to reliable storage).
+
+    ``max_iter`` counts PROPAGATION ROUNDS, and the fused label seed (see
+    below) IS round 1, so max_iter must be >= 1 (ADVICE r14: the r14 seed
+    fold silently turned max_iter=0 into one round; now it raises).
+
+    ``edges_cut=True`` declares that ``pairs`` is ALREADY materialized
+    (e.g. the caller localCheckpointed it to share with another
+    consumer); the symmetrized view is then left as a cheap union over
+    the caller's blocks instead of being checkpointed again — without
+    the flag, callers like leakage_safe_split held BOTH the raw pair
+    blocks AND a 2x symmetrized copy for the lifetime of the plan
+    (ADVICE r14: ~3x edge rows as spill-only blocks)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1 (the label seed is round 1), got {max_iter}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -49,7 +69,11 @@ def connected_components(
     # stays one round deep, immune to clearCache/LRU eviction; blocks are
     # released by the ContextCleaner when the loop's frames go
     # unreachable.  On a cluster: checkpoint to reliable storage.
-    sym = sym.localCheckpoint(eager=False)
+    # When the caller already cut `pairs`, the union is two map-only
+    # reads of those blocks per consumer — re-checkpointing it would
+    # store the edge set a second time (2x rows) for no lineage benefit.
+    if not edges_cut:
+        sym = sym.transform(materialize)
     # seed = round 1, fused (r14): with initial labels label(v)=v, the
     # first propagation round computes least(v, min(N(v))) — which is
     # exactly ONE aggregate over the symmetrized edges (every node
@@ -128,7 +152,7 @@ def pagerank(
     # lineage, immune to clearCache and LRU eviction (same rationale as
     # jaccard_topk_similar's corpus cut; on a cluster checkpoint to
     # reliable storage instead).
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(materialize)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
     base = scale * (100 - damping_pct) // 100
     r = deg.select("node", "d", F.lit(scale).cast("long").alias("r"))
@@ -219,7 +243,7 @@ def bfs_depth(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # relax over a (depth, seed) struct: struct min is lexicographic, so
     # min() still relaxes on depth first and tie-breaks deterministically

@@ -10,7 +10,7 @@ from pyspark.sql.window import Window
 
 from comlake_core_spark.operators.dedup.minhash import minhash_lsh_pairs, shingles
 from comlake_core_spark.operators.text.core import tokens
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def ngram_jaccard_pairs(
@@ -175,7 +175,7 @@ def jaccard_topk_similar(
         # measured WORSE: AQE does not reuse the exchange across the
         # broadcast-subquery boundary, so it re-scanned anyway and paid
         # two full posting sorts on top — 5.8 s vs 2.8 s at sf0.1.)
-        c = c.localCheckpoint(eager=False)
+        c = c.transform(materialize)
         stop_arr = (
             c.select(F.explode("_cg").alias("_g"))
             .groupBy("_g")

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.operators.text.core import tokens
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
@@ -43,8 +43,11 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 32) -> Column
     collapses to one position-dependent function (found via the
     dedup_minhash_lsh brute-force oracle in round 2)."""
     if isinstance(shingle_col, str):
+        from comlake_core_spark.session import sql_ident
+
+        sq = sql_ident(shingle_col)  # ADVICE r14: quote the interpolated identifier
         mins = ", ".join(
-            f"array_min(transform({shingle_col}, s -> xxhash64(s, {i})))"
+            f"array_min(transform({sq}, s -> xxhash64(s, {i})))"
             for i in range(num_hashes)
         )
         return F.expr(f"array({mins})")
@@ -97,7 +100,7 @@ def minhash_lsh_pairs(
         # materialization of the signature index, minus the columnar
         # cache-write overhead (measured pattern: market_basket A/B
         # persist 2.49 s / checkpoint 1.73 s)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     banded = docs.select(
@@ -125,7 +128,7 @@ def minhash_lsh_pairs(
         .distinct()
         # r14: cut — consumed by the id fanout below AND the verify join;
         # each reference would otherwise re-run the banded self-join
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     # exact-Jaccard verify over candidate docs only: semi-join the corpus
@@ -237,7 +240,7 @@ def minhash_lsh_pairs_incremental(
     # columnar cache write as pure overhead for once-per-run readers,
     # and the cut keeps the downstream plans from re-inlining the
     # signature cascade per reference)
-    new_b = _banded(new_df).localCheckpoint(eager=False)
+    new_b = _banded(new_df).transform(materialize)
 
     # new × old: every bucket collision across the index boundary
     vs_old = new_b.join(
@@ -257,7 +260,7 @@ def minhash_lsh_pairs_incremental(
     # cut the candidate set once (r14): it is consumed by the id fanout
     # below AND by the verify join, and each reference would otherwise
     # re-run BOTH banded joins (vs_old and vs_new) end to end
-    candidates = vs_old.unionByName(vs_new).distinct().localCheckpoint(eager=False)
+    candidates = vs_old.unionByName(vs_new).distinct().transform(materialize)
 
     # exact-Jaccard verify on candidates only (same discipline as the
     # batch operator: re-shingle only docs that appear in a candidate)
@@ -271,7 +274,7 @@ def minhash_lsh_pairs_incremental(
     # semi-join + candidate re-shingle runs once, not per join leg
     sh = corpus.join(cand_ids, "_id", "left_semi").select(
         "_id", shingles("_txt", k_shingle).alias("_sh")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     return (
         candidates.join(sh.withColumnsRenamed({"_id": "new_id", "_sh": "_sh_a"}), "new_id")
         .join(sh.withColumnsRenamed({"_id": "match_id", "_sh": "_sh_b"}), "match_id")

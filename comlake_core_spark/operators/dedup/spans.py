@@ -8,7 +8,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def winnow_dedup_pairs(
@@ -131,7 +131,7 @@ def common_span_coverage(
     pos = (
         base.select(F.col(id_col), F.explode("_g").alias("_e"))
         .select(F.col(id_col), F.col("_e.pos").alias("pos"), F.col("_e.gram").alias("gram"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     dup = (
         pos.groupBy("gram")

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def stratified_cap(
@@ -298,11 +298,13 @@ def leakage_safe_split(
     # and by the cross-split leakage count below — and for an LSH edge set
     # its lineage is the whole shingle/band/verify cascade.  Cut it once
     # so both consumers read materialized blocks instead of re-running the
-    # cascade (connected_components checkpoints its own symmetrized view,
-    # but the crossing count would still replay the raw pairs without
-    # this).  Lazy: materialized by the components' first action.
-    pairs = pairs.localCheckpoint(eager=False)
-    comp = connected_components(pairs, id_a=id_a, id_b=id_b)  # (node, component)
+    # cascade.  edges_cut=True tells connected_components NOT to checkpoint
+    # its symmetrized view on top of this cut (ADVICE r14: the double
+    # materialization held ~3x edge rows as spill-only blocks); its rounds
+    # instead union this cut's blocks per pass — map-only reads.
+    # Lazy: materialized by the components' first action.
+    pairs = pairs.transform(materialize)
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, edges_cut=True)
     docs = df.select(F.col(id_col).alias("_id"))
     with_rep = docs.join(comp, docs["_id"] == comp["node"], "left").select(
         "_id", F.coalesce("component", F.col("_id")).alias("_rep")

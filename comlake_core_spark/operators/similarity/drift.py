@@ -8,6 +8,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from comlake_core_spark.session import sql_ident
+
 
 def centroid_drift(
     df: DataFrame,
@@ -43,9 +45,10 @@ def centroid_drift(
     # 32,458 socket recv calls inside fn()).  One parsed SQL string per
     # output column is the identical expression tree at ~200 round trips.
     q = quantize
+    vq = sql_ident(vec_col)  # ADVICE r14: quote the interpolated identifier
 
     def comp(i: int) -> str:
-        return f"round(cast(element_at({vec_col}, {i + 1}) as double), {q})"
+        return f"round(cast(element_at({vq}, {i + 1}) as double), {q})"
 
     g = df.groupBy(F.col(label_col).alias("label"), split.alias("_par")).agg(
         F.count(F.lit(1)).alias("_n"),

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from comlake_core_spark.session import materialize
+
 
 def pca_power_iteration(
     emb: DataFrame,
@@ -70,7 +72,7 @@ def pca_power_iteration(
             "_j",
             F.expr(f"CAST(_g38 div {gram_shrink} AS BIGINT)").alias("_g"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     dims = gram.select(F.col("_i").alias("_j")).distinct()
     v = dims.select("_j", F.lit(1_000_000).cast("long").alias("_v"))

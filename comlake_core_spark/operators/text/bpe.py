@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from comlake_core_spark.session import materialize
+
 
 def bpe_merges(
     df: DataFrame,
@@ -65,7 +67,7 @@ def _bpe_chain(df, text_col, merges, end_marker):
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")),
         F.lit("  " + end_marker),
     )
-    cur = words.select("word", seq0.alias("seq"), "cnt").localCheckpoint(eager=False)
+    cur = words.select("word", seq0.alias("seq"), "cnt").transform(materialize)
     out = None
     for rank in range(1, merges + 1):
         arr = F.split(F.col("seq"), "  ")
@@ -115,7 +117,7 @@ def _bpe_chain(df, text_col, merges, end_marker):
                     )
                 ).alias("seq"),
                 "cnt",
-            ).localCheckpoint(eager=False)
+            ).transform(materialize)
     return out, cur
 
 

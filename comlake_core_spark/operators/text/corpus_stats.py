@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.operators.text.core import _clean_tokens, tokens
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def ngram_novelty(
@@ -104,7 +104,7 @@ def oov_rate(
         # lazy localCheckpoint, not persist (r14 A/B: the columnar cache
         # write is overhead for once-per-run readers; the cut also
         # truncates both readers' plans)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     top = (
         per.groupBy("_t")

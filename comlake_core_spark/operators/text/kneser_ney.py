@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from comlake_core_spark.operators.text.core import tokens
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def _kn_trigram_scores(
@@ -86,7 +86,7 @@ def _kn_trigram_scores(
     # stops the rollups' plans from re-inlining the corpus explode.  The
     # materialize-once guarantee is unchanged — stronger, in fact: a
     # checkpoint cannot be silently recomputed under cache eviction.
-    cw = base.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3")).localCheckpoint(eager=False)
+    cw = base.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3")).transform(materialize)
     c3 = cw.filter(F.col("w3").isNotNull())
     # highest-order context totals + distinct-continuation counts (both
     # rollups of the already-aggregated c3 — no second corpus pass)
@@ -106,7 +106,7 @@ def _kn_trigram_scores(
     cont = (
         cw.groupBy(F.col("w2").alias("w3c"))
         .agg(F.count_distinct(F.col("w1")).alias("_n1bw"))
-        .localCheckpoint(eager=False)  # same rationale as cw above
+        .transform(materialize)  # same rationale as cw above
     )
     n1all = cont.agg(F.sum("_n1bw").cast("double").alias("_n1all"))
 

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from comlake_core_spark.operators.text.core import tokens
-from comlake_core_spark.session import ensure_parallelism
+from comlake_core_spark.session import ensure_parallelism, materialize
 
 
 def unigram_logprob(
@@ -38,7 +38,7 @@ def unigram_logprob(
     ).filter(F.col("term") != "")
     # r14: lazy localCheckpoint, not persist (cache write is overhead
     # for once-per-run readers; cut truncates the scoring join's plan)
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=False)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c")).transform(materialize)
     total = vocab.agg(F.sum("_c").cast("double").alias("_t"))
     contrib = F.round(F.log(F.col("_c").cast("double") / F.col("_t")), quantize).cast(
         f"decimal(20,{quantize})"
@@ -102,7 +102,7 @@ def bigram_backoff_logprob(
     toks_arr = F.filter(tokens(lowered), lambda x: x != "")
 
     lm_toks = ensure_parallelism(lm_df).select(F.explode(toks_arr).alias("_w"))
-    uni = lm_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=False)  # r14: same rationale as unigram_logprob's vocab cut
+    uni = lm_toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).transform(materialize)  # r14: same rationale as unigram_logprob's vocab cut
     totals = uni.agg(
         F.sum("_c").cast("double").alias("_n"),
         F.count(F.lit(1)).cast("double").alias("_v"),

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from comlake_core_spark.session import materialize
+
 from comlake_core_spark.operators.text.core import _clean_tokens, tokens
 
 
@@ -46,7 +48,7 @@ def top_terms_tfidf(
     # join — without it each consumer re-tokenizes the whole corpus. tf is
     # the compacted (doc, distinct-term) frame, far smaller than the raw
     # token explosion; at 100 TB write it as a table and reuse across runs.
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)  # r14: checkpoint, not cache (see bm25 note below)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).transform(materialize)  # r14: checkpoint, not cache (see bm25 note below)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     ratio = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
@@ -109,7 +111,7 @@ def bm25_search(
     # effect without the columnar cache write (measured pattern: KN A/B
     # persist 3.04 s vs checkpoint 2.17 s), and the lineage cut keeps
     # each reader's plan from re-inlining the corpus tokenization
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=False)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")).transform(materialize)
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n_docs")
     )
@@ -117,7 +119,7 @@ def bm25_search(
         toks.filter(F.col("term").isin(*query_terms))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from comlake_core_spark.session import materialize
+
 from comlake_core_spark.operators.text.core import tokens
 
 
@@ -101,7 +103,7 @@ def js_divergence_by_group(
     # totals, group totals, and the grand total are all rollups of that
     # groups×buckets-row table (a naive four-aggregate version scans the
     # corpus four times)
-    gb = tok.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(eager=False)
+    gb = tok.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c")).transform(materialize)
     bt = gb.groupBy("_b").agg(F.sum("_c").alias("_cb"))
     gt = gb.groupBy("_g").agg(F.sum("_c").alias("_ng"))
     n_all = gb.groupBy().agg(F.sum("_c").alias("_n"))

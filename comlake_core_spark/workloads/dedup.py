@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.qast.compiler import compile_predicate, default_resolver
-from comlake_core_spark.session import tables
+from comlake_core_spark.session import materialize, tables
 
 from ._base import _t, dec, workload
 
@@ -556,7 +556,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Catalyst analyzed a 112-Exchange / 73-scan tree
         # (plans/r14/dedup_graph_triangles_before.txt).  The checkpoint
         # truncates lineage at the edges; same rows, one materialization.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = pairs.select(F.col("id_a").alias("a2"), F.col("id_b").alias("c"))
@@ -1444,7 +1444,7 @@ def train_test_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assignment_portable(F.col("doc_id"), 0.125).alias("_is_test"),
         # r14: checkpoint, not cache — train/test filters + the per-split
         # aggs each read it once per run
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     train = base.filter(~F.col("_is_test"))
     testd = base.filter(F.col("_is_test"))
     train_grams = train.select(F.explode("_sh").alias("g")).distinct()

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.qast.compiler import compile_predicate, default_resolver
-from comlake_core_spark.session import tables
+from comlake_core_spark.session import materialize, tables
 
 from ._base import _t, dec, workload
 
@@ -254,7 +254,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint, not persist (r14 measured pattern: no columnar
         # cache write, and the readers' plans stop re-inlining the
         # score+filter+window lineage)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     pairs = minhash_lsh_pairs(exact_kept, threshold=0.8, num_hashes=64, bands=16).select(
         "id_a", "id_b"
@@ -506,7 +506,7 @@ def pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survivor frame (plan now 60 Exchanges), same rows, same cache
         # semantics for the downstream stages; materialized by DoReMi's
         # first eager round exactly like the persist was.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     w = doremi_domain_weights(flagged, ["source"], -F.col("avg_logprob"), rounds=2)
     mix = mixture_resample(

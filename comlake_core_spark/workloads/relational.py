@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from comlake_core_spark.qast.compiler import compile_predicate, default_resolver
-from comlake_core_spark.session import tables
+from comlake_core_spark.session import materialize, tables
 
 from ._base import _t, dec, workload
 
@@ -2067,7 +2067,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for the full query at sf0.1) — the columnar cache write is
         # overhead for once-per-run readers and the cut truncates the
         # four readers' plans
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     n_orders = items.select(F.countDistinct("o").cast("double").alias("n_orders"))
     freq = items.groupBy("p").agg(F.count(F.lit(1)).alias("c"))

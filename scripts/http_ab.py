@@ -25,12 +25,13 @@ sys.path.insert(0, sys.argv[1])
 from comlake_core_spark.catalog import Catalog
 from comlake_core_spark.server import ComlakeServer
 from comlake_core_spark.serving import ServingTier
-from comlake_core_spark.session import get_spark
+from comlake_core_spark.session import get_serving_spark
 from comlake_core_spark.store import LocalStore
 import tempfile
 
 root = tempfile.mkdtemp(prefix="httpab-")
-spark = get_spark("http-ab")
+# serving entry point: bounded checkpoint-block reclamation (VERDICT r14 #3)
+spark = get_serving_spark("http-ab")
 spark.sparkContext.setLogLevel("ERROR")
 primary = ComlakeServer(
     spark, LocalStore(os.path.join(root, "cas")), Catalog(spark, os.path.join(root, "cat")),

@@ -93,11 +93,12 @@ def main() -> None:
     from comlake_core_spark.catalog import Catalog
     from comlake_core_spark.server import ComlakeServer
     from comlake_core_spark.serving import ServingTier
-    from comlake_core_spark.session import get_spark
+    from comlake_core_spark.session import get_serving_spark
     from comlake_core_spark.store import LocalStore
 
     root = tempfile.mkdtemp(prefix="comlake-httpbench-")
-    spark = get_spark("http-bench")
+        # serving entry point: bounded checkpoint-block reclamation (VERDICT r14 #3)
+    spark = get_serving_spark("http-bench")
     spark.sparkContext.setLogLevel("ERROR")
     primary = ComlakeServer(
         spark,

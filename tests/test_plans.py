@@ -944,31 +944,33 @@ def test_dau_wau_partial_aggs(spark):
 
 
 def test_containment_prefix_no_cartesian_and_single_persist(spark):
-    """The containment join (r9: max_df cap active in the registered
-    form) must stay equi-join-shaped — prefixes vs postings on the gram,
-    never pair enumeration — and its one persist must be the DOC-LEVEL
-    array frame, not the exploded gram frame (the r9 first cut persisted
-    the explode and measured 5x slower)."""
+    """The containment join (r15 redesign, VERDICT r14 #1) must stay
+    equi-join-shaped — prefixes vs postings on the gram id, never pair
+    enumeration — with the bounded candidate generation visible in the
+    plan: the pair-keyed aggregate (the positional-filter group-min that
+    prunes candidates BEFORE the verify joins attach anything) and the
+    single ranked-postings checkpoint cut (the only materialization; the
+    r8-r14 string-array cache and its eager-fill machinery are gone)."""
     df = REGISTRY["dedup_containment_prefix"].fn(spark, SF)
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan
-    # r11: an O(1) probe short-circuits the hot-gram prune when the cap
-    # does not bind — true at every test SF — so the registered plan has
-    # no nested-loop join of any kind; pair enumeration would need one
-    # on corpus-sized inputs.  (The BINDING-cap path keeps the one-row
-    # broadcast stop-array folds — covered by the max_df tests in
-    # test_r8_ops, and pinned at scale by sf1_validate after the r11
-    # literal-inlining cut blew the 10x step 22 s → 116 s.)
+    # pair enumeration on corpus-sized inputs would need a nested-loop
+    # join; the candidate path must stay keyed on the gram id
     assert "BroadcastNestedLoopJoin" not in plan
     import re
 
+    # no cache at all: the one materialized frame is the ranked-postings
+    # lazy localCheckpoint, visible as a Scan ExistingRDD cut carrying
+    # the (id, gram-id, rank, count) columns
     caches = re.findall(r"InMemoryRelation \[([^\]]*)\]", plan)
-    # the doc-level array frame must be cached ...
-    assert any("_sh" in c for c in caches), caches
-    # ... and no cache may be the EXPLODED per-occurrence frame (one row
-    # per (doc, gram) — the r9 first-cut regression); the per-GRAM df
-    # aggregate (_g, _df — O(distinct grams)) is fine and intentional
-    assert not any("_id" in c and "_g," in c for c in caches), caches
+    assert not caches, caches
+    cuts = [re.sub(r"#\d+L?", "", c) for c in re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)]
+    assert any(c.startswith("_id,_gid,_rn,_gc") for c in cuts), cuts
+    # the positional prune's pair-keyed aggregate runs before the verify
+    # joins: a hash aggregate keyed (_src, _dst) must appear, and the
+    # verify's array_intersect must sit above it
+    assert re.search(r"HashAggregate.*keys=\[_src#\d+L?, _dst#\d+L?\]", plan), plan[:2000]
+    assert "array_intersect" in plan
 
 
 def test_pack_sequences_no_single_partition_window(spark):
